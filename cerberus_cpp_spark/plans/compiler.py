@@ -1,0 +1,745 @@
+"""Schema → fused Column-expression compiler: the engine's scale path.
+
+Where the reference interprets rules per document node with a map
+lookup per rule (``validator.hh:279``), we compile the WHOLE schema
+once into a single projection: every rule of every field folds into
+one ``violations: array<struct<path,message>>`` expression evaluated
+in one narrow, shuffle-free pass (Catalyst folds constants, prunes
+unread columns, and runs the whole thing inside whole-stage codegen).
+N rules never means N scans — SURVEY.md §4.2's "key design move".
+
+Presence semantics (SURVEY.md §7 "undefined vs null collapse"):
+
+- ``presence="null"`` (production tables): SQL NULL plays the
+  reference's "undefined". ``required`` fires on NULL, skip-rules
+  (min/max/type/allowed/regex) skip NULL, and the auto-injected
+  ``nullable: false`` is inert (only an *explicit* ``nullable: false``
+  fires) — otherwise every optional column would reject NULL.
+- ``presence="defined"`` (full fidelity): a companion
+  ``__defined__: array<string>`` column (and sibling struct fields for
+  nested dicts) preserves the reference's three-state semantics
+  exactly — absent vs explicit-null vs value — including reference
+  oddities like min failing on null while max passes
+  (``rules.hh:316-336``).
+
+Element-wise rules inside arrays/maps compile to ``F.transform`` with
+the index, so per-element violation paths keep the reference's
+``^.field[i]`` grammar (``stack.hh:39-54``) without a posexplode.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import SchemaError
+from ..functions.pytypes import _scalar_text, builtin_types
+from ..functions.sparktypes import (
+    convertible_expr,
+    decode_expr,
+    typed_literal,
+)
+
+VIOL_ARRAY_T = "array<struct<path:string,message:string>>"
+
+_BUILTIN_TYPE_NAMES = frozenset(builtin_types())
+
+
+class CompileError(SchemaError):
+    """A rule/shape combination the columnar compiler cannot express;
+    the dynamic interpreter path still handles it."""
+
+
+def _as_list(v: Any) -> list:
+    if isinstance(v, list):
+        return list(v)
+    if v is None:
+        return []
+    return [v]
+
+
+def _truthy(arg: Any) -> bool:
+    if isinstance(arg, bool):
+        return arg
+    if isinstance(arg, str):
+        return arg in ("true", "True", "TRUE", "yes", "on")
+    return bool(arg)
+
+
+def _viol(cond: Column, path: Column, message) -> Column:
+    """struct<path,message> when cond else NULL (filtered later)."""
+    msg = message if isinstance(message, Column) else F.lit(message)
+    return F.when(
+        cond, F.struct(path.alias("path"), msg.alias("message"))
+    )
+
+
+class ArrayViol:
+    """Marker wrapper: a Column of array<struct<path,message>> (one
+    entry per element) as opposed to a scalar struct-or-null viol."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col: Column):
+        self.col = col
+
+
+@dataclass
+class FieldRef:
+    """A resolvable document field: value expr + dtype + definedness."""
+
+    value: Optional[Column]
+    dtype: Optional[T.DataType]
+    defined: Column
+
+
+class Scope:
+    """One mapping level — resolution context for the ``dependencies``
+    / ``excludes`` path language (``stack.hh:146-172``): non-anchored
+    paths resolve against the enclosing mapping, ``^`` against the
+    document root, dotted segments descend."""
+
+    def __init__(self, fields: dict[str, FieldRef], root: "Scope | None"):
+        self.fields = fields
+        self.root = root if root is not None else self
+
+
+@dataclass
+class CompilerOpts:
+    presence: str = "null"  # "null" | "defined"
+    allow_unknown: bool = False
+    purge_unknown: bool = False
+    extra_cols: tuple[str, ...] = ()
+    # engine-supplied registries
+    schema_registry: dict = dc_field(default_factory=dict)
+    column_rules: dict = dc_field(default_factory=dict)
+    spark_types: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class FieldCtx:
+    opts: CompilerOpts
+    rules: dict
+    value: Optional[Column]
+    dtype: Optional[T.DataType]
+    defined: Column
+    path: str
+    scope: Scope
+
+    def declared_type(self) -> str:
+        t = self.rules.get("type", "string")
+        return str(t[0]) if isinstance(t, list) and t else str(t)
+
+    def decoded(self, target: str | None = None) -> Optional[Column]:
+        if self.value is None or self.dtype is None:
+            return None
+        return decode_expr(self.value, self.dtype, target or self.declared_type())
+
+    def path_lit(self) -> Column:
+        return F.lit(self.path)
+
+
+def _child_ref(parent: FieldRef, name: str, opts: CompilerOpts) -> Optional[FieldRef]:
+    """Descend one mapping level below a struct/map-typed field."""
+    if parent.value is None or parent.dtype is None:
+        return None
+    if isinstance(parent.dtype, T.StructType):
+        names = parent.dtype.fieldNames()
+        if name not in names:
+            return None
+        v = parent.value[name]
+        dt = parent.dtype[name].dataType
+        if opts.presence == "defined" and "__defined__" in names:
+            defined = parent.defined & F.coalesce(
+                F.array_contains(parent.value["__defined__"], name),
+                F.lit(False),
+            )
+        else:
+            defined = parent.defined & v.isNotNull()
+        return FieldRef(v, dt, defined)
+    if isinstance(parent.dtype, T.MapType):
+        v = F.element_at(parent.value, F.lit(name))
+        defined = parent.defined & F.coalesce(
+            F.map_contains_key(parent.value, F.lit(name)), F.lit(False)
+        )
+        return FieldRef(v, parent.dtype.valueType, defined)
+    return None
+
+
+import re as _re
+
+_PATH_TOKEN = _re.compile(r"([^.\[\]]+)|\[(\d+)\]")
+
+
+def _resolve(scope: Scope, path_str: str, opts: CompilerOpts) -> Optional[FieldRef]:
+    text = str(path_str)
+    start = scope
+    if text.startswith("^"):
+        start = scope.root
+        text = text[1:].lstrip(".")
+    ref: Optional[FieldRef] = None
+    for m in _PATH_TOKEN.finditer(text):
+        key, idx = m.group(1), m.group(2)
+        if idx is not None:
+            return None  # list indices in dependency paths: dynamic path only
+        if ref is None:
+            ref = start.fields.get(key)
+            if ref is None:
+                return None
+        else:
+            ref = _child_ref(ref, key, opts)
+            if ref is None:
+                return None
+    return ref
+
+
+# ---------------------------------------------------------------------------
+# Element-wise scalar rule conditions (used inside F.transform lambdas
+# for schema-list / items / keysrules / valuesrules).
+# ---------------------------------------------------------------------------
+
+_ELEMENT_SAFE = {
+    "type", "allowed", "forbidden", "min", "max", "regex", "nullable",
+    "meta", "required", "empty", "minlength", "maxlength",
+}
+
+
+def _scalar_conds(
+    rules: dict, x: Column, dtype: T.DataType, opts: CompilerOpts
+) -> list[tuple[Column, str]]:
+    """(violation-condition, message) pairs for the scalar rule subset,
+    evaluated on an element value ``x`` (elements are always
+    'defined'; explicit null elements follow reference semantics)."""
+    unsupported = {
+        k for k in rules
+        if k not in _ELEMENT_SAFE and not k.startswith("__")
+        and k not in ("schema", "items", "keysrules", "valuesrules",
+                      "default", "rename", "contains", "dependencies",
+                      "excludes", "allow_unknown", "purge_unknown",
+                      "require_all")
+    }
+    t = rules.get("type", "string")
+    tname = str(t[0]) if isinstance(t, list) and t else str(t)
+    out: list[tuple[Column, str]] = []
+    for name, arg in rules.items():
+        if name == "type":
+            names = [str(n) for n in _as_list(arg)]
+            if isinstance(dtype, T.ArrayType):
+                ok = "list" in names
+                if not ok:
+                    out.append((x.isNotNull(),
+                                "type-rule violated: expected " + "/".join(names)))
+                continue
+            if isinstance(dtype, (T.MapType, T.StructType)):
+                ok = "dict" in names
+                if not ok:
+                    out.append((x.isNotNull(),
+                                "type-rule violated: expected " + "/".join(names)))
+                continue
+            preds = [
+                opts.spark_types[n](x, dtype) if n in opts.spark_types
+                else convertible_expr(x, dtype, n)
+                for n in names
+                if n in _BUILTIN_TYPE_NAMES or n in opts.spark_types
+            ]
+            if preds:
+                ok_expr = reduce(lambda a, b: a | b, preds)
+                out.append((x.isNotNull() & ~ok_expr,
+                            "type-rule violated: expected " + "/".join(names)))
+            else:
+                out.append((x.isNotNull(),
+                            "type-rule violated: expected " + "/".join(names)))
+        elif name == "allowed":
+            dec = decode_expr(x, dtype, tname)
+            if dec is None:
+                out.append((x.isNotNull(), "value disallowed by allowed-rule"))
+            else:
+                lits = [typed_literal(v, tname) for v in _as_list(arg)]
+                out.append((
+                    x.isNotNull()
+                    & ~F.coalesce(dec.isin(*lits), F.lit(False)),
+                    "value disallowed by allowed-rule",
+                ))
+        elif name == "forbidden":
+            dec = decode_expr(x, dtype, tname)
+            if dec is not None:
+                for cand in _as_list(arg):
+                    out.append((
+                        x.isNotNull()
+                        & F.coalesce(
+                            dec.eqNullSafe(typed_literal(cand, tname)),
+                            F.lit(False),
+                        ),
+                        f"forbidden-rule violated: {cand}",
+                    ))
+        elif name == "min":
+            dec = decode_expr(x, dtype, tname)
+            cond = (
+                ~F.coalesce(dec > typed_literal(arg, tname), F.lit(False))
+                if dec is not None else F.lit(True)
+            )
+            out.append((cond, "min-rule violated"))
+        elif name == "max":
+            dec = decode_expr(x, dtype, tname)
+            if dec is not None:
+                out.append((
+                    F.coalesce(dec >= typed_literal(arg, tname), F.lit(False)),
+                    "max-rule violated",
+                ))
+        elif name == "regex":
+            sdec = decode_expr(x, dtype, "string")
+            pattern = f"^(?:{arg})$"  # std::regex_match is a FULL match
+            if sdec is None:
+                out.append((x.isNotNull(), "regex-rule violated"))
+            else:
+                out.append((
+                    x.isNotNull()
+                    & ~F.coalesce(sdec.rlike(pattern), F.lit(False)),
+                    "regex-rule violated",
+                ))
+        elif name == "nullable":
+            if not _truthy(arg) and not rules.get("__nullable_injected__"):
+                out.append((x.isNull(), "nullable-rule violated"))
+        elif name in ("meta", "required"):
+            continue  # elements are always defined
+        elif name in ("empty", "minlength", "maxlength"):
+            if isinstance(dtype, (T.ArrayType, T.MapType)):
+                count = F.coalesce(F.size(x), F.lit(0))
+                if name == "empty" and not _truthy(arg):
+                    out.append((x.isNotNull() & (count == 0),
+                                "empty-rule violated for sequence"))
+                elif name == "minlength":
+                    out.append((count < F.lit(int(arg)), "minlength-rule violated"))
+                elif name == "maxlength":
+                    out.append((count > F.lit(int(arg)), "maxlength-rule violated"))
+        elif name.startswith("__"):
+            continue
+        else:
+            raise CompileError(
+                f"rule {name!r} not supported on array/map elements by the"
+                " columnar compiler (use the dynamic interpreter path)"
+            )
+    if unsupported:
+        raise CompileError(
+            f"rules {sorted(unsupported)} not compilable on elements"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Field-level compilation
+# ---------------------------------------------------------------------------
+
+
+def _count_expr(ctx: FieldCtx) -> Column:
+    """Item count of a list/dict value (reference iterates the node —
+    scalars and undefined count 0, ``rules.hh:355-359``)."""
+    if ctx.value is None or ctx.dtype is None:
+        return F.lit(0)
+    if isinstance(ctx.dtype, (T.ArrayType, T.MapType)):
+        return F.coalesce(F.size(ctx.value), F.lit(0))
+    if isinstance(ctx.dtype, T.StructType):
+        names = ctx.dtype.fieldNames()
+        if ctx.opts.presence == "defined" and "__defined__" in names:
+            return F.coalesce(F.size(ctx.value["__defined__"]), F.lit(0))
+        counts = [
+            F.when(ctx.value[n].isNotNull(), 1).otherwise(0)
+            for n in names if n != "__defined__"
+        ]
+        base = reduce(lambda a, b: a + b, counts) if counts else F.lit(0)
+        return F.when(ctx.value.isNotNull(), base).otherwise(F.lit(0))
+    return F.lit(0)
+
+
+def _elem_path(prefix: str) -> Callable[[Column], Column]:
+    return lambda i: F.concat(
+        F.lit(prefix + "["), i.cast("string"), F.lit("]")
+    )
+
+
+def _array_rule_viols(
+    ctx: FieldCtx, elem_rules: dict
+) -> list[Column]:
+    """schema(list form): one F.transform per (rule, message) so each
+    element yields its own violation struct with an indexed path."""
+    assert isinstance(ctx.dtype, T.ArrayType)
+    elem_dt = ctx.dtype.elementType
+    path_of = _elem_path(ctx.path)
+    out: list[Column] = []
+    def make(cb, m):
+        def fn(x, i):
+            return F.when(
+                cb(x), F.struct(path_of(i).alias("path"),
+                                F.lit(m).alias("message")))
+        return fn
+
+    for cond_builder, msg in _probe_scalar_conds(elem_rules, elem_dt, ctx.opts):
+        arr = F.transform(ctx.value, make(cond_builder, msg))
+        out.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
+    return out
+
+
+def _probe_scalar_conds(rules: dict, dtype: T.DataType, opts: CompilerOpts):
+    """Turn _scalar_conds into re-usable (builder, message) pairs: the
+    condition must be rebuilt per lambda variable, so probe once for
+    messages/ordering, then rebuild inside each transform."""
+    probe = _scalar_conds(rules, F.lit(None).cast(dtype), dtype, opts)
+    pairs = []
+    for idx, (_, msg) in enumerate(probe):
+        def builder(x, _i=idx):
+            return _scalar_conds(rules, x, dtype, opts)[_i][0]
+        pairs.append((builder, msg))
+    return pairs
+
+
+def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
+    """Compile one field's rule-map.
+
+    Returns (violation columns, effective value expr, effective
+    definedness) — the effective value has NORMALIZATION (default)
+    applied so later rules validate the normalized value, mirroring
+    the reference's phase order (``validator.hh:266-287``).
+    """
+    rules = ctx.rules
+    opts = ctx.opts
+    viols: list[Column] = []
+    tname = ctx.declared_type()
+
+    # ---- NORMALIZATION phase: default (rules.hh:128-141) ----
+    value, defined = ctx.value, ctx.defined
+    if "default" in rules:
+        dlit = typed_literal(rules["default"], tname)
+        if value is None:
+            value, ctx.dtype = dlit, None  # column absent: constant default
+            # dtype left as declared; decode handled via literal
+        else:
+            value = F.when(~defined, dlit).otherwise(value)
+        defined = F.lit(True)
+        ctx = FieldCtx(opts, rules, value, ctx.dtype, defined,
+                       ctx.path, ctx.scope)
+
+    path = ctx.path_lit()
+
+    for name, arg in rules.items():
+        if name.startswith("__"):
+            continue
+        if name in opts.column_rules:  # custom registered column rules
+            viols.extend(opts.column_rules[name](ctx, arg) or [])
+            continue
+        if name == "required":
+            if _truthy(arg):
+                viols.append(_viol(~defined, path,
+                                   "required-rule violated: field missing"))
+        elif name == "nullable":
+            explicit = not rules.get("__nullable_injected__", False)
+            if not _truthy(arg) and (explicit or opts.presence == "defined"):
+                if ctx.value is not None:
+                    cond = (defined & ctx.value.isNull()
+                            if opts.presence == "defined"
+                            else ctx.value.isNull())
+                    viols.append(_viol(cond, path, "nullable-rule violated"))
+        elif name == "min":
+            dec = ctx.decoded()
+            cond = (defined & ~F.coalesce(dec > typed_literal(arg, tname),
+                                          F.lit(False))
+                    if dec is not None else defined)
+            viols.append(_viol(cond, path, "min-rule violated"))
+        elif name == "max":
+            dec = ctx.decoded()
+            if dec is not None:
+                viols.append(_viol(
+                    defined & F.coalesce(dec >= typed_literal(arg, tname),
+                                         F.lit(False)),
+                    path, "max-rule violated"))
+        elif name == "allowed":
+            dec = ctx.decoded()
+            if ctx.value is None:
+                continue
+            base = defined & ctx.value.isNotNull()
+            if dec is None or isinstance(ctx.dtype,
+                                         (T.ArrayType, T.MapType, T.StructType)):
+                viols.append(_viol(base, path,
+                                   "value disallowed by allowed-rule"))
+            else:
+                lits = [typed_literal(v, tname) for v in _as_list(arg)]
+                viols.append(_viol(
+                    base & ~F.coalesce(dec.isin(*lits), F.lit(False)),
+                    path, "value disallowed by allowed-rule"))
+        elif name == "forbidden":
+            dec = ctx.decoded()
+            if dec is None or ctx.value is None:
+                continue
+            for cand in _as_list(arg):
+                viols.append(_viol(
+                    defined & ctx.value.isNotNull()
+                    & F.coalesce(dec.eqNullSafe(typed_literal(cand, tname)),
+                                 F.lit(False)),
+                    path, f"forbidden-rule violated: {cand}"))
+        elif name == "regex":
+            if ctx.value is None:
+                continue
+            sdec = decode_expr(ctx.value, ctx.dtype, "string") \
+                if ctx.dtype is not None else None
+            pattern = f"^(?:{arg})$"  # full match (rules.hh:448)
+            base = defined & ctx.value.isNotNull()
+            if sdec is None:
+                viols.append(_viol(base, path, "regex-rule violated"))
+            else:
+                viols.append(_viol(
+                    base & ~F.coalesce(sdec.rlike(pattern), F.lit(False)),
+                    path, "regex-rule violated"))
+        elif name == "empty":
+            if (ctx.value is not None and isinstance(ctx.dtype, T.ArrayType)
+                    and not _truthy(arg)):
+                viols.append(_viol(
+                    defined & ctx.value.isNotNull()
+                    & (F.size(ctx.value) == 0),
+                    path, "empty-rule violated for sequence"))
+        elif name == "minlength":
+            viols.append(_viol(_count_expr(ctx) < F.lit(int(arg)), path,
+                               "minlength-rule violated"))
+        elif name == "maxlength":
+            viols.append(_viol(_count_expr(ctx) > F.lit(int(arg)), path,
+                               "maxlength-rule violated"))
+        elif name == "contains":
+            needed = [str(_scalar_text(v)) for v in _as_list(arg)]
+            needed_arr = F.array(*[F.lit(n) for n in needed])
+            if ctx.value is not None and isinstance(ctx.dtype, T.ArrayType):
+                have = F.transform(ctx.value, lambda x: x.cast("string"))
+                ok = F.size(F.array_except(needed_arr, have)) == 0
+                viols.append(_viol(~F.coalesce(ok, F.lit(False)), path,
+                                   "contains-rule violated"))
+            else:
+                # reference iterates zero items → every needed missing
+                viols.append(_viol(F.lit(True), path,
+                                   "contains-rule violated"))
+        elif name == "type":
+            if ctx.value is None or ctx.dtype is None:
+                continue  # undefined always → type skipped
+            names = [str(n) for n in _as_list(arg)]
+            base = defined & ctx.value.isNotNull()
+            if isinstance(ctx.dtype, T.ArrayType):
+                if "list" not in names:
+                    viols.append(_viol(base, path,
+                                       "type-rule violated: expected "
+                                       + "/".join(names)))
+            elif isinstance(ctx.dtype, (T.MapType, T.StructType)):
+                if "dict" not in names:
+                    viols.append(_viol(base, path,
+                                       "type-rule violated: expected "
+                                       + "/".join(names)))
+            else:
+                preds = [
+                    opts.spark_types[n](ctx.value, ctx.dtype)
+                    if n in opts.spark_types
+                    else convertible_expr(ctx.value, ctx.dtype, n)
+                    for n in names
+                    if n in _BUILTIN_TYPE_NAMES or n in opts.spark_types
+                ]
+                ok = reduce(lambda a, b: a | b, preds) if preds else F.lit(False)
+                viols.append(_viol(base & ~ok, path,
+                                   "type-rule violated: expected "
+                                   + "/".join(names)))
+        elif name == "dependencies":
+            if ctx.value is None:
+                continue
+            if isinstance(arg, dict):
+                for dep, pinned in arg.items():
+                    ref = _resolve(ctx.scope, str(dep), opts)
+                    if ref is None:
+                        viols.append(_viol(
+                            defined, path,
+                            f"dependencies-rule violated: {dep} required"))
+                        continue
+                    viols.append(_viol(
+                        defined & ~ref.defined, path,
+                        f"dependencies-rule violated: {dep} required"))
+                    strs = [str(_scalar_text(v)) for v in _as_list(pinned)]
+                    dep_str = (decode_expr(ref.value, ref.dtype, "string")
+                               if ref.value is not None and ref.dtype is not None
+                               else None)
+                    pin_ok = (ref.defined
+                              & F.coalesce(dep_str.isin(strs), F.lit(False))
+                              if dep_str is not None else F.lit(False))
+                    opts_s = ", ".join(strs)
+                    viols.append(_viol(
+                        defined & ~pin_ok, path,
+                        f"dependencies-rule violated: {dep} requires value"
+                        f" out of [{opts_s}]"))
+            else:
+                for dep in _as_list(arg):
+                    ref = _resolve(ctx.scope, str(dep), opts)
+                    cond = (defined & ~ref.defined) if ref is not None else defined
+                    viols.append(_viol(
+                        cond, path,
+                        f"dependencies-rule violated: {dep} required"))
+        elif name == "excludes":
+            if ctx.value is None:
+                continue
+            for exc in _as_list(arg):
+                ref = _resolve(ctx.scope, str(exc), opts)
+                if ref is not None:
+                    viols.append(_viol(
+                        defined & ref.defined, path,
+                        f"excludes-rule violated: {exc} is not allowed"))
+        elif name == "schema":
+            viols.extend(_compile_schema_rule(ctx, arg, defined))
+        elif name == "items":
+            if ctx.value is not None and isinstance(ctx.dtype, T.ArrayType):
+                elem_dt = ctx.dtype.elementType
+                for i, sub in enumerate(_as_list(arg)):
+                    ectx = FieldCtx(
+                        opts, sub,
+                        F.element_at(ctx.value, i + 1), elem_dt,
+                        defined & (F.coalesce(F.size(ctx.value), F.lit(0)) > i),
+                        f"{ctx.path}[{i}]", ctx.scope)
+                    v2, _, _ = compile_field(ectx)
+                    viols.extend(v2)
+        elif name == "keysrules":
+            if ctx.value is not None and isinstance(ctx.dtype, T.MapType):
+                key_dt = ctx.dtype.keyType
+                prefix = ctx.path + "."
+
+                def make_key_fn(cb, m):
+                    def fn(k):
+                        return F.when(
+                            cb(k),
+                            F.struct(
+                                F.concat(F.lit(prefix),
+                                         k.cast("string")).alias("path"),
+                                F.lit(m).alias("message")))
+                    return fn
+
+                for cb, msg in _probe_scalar_conds(arg, key_dt, opts):
+                    arr = F.transform(F.map_keys(ctx.value),
+                                      make_key_fn(cb, msg))
+                    viols.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
+        elif name == "valuesrules":
+            if ctx.value is not None and isinstance(ctx.dtype, T.MapType):
+                val_dt = ctx.dtype.valueType
+                prefix = ctx.path + "."
+
+                def make_val_fn(cb, m):
+                    def fn(e):
+                        return F.when(
+                            cb(e["value"]),
+                            F.struct(
+                                F.concat(F.lit(prefix),
+                                         e["key"].cast("string")).alias("path"),
+                                F.lit(m).alias("message")))
+                    return fn
+
+                for cb, msg in _probe_scalar_conds(arg, val_dt, opts):
+                    arr = F.transform(F.map_entries(ctx.value),
+                                      make_val_fn(cb, msg))
+                    viols.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
+        elif name in ("meta", "rename", "default", "allow_unknown",
+                      "purge_unknown", "require_all"):
+            pass  # no-op / handled by normalization & engine preprocessing
+        else:
+            raise CompileError(
+                f"unknown rule {name!r} reached the compiler — schema was"
+                " not meta-validated")
+    return viols, value, defined
+
+
+def _compile_schema_rule(ctx: FieldCtx, arg: Any, defined: Column) -> list[Column]:
+    """The ``schema`` rule (``rules.hh:519-573``): dict form recurses
+    into struct/map fields; list form applies one rule-map per element
+    via F.transform."""
+    opts = ctx.opts
+    if isinstance(arg, str):
+        resolved = opts.schema_registry.get(arg)
+        if resolved is None:
+            raise CompileError(f"unknown registered schema: {arg}")
+        arg = resolved
+    if ctx.value is None or ctx.dtype is None:
+        return []
+    if isinstance(ctx.dtype, T.ArrayType):
+        return _array_rule_viols(ctx, arg)
+    if isinstance(ctx.dtype, T.StructType):
+        return _compile_mapping(
+            arg, FieldRef(ctx.value, ctx.dtype, defined),
+            ctx.path, ctx.scope, opts,
+            allow_unknown=_truthy(ctx.rules.get("allow_unknown", False))
+            or opts.allow_unknown,
+        )
+    if isinstance(ctx.dtype, T.MapType):
+        return _compile_mapping(
+            arg, FieldRef(ctx.value, ctx.dtype, defined),
+            ctx.path, ctx.scope, opts,
+            allow_unknown=_truthy(ctx.rules.get("allow_unknown", False))
+            or opts.allow_unknown,
+        )
+    return []
+
+
+def _compile_mapping(
+    schema: dict,
+    parent: FieldRef,
+    path: str,
+    parent_scope: Scope,
+    opts: CompilerOpts,
+    *,
+    allow_unknown: bool,
+) -> list[Column]:
+    """validateDict over a nested struct/map column
+    (``validator.hh:302-344``): per-field recursion + unknown-key
+    violations."""
+    viols: list[Column] = []
+    refs: dict[str, FieldRef] = {}
+    for fname in schema:
+        ref = _child_ref(parent, fname, opts)
+        if ref is None:
+            ref = FieldRef(None, None, F.lit(False))
+        refs[fname] = ref
+    scope = Scope(refs, parent_scope.root)
+    for fname, rules in schema.items():
+        ref = refs[fname]
+        fctx = FieldCtx(opts, rules, ref.value, ref.dtype, ref.defined,
+                        f"{path}.{fname}", scope)
+        v2, _, _ = compile_field(fctx)
+        viols.extend(v2)
+    # unknown keys (validator.hh:334-339)
+    if not allow_unknown and parent.dtype is not None:
+        if isinstance(parent.dtype, T.StructType):
+            for fname in parent.dtype.fieldNames():
+                if fname in schema or fname == "__defined__":
+                    continue
+                ref = _child_ref(parent, fname, opts)
+                if ref is not None:
+                    viols.append(_viol(
+                        ref.defined, F.lit(path),
+                        f"unknown field not permitted: {fname}"))
+        elif isinstance(parent.dtype, T.MapType):
+            known = F.array(*[F.lit(k) for k in schema]) if schema \
+                else F.array().cast("array<string>")
+            arr = F.transform(
+                F.map_keys(parent.value),
+                lambda k: F.when(
+                    ~F.array_contains(known, k.cast("string")),
+                    F.struct(
+                        F.lit(path).alias("path"),
+                        F.concat(F.lit("unknown field not permitted: "),
+                                 k.cast("string")).alias("message"))))
+            viols.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
+    return viols
+
+
+def assemble_violations(viols: list) -> Column:
+    """Fuse per-rule violation columns into one filtered array."""
+    scalars = [v for v in viols if not isinstance(v, ArrayViol)]
+    arrays = [v.col for v in viols if isinstance(v, ArrayViol)]
+    parts: list[Column] = []
+    if scalars:
+        parts.append(F.array(*scalars))
+    parts.extend(arrays)
+    if not parts:
+        return F.array().cast(VIOL_ARRAY_T)
+    merged = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return F.filter(merged, lambda x: x.isNotNull()).cast(VIOL_ARRAY_T)

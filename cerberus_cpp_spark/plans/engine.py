@@ -1,0 +1,347 @@
+"""TableValidator — the public Spark-facing API of the engine.
+
+One object owns: schema meta-validation (driver-side, via the dynamic
+interpreter — reference ``validator.hh:159-175``), the columnar
+compilation, and the result surfaces the reference exposes per
+document re-expressed per table:
+
+- ``validate(df)`` → :class:`TableValidationResult` with
+  ``annotated`` (input + violations array + per-row verdict — the
+  reference's ``validate() → bool`` per document),
+  ``violations()`` (exploded ``(id…, path, message)`` rows — the
+  reference's error list, ``error.hh:42-46``), ``normalized`` (the
+  reference's ``getDocument()``, ``validator.hh:200-203``), and
+  ``partition_verdicts()`` (per-partition pass/fail aggregation for
+  the north-rule ledger).
+
+Scale notes: the validation pass is a single narrow projection — no
+shuffle, embarrassingly parallel, AQE-friendly. ``is_valid()`` uses a
+LIMIT-1 probe on invalid rows so the common all-clean case never
+materializes violation structs driver-side. Partition verdicts are a
+single partial+final hash aggregation.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..dynamic.interpreter import Priority, Validator
+from ..errors import SchemaError
+from .compiler import (
+    CompilerOpts,
+    FieldCtx,
+    FieldRef,
+    Scope,
+    VIOL_ARRAY_T,
+    _truthy,
+    assemble_violations,
+    compile_field,
+)
+
+BOOKKEEPING_COLS = ("__defined__",)
+
+
+def _inject_require_all(schema: dict, active: bool) -> dict:
+    """require_all semantics (``validator.hh:273-275`` + scoped rule
+    ``rules.hh:471-501``): while active, every field gets
+    ``required: true`` injected (overriding an explicit false); a
+    ``require_all`` key on a dict field toggles the flag for that
+    subtree (and the carrying field itself)."""
+    out: dict = {}
+    for fname, rules in schema.items():
+        rules = dict(rules)
+        # the carrying field's own FIRST-phase toggle fires before its
+        # NORMALIZATION injection, so a field with require_all: true is
+        # itself required even when the outer flag is off
+        local = (
+            _truthy(rules["require_all"])
+            if "require_all" in rules
+            else active
+        )
+        if local:
+            rules["required"] = True
+        sub = rules.get("schema")
+        if isinstance(sub, dict) and (
+            not sub
+            or (
+                all(isinstance(v, dict) for v in sub.values())
+                and not (set(sub) & _RULE_NAMES)
+            )
+        ):
+            rules["schema"] = _inject_require_all(sub, local)
+        out[fname] = rules
+    return out
+
+
+def _mark_injected_nullable(raw: dict, normalized: dict) -> dict:
+    """Tag ``nullable: false`` entries the meta-schema injected (vs
+    user-written) so presence='null' mode can keep them inert
+    (SURVEY.md §7: the undefined/null collapse)."""
+    out: dict = {}
+    for fname, rules in normalized.items():
+        rules = dict(rules)
+        raw_rules = raw.get(fname, {}) if isinstance(raw, dict) else {}
+        if "nullable" not in raw_rules and not _truthy(
+            rules.get("nullable", False)
+        ):
+            rules["__nullable_injected__"] = True
+        for key in ("schema", "keysrules", "valuesrules"):
+            sub = rules.get(key)
+            raw_sub = raw_rules.get(key) if isinstance(raw_rules, dict) else None
+            if isinstance(sub, dict):
+                if key == "schema" and sub and all(
+                    isinstance(v, dict) for v in sub.values()
+                ) and not (set(sub) & _RULE_NAMES):
+                    rules[key] = _mark_injected_nullable(
+                        raw_sub if isinstance(raw_sub, dict) else {}, sub
+                    )
+                else:
+                    rules[key] = _mark_injected_nullable(
+                        {"_": raw_sub if isinstance(raw_sub, dict) else {}},
+                        {"_": sub},
+                    )["_"]
+        if isinstance(rules.get("items"), list):
+            raw_items = raw_rules.get("items") or []
+            rules["items"] = [
+                _mark_injected_nullable(
+                    {"_": raw_items[i] if i < len(raw_items) else {}},
+                    {"_": s},
+                )["_"]
+                if isinstance(s, dict) else s
+                for i, s in enumerate(rules["items"])
+            ]
+        out[fname] = rules
+    return out
+
+
+_RULE_NAMES = {
+    "allow_unknown", "allowed", "contains", "default", "dependencies",
+    "empty", "excludes", "forbidden", "items", "keysrules", "meta",
+    "max", "min", "maxlength", "minlength", "nullable", "purge_unknown",
+    "regex", "rename", "require_all", "required", "schema", "type",
+    "valuesrules",
+}
+
+
+class TableValidator:
+    """Validate DataFrames against a cerberus-style schema."""
+
+    def __init__(
+        self,
+        schema: dict,
+        *,
+        allow_unknown: bool = False,
+        purge_unknown: bool = False,
+        require_all: bool = False,
+        presence: str = "null",
+        extra_cols: tuple[str, ...] = (),
+        registry: dict[str, dict] | None = None,
+    ) -> None:
+        self._interp = Validator(
+            allow_unknown=allow_unknown,
+            purge_unknown=purge_unknown,
+            require_all=require_all,
+        )
+        for name, s in (registry or {}).items():
+            self._interp.register_schema(name, s)
+        self.raw_schema = copy.deepcopy(schema)
+        # driver-side meta-validation — raises SchemaError early
+        normalized = self._interp.normalized_schema(schema)
+        # always walk: per-field require_all keys inject into their
+        # subtrees even when the global flag is off
+        normalized = _inject_require_all(normalized, require_all)
+        self.schema = _mark_injected_nullable(self.raw_schema, normalized)
+        self.allow_unknown = allow_unknown
+        self.purge_unknown = purge_unknown
+        self.presence = presence
+        self.extra_cols = tuple(extra_cols)
+        self._column_rules: dict[str, Callable] = {}
+        self._spark_types: dict[str, Callable] = {}
+        self._registry_normalized = {
+            name: self._interp.normalized_schema(s)
+            for name, s in (registry or {}).items()
+        }
+
+    # -- extension API (parity with registerRule/registerType,
+    #    validator.hh:56-95, but compiling to Columns) ----------------
+    def register_column_rule(
+        self,
+        name: str,
+        meta_schema: dict,
+        compiler: Callable[[FieldCtx, Any], list],
+        interpreter_fn: Callable | None = None,
+        priority: Priority = Priority.VALIDATION,
+    ) -> None:
+        self._column_rules[name] = compiler
+        self._interp.register_rule(
+            name, meta_schema, interpreter_fn or (lambda ctx: None), priority
+        )
+
+    def register_spark_type(
+        self, name: str, convertible: Callable[[Column, T.DataType], Column]
+    ) -> None:
+        self._spark_types[name] = convertible
+
+    # -- compilation ---------------------------------------------------
+    def _opts(self) -> CompilerOpts:
+        return CompilerOpts(
+            presence=self.presence,
+            allow_unknown=self.allow_unknown,
+            purge_unknown=self.purge_unknown,
+            extra_cols=self.extra_cols,
+            schema_registry=self._registry_normalized,
+            column_rules=self._column_rules,
+            spark_types=self._spark_types,
+        )
+
+    def compile(self, df_schema: T.StructType) -> "CompiledPlan":
+        opts = self._opts()
+        # extra_cols are exempt from the unknown-key check only — a
+        # schema rule for such a column still validates it
+        exempt = set(self.extra_cols) | set(BOOKKEEPING_COLS)
+        refs: dict[str, FieldRef] = {}
+        for f in df_schema.fields:
+            if f.name in BOOKKEEPING_COLS:
+                continue
+            col = F.col(f.name)
+            if self.presence == "defined":
+                defined = F.coalesce(
+                    F.array_contains(F.col("__defined__"), f.name),
+                    F.lit(False),
+                )
+            else:
+                defined = col.isNotNull()
+            refs[f.name] = FieldRef(col, f.dataType, defined)
+        # schema fields absent from the DataFrame: statically undefined
+        for fname in self.schema:
+            if fname not in refs:
+                refs[fname] = FieldRef(None, None, F.lit(False))
+        scope = Scope(refs, None)
+
+        viols: list = []
+        norm_cols: list[Column] = []
+        norm_names: list[str] = []
+        for fname, rules in self.schema.items():
+            ref = refs[fname]
+            ctx = FieldCtx(
+                opts, rules, ref.value, ref.dtype, ref.defined,
+                f"^.{fname}", scope,
+            )
+            fviols, eff_value, _ = compile_field(ctx)
+            viols.extend(fviols)
+            out_name = str(rules.get("rename", fname))
+            if eff_value is not None:
+                norm_cols.append(eff_value.alias(out_name))
+                norm_names.append(out_name)
+        # unknown top-level columns (validator.hh:326-339)
+        unknown = [
+            f.name
+            for f in df_schema.fields
+            if f.name not in self.schema and f.name not in exempt
+        ]
+        # purge removes unknown keys BEFORE the allow check sees them
+        # (validator.hh:326-339), so purge implies no unknown violations
+        if not self.allow_unknown and not self.purge_unknown:
+            for k in unknown:
+                viols.append(
+                    F.when(
+                        refs[k].defined,
+                        F.struct(
+                            F.lit("^").alias("path"),
+                            F.lit(
+                                f"unknown field not permitted: {k}"
+                            ).alias("message"),
+                        ),
+                    )
+                )
+        keep_unknown = [] if self.purge_unknown else unknown
+        for k in keep_unknown:
+            norm_cols.append(F.col(k))
+            norm_names.append(k)
+        for k in self.extra_cols:
+            if k in df_schema.fieldNames():
+                norm_cols.insert(0, F.col(k))
+                norm_names.insert(0, k)
+        return CompiledPlan(
+            violations=assemble_violations(viols),
+            normalized_cols=norm_cols,
+            normalized_names=norm_names,
+        )
+
+    # -- execution -----------------------------------------------------
+    def validate(self, df: DataFrame) -> "TableValidationResult":
+        plan = self.compile(df.schema)
+        annotated = df.withColumn("violations", plan.violations)
+        annotated = annotated.withColumn(
+            "n_violations", F.size("violations")
+        ).withColumn("valid", F.col("n_violations") == 0)
+        return TableValidationResult(self, df, plan, annotated)
+
+
+@dataclass
+class CompiledPlan:
+    violations: Column
+    normalized_cols: list[Column]
+    normalized_names: list[str]
+
+
+@dataclass
+class TableValidationResult:
+    validator: TableValidator
+    source: DataFrame
+    plan: CompiledPlan
+    annotated: DataFrame
+
+    def violations(self, *id_cols: str) -> DataFrame:
+        """Exploded violation rows ``(id…, path, message)`` — the
+        distributed analogue of the reference's error list."""
+        ids = [F.col(c) for c in id_cols]
+        v = F.explode(F.col("violations")).alias("v")
+        return (
+            self.annotated.where(F.col("n_violations") > 0)
+            .select(*ids, v)
+            .select(*id_cols, F.col("v.path").alias("path"),
+                    F.col("v.message").alias("message"))
+        )
+
+    @property
+    def normalized(self) -> DataFrame:
+        """The normalized table (defaults injected, renames applied,
+        unknown columns purged) — reference ``getDocument()``."""
+        return self.source.select(*self.plan.normalized_cols)
+
+    def is_valid(self) -> bool:
+        """True iff NO row has violations. LIMIT-1 anti-probe: cheap
+        on the clean path, early-exits on the dirty path."""
+        return (
+            self.annotated.where(~F.col("valid")).limit(1).count() == 0
+        )
+
+    def counts(self) -> dict[str, int]:
+        row = self.annotated.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("n_violations")).alias("violations"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+        ).collect()[0]
+        return {
+            "rows": row["rows"],
+            "violations": int(row["violations"] or 0),
+            "invalid_rows": int(row["invalid_rows"] or 0),
+        }
+
+    def partition_verdicts(self, *partition_cols: str) -> DataFrame:
+        """Per-partition pass/fail + metrics (north-rule ledger unit):
+        one partial+final hash agg, no row data movement beyond the
+        tiny aggregate."""
+        return self.annotated.groupBy(*partition_cols).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_violations").alias("violations"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+            (F.sum("n_violations") == 0).alias("passed"),
+        )
