@@ -1,0 +1,229 @@
+"""Image-payload checks: the binary-column (multimodal) operators.
+
+Per BASELINE.json input_hint, image bytes are decoded ONLY inside
+Arrow-batched UDF stages — the metadata fast path (w/h/fmt column
+predicates) never touches ``bytes``, so Parquet column pruning keeps
+those scans cheap; the decode path reads ``bytes`` in Arrow batches
+sized by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low,
+e.g. 256-1024, when payloads are MB-scale so a batch fits executor
+memory).
+
+Codecs come from ``sources.imagegen``: PNG is a real codec; jpeg/webp
+are clearly-marked deterministic stubs (container has no libjpeg) —
+the Spark-side plumbing (binary columns, batch shapes, UDF
+signatures, violation surfaces) is real and tested either way.
+
+The reference analogue is a custom type's ``equality`` op
+(``types.hh:41-48``) promoted to a row-wise invariant: decoded pixels
+must match the deterministic reference image within PSNR ≥ 40 dB
+(lossy) / exactly (lossless), and the caption must equal the
+reference caption (``input_hint``: "decoded-pixel allclose + caption
+equality").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.shipping import PKG_PARENT
+
+DECODE_SCHEMA = (
+    "image_id string, decode_ok boolean, sniffed_fmt string, "
+    "dec_w int, dec_h int, message string"
+)
+
+
+def decode_probe(df: DataFrame, *, id_col: str = "image_id",
+                 bytes_col: str = "bytes") -> DataFrame:
+    """Decode every payload; emit (image_id, decode_ok, sniffed_fmt,
+    dec_w, dec_h, message). Narrow Arrow-batched stage, no shuffle;
+    only ``id_col`` + ``bytes_col`` are read (column pruning)."""
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+
+    pkg_parent = PKG_PARENT
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+
+        for pdf in batches:
+            out = {"image_id": pdf["image_id"], "decode_ok": [],
+                   "sniffed_fmt": [], "dec_w": [], "dec_h": [],
+                   "message": []}
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    out["decode_ok"].append(False)
+                    out["sniffed_fmt"].append(None)
+                    out["dec_w"].append(None)
+                    out["dec_h"].append(None)
+                    out["message"].append("no payload")
+                    continue
+                try:
+                    fmt, px = decode_image(bytes(blob))
+                    out["decode_ok"].append(True)
+                    out["sniffed_fmt"].append(fmt)
+                    out["dec_h"].append(px.shape[0])
+                    out["dec_w"].append(px.shape[1])
+                    out["message"].append(None)
+                except Exception as e:  # corrupt / unknown stream
+                    out["decode_ok"].append(False)
+                    out["sniffed_fmt"].append(None)
+                    out["dec_w"].append(None)
+                    out["dec_h"].append(None)
+                    out["message"].append(str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(probe, schema=DECODE_SCHEMA)
+
+
+def metadata_consistency_violations(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    check_dims: bool = True,
+) -> DataFrame:
+    """Violation rows where the decoded payload contradicts the
+    metadata columns (fmt mismatch, dimension mismatch, undecodable).
+    One decode pass joined back on id — broadcast-free: the probe
+    output carries the id so this is a co-keyed sort-merge only if
+    violations are projected with extra source columns; here we keep
+    it join-free by probing WITH the metadata columns inline."""
+    src = df.select(
+        F.col(id_col).alias("image_id"), "bytes",
+        F.col("fmt").alias("meta_fmt"),
+        F.col("w").alias("meta_w"), F.col("h").alias("meta_h"),
+    )
+
+    pkg_parent = PKG_PARENT
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+
+        for pdf in batches:
+            ids, paths, msgs = [], [], []
+
+            def viol(i, path, msg):
+                ids.append(pdf["image_id"].iloc[i])
+                paths.append(path)
+                msgs.append(msg)
+
+            for i, blob in enumerate(pdf["bytes"]):
+                if blob is None:
+                    viol(i, "^.bytes", "undecodable payload: no payload")
+                    continue
+                try:
+                    fmt, px = decode_image(bytes(blob))
+                except Exception as e:
+                    viol(i, "^.bytes", f"undecodable payload: {str(e)[:120]}")
+                    continue
+                meta_fmt = pdf["meta_fmt"].iloc[i]
+                if not pd.isna(meta_fmt) and fmt != meta_fmt:
+                    viol(i, "^.fmt",
+                         f"payload is {fmt}, metadata says {meta_fmt}")
+                if check_dims:
+                    mw, mh = pdf["meta_w"].iloc[i], pdf["meta_h"].iloc[i]
+                    if not pd.isna(mw) and px.shape[1] != int(mw):
+                        viol(i, "^.w",
+                             f"payload width {px.shape[1]} != metadata {mw}")
+                    if not pd.isna(mh) and px.shape[0] != int(mh):
+                        viol(i, "^.h",
+                             f"payload height {px.shape[0]} != metadata {mh}")
+            yield pd.DataFrame(
+                {"image_id": ids, "path": paths, "message": msgs}
+            )
+
+    return src.mapInPandas(
+        probe, schema="image_id string, path string, message string"
+    )
+
+
+def fidelity_check(
+    df: DataFrame,
+    *,
+    seed: int = 42,
+    psnr_threshold_db: float = 40.0,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Row-wise invariant vs the deterministic reference (input_hint:
+    decoded-pixel PSNR ≥ 40 dB for lossy, exact for lossless, +
+    caption equality). The reference image is re-synthesized
+    executor-side from the row id — no ground-truth shipping, no
+    shuffle. Output: (image_id, psnr_db, pixels_ok, caption_ok).
+
+    Rows whose id cannot be parsed or payload cannot be decoded get
+    pixels_ok = false with psnr_db NULL.
+    """
+    src = df.select(F.col(id_col).alias("image_id"), "bytes", "caption")
+
+    pkg_parent = PKG_PARENT
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            pixel_seed,
+            psnr,
+            synth_pixels,
+        )
+
+        for pdf in batches:
+            out = {"image_id": pdf["image_id"], "psnr_db": [],
+                   "pixels_ok": [], "caption_ok": []}
+            for img_id, blob, cap in zip(
+                pdf["image_id"], pdf["bytes"], pdf["caption"]
+            ):
+                try:
+                    i = int(str(img_id).rsplit("-", 1)[-1])
+                except (ValueError, AttributeError):
+                    i = None
+                expected_cap = (
+                    f"caption {i % 997} about image number {i}"
+                    if i is not None else None
+                )
+                out["caption_ok"].append(
+                    cap is not None and cap == expected_cap
+                )
+                if i is None or blob is None:
+                    out["psnr_db"].append(None)
+                    out["pixels_ok"].append(False)
+                    continue
+                try:
+                    fmt, px = decode_image(bytes(blob))
+                except Exception:
+                    out["psnr_db"].append(None)
+                    out["pixels_ok"].append(False)
+                    continue
+                ref = synth_pixels(
+                    pixel_seed(i, seed), px.shape[1], px.shape[0]
+                )
+                db = psnr(px, ref)
+                lossless = fmt == "png"
+                ok = (db == math.inf) if lossless \
+                    else (db >= psnr_threshold_db)
+                out["psnr_db"].append(
+                    None if db == math.inf else float(db)
+                )
+                out["pixels_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        check,
+        schema="image_id string, psnr_db double, "
+               "pixels_ok boolean, caption_ok boolean",
+    )

@@ -98,16 +98,22 @@ def _attach_bytes(df: DataFrame, seed: int) -> DataFrame:
     """Arrow-batched byte synthesis (the only Python stage; matches
     ``fixtures.image_caption_rows(with_bytes=True)``: small thumbs
     8+i%9 × 8+i%7, encoded per the row's fmt)."""
-    import pandas as pd  # noqa: F401  (executor-side)
+    from ..functions.shipping import PKG_PARENT
 
-    from ..functions import sparktypes  # noqa: F401  (keep imports cheap)
-
+    pkg_parent = PKG_PARENT  # captured as a plain string in the closure
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", bytes binary"
 
     def gen(batches):
-        from .imagegen import encode_image, pixel_seed
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_image,
+            pixel_seed,
+        )
 
         for pdf in batches:
             payload = []

@@ -1,0 +1,81 @@
+"""Binary-column (image) checks: decode probe, metadata consistency,
+PSNR fidelity vs the deterministic reference pixels (input_hint)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators.image_checks import (
+    decode_probe,
+    fidelity_check,
+    metadata_consistency_violations,
+)
+from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+
+@pytest.fixture(scope="module")
+def with_bytes(spark):
+    # n=600 covers all 6 seeded violation kinds (every 100th row)
+    return image_caption_frame(
+        spark, 600, partitions=4, with_bytes=True
+    ).cache()
+
+
+def test_decode_probe(spark, with_bytes) -> None:
+    rows = {r["image_id"]: r for r in decode_probe(with_bytes).collect()}
+    assert len(rows) == 600
+    ok = [r for r in rows.values() if r["decode_ok"]]
+    # only the seeded 'bmp' row (i=200) has no payload; the NULL
+    # image_id row (i=500) still decodes
+    assert len(ok) == 599
+    r7 = rows["img-000000000007"]
+    assert r7["sniffed_fmt"] == "png" and r7["dec_w"] == 8 + 7 % 9 \
+        and r7["dec_h"] == 8 + 7 % 7
+
+
+def test_fidelity(spark, with_bytes) -> None:
+    res = fidelity_check(with_bytes).collect()
+    by_ok = [r for r in res if not r["pixels_ok"]]
+    # i=200 (no payload) and i=500 (NULL image_id → no reference)
+    assert len(by_ok) == 2
+    bad_caption = [r for r in res if not r["caption_ok"]]
+    # i=300 (null caption), i=400 (control chars), i=500 (no id)
+    assert len(bad_caption) == 3
+    stub_psnr = [r["psnr_db"] for r in res
+                 if r["pixels_ok"] and r["psnr_db"] is not None]
+    assert stub_psnr and all(p >= 40.0 for p in stub_psnr)
+    # lossless (png) rows round-trip exactly → psnr NULL + ok
+    exact = [r for r in res if r["pixels_ok"] and r["psnr_db"] is None]
+    assert len(exact) == 200  # fmt cycle: i%3==1 → png
+
+
+def test_metadata_consistency(spark, with_bytes) -> None:
+    # align metadata dims with the thumbnail payloads, then corrupt:
+    # one wrong fmt, one truncated payload
+    df = (
+        with_bytes.withColumn("i", F.expr("cast(substring(image_id, 5) as long)"))
+        .withColumn("w", F.expr("cast(8 + i % 9 as int)"))
+        .withColumn("h", F.expr("cast(8 + i % 7 as int)"))
+        .withColumn("fmt", F.expr("IF(i = 7, 'webp', fmt)"))
+        .withColumn("bytes", F.expr(
+            "IF(i = 11, substring(bytes, 1, 10), bytes)"))
+    )
+    v = metadata_consistency_violations(df).collect()
+    got = {(r["image_id"], r["path"]) for r in v}
+    assert ("img-000000000007", "^.fmt") in got
+    assert ("img-000000000011", "^.bytes") in got
+    # the seeded bmp row has NULL bytes → undecodable
+    assert ("img-000000000200", "^.bytes") in got
+    # the NULL-image_id row (i=500) has a payload and consistent
+    # metadata → no violation; nothing else fires
+    assert len(got) == 3
+
+
+def test_decode_stage_is_narrow(spark, with_bytes) -> None:
+    plan = (
+        decode_probe(with_bytes)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
