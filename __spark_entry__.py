@@ -125,6 +125,92 @@ def q_ref_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey")
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+from cerberus_cpp_spark.operators import dedup as _dd
+from cerberus_cpp_spark.operators import similarity as _sim
+from cerberus_cpp_spark.operators import text as _tx
+
+
+def _docs_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents with shifted ids): gives the exact-dup
+    query a non-empty answer (the raw corpus is all-distinct)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tx.text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(_tx.lang_guess("text"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.exact_duplicates(_docs_doubled(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), min_jaccard=0.5
+    ).select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def q_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH + verification (approximate: no oracle entry; the
+    complete-join twin q_jaccard_pairs is the oracle-checked one)."""
+    return _dd.near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", _tx.rolling_fingerprint("text")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(emb, emb.where("vec_id < 10"), k=5)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate by construction: rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.ann_topk_lsh(emb, emb.where("vec_id < 10"), k=5)
+
+
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups over corpus ∪ planted duplicates (the raw
+    corpus has no near-pairs at 0.99); exact all-pairs variant, so it
+    carries a DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id % 100 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    both = emb.select("vec_id", "embedding").unionByName(planted)
+    return _sim.embedding_near_duplicates(both, 0.999, exact=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -141,6 +227,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rows_orders": q_dup_rows_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_lineitem_part": q_ref_lineitem_part,
+        "text_profile": q_text_profile,
+        "lang_hist": q_lang_hist,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "jaccard_pairs": q_jaccard_pairs,
+        "near_dups_lsh": q_near_dups_lsh,
+        "simhash": q_simhash,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -213,6 +310,215 @@ SELECT * FROM v
 """
 
 
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins of the training-data operators. Built from the
+# SAME constants as the Spark operators (hash params, stopword sets)
+# so the arithmetic is bit-identical.
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _duck_roll(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(0::BIGINT,"
+        f" [ascii(c) FOR c IN split({expr}, '')]),"
+        f" (acc, x) -> (acc * {_tx.ROLL_BASE} + x) % {_tx.ROLL_MOD})"
+    )
+
+
+def _duck_stophits(lang: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in _tx.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({stops})))"
+
+
+def _duck_lang_case() -> str:
+    langs = list(_tx.LANG_STOPWORDS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        rest = [f"hits_{l2}" for l2 in langs[i + 1:]] + ["1"]
+        clauses.append(
+            f"WHEN hits_{lang} >= greatest({', '.join(rest)})"
+            f" THEN '{lang}'"
+        )
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def _text_profile_sql() -> str:
+    hits = ",\n         ".join(
+        f"{_duck_stophits(lang)} AS hits_{lang}"
+        for lang in _tx.LANG_STOPWORDS
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         len({_TOKS}) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           AS alnum,
+         length(text) AS n_chars,
+         {_duck_stophits('en')} AS n_stop,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+         {hits}
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, fingerprint,
+         CASE WHEN n_tokens > 0
+              THEN CAST(alnum AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS mean_token_len,
+         CASE WHEN n_tokens > 0
+              THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS stopword_ratio,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_chars - alnum - n_spaces AS DOUBLE) / n_chars
+              ELSE 0.0 END AS symbol_ratio,
+         {_duck_lang_case()} AS lang_guess
+  FROM f
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, symbol_ratio,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+       + 0.4 * least(stopword_ratio * 4, 1.0)
+       + 0.2 * (1.0 - least(symbol_ratio * 5, 1.0)) AS quality_score,
+       lang_guess, fingerprint
+FROM r
+"""
+
+
+def _lang_hist_sql() -> str:
+    hits = ", ".join(
+        f"{_duck_stophits(lang)} AS hits_{lang}"
+        for lang in _tx.LANG_STOPWORDS
+    )
+    return f"""
+WITH f AS (SELECT {hits} FROM documents)
+SELECT {_duck_lang_case()} AS lang_guess, count(*) AS cnt
+FROM f GROUP BY 1
+"""
+
+
+_DUCK_SHINGLE_CTE = f"""
+toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) < 3 THEN []
+           ELSE [array_to_string(t[i:i+2], ' ')
+                 FOR i IN range(1, len(t) - 1)] END)) AS shingle
+  FROM toks
+),
+shh AS (
+  SELECT DISTINCT doc_id, {_duck_roll('shingle')} AS sh FROM sh
+)"""
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min((sh * {_dd.MINHASH_A[j]} + {_dd.MINHASH_B[j]})"
+        f" % {_dd.MERSENNE31}) AS mh_{j}"
+        for j in range(_dd.MINHASH_K)
+    )
+    return f"""
+WITH {_DUCK_SHINGLE_CTE}
+SELECT doc_id, {mins}
+FROM shh GROUP BY doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+def _simhash_sql() -> str:
+    bits = ",\n       ".join(
+        f"sum(CASE WHEN (th & {1 << b}) > 0 THEN 1 ELSE -1 END)"
+        f" AS s_{b}"
+        for b in range(_dd.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+th AS (SELECT doc_id, {_duck_roll('tok')} AS th FROM tk),
+bits AS (SELECT doc_id, {bits} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM bits
+"""
+
+
+_DEDUP_EXACT_SQL = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM doubled
+)
+SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keep_id
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+"""
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_ROLLING_FP_SQL = f"""
+SELECT doc_id, {_duck_roll(_NORM_TEXT)} AS rolling_fp
+FROM documents
+"""
+
+_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS cs
+  FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cs, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+_EMB_NEAR_DUPS_SQL = """
+WITH doubled AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings
+  WHERE vec_id % 100 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM doubled a JOIN doubled b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.999
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "val_orders_violations": _ORDERS_VIOL_SQL,
@@ -264,4 +570,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_partkey IS NOT NULL AND NOT EXISTS (
               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
         """,
+        "text_profile": _text_profile_sql(),
+        "lang_hist": _lang_hist_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "minhash_signatures": _minhash_sql(),
+        "jaccard_pairs": _jaccard_sql(),
+        # near_dups_lsh / ann_topk_lsh: approximate by construction —
+        # deliberately no oracle (rows-only check); their exact twins
+        # jaccard_pairs / cosine_topk ARE oracle-checked
+        "simhash": _simhash_sql(),
+        "rolling_fingerprint": _ROLLING_FP_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "emb_near_dups": _EMB_NEAR_DUPS_SQL,
     }

@@ -1,0 +1,186 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path computation is JVM-side column expressions (regexp,
+array ops) — no Python in the row path. Formulas are deliberately
+portable: every function here has an exact ANSI-SQL twin runnable by
+DuckDB (the driver's oracle), which pins cross-engine determinism.
+
+Portability rules used throughout:
+- tokenization = ``regexp_extract_all(lower(text), '[a-z0-9]+')``
+- hashes = either md5 hex (both engines bit-identical) or the
+  Karp-Rabin rolling hash below with modulus 10^9+7 (accumulator
+  stays < 2^37, so identical 64-bit integer arithmetic everywhere)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 131
+
+# tiny per-language stopword sets for the n-gram/stopword language
+# heuristic (deterministic, oracle-replicable; not a real lang-id)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no"),
+}
+
+
+def tokens(col: str) -> Column:
+    """Lower-cased alnum tokens; JVM regexp, codegen-friendly."""
+    return F.expr(
+        f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)"
+    )
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col)).alias("n_tokens")
+
+
+def _feature_map(col: str) -> dict[str, Column]:
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    n_tok = F.size(tokens(col))
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+    )
+    n_chars = F.length(F.col(col))
+    n_stop = F.expr(
+        f"size(filter(regexp_extract_all(lower({col}), '{TOKEN_RE}', 0),"
+        f" t -> t IN ({stops})))"
+    )
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": F.when(
+            n_tok > 0, alnum_chars.cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tok > 0, n_stop.cast("double") / n_tok
+        ).otherwise(F.lit(0.0)),
+        "symbol_ratio": F.when(
+            n_chars > 0,
+            (n_chars - alnum_chars
+             - F.length(F.regexp_replace(F.col(col), "[^ ]", "")))
+            .cast("double") / n_chars,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_features(col: str = "text") -> list[Column]:
+    """Deterministic quality signals: token count, mean token length,
+    stopword ratio (English set), non-alnum-ratio. All exact integer/
+    double arithmetic — the DuckDB twin produces identical bits."""
+    return [c.alias(name) for name, c in _feature_map(col).items()]
+
+
+def quality_score(col: str = "text") -> Column:
+    """Single [0,1] score: penalize too-short docs, reward stopword
+    presence, penalize symbol soup. Fixed affine combination so the
+    oracle twin is one expression."""
+    f = _feature_map(col)
+    len_term = F.least(f["n_tokens"].cast("double") / F.lit(32.0),
+                       F.lit(1.0))
+    return (
+        F.lit(0.4) * len_term
+        + F.lit(0.4) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(f["symbol_ratio"] * 5,
+                                             F.lit(1.0)))
+    ).alias("quality_score")
+
+
+def lang_scores(col: str = "text") -> list[Column]:
+    """Per-language stopword hit-rate + arg-max language with a fixed
+    tie-break (declaration order). Heuristic lang-id per the brief."""
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        stops = ", ".join(f"'{w}'" for w in words)
+        out.append(
+            F.expr(
+                f"size(filter(regexp_extract_all(lower({col}),"
+                f" '{TOKEN_RE}', 0), t -> t IN ({stops})))"
+            ).alias(f"hits_{lang}")
+        )
+    return out
+
+
+def lang_guess(col: str = "text") -> Column:
+    """argmax over lang_scores with first-wins tie-break; 'und' when
+    all scores are zero."""
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("und")
+    best = F.lit(0)
+    # build right-to-left so earlier languages win ties
+    for lang in reversed(langs):
+        stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score = F.expr(
+            f"size(filter(regexp_extract_all(lower({col}),"
+            f" '{TOKEN_RE}', 0), t -> t IN ({stops})))"
+        )
+        expr = F.when(score >= F.greatest(best, F.lit(1)), F.lit(lang)) \
+            .otherwise(expr)
+        best = F.greatest(best, score)
+    return expr.alias("lang_guess")
+
+
+def fingerprint_md5(col: str = "text") -> Column:
+    """Whitespace-normalized md5 fingerprint (exact-dup key); md5 hex
+    is bit-identical across engines."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "))
+    return F.md5(norm).alias("fingerprint")
+
+
+def rolling_fingerprint(col: str = "text") -> Column:
+    """Karp-Rabin rolling hash over the normalized character stream,
+    mod 10^9+7 (portable 64-bit arithmetic; accumulator < 2^37)."""
+    return F.expr(
+        f"aggregate(transform(split(trim(regexp_replace(lower({col}),"
+        " '\\\\s+', ' ')), ''),"
+        " c -> ascii(c)),"
+        f" 0L, (acc, x) -> pmod(acc * {ROLL_BASE} + x, {ROLL_MOD}L))"
+    ).alias("rolling_fp")
+
+
+def shingles(col: str = "text", k: int = 3) -> Column:
+    """Word k-gram shingles (distinct), the unit set for Jaccard/
+    MinHash. Empty array when the doc has < k tokens."""
+    # NB: Spark's sequence(1, n) DESCENDS when n < 1 (sequence(1,0) =
+    # [1,0]) — docs shorter than k tokens must short-circuit to []
+    toks = f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)"
+    return F.expr(
+        f"IF(size({toks}) < {k}, array(),"
+        f" array_distinct(transform("
+        f" sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k})))))"
+    ).alias("shingles")
+
+
+def shingle_hash(shingle_sql: str) -> Column:
+    """Portable integer hash of one shingle (rolling hash); argument
+    is a SQL expression string naming the shingle column."""
+    return F.expr(rolling_hash_sql(shingle_sql))
+
+
+def rolling_hash_sql(expr: str) -> str:
+    """Spark-SQL text of the portable rolling hash — reused by the
+    dedup operators and (with tiny syntax tweaks) the DuckDB oracle."""
+    return (
+        f"aggregate(transform(split({expr}, ''), c -> ascii(c)),"
+        f" 0L, (acc, x) -> pmod(acc * {ROLL_BASE} + x, {ROLL_MOD}L))"
+    )
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """One narrow pass: id + all quality features + token count +
+    language guess + md5 fingerprint."""
+    return df.select(
+        F.col(id_col),
+        *quality_features(text_col),
+        quality_score(text_col),
+        lang_guess(text_col),
+        fingerprint_md5(text_col),
+    )

@@ -86,5 +86,8 @@ def test_entry_smoke(spark) -> None:
 
 def test_every_query_has_oracle_or_reason() -> None:
     missing = set(E.queries()) - set(E.oracle_sql())
-    # non-SQL-expressible ops may be absent; keep the list explicit
-    assert missing <= set(), f"queries without oracle: {missing}"
+    # approximate-by-construction ops run rows-only; each has an
+    # exact oracle-checked twin (near_dups_lsh → jaccard_pairs,
+    # ann_topk_lsh → cosine_topk). Keep the list explicit.
+    assert missing <= {"near_dups_lsh", "ann_topk_lsh"}, \
+        f"queries without oracle: {missing}"

@@ -1,0 +1,157 @@
+"""Training-data pipeline operators: text analysis, dedup families,
+embedding similarity. Crafted fixtures with known answers + recall
+checks of the approximate paths against their exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import dedup as DD
+from cerberus_cpp_spark.operators import similarity as SIM
+from cerberus_cpp_spark.operators import text as TX
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog near the river"),
+    (1, "the  quick Brown fox JUMPS over the lazy dog near the river"),
+    (2, "The quick brown fox jumps over the lazy cat near the river"),
+    (3, "Der Hund ist nicht zu Hause und die Katze ist im Garten"),
+    (4, "le chat est dans la maison et les oiseaux sont pas la"),
+    (5, "el perro es una mascota y los gatos no son el problema"),
+    (6, "zzz qqq xxx www yyy vvv"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_token_count_and_features(spark, docs) -> None:
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *TX.quality_features("text")).collect()}
+    assert rows[0]["n_tokens"] == 12
+    assert rows[6]["n_tokens"] == 6
+    assert rows[0]["stopword_ratio"] == pytest.approx(3 / 12)
+    assert rows[6]["stopword_ratio"] == 0.0
+    assert rows[0]["symbol_ratio"] == 0.0
+
+
+def test_lang_guess(spark, docs) -> None:
+    got = {r["doc_id"]: r["lang_guess"] for r in docs.select(
+        "doc_id", TX.lang_guess("text")).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "es"
+    assert got[6] == "und"
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark, docs) -> None:
+    fp = {r["doc_id"]: r["fingerprint"] for r in docs.select(
+        "doc_id", TX.fingerprint_md5("text")).collect()}
+    assert fp[0] == fp[1]          # case + runs of spaces normalized
+    assert fp[0] != fp[2]          # one word differs
+
+
+def test_exact_duplicates(spark, docs) -> None:
+    groups = DD.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["cnt"] == 2 and groups[0]["keep_id"] == 0
+    drop = DD.exact_duplicate_rows(docs).collect()
+    assert [(r["doc_id"], r["keep_id"]) for r in drop] == [(1, 0)]
+
+
+def test_jaccard_pairs_complete(spark, docs) -> None:
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0    # identical after normalization
+    assert (0, 2) in pairs         # one-word edit: high overlap
+    assert pairs[(0, 2)] < 1.0
+    assert not any(6 in p for p in pairs)
+
+
+def test_near_duplicates_lsh_agrees_with_exact(spark, docs) -> None:
+    nd = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in DD.near_duplicates(docs, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.jaccard_pairs(docs, min_jaccard=0.5).collect()}
+    # LSH at 8 bands × 2 rows catches J ≥ 0.5 pairs w.h.p.; on this
+    # fixture it must be exactly the exact answer
+    assert nd == exact
+
+
+def test_lsh_recall_on_synthetic_corpus(spark) -> None:
+    """Recall of the LSH path vs the complete join on sf0.001 docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(docs, min_jaccard=0.4).collect()
+    )
+    got = set(
+        (r["id_a"], r["id_b"])
+        for r in DD.near_duplicates(docs, threshold=0.4).collect()
+    )
+    assert got <= exact
+    if exact:
+        assert len(got) / len(exact) >= 0.8
+
+
+def test_simhash_near_pairs(spark, docs) -> None:
+    sig = DD.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert all(0 <= v < 2 ** 16 for v in vals.values())
+    # identical docs → identical signature
+    assert vals[0] == vals[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in DD.simhash_near_pairs(sig, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+
+
+def test_cosine_topk_exact(spark, emb) -> None:
+    qs = emb.where("vec_id < 3")
+    tk = SIM.cosine_topk(emb, qs, k=3)
+    rows = tk.collect()
+    assert len(rows) == 9
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ann_recall_vs_exact(spark, emb) -> None:
+    qs = emb.where("vec_id < 20")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, qs, k=5).collect()}
+    ann = {(r["query_id"], r["neighbor_id"])
+           for r in SIM.ann_topk_lsh(emb, qs, k=5).collect()}
+    # 16-bit/4-band LSH on random embeddings: expect moderate recall;
+    # pin a floor so regressions surface
+    assert len(ann & exact) / len(exact) >= 0.3
+
+
+def test_embedding_near_duplicates_finds_planted_dup(spark, emb) -> None:
+    # plant an exact duplicate vector under a new id
+    dup = emb.where("vec_id = 7").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "embedding", "label")
+    with_dup = emb.unionByName(dup)
+    found = SIM.embedding_near_duplicates(with_dup, 0.999)
+    rows = found.collect()
+    assert (7, 100007) in {(r["id_a"], r["id_b"]) for r in rows}
+    exact = SIM.embedding_near_duplicates(with_dup, 0.999, exact=True)
+    assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == \
+        {(7, 100007)}
