@@ -211,6 +211,34 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_duplicates(both, 0.999, exact=True)
 
 
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two event snapshots (even/odd ids):
+    exact-percentile variant so the DuckDB oracle can mirror it; the
+    sketch path (percentile_approx) is the at-scale route."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    a = ev.where("event_id % 2 = 0")
+    b = ev.where("event_id % 2 = 1")
+    return checks.exact_quantile_drift_frame(a, b, "value")
+
+
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-time rollup (batch twin of the streaming windowed
+    verdict): per-window row count, null-value count, value sum."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("value").isNull().cast("long"))
+            .alias("null_values"),
+            # no float sums here: parallel summation order makes them
+            # non-deterministic across engines (cf. stats_lineitem)
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -238,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "emb_near_dups": q_emb_near_dups,
+        "drift_events": q_drift_events,
+        "windowed_events": q_windowed_events,
     }
 
 
@@ -519,6 +549,67 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
+_DRIFT_EVENTS_SQL = """
+WITH q AS (
+  SELECT 0.01::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.01) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.01) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.05::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.05) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.05) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.25::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.25) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.25) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.5::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.5) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.5) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.75::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.75) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.75) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.95::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.95) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.95) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+  UNION ALL
+  SELECT 0.99::DOUBLE AS prob,
+    (SELECT quantile_cont(value::DOUBLE, 0.99) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 0) AS q_a,
+    (SELECT quantile_cont(value::DOUBLE, 0.99) FROM events
+      WHERE value IS NOT NULL AND event_id % 2 = 1) AS q_b
+)
+SELECT prob, q_a, q_b,
+       abs(q_a - q_b) / greatest(abs(q_a), abs(q_b), 1e-12) AS rel_gap,
+       abs(q_a - q_b) / greatest(abs(q_a), abs(q_b), 1e-12) > 0.1
+         AS drifted
+FROM q
+"""
+
+_WINDOWED_EVENTS_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       count(*) AS rows,
+       count(*) FILTER (WHERE value IS NULL) AS null_values,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "val_orders_violations": _ORDERS_VIOL_SQL,
@@ -582,4 +673,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "emb_near_dups": _EMB_NEAR_DUPS_SQL,
+        "drift_events": _DRIFT_EVENTS_SQL,
+        "windowed_events": _WINDOWED_EVENTS_SQL,
     }

@@ -166,6 +166,43 @@ def quantile_sketch(
     return list(row["q"] or [])
 
 
+def exact_quantile_drift_frame(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    probs: Sequence[float] | None = None,
+    *,
+    rel_tolerance: float = 0.1,
+) -> DataFrame:
+    """Drift as a DataFrame plan (no driver collect): EXACT
+    percentiles per snapshot (small/medium scale or oracle checking;
+    the sketch path `quantile_drift` is the 100TB route), joined on
+    quantile index. Output: (prob, q_a, q_b, rel_gap, drifted)."""
+    probs = list(probs or (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+    plit = F.array(*[F.lit(p) for p in probs])
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.agg(F.percentile(F.col(col).cast("double"), plit)
+                   .alias("q"))
+            .select(F.posexplode("q").alias("i", name))
+        )
+
+    a = side(df_a, "q_a")
+    b = side(df_b, "q_b")
+    gap = F.abs(F.col("q_a") - F.col("q_b")) / F.greatest(
+        F.abs(F.col("q_a")), F.abs(F.col("q_b")), F.lit(1e-12)
+    )
+    return (
+        a.join(b, on="i")
+        .select(
+            F.element_at(plit, F.col("i") + 1).alias("prob"),
+            "q_a", "q_b", gap.alias("rel_gap"),
+            (gap > rel_tolerance).alias("drifted"),
+        )
+    )
+
+
 def quantile_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -1,0 +1,166 @@
+"""Per-partition checkpoint ledger: resumable validation runs.
+
+North-rule requirement: a killed run resumes without recomputing
+validated partitions, with per-partition lineage + metrics. The
+reference has no table scope at all (single in-memory document,
+``validator.hh:146-179``); this is the distributed promotion of its
+``validate() → bool`` verdict to partition granularity.
+
+Design:
+- The ledger is an append-only parquet directory. One row per
+  (run_id, partition_value, chunk commit): status, row/violation
+  metrics, wall time, schema fingerprint (lineage).
+- ``pending_partitions`` = distinct partition values ANTI-JOINed
+  against the ledger's completed set — partition-list scale
+  (metadata, not data), so the driver may safely collect it.
+- ``run`` processes pending partitions in chunks of
+  ``partitions_per_commit``: ONE distributed job per chunk (the
+  validation pass stays a narrow projection + tiny per-partition
+  agg), then ONE atomic ledger append. Kill granularity = chunk.
+- Partition pruning: the chunk filter is a literal IN-list on the
+  partition column, so Parquet/Iceberg partition pruning (or at
+  minimum row-group min/max skipping) applies to each chunk job.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType([
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("partition_value", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("rows", T.LongType(), True),
+    T.StructField("violations", T.LongType(), True),
+    T.StructField("invalid_rows", T.LongType(), True),
+    T.StructField("passed", T.BooleanType(), True),
+    T.StructField("wall_sec", T.DoubleType(), True),
+    T.StructField("committed_at", T.DoubleType(), False),
+    T.StructField("lineage", T.StringType(), True),
+])
+
+
+class ValidationLedger:
+    """Append-only parquet ledger of completed partition validations."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def completed_partitions(self) -> DataFrame:
+        """(partition_value) rows already validated successfully —
+        across ALL runs (lineage-compatible resumption)."""
+        return (
+            self.read()
+            .where(F.col("status") == "done")
+            .select("partition_value")
+            .distinct()
+        )
+
+    def append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+
+class KilledRun(RuntimeError):
+    """Raised by the fault injector in tests."""
+
+
+def pending_partitions(
+    df: DataFrame, partition_col: str, ledger: ValidationLedger
+) -> list[str]:
+    """Distinct partition values minus the ledger's completed set.
+    Partition-list scale; safe to collect driver-side."""
+    parts = df.select(
+        F.col(partition_col).cast("string").alias("partition_value")
+    ).distinct()
+    todo = parts.join(
+        ledger.completed_partitions(), on="partition_value",
+        how="left_anti",
+    )
+    return sorted(r["partition_value"] for r in todo.collect())
+
+
+def run_validation(
+    df: DataFrame,
+    validator,
+    partition_col: str,
+    ledger: ValidationLedger,
+    *,
+    partitions_per_commit: int = 4,
+    fail_after_chunks: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Validate all pending partitions, committing the ledger after
+    every chunk. Returns run summary. ``fail_after_chunks`` is the
+    test fault-injector (raises KilledRun mid-run).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    todo = pending_partitions(df, partition_col, ledger)
+    lineage = json.dumps({
+        "schema": sorted(validator.schema),
+        "source_schema": df.schema.simpleString(),
+        "partition_col": partition_col,
+    }, sort_keys=True)
+    chunks = [
+        todo[i:i + partitions_per_commit]
+        for i in range(0, len(todo), partitions_per_commit)
+    ]
+    processed = 0
+    for ci, chunk in enumerate(chunks):
+        if fail_after_chunks is not None and ci >= fail_after_chunks:
+            raise KilledRun(
+                f"injected failure before chunk {ci} ({len(chunk)} parts)"
+            )
+        t0 = time.perf_counter()
+        part_str = F.col(partition_col).cast("string")
+        slice_df = df.where(part_str.isin(chunk))
+        res = validator.validate(slice_df)
+        verdicts = (
+            res.annotated.groupBy(part_str.alias("partition_value"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_violations").alias("violations"),
+                F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+                (F.sum("n_violations") == 0).alias("passed"),
+            )
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        now = time.time()
+        got = {r["partition_value"]: r for r in verdicts}
+        rows = []
+        for p in chunk:
+            r = got.get(p)
+            rows.append({
+                "run_id": run_id,
+                "partition_value": p,
+                "status": "done",
+                "rows": int(r["rows"]) if r else 0,
+                "violations": int(r["violations"]) if r else 0,
+                "invalid_rows": int(r["invalid_rows"]) if r else 0,
+                "passed": bool(r["passed"]) if r else True,
+                "wall_sec": wall / max(len(chunk), 1),
+                "committed_at": now,
+                "lineage": lineage,
+            })
+        ledger.append(rows)
+        processed += len(chunk)
+    return {
+        "run_id": run_id,
+        "partitions_total": len(todo),
+        "partitions_processed": processed,
+        "chunks": len(chunks),
+    }

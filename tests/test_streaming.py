@@ -1,0 +1,79 @@
+"""Structured Streaming validation: file source → memory sink with
+availableNow; results must equal the batch pass bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.plans.engine import TableValidator
+from cerberus_cpp_spark.sources.distgen import image_caption_frame
+from cerberus_cpp_spark.sources.fixtures import IMAGE_TABLE_RULES
+from cerberus_cpp_spark.streaming.validate import run_to_memory
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    image_caption_frame(spark, N, partitions=4).drop("id") \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_equals_batch(spark, stream_dir) -> None:
+    batch = spark.read.parquet(stream_dir)
+    tv = TableValidator(IMAGE_TABLE_RULES)
+    expected = tv.validate(batch).counts()
+
+    stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+    q = run_to_memory(stream, tv, query_name="val_stream")
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS rows, sum(n_violations) AS violations,"
+        " sum(CASE WHEN NOT valid THEN 1 ELSE 0 END) AS invalid_rows"
+        " FROM val_stream"
+    ).collect()[0]
+    assert got["rows"] == expected["rows"] == N
+    assert got["violations"] == expected["violations"]
+    assert got["invalid_rows"] == expected["invalid_rows"]
+
+
+def test_windowed_verdicts_with_watermark(spark, stream_dir) -> None:
+    batch = spark.read.parquet(stream_dir)
+    # synthesize an event-time column: one hour per 500 rows
+    ts = F.expr(
+        "timestamp('2026-01-01 00:00:00') + make_interval(0, 0, 0, 0,"
+        " cast(substring(image_id, 5) as long) div 500, 0, 0)"
+    )
+    src_dir = stream_dir + "_ts"
+    batch.withColumn("ts", ts).write.mode("overwrite").parquet(src_dir)
+    tsb = spark.read.parquet(src_dir)
+
+    tv = TableValidator(IMAGE_TABLE_RULES, extra_cols=("ts",))
+    stream = spark.readStream.schema(tsb.schema).parquet(src_dir)
+    q = run_to_memory(
+        stream, tv, query_name="val_windowed", windowed=True,
+        ts_col="ts", window="1 hour", watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM val_windowed ORDER BY window_start"
+    ).collect()
+    # NULL-image_id rows (kind-5 seeds) fall outside any window —
+    # their ts is NULL; remaining 1996 rows span 4 windows of ~499
+    assert len(rows) == 4
+    assert sum(r["rows"] for r in rows) >= N - 4
+    assert all(not r["passed"] for r in rows)  # each window has seeds
+    # violations per window match the batch computation
+    ann = tv.validate(tsb).annotated
+    exp = {
+        r["ws"]: r["v"]
+        for r in ann.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"))
+        .agg(F.sum("n_violations").alias("v")).collect()
+    }
+    got = {r["window_start"]: r["violations"] for r in rows}
+    assert got == exp
