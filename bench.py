@@ -37,7 +37,13 @@ def build_session(cpus: int):
         .config("spark.default.parallelism", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "48g")
+        # throughput GC: G1's region machinery collapses under the
+        # allocation rate of 32 concurrent codegen threads in ONE JVM
+        # (measured 1.7x vs 3.7x scaling 8→32 cores on generation);
+        # real clusters run one modest JVM per executor where G1 is
+        # fine — this flag is a single-JVM-local-mode artifact
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

@@ -71,11 +71,28 @@ def _truthy(arg: Any) -> bool:
     return bool(arg)
 
 
-def _viol(cond: Column, path: Column, message) -> Column:
+class ScalarViol:
+    """One rule violation: the raw boolean condition AND the
+    struct<path,message>-when-cond column. Keeping the condition
+    separate lets the engine compile ``n_violations`` as a pure
+    integer sum — zero per-row allocations on the verdict/count path
+    (the 100TB hot path); the struct array is only evaluated by the
+    violation-explode path, which Catalyst filter-pushdown restricts
+    to violating rows."""
+
+    __slots__ = ("cond", "struct")
+
+    def __init__(self, cond: Column, struct: Column):
+        self.cond = cond
+        self.struct = struct
+
+
+def _viol(cond: Column, path: Column, message) -> ScalarViol:
     """struct<path,message> when cond else NULL (filtered later)."""
     msg = message if isinstance(message, Column) else F.lit(message)
-    return F.when(
-        cond, F.struct(path.alias("path"), msg.alias("message"))
+    return ScalarViol(
+        cond,
+        F.when(cond, F.struct(path.alias("path"), msg.alias("message"))),
     )
 
 
@@ -743,17 +760,50 @@ def assemble_violations(viols: list) -> Column:
     per-element rules (arrays/maps) pay the HOF cost — their producers
     already use ``transform``, so nothing extra is lost filtering
     their nulls lazily at the same fallback tier."""
-    scalars = [v for v in viols if not isinstance(v, ArrayViol)]
-    arrays = [v.col for v in viols if isinstance(v, ArrayViol)]
     empty = F.array().cast(VIOL_ARRAY_T)
-    parts: list[Column] = [
-        F.when(v.isNotNull(), F.array(v)).otherwise(empty) for v in scalars
-    ]
-    parts.extend(
-        F.filter(a, lambda x: x.isNotNull()).cast(VIOL_ARRAY_T)
-        for a in arrays
-    )
+    parts: list[Column] = []
+    for v in viols:
+        if isinstance(v, ArrayViol):
+            parts.append(
+                F.filter(v.col, lambda x: x.isNotNull())
+                .cast(VIOL_ARRAY_T)
+            )
+        elif isinstance(v, ScalarViol):
+            parts.append(
+                F.when(v.cond, F.array(v.struct)).otherwise(empty)
+            )
+        else:  # raw struct-or-null Column (custom-rule back-compat)
+            parts.append(
+                F.when(v.isNotNull(), F.array(v)).otherwise(empty)
+            )
     if not parts:
         return empty
     merged = F.concat(*parts) if len(parts) > 1 else parts[0]
     return merged.cast(VIOL_ARRAY_T)
+
+
+def assemble_violation_count(viols: list) -> Column:
+    """``n_violations`` as a pure integer expression — no arrays, no
+    structs, no string literals on the count path. This is what makes
+    verdict-only jobs (the north metric) allocation-free."""
+    terms: list[Column] = []
+    for v in viols:
+        if isinstance(v, ArrayViol):
+            terms.append(
+                F.coalesce(
+                    F.size(F.filter(v.col, lambda x: x.isNotNull())),
+                    F.lit(0),
+                )
+            )
+        elif isinstance(v, ScalarViol):
+            terms.append(F.when(v.cond, F.lit(1)).otherwise(F.lit(0)))
+        else:
+            terms.append(
+                F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+    if not terms:
+        return F.lit(0)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

@@ -37,9 +37,11 @@ from .compiler import (
     CompilerOpts,
     FieldCtx,
     FieldRef,
+    ScalarViol,
     Scope,
     VIOL_ARRAY_T,
     _truthy,
+    assemble_violation_count,
     assemble_violations,
     compile_field,
 )
@@ -151,22 +153,36 @@ class TableValidator:
         for name, s in (registry or {}).items():
             self._interp.register_schema(name, s)
         self.raw_schema = copy.deepcopy(schema)
-        # driver-side meta-validation — raises SchemaError early
-        normalized = self._interp.normalized_schema(schema)
-        # always walk: per-field require_all keys inject into their
-        # subtrees even when the global flag is off
-        normalized = _inject_require_all(normalized, require_all)
-        self.schema = _mark_injected_nullable(self.raw_schema, normalized)
+        self._require_all = require_all
+        self._schema_cache: dict | None = None
         self.allow_unknown = allow_unknown
         self.purge_unknown = purge_unknown
         self.presence = presence
         self.extra_cols = tuple(extra_cols)
         self._column_rules: dict[str, Callable] = {}
         self._spark_types: dict[str, Callable] = {}
-        self._registry_normalized = {
-            name: self._interp.normalized_schema(s)
-            for name, s in (registry or {}).items()
-        }
+        self._registry = dict(registry or {})
+        self._registry_normalized: dict[str, dict] | None = None
+
+    @property
+    def schema(self) -> dict:
+        """Meta-validated + normalized schema. Validation is LAZY (on
+        first use, like the reference's validate-time check,
+        ``validator.hh:159-179``) so custom rules/types registered
+        after construction participate in meta-validation."""
+        if self._schema_cache is None:
+            normalized = self._interp.normalized_schema(self.raw_schema)
+            # always walk: per-field require_all keys inject into
+            # their subtrees even when the global flag is off
+            normalized = _inject_require_all(normalized, self._require_all)
+            self._schema_cache = _mark_injected_nullable(
+                self.raw_schema, normalized
+            )
+        return self._schema_cache
+
+    @schema.setter
+    def schema(self, value: dict) -> None:
+        self._schema_cache = value
 
     # -- extension API (parity with registerRule/registerType,
     #    validator.hh:56-95, but compiling to Columns) ----------------
@@ -182,11 +198,21 @@ class TableValidator:
         self._interp.register_rule(
             name, meta_schema, interpreter_fn or (lambda ctx: None), priority
         )
+        self._schema_cache = None  # re-meta-validate with the new rule
 
     def register_spark_type(
         self, name: str, convertible: Callable[[Column, T.DataType], Column]
     ) -> None:
         self._spark_types[name] = convertible
+        self._schema_cache = None
+
+    def _normalized_registry(self) -> dict[str, dict]:
+        if self._registry_normalized is None:
+            self._registry_normalized = {
+                name: self._interp.normalized_schema(s)
+                for name, s in self._registry.items()
+            }
+        return self._registry_normalized
 
     # -- compilation ---------------------------------------------------
     def _opts(self) -> CompilerOpts:
@@ -195,7 +221,7 @@ class TableValidator:
             allow_unknown=self.allow_unknown,
             purge_unknown=self.purge_unknown,
             extra_cols=self.extra_cols,
-            schema_registry=self._registry_normalized,
+            schema_registry=self._normalized_registry(),
             column_rules=self._column_rules,
             spark_types=self._spark_types,
         )
@@ -250,13 +276,16 @@ class TableValidator:
         if not self.allow_unknown and not self.purge_unknown:
             for k in unknown:
                 viols.append(
-                    F.when(
+                    ScalarViol(
                         refs[k].defined,
-                        F.struct(
-                            F.lit("^").alias("path"),
-                            F.lit(
-                                f"unknown field not permitted: {k}"
-                            ).alias("message"),
+                        F.when(
+                            refs[k].defined,
+                            F.struct(
+                                F.lit("^").alias("path"),
+                                F.lit(
+                                    f"unknown field not permitted: {k}"
+                                ).alias("message"),
+                            ),
                         ),
                     )
                 )
@@ -270,6 +299,7 @@ class TableValidator:
                 norm_names.insert(0, k)
         return CompiledPlan(
             violations=assemble_violations(viols),
+            violation_count=assemble_violation_count(viols),
             normalized_cols=norm_cols,
             normalized_names=norm_names,
         )
@@ -277,16 +307,23 @@ class TableValidator:
     # -- execution -----------------------------------------------------
     def validate(self, df: DataFrame) -> "TableValidationResult":
         plan = self.compile(df.schema)
-        annotated = df.withColumn("violations", plan.violations)
-        annotated = annotated.withColumn(
-            "n_violations", F.size("violations")
-        ).withColumn("valid", F.col("n_violations") == 0)
+        # n_violations is the ALLOCATION-FREE integer form, not
+        # size(violations): verdict/count jobs then never build the
+        # struct array (Catalyst prunes the unused column), and the
+        # violations() explode path filters on the cheap count before
+        # materializing records (filter pushes through the projection)
+        annotated = (
+            df.withColumn("violations", plan.violations)
+            .withColumn("n_violations", plan.violation_count)
+            .withColumn("valid", F.col("n_violations") == 0)
+        )
         return TableValidationResult(self, df, plan, annotated)
 
 
 @dataclass
 class CompiledPlan:
     violations: Column
+    violation_count: Column
     normalized_cols: list[Column]
     normalized_names: list[str]
 

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule.
+
+The rule's criterion — throughput scaling efficiency ≥ 0.8 from N to
+4N EXECUTORS — cannot use a real cluster in this sandbox. Two proxies
+are reported (driver instruction: same job, two parallelism levels,
+identical input):
+
+1. ``local-cluster[2,4,m]`` vs ``local-cluster[8,4,m]`` (default):
+   Spark's multi-JVM test master — 2 vs 8 SEPARATE executor JVMs of
+   4 cores each, which is literally "N → 4N executors" (own heaps,
+   own GC, the driver only coordinates). This is the honest analogue
+   of the target deployment.
+2. ``local[8]`` vs ``local[32]`` (SPARK_GRAFT_SCALE_MODE=local): one
+   shared JVM; measures thread scaling INSIDE one executor instead —
+   pessimistic for GC-heavy work and not what the rule describes,
+   reported for transparency.
+
+efficiency = (throughput@4N / throughput@N) / 4. One fresh session
+per level, fresh query plan per repetition (Spark 4 reuses shuffle
+stage output when the same DataFrame object is collected twice —
+reusing it fakes a ~100x speedup). Results → SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "120000000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "local-cluster")
+
+WORKER = r"""
+import json, sys, time
+master = sys.argv[1]; cores = int(sys.argv[2])
+n_rows = int(sys.argv[3]); reps = int(sys.argv[4])
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from cerberus_cpp_spark.plans.engine import TableValidator
+from cerberus_cpp_spark.sources.distgen import image_caption_frame
+from cerberus_cpp_spark.sources.fixtures import IMAGE_TABLE_RULES
+
+spark = (SparkSession.builder.master(master)
+    .appName(f"scaling-{{cores}}")
+    .config("spark.sql.shuffle.partitions", str(cores))
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "8g")
+    .config("spark.executor.memory", "6g")
+    .getOrCreate())
+tv = TableValidator(IMAGE_TABLE_RULES)
+
+def one_run(n):
+    df = image_caption_frame(spark, n, partitions=cores * 2).drop("id")
+    ann = tv.validate(df).annotated
+    agg = ann.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("n_violations").alias("v"),
+                  F.sum((~F.col("valid")).cast("long")).alias("iv"))
+    t0 = time.perf_counter()
+    row = agg.collect()[0]
+    return time.perf_counter() - t0, row
+
+# warm-up: codegen + C2 compilation of the hot loops + heap commit
+one_run(5_000_000)
+one_run(5_000_001)
+times = []
+for rep in range(reps):
+    dt, row = one_run(n_rows + rep)
+    times.append(dt)
+best = min(times)
+print(json.dumps({{"master": master, "cores": cores,
+                   "rows": row["n"], "violations": int(row["v"]),
+                   "sec_best": best,
+                   "sec_all": [round(t, 2) for t in times],
+                   "rows_per_sec": row["n"] / best}}))
+spark.stop()
+"""
+
+
+def run_level(master: str, cores: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = WORKER.format(repo=repo)
+    out = subprocess.run(
+        [sys.executable, "-c", script, master, str(cores),
+         str(ROWS), str(REPEATS)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    # local-cluster worker daemons can linger; reap them so the next
+    # level starts from a quiet machine
+    subprocess.run(["pkill", "-f", "deploy.worker.Worker"],
+                   capture_output=True)
+    time.sleep(2)
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_exec = int(os.environ.get("SPARK_GRAFT_SCALE_N_EXEC", "1"))
+    cpe = int(os.environ.get("SPARK_GRAFT_SCALE_CORES_PER_EXEC", "4"))
+    if MODE == "local-cluster":
+        levels = [
+            (f"local-cluster[{n_exec},{cpe},8192]", cpe * n_exec),
+            (f"local-cluster[{4 * n_exec},{cpe},8192]",
+             4 * cpe * n_exec),
+        ]
+    else:
+        levels = [(f"local[{cpe * n_exec}]", cpe * n_exec),
+                  (f"local[{4 * cpe * n_exec}]", 4 * cpe * n_exec)]
+    lo = run_level(*levels[0])
+    hi = run_level(*levels[1])
+    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0
+    result = {
+        "metric": "scaling_efficiency_N_to_4N_executors",
+        "mode": MODE,
+        "rows": ROWS,
+        "low": lo,
+        "high": hi,
+        "efficiency": round(eff, 4),
+        "passes_north_rule": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    with open("SCALING.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
