@@ -1,0 +1,255 @@
+"""Multimodal column operators: image feature-extraction / resize,
+audio/video frame-sampling plumbing.
+
+Spark-side design is identical for every modality: an opaque
+``binary`` column + typed metadata columns, processed ONLY inside
+Arrow-batched ``mapInPandas`` stages (narrow, no shuffle), with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch
+memory for MB-scale payloads.
+
+Reality of this container (per the task brief): no Pillow/libjpeg/
+ffmpeg. Image ops are REAL over the repo's own codecs
+(``sources.imagegen``: real PNG; deterministic stub jpeg/webp).
+Audio/video decoding is STUBBED — ``NotImplementedError`` by
+default, or a clearly-marked deterministic fake
+(``stub_strategy="fake"``) that exercises the full Spark plumbing
+(schema, batching, UDF signature) without pretending to be a codec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.shipping import PKG_PARENT
+
+
+def image_features(df: DataFrame, *, id_col: str = "image_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-image features from decoded pixels: per-channel means,
+    luma mean/std, byte entropy of the payload. One Arrow stage.
+    Output: (image_id, mean_r, mean_g, mean_b, luma_mean, luma_std,
+    byte_entropy) — NULLs when the payload cannot be decoded."""
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "mean_r", "mean_g", "mean_b",
+                "luma_mean", "luma_std", "byte_entropy")}
+            out["image_id"] = pdf["image_id"]
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(raw, minlength=256)
+                p = hist[hist > 0] / len(raw)
+                entropy = float(-(p * np.log2(p)).sum())
+                try:
+                    _, px = decode_image(bytes(blob))
+                except Exception:
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["luma_mean"].append(None)
+                    out["luma_std"].append(None)
+                    out["byte_entropy"].append(entropy)
+                    continue
+                fx = px.astype(np.float64)
+                luma = (0.299 * fx[..., 0] + 0.587 * fx[..., 1]
+                        + 0.114 * fx[..., 2])
+                out["mean_r"].append(float(fx[..., 0].mean()))
+                out["mean_g"].append(float(fx[..., 1].mean()))
+                out["mean_b"].append(float(fx[..., 2].mean()))
+                out["luma_mean"].append(float(luma.mean()))
+                out["luma_std"].append(float(luma.std()))
+                out["byte_entropy"].append(entropy)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        feats,
+        schema="image_id string, mean_r double, mean_g double,"
+               " mean_b double, luma_mean double, luma_std double,"
+               " byte_entropy double",
+    )
+
+
+def resize_images(df: DataFrame, *, width: int, height: int,
+                  id_col: str = "image_id",
+                  bytes_col: str = "bytes",
+                  out_fmt: str = "png") -> DataFrame:
+    """Nearest-neighbor resize, re-encoded with the repo codec.
+    Output: (image_id, bytes, w, h, fmt). Undecodable → NULL bytes."""
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            encode_png,
+            _encode_stub,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    payloads.append(None)
+                    continue
+                try:
+                    _, px = decode_image(bytes(blob))
+                except Exception:
+                    payloads.append(None)
+                    continue
+                ys = (np.arange(height) * px.shape[0] // height)
+                xs = (np.arange(width) * px.shape[1] // width)
+                resized = px[ys][:, xs]
+                payloads.append(
+                    encode_png(resized) if out_fmt == "png"
+                    else _encode_stub(resized, out_fmt)
+                )
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"],
+                "bytes": payloads,
+                "w": width, "h": height, "fmt": out_fmt,
+            })
+
+    return src.mapInPandas(
+        work,
+        schema="image_id string, bytes binary, w int, h int, fmt string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio / video: plumbing real, decode stubbed (no codecs in container)
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_SCHEMA = (
+    "clip_id string, frame_idx int, frame binary, ts_sec double"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    every_n: int = 30,
+    max_frames: int = 8,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    stub_strategy: str = "raise",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    STUB: this container ships no video codec. ``stub_strategy``:
+    - ``"raise"`` (default): NotImplementedError at execution time —
+      the honest production placeholder (swap the decoder in via
+      ``real_decoder`` when ffmpeg/pyav is available).
+    - ``"fake"``: deterministic fake frames (payload = xxhash-style
+      bytes of (clip_id, frame_idx)) exercising the full fan-out
+      plumbing: schema, Arrow batches, per-row multiplication.
+    """
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if stub_strategy == "raise":
+                raise NotImplementedError(
+                    "video decode unavailable in this environment: "
+                    "no ffmpeg/pyav codec is installed (STUB — the "
+                    "Spark plumbing around it is real and tested "
+                    "with stub_strategy='fake')"
+                )
+            rows = {"clip_id": [], "frame_idx": [], "frame": [],
+                    "ts_sec": []}
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                # deterministic fake: frame count derived from the
+                # payload size, bytes from a seeded digest
+                n_avail = max(len(blob) // 1024, 1)
+                for k, fi in enumerate(
+                    range(0, n_avail * every_n, every_n)
+                ):
+                    if k >= max_frames:
+                        break
+                    seed = f"{cid}:{fi}".encode()
+                    rows["clip_id"].append(cid)
+                    rows["frame_idx"].append(fi)
+                    rows["frame"].append(
+                        hashlib.sha256(seed).digest()
+                    )
+                    rows["ts_sec"].append(fi / 30.0)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    stub_strategy: str = "raise",
+) -> DataFrame:
+    """Audio feature extraction (STUB decode, real plumbing).
+    Output: (clip_id, duration_sec, rms, zero_crossings)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if stub_strategy == "raise":
+                raise NotImplementedError(
+                    "audio decode unavailable in this environment "
+                    "(STUB; see sample_frames docstring)"
+                )
+            out = {"clip_id": pdf["clip_id"], "duration_sec": [],
+                   "rms": [], "zero_crossings": []}
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    out["duration_sec"].append(None)
+                    out["rms"].append(None)
+                    out["zero_crossings"].append(None)
+                    continue
+                # deterministic fake: interpret payload bytes as a
+                # centered int8 waveform
+                wave = np.frombuffer(bytes(blob), dtype=np.uint8) \
+                    .astype(np.int16) - 128
+                out["duration_sec"].append(len(wave) / 16000.0)
+                out["rms"].append(
+                    float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
+                )
+                out["zero_crossings"].append(
+                    int(((wave[:-1] * wave[1:]) < 0).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        work,
+        schema="clip_id string, duration_sec double, rms double,"
+               " zero_crossings long",
+    )

@@ -1,0 +1,92 @@
+"""Multimodal operators: real image feature/resize paths over the
+repo codecs; audio/video stubs exercise the Spark plumbing and raise
+honestly by default."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+
+@pytest.fixture(scope="module")
+def with_bytes(spark):
+    return image_caption_frame(
+        spark, 120, partitions=4, with_bytes=True
+    ).cache()
+
+
+def test_image_features(spark, with_bytes) -> None:
+    rows = {r["image_id"]: r for r in image_features(with_bytes).collect()}
+    assert len(rows) == 120
+    # n=120 < first seeded 'bmp' index (200): every payload decodes
+    ok = [r for r in rows.values() if r["mean_r"] is not None]
+    assert len(ok) == 120
+    r = rows["img-000000000003"]
+    assert 0.0 <= r["mean_r"] <= 255.0
+    assert r["luma_std"] >= 0.0
+    assert r["byte_entropy"] > 0.0
+
+
+def test_resize_roundtrip(spark, with_bytes) -> None:
+    out = resize_images(with_bytes, width=4, height=4)
+    rows = out.collect()
+    assert all(r["w"] == 4 and r["h"] == 4 for r in rows)
+    from cerberus_cpp_spark.sources.imagegen import decode_image
+
+    decoded = [
+        decode_image(bytes(r["bytes"]))[1]
+        for r in rows if r["bytes"] is not None
+    ]
+    assert decoded and all(p.shape == (4, 4, 3) for p in decoded)
+
+
+def test_video_stub_raises_by_default(spark, with_bytes) -> None:
+    clips = with_bytes.select(
+        F.col("image_id").alias("clip_id"), "bytes"
+    )
+    stream = sample_frames(clips)
+    with pytest.raises(Exception) as exc:
+        stream.count()
+    assert "NotImplementedError" in str(exc.value) or \
+        "video decode unavailable" in str(exc.value)
+
+
+def test_video_fake_plumbing(spark, with_bytes) -> None:
+    clips = with_bytes.select(
+        F.col("image_id").alias("clip_id"), "bytes"
+    )
+    frames = sample_frames(clips, stub_strategy="fake", every_n=10,
+                           max_frames=3)
+    rows = frames.collect()
+    assert rows
+    by_clip: dict = {}
+    for r in rows:
+        by_clip.setdefault(r["clip_id"], []).append(r)
+    for clip, rs in by_clip.items():
+        idxs = sorted(r["frame_idx"] for r in rs)
+        assert idxs == list(range(0, 10 * len(idxs), 10))
+        assert all(len(bytes(r["frame"])) == 32 for r in rs)
+    # deterministic: re-run yields identical payloads
+    again = {(r["clip_id"], r["frame_idx"]): bytes(r["frame"])
+             for r in frames.collect()}
+    for r in rows:
+        assert again[(r["clip_id"], r["frame_idx"])] == bytes(r["frame"])
+
+
+def test_audio_fake_features(spark, with_bytes) -> None:
+    clips = with_bytes.select(
+        F.col("image_id").alias("clip_id"), "bytes"
+    )
+    res = audio_features(clips, stub_strategy="fake").collect()
+    ok = [r for r in res if r["rms"] is not None]
+    assert len(ok) == 120
+    assert all(r["duration_sec"] > 0 for r in ok)
