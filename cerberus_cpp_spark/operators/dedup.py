@@ -116,43 +116,55 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _banded_keys(
+    signatures: DataFrame, id_col: str, band_rows: int
+) -> DataFrame:
+    """(id, band, bkey): ONE row per (doc, band) via posexplode — all
+    bands live in a single relation, so candidate generation is ONE
+    self-join shuffled on (band, bkey) instead of n_bands separate
+    joins (the naive per-band loop produced a ~1000-Exchange plan)."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    n_bands = len(mh_cols) // band_rows
+    keys = [
+        F.concat_ws(
+            ":", *[F.col(c)
+                   for c in mh_cols[b * band_rows:(b + 1) * band_rows]]
+        )
+        for b in range(n_bands)
+    ]
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*keys)).alias("band", "bkey"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id",
     band_rows: int = LSH_BAND_ROWS,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one
-    LSH band. Per-band self-equi-join on the band key — each band is
-    an independent shuffle-on-key; AQE handles residual skew.
-    ``max_bucket`` drops pathological buckets (returned via the
-    ``oversized_lsh_buckets`` helper — never silently)."""
-    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
-    n_bands = len(mh_cols) // band_rows
-    pair_frames = []
-    for b in range(n_bands):
-        cols = mh_cols[b * band_rows:(b + 1) * band_rows]
-        key = F.concat_ws(":", *[F.col(c) for c in cols])
-        banded = signatures.select(
-            F.col(id_col), key.alias("bkey")
+    LSH band. Single self-equi-join on (band, bkey); AQE handles
+    residual bucket skew. ``max_bucket`` drops pathological buckets
+    (surfaced by ``oversized_lsh_buckets`` — never silently)."""
+    banded = _banded_keys(signatures, id_col, band_rows)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("bsz")
+        ).where(F.col("bsz") <= max_bucket)
+        banded = banded.join(
+            F.broadcast(sizes.select("band", "bkey")),
+            on=["band", "bkey"], how="left_semi",
         )
-        if max_bucket is not None:
-            sizes = banded.groupBy("bkey").agg(
-                F.count(F.lit(1)).alias("bsz")
-            ).where(F.col("bsz") <= max_bucket)
-            banded = banded.join(F.broadcast(sizes.select("bkey")),
-                                 on="bkey", how="left_semi")
-        a = banded.alias("a")
-        c = banded.alias("c")
-        pair_frames.append(
-            a.join(c, on="bkey")
-            .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"c.{id_col}").alias("id_b"))
-        )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    a = banded.alias("a")
+    c = banded.alias("c")
+    return (
+        a.join(c, on=["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"c.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def oversized_lsh_buckets(
@@ -160,24 +172,13 @@ def oversized_lsh_buckets(
     band_rows: int = LSH_BAND_ROWS, max_bucket: int = 1000,
 ) -> DataFrame:
     """The buckets a ``max_bucket`` cap would drop — surfaced so caps
-    are never silent (band_id, bkey, bsz)."""
-    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
-    n_bands = len(mh_cols) // band_rows
-    frames = []
-    for b in range(n_bands):
-        cols = mh_cols[b * band_rows:(b + 1) * band_rows]
-        key = F.concat_ws(":", *[F.col(c) for c in cols])
-        frames.append(
-            signatures.select(F.lit(b).alias("band_id"),
-                              key.alias("bkey"))
-            .groupBy("band_id", "bkey")
-            .agg(F.count(F.lit(1)).alias("bsz"))
-            .where(F.col("bsz") > max_bucket)
-        )
-    out = frames[0]
-    for p in frames[1:]:
-        out = out.unionByName(p)
-    return out
+    are never silent (band, bkey, bsz)."""
+    return (
+        _banded_keys(signatures, id_col, band_rows)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket)
+    )
 
 
 def jaccard_pairs(
@@ -236,14 +237,17 @@ def near_duplicates(
     """Scale path: MinHash-LSH candidates, then exact-Jaccard verify
     of candidates ONLY (semi-join the shingle table down to candidate
     ids before the verification join)."""
-    # cache the small intermediates: `cands` feeds THREE downstream
-    # plans (id projection ×2 + the verification semi-join); without
-    # it Spark re-runs the full 8-band join DAG per reference
-    # (measured 170s vs 2s at 500 docs)
-    sigs = minhash_signatures(df, id_col, text_col, k).cache()
+    # localCheckpoint (lazy) on the reused intermediates: `cands`
+    # feeds THREE downstream plans — without persistence Spark
+    # re-runs the whole candidate DAG per reference (measured 170s vs
+    # 2s at 500 docs), and with plain .cache() every reference still
+    # EMBEDS the full lineage in the query plan (a ~280KB plan that
+    # Catalyst re-optimizes each time); checkpoint truncates it
+    sigs = minhash_signatures(df, id_col, text_col, k) \
+        .localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs, id_col, max_bucket=max_bucket
-    ).cache()
+    ).localCheckpoint(eager=False)
     sh = doc_shingles(df, id_col, text_col, k)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
@@ -252,7 +256,7 @@ def near_duplicates(
     )
     sh_c = sh.join(
         F.broadcast(cand_ids), on=id_col, how="left_semi"
-    ).cache()
+    ).localCheckpoint(eager=False)
     sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh_c.alias("a")
     b = sh_c.alias("b")

@@ -124,6 +124,17 @@ def _band_key(sig_col: str, band: int, band_bits: int):
     return (F.col(sig_col).bitwiseAND(F.lit(mask)))
 
 
+def _banded(df: DataFrame, sig_col: str, n_bits: int, band_bits: int):
+    """Explode a signature into (band, bkey) rows — all bands in one
+    relation so downstream candidate generation is ONE join (the
+    per-band loop version compiled to n_bands separate shuffles)."""
+    n_bands = n_bits // band_bits
+    keys = [_band_key(sig_col, b, band_bits) for b in range(n_bands)]
+    return df.select(
+        "*", F.posexplode(F.array(*keys)).alias("band", "bkey")
+    ).drop(sig_col)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -153,25 +164,10 @@ def ann_topk_lsh(
         .join(qsig.select(F.col("vec_id").alias("query_id"),
                           F.col("sig").alias("qsig")),
               on="query_id")
-    bands = []
-    for b in range(n_bands):
-        bands.append(
-            c.select("neighbor_id", "cvec",
-                     _band_key("sig", b, band_bits).alias("bkey"),
-                     F.lit(b).alias("band"))
-            .join(
-                F.broadcast(
-                    q.select("query_id", "qvec",
-                             _band_key("qsig", b, band_bits)
-                             .alias("bkey"),
-                             F.lit(b).alias("band"))
-                ),
-                on=["bkey", "band"],
-            )
-        )
-    cand = bands[0]
-    for p in bands[1:]:
-        cand = cand.unionByName(p)
+    cb = _banded(c, "sig", n_bits, band_bits)
+    qb = _banded(q.withColumnRenamed("qsig", "sig"), "sig",
+                 n_bits, band_bits)
+    cand = cb.join(F.broadcast(qb), on=["band", "bkey"])
     cand = (
         cand.where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cvec", "qvec")
@@ -221,25 +217,17 @@ def embedding_near_duplicates(
         wsig = base.join(
             sig.select(F.col("vec_id").alias("vid"), "sig"), on="vid"
         )
-        n_bands = n_bits // band_bits
-        frames = []
-        for bnd in range(n_bands):
-            banded = wsig.select(
-                "vid", "vec", _band_key("sig", bnd, band_bits)
-                .alias("bkey"))
-            a = banded.alias("a")
-            b = banded.alias("b")
-            frames.append(
-                a.join(b, on="bkey")
-                .where(F.col("a.vid") < F.col("b.vid"))
-                .select(F.col("a.vid").alias("id_a"),
-                        F.col("b.vid").alias("id_b"),
-                        F.col("a.vec").alias("vec_a"),
-                        F.col("b.vec").alias("vec_b"))
-            )
-        pairs = frames[0]
-        for p in frames[1:]:
-            pairs = pairs.unionByName(p)
+        banded = _banded(wsig, "sig", n_bits, band_bits)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(b, on=["band", "bkey"])
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("id_a"),
+                    F.col("b.vid").alias("id_b"),
+                    F.col("a.vec").alias("vec_a"),
+                    F.col("b.vec").alias("vec_b"))
+        )
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn("cosine",
