@@ -13,7 +13,7 @@ Prints ONE JSON line:
 Env knobs:
 - ``SPARK_GRAFT_SF_DIR``  (default /root/testdata/sf0.1)
 - ``SPARK_GRAFT_CPUS``    (default 32) — local[N] cores
-- ``SPARK_GRAFT_BENCH_ROWS`` (default 5_000_000) — flagship table size
+- ``SPARK_GRAFT_BENCH_ROWS`` (default 120_000_000) — flagship size
 """
 
 from __future__ import annotations
@@ -66,15 +66,21 @@ def flagship_throughput(spark, n_rows: int, partitions: int) -> dict:
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
     from cerberus_cpp_spark.sources.fixtures import IMAGE_TABLE_RULES
 
-    df = image_caption_frame(spark, n_rows, partitions=partitions).drop("id")
     tv = TableValidator(IMAGE_TABLE_RULES)
-    annotated = tv.validate(df).annotated
 
-    # warm-up: JVM codegen + Python worker pool on a small slice
+    # warm-up at FULL size: first big run pays one-time heap commit +
+    # C2 compilation (measured 5-10x the steady-state time); the
+    # measured run below uses a FRESH plan (n_rows+1 — Spark 4 reuses
+    # shuffle output for an identical collected DataFrame object)
     tv.validate(
-        image_caption_frame(spark, 10_000, partitions=partitions).drop("id")
+        image_caption_frame(spark, n_rows, partitions=partitions)
+        .drop("id")
     ).annotated.agg(F.sum("n_violations")).collect()
 
+    df = image_caption_frame(
+        spark, n_rows + 1, partitions=partitions
+    ).drop("id")
+    annotated = tv.validate(df).annotated
     t0 = time.perf_counter()
     row = annotated.agg(
         F.count(F.lit(1)).alias("rows"),
@@ -106,7 +112,7 @@ def run_contract_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "5000000"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000000"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

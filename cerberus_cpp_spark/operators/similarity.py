@@ -206,11 +206,7 @@ def embedding_near_duplicates(
     base = df.select(F.col(id_col).alias("vid"),
                      F.col(vec_col).alias("vec"))
     if exact:
-        a = base.select(F.col("vid").alias("id_a"),
-                        F.col("vec").alias("vec_a"))
-        b = base.select(F.col("vid").alias("id_b"),
-                        F.col("vec").alias("vec_b"))
-        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return _exact_near_duplicates_blas(base, threshold)
     else:
         sig = rh_signatures(df, id_col=id_col, vec_col=vec_col,
                             n_bits=n_bits, seed=seed)
@@ -235,4 +231,52 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b",
                 F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+def _exact_near_duplicates_blas(base: DataFrame,
+                                threshold: float) -> DataFrame:
+    """Exact all-pairs cosine via broadcast matrix + one BLAS matmul
+    per Arrow batch. The interpreted-HOF crossJoin version took 59s
+    for 5000 vectors (12.5M pairs through CodegenFallback folds);
+    this runs the identical math in C (~0.1s). Only for corpora whose
+    (id, vector) set fits in a broadcast (the LSH path is the scale
+    route; at 1e9 vectors all-pairs is off the table regardless)."""
+    spark = base.sparkSession
+    rows = base.collect()  # bounded by exact-mode contract
+    import numpy as np
+
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([list(r["vec"]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    src = base.select("vid")
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        all_ids, all_unit = bc.value
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx = np.array([pos[int(v)] for v in pdf["vid"]])
+            sims = all_unit[idx] @ all_unit.T   # batch × N
+            out_a, out_b, out_s = [], [], []
+            for row_i, vid in zip(range(len(idx)), pdf["vid"]):
+                mask = (sims[row_i] >= threshold) & (all_ids > int(vid))
+                hit = np.nonzero(mask)[0]
+                out_a.extend([int(vid)] * len(hit))
+                out_b.extend(all_ids[hit].tolist())
+                out_s.extend(np.round(sims[row_i][hit], 6).tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine": out_s}
+            )
+
+    return src.mapInPandas(
+        work, schema="id_a long, id_b long, cosine double"
     )
