@@ -211,6 +211,24 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_duplicates(both, 0.999, exact=True)
 
 
+def q_dynamic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-document path: events.props is a JSON payload column;
+    parse to map<string,string>, validate with keysrules/valuesrules
+    (the reference's schemaless-dict semantics, rules.hh:270-288 +
+    614-632, over a MapType column)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("props"),
+    )
+    rules = {"props": {"type": "dict",
+                       "keysrules": {"allowed": ["k"]},
+                       "valuesrules": {"type": "integer",
+                                       "min": 0, "max": 75}}}
+    tv = TableValidator(rules, allow_unknown=True,
+                        extra_cols=("event_id",))
+    return tv.validate(ev).violations("event_id")
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -268,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": q_emb_near_dups,
         "drift_events": q_drift_events,
         "windowed_events": q_windowed_events,
+        "dynamic_props": q_dynamic_props,
     }
 
 
@@ -610,6 +629,20 @@ FROM events GROUP BY 1
 """
 
 
+_DYNAMIC_PROPS_SQL = """
+WITH k AS (
+  SELECT event_id, CAST(props->>'k' AS BIGINT) AS kv
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_id, '^.props.k' AS path,
+       'min-rule violated' AS message
+  FROM k WHERE kv IS NOT NULL AND NOT (kv > 0)
+UNION ALL
+SELECT event_id, '^.props.k', 'max-rule violated'
+  FROM k WHERE kv IS NOT NULL AND kv >= 75
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "val_orders_violations": _ORDERS_VIOL_SQL,
@@ -675,4 +708,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dups": _EMB_NEAR_DUPS_SQL,
         "drift_events": _DRIFT_EVENTS_SQL,
         "windowed_events": _WINDOWED_EVENTS_SQL,
+        "dynamic_props": _DYNAMIC_PROPS_SQL,
     }

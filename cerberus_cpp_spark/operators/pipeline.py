@@ -1,0 +1,125 @@
+"""Full-table validation pipeline — the one-call production surface.
+
+Composes the engine's pieces in the shape the north_star describes:
+row-level rule validation (ledgered per partition, resumable) +
+dataset-level checks (uniqueness, referential, drift) + optional
+image-payload checks — each an independent Spark job with its own
+metrics, all summarized in one report dict.
+
+Job layout at scale (each bullet = one job, no cross-talk):
+- rule pass: narrow projection + per-partition agg, chunk-committed
+  to the ledger (resume = anti-join; see operators/ledger.py)
+- uniqueness: hash agg on the key (partial aggregation handles hot
+  keys for counts — BENCH.md §3; salt only if you aggregate
+  combine-less payloads)
+- referential: broadcast LEFT ANTI per (fk, dim) pair
+- drift: quantile sketch per snapshot + tiny driver compare
+- image checks: Arrow-batched decode stages over (id, bytes) only
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.engine import TableValidator
+from . import checks
+from .image_checks import fidelity_check, metadata_consistency_violations
+from .ledger import ValidationLedger, run_validation
+
+
+@dataclass
+class PipelineReport:
+    run: dict
+    partition_verdicts: list
+    unique_violations: int
+    referential_violations: dict
+    drift: Optional[dict]
+    image_metadata_violations: Optional[int]
+    image_fidelity_failures: Optional[int]
+
+    def passed(self) -> bool:
+        checks_ok = (
+            self.unique_violations == 0
+            and all(v == 0 for v in self.referential_violations.values())
+            and (self.drift is None or not self.drift["drifted"])
+            and not self.image_metadata_violations
+            and not self.image_fidelity_failures
+        )
+        rows_ok = all(p["passed"] for p in self.partition_verdicts)
+        return checks_ok and rows_ok
+
+
+def run_full_validation(
+    df: DataFrame,
+    rules: dict,
+    *,
+    partition_col: str,
+    ledger_path: str,
+    unique_key: str | None = None,
+    referential: Sequence[tuple[DataFrame, str, str]] = (),
+    drift_against: DataFrame | None = None,
+    drift_col: str | None = None,
+    image_checks: bool = False,
+    allow_unknown: bool = True,
+    partitions_per_commit: int = 8,
+) -> PipelineReport:
+    """Run every check family over ``df``; returns a
+    :class:`PipelineReport`. Rule validation commits per-chunk to the
+    ledger at ``ledger_path`` — rerunning after a crash resumes.
+    """
+    spark = df.sparkSession
+    ledger = ValidationLedger(spark, ledger_path)
+    tv = TableValidator(
+        rules, allow_unknown=allow_unknown,
+        extra_cols=(partition_col,),
+    )
+    run = run_validation(
+        df, tv, partition_col, ledger,
+        partitions_per_commit=partitions_per_commit,
+    )
+    verdicts = [
+        {
+            "partition_value": r["partition_value"],
+            "rows": r["rows"],
+            "violations": r["violations"],
+            "passed": bool(r["passed"]),
+        }
+        for r in ledger.read().where("status = 'done'").collect()
+    ]
+
+    unique_violations = 0
+    if unique_key is not None:
+        unique_violations = checks.duplicate_keys(
+            df, unique_key
+        ).count()
+
+    ref_out: dict[str, int] = {}
+    for dim, fk, pk in referential:
+        ref_out[fk] = checks.referential_violations(
+            df, dim, fk, pk
+        ).count()
+
+    drift = None
+    if drift_against is not None and drift_col:
+        drift = checks.quantile_drift(df, drift_against, drift_col)
+
+    img_meta = img_fid = None
+    if image_checks:
+        img_meta = metadata_consistency_violations(df).count()
+        img_fid = fidelity_check(df).where(
+            "NOT pixels_ok OR NOT caption_ok"
+        ).count()
+
+    return PipelineReport(
+        run=run,
+        partition_verdicts=verdicts,
+        unique_violations=unique_violations,
+        referential_violations=ref_out,
+        drift=drift,
+        image_metadata_violations=img_meta,
+        image_fidelity_failures=img_fid,
+    )
