@@ -229,6 +229,40 @@ def q_dynamic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.validate(ev).violations("event_id")
 
 
+def _events_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with DETERMINISTIC synthesized nulls (the raw table has
+    none at these SFs): value nulled on id%7, props on id%11 — same
+    arithmetic in the oracle."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("IF(event_id % 7 = 0, NULL, value)").alias("value"),
+        F.expr("IF(event_id % 11 = 0, NULL, props)").alias("props"),
+    )
+
+
+def q_deps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-column dependencies rule (rules.hh:143-187): a present
+    props requires a present value; same-row predicate, no join."""
+    tv = TableValidator(
+        {"props": {"type": "string", "dependencies": "value"},
+         "value": {"type": "float"}},
+        allow_unknown=True, extra_cols=("event_id",),
+    )
+    return tv.validate(_events_with_gaps(spark, sf_dir))         .violations("event_id")
+
+
+def q_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization at table scale (reference getDocument(),
+    validator.hh:200-203): default fills null value, props renamed,
+    unknown columns purged."""
+    tv = TableValidator(
+        {"value": {"type": "float", "default": -1.0},
+         "props": {"type": "string", "rename": "attributes"}},
+        purge_unknown=True, extra_cols=("event_id",),
+    )
+    return tv.validate(_events_with_gaps(spark, sf_dir)).normalized
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -287,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "windowed_events": q_windowed_events,
         "dynamic_props": q_dynamic_props,
+        "deps_events": q_deps_events,
+        "normalize_events": q_normalize_events,
     }
 
 
@@ -709,4 +745,19 @@ def oracle_sql() -> dict[str, str]:
         "drift_events": _DRIFT_EVENTS_SQL,
         "windowed_events": _WINDOWED_EVENTS_SQL,
         "dynamic_props": _DYNAMIC_PROPS_SQL,
+        "deps_events": """
+            SELECT event_id, '^.props' AS path,
+                   'dependencies-rule violated: value required'
+                     AS message
+            FROM events
+            WHERE event_id % 11 != 0 AND event_id % 7 = 0
+        """,
+        "normalize_events": """
+            SELECT event_id,
+                   coalesce(CASE WHEN event_id % 7 = 0 THEN NULL
+                                 ELSE value END, -1.0) AS value,
+                   CASE WHEN event_id % 11 = 0 THEN NULL
+                        ELSE props END AS attributes
+            FROM events
+        """,
     }

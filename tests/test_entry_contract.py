@@ -42,13 +42,22 @@ def _norm(v):
     return v
 
 
+def _sort_key(row: tuple):
+    # NULLs first, then by type name, then value — total order even
+    # for mixed None/str/number cells
+    return tuple(
+        (v is not None, type(v).__name__, v if v is not None else 0)
+        for v in row
+    )
+
+
 def _rows(df) -> list[tuple]:
     cols = sorted(df.columns)
     out = []
     for r in df.collect() if hasattr(df, "collect") else df.itertuples():
         d = r.asDict() if hasattr(r, "asDict") else r._asdict()
         out.append(tuple(_norm(d[c]) for c in cols))
-    return sorted(out)
+    return sorted(out, key=_sort_key)
 
 
 def _duck_rows(con, sql: str) -> list[tuple]:
@@ -56,7 +65,7 @@ def _duck_rows(con, sql: str) -> list[tuple]:
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = [tuple(_norm(row[i]) for i in order) for row in rel.fetchall()]
-    return sorted(data), sorted(cols)
+    return sorted(data, key=_sort_key), sorted(cols)
 
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
