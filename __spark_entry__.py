@@ -263,6 +263,51 @@ def q_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.validate(_events_with_gaps(spark, sf_dir)).normalized
 
 
+def q_rules_list_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains + per-element schema(list) over a real array column:
+    violation paths carry the reference's `[i]` grammar
+    (stack.hh:39-54) without a posexplode in the rule pass."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("words"),
+    )
+    tv = TableValidator(
+        {"words": {"type": "list", "contains": "the",
+                   "schema": {"type": "string",
+                              "regex": "[a-su-z][a-z0-9]*"}}},
+        allow_unknown=True, extra_cols=("doc_id",),
+    )
+    return tv.validate(docs).violations("doc_id")
+
+
+def q_rules_cross_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forbidden + excludes + positional items in one pass over
+    orders (synthesized alternative columns for excludes)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("IF(o_orderkey % 2 = 0, o_orderpriority, NULL)")
+        .alias("prio_a"),
+        F.expr("IF(o_orderkey % 3 = 0, o_orderpriority, NULL)")
+        .alias("prio_b"),
+        "o_orderstatus",
+        F.array("o_orderstatus", "o_orderpriority")
+        .alias("status_prio"),
+    )
+    tv = TableValidator(
+        {
+            "o_orderstatus": {"type": "string", "forbidden": ["P"]},
+            "prio_a": {"type": "string", "excludes": "prio_b"},
+            "prio_b": {"type": "string"},
+            "status_prio": {"type": "list", "items": [
+                {"type": "string", "allowed": ["O", "F"]},
+                {"type": "string", "regex": "[1-2]-[A-Z ]+"}]},
+        },
+        allow_unknown=True, extra_cols=("o_orderkey",),
+    )
+    return tv.validate(orders).violations("o_orderkey")
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -323,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_props": q_dynamic_props,
         "deps_events": q_deps_events,
         "normalize_events": q_normalize_events,
+        "rules_list_docs": q_rules_list_docs,
+        "rules_cross_orders": q_rules_cross_orders,
     }
 
 
@@ -759,5 +806,52 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 11 = 0 THEN NULL
                         ELSE props END AS attributes
             FROM events
+        """,
+        "rules_list_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+')
+                       AS words
+              FROM documents
+            )
+            SELECT doc_id, '^.words' AS path,
+                   'contains-rule violated' AS message
+              FROM w WHERE NOT list_contains(words, 'the')
+            UNION ALL
+            SELECT doc_id,
+                   '^.words[' || (u.i - 1) || ']' AS path,
+                   'regex-rule violated' AS message
+              FROM w, LATERAL (
+                SELECT unnest(range(1, len(w.words) + 1)) AS i
+              ) u
+             WHERE NOT regexp_full_match(
+                     w.words[u.i], '[a-su-z][a-z0-9]*')
+        """,
+        "rules_cross_orders": """
+            WITH o AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 2 = 0
+                          THEN o_orderpriority END AS prio_a,
+                     CASE WHEN o_orderkey % 3 = 0
+                          THEN o_orderpriority END AS prio_b,
+                     o_orderstatus, o_orderpriority
+              FROM orders
+            )
+            SELECT o_orderkey, '^.o_orderstatus' AS path,
+                   'forbidden-rule violated: P' AS message
+              FROM o WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey, '^.prio_a',
+                   'excludes-rule violated: prio_b is not allowed'
+              FROM o WHERE prio_a IS NOT NULL AND prio_b IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, '^.status_prio[0]',
+                   'value disallowed by allowed-rule'
+              FROM o WHERE o_orderstatus NOT IN ('O', 'F')
+            UNION ALL
+            SELECT o_orderkey, '^.status_prio[1]',
+                   'regex-rule violated'
+              FROM o WHERE NOT regexp_full_match(
+                     o_orderpriority, '[1-2]-[A-Z ]+')
         """,
     }
