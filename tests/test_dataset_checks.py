@@ -13,9 +13,14 @@ from cerberus_cpp_spark.operators import checks
 
 @pytest.fixture(scope="module")
 def orders(spark):
-    return spark.read.parquet(
+    df = spark.read.parquet(
         "/root/testdata/sf0.01/orders.parquet"
     ).cache()
+    yield df
+    # unpersist: a lingering cache entry for this path replaces the
+    # parquet scan in OTHER tests' plans (kills ReadSchema/
+    # PushedFilters assertions in test_plan_quality)
+    df.unpersist()
 
 
 def test_column_stats_single_pass(spark, orders) -> None:

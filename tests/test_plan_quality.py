@@ -25,6 +25,13 @@ from cerberus_cpp_spark.plans.engine import TableValidator
 ORDERS = "/root/testdata/sf0.01/orders.parquet"
 
 
+@pytest.fixture(autouse=True)
+def _no_cached_scans(spark):
+    # plan assertions need the real parquet scan, not a cache hit
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
