@@ -83,3 +83,30 @@ def test_ledger_carries_lineage_and_metrics(spark, table, tmp_path) -> None:
     assert row["wall_sec"] > 0
     assert "image_id" in row["lineage"]
     assert row["rows"] == N // N_PARTS
+
+
+def test_chunk_filter_prunes_partitions(spark, tmp_path) -> None:
+    """The ledger's chunk IN-list must reach the scan as a partition
+    filter on a partitioned table — resume only READS pending
+    partitions, it doesn't scan-and-discard."""
+    import pyspark.sql.functions as F
+
+    src_path = str(tmp_path / "parttab")
+    image_caption_frame(spark, 2000, partitions=4).withColumn(
+        "part", F.expr("pmod(id, 8)")
+    ).drop("id").write.mode("overwrite").partitionBy("part") \
+        .parquet(src_path)
+    table = spark.read.parquet(src_path)
+    sliced = table.where(
+        F.col("part").cast("string").isin(["1", "3"])
+    )
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cast(part" in plan and "IN (1,3)" in plan
+
+    ledger = ValidationLedger(spark, str(tmp_path / "ledger"))
+    tv = TableValidator(IMAGE_TABLE_RULES, extra_cols=("part",))
+    summary = run_validation(
+        table, tv, "part", ledger, partitions_per_commit=3
+    )
+    assert summary["partitions_processed"] == 8
+    assert ledger.read().agg(F.sum("rows")).collect()[0][0] == 2000
