@@ -541,7 +541,7 @@ sh AS (
   FROM toks
 ),
 shh AS (
-  SELECT DISTINCT doc_id, {_duck_roll('shingle')} AS sh FROM sh
+  SELECT doc_id, {_duck_roll('shingle')} AS sh FROM sh
 )"""
 
 

@@ -1,0 +1,60 @@
+"""Dedup pipeline against planted ground truth at 20k docs — recall
+and precision of the full MinHash-LSH-verify path, exact dedup
+completeness, all computed from closed-form plants (no quadratic
+reference pass)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import dedup as DD
+from cerberus_cpp_spark.sources.textgen import (
+    planted_exact_pairs,
+    planted_near_pairs,
+    synthetic_docs,
+)
+
+N = 20_000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_docs(spark, N, partitions=8).cache()
+
+
+def test_generator_shapes(spark, corpus) -> None:
+    assert corpus.count() == N
+    row = corpus.where("doc_id = 1").collect()[0]
+    src = corpus.where("doc_id = 0").collect()[0]
+    w1, w0 = row["text"].split(" "), src["text"].split(" ")
+    assert len(w1) == len(w0)
+    diff = sum(a != b for a, b in zip(w1, w0))
+    assert 0 < diff <= len(w0) // 10 + 1  # every 10th token mutated
+
+
+def test_exact_dedup_completeness(spark, corpus) -> None:
+    truth = planted_exact_pairs(N)
+    groups = DD.exact_duplicates(corpus).collect()
+    found_keep = {g["keep_id"] for g in groups}
+    assert {a for a, b in truth} <= found_keep
+    assert len(groups) == len(truth)  # no false dup groups
+
+
+def test_near_dup_recall_and_precision(spark, corpus) -> None:
+    truth = planted_near_pairs(N)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.near_duplicates(corpus, threshold=0.5).collect()
+    }
+    # exact copies also surface as jaccard-1.0 pairs — count them as
+    # correct, not as precision errors
+    exact_truth = planted_exact_pairs(N)
+    tp = got & truth
+    recall = len(tp) / len(truth)
+    extras = got - truth - exact_truth
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # random 997-word docs share almost no 3-gram shingles: nothing
+    # besides the plants should clear jaccard 0.5
+    assert not extras, f"unexpected pairs: {sorted(extras)[:5]}"
