@@ -308,6 +308,77 @@ def q_rules_cross_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.validate(orders).violations("o_orderkey")
 
 
+VAL_IMAGES_N = 10000
+
+
+def q_val_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship (north_star): full rule vocabulary over the
+    input_hint image+caption table, oracle-checked — the table is
+    synthesized deterministically executor-side (sources/distgen) and
+    the DuckDB twin regenerates it with identical integer arithmetic
+    (no external data, per the driver brief)."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+    from cerberus_cpp_spark.sources.fixtures import IMAGE_TABLE_RULES
+
+    df = image_caption_frame(spark, VAL_IMAGES_N).drop("id")
+    tv = TableValidator(IMAGE_TABLE_RULES)
+    return tv.validate(df).violations("image_id")
+
+
+_VAL_IMAGES_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {VAL_IMAGES_N})
+), t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 0 THEN 0
+         ELSE CAST(16 + (mix % 1009) % 4080 AS INT) END AS w,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 1 THEN 20000
+         ELSE CAST(16 + ((mix // 7) % 1013) % 4080 AS INT) END AS h,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'bmp'
+         ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1] END AS fmt,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 3 THEN NULL
+         WHEN id % 100 = 0 AND (id // 100) % 6 = 4
+           THEN 'x' || chr(1) || 'y'
+         ELSE printf('caption %d about image number %d',
+                     id % 997, id) END AS caption
+  FROM g
+)
+SELECT image_id, '^.image_id' AS path,
+       'required-rule violated: field missing' AS message
+  FROM t WHERE image_id IS NULL
+UNION ALL
+SELECT image_id, '^.image_id', 'regex-rule violated'
+  FROM t WHERE image_id IS NOT NULL
+           AND NOT regexp_full_match(image_id, 'img-[0-9]{{12}}')
+UNION ALL
+SELECT image_id, '^.w', 'min-rule violated'
+  FROM t WHERE w IS NOT NULL AND NOT (w > 0)
+UNION ALL
+SELECT image_id, '^.w', 'max-rule violated'
+  FROM t WHERE w IS NOT NULL AND w >= 16384
+UNION ALL
+SELECT image_id, '^.h', 'min-rule violated'
+  FROM t WHERE h IS NOT NULL AND NOT (h > 0)
+UNION ALL
+SELECT image_id, '^.h', 'max-rule violated'
+  FROM t WHERE h IS NOT NULL AND h >= 16384
+UNION ALL
+SELECT image_id, '^.fmt', 'value disallowed by allowed-rule'
+  FROM t WHERE fmt NOT IN ('jpeg', 'png', 'webp')
+UNION ALL
+SELECT image_id, '^.caption', 'nullable-rule violated'
+  FROM t WHERE caption IS NULL
+UNION ALL
+SELECT image_id, '^.caption', 'regex-rule violated'
+  FROM t WHERE caption IS NOT NULL
+           AND NOT regexp_full_match(caption, '[ -~]{{1,512}}')
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -370,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_events": q_normalize_events,
         "rules_list_docs": q_rules_list_docs,
         "rules_cross_orders": q_rules_cross_orders,
+        "val_images": q_val_images,
     }
 
 
@@ -807,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE props END AS attributes
             FROM events
         """,
+        "val_images": _VAL_IMAGES_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,
