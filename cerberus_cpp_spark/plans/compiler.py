@@ -616,7 +616,9 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                         defined & (F.coalesce(F.size(ctx.value), F.lit(0)) > i),
                         f"{ctx.path}[{i}]", ctx.scope)
                     v2, _, _ = compile_field(ectx)
-                    viols.extend(v2)
+                    # items no-ops on an undefined list (same skip
+                    # semantics as the schema rule)
+                    viols.extend(_gate_viols(v2, defined))
         elif name == "keysrules":
             if ctx.value is not None and isinstance(ctx.dtype, T.MapType):
                 key_dt = ctx.dtype.keyType
@@ -679,21 +681,36 @@ def _compile_schema_rule(ctx: FieldCtx, arg: Any, defined: Column) -> list[Colum
         return []
     if isinstance(ctx.dtype, T.ArrayType):
         return _array_rule_viols(ctx, arg)
-    if isinstance(ctx.dtype, T.StructType):
-        return _compile_mapping(
+    if isinstance(ctx.dtype, (T.StructType, T.MapType)):
+        # the schema rule NO-OPS when the carrying field is undefined
+        # (reference: rules skip undefined values; a missing dict must
+        # not fire its children's `required`) — gate every nested
+        # violation on the parent's definedness
+        nested = _compile_mapping(
             arg, FieldRef(ctx.value, ctx.dtype, defined),
             ctx.path, ctx.scope, opts,
             allow_unknown=_truthy(ctx.rules.get("allow_unknown", False))
             or opts.allow_unknown,
         )
-    if isinstance(ctx.dtype, T.MapType):
-        return _compile_mapping(
-            arg, FieldRef(ctx.value, ctx.dtype, defined),
-            ctx.path, ctx.scope, opts,
-            allow_unknown=_truthy(ctx.rules.get("allow_unknown", False))
-            or opts.allow_unknown,
-        )
+        return _gate_viols(nested, defined)
     return []
+
+
+def _gate_viols(viols: list, gate: Column) -> list:
+    """AND every violation's firing condition with ``gate``."""
+    out = []
+    empty = F.array().cast(VIOL_ARRAY_T)
+    for v in viols:
+        if isinstance(v, ArrayViol):
+            out.append(ArrayViol(F.when(gate, v.col).otherwise(empty)))
+        elif isinstance(v, ScalarViol):
+            out.append(ScalarViol(
+                gate & F.coalesce(v.cond, F.lit(False)),
+                F.when(gate, v.struct),
+            ))
+        else:  # raw struct-or-null Column
+            out.append(F.when(gate, v))
+    return out
 
 
 def _compile_mapping(

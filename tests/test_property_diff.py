@@ -132,3 +132,78 @@ def test_columnar_matches_interpreter(seed: int, spark) -> None:
         f"seed {seed}: {len(mismatches)} verdict mismatches; first: "
         f"{mismatches[0]} schema={schema}"
     )
+
+
+def _rand_subrules(rng: random.Random) -> dict:
+    kind = rng.choice(["int", "str"])
+    rules: dict = {"type": "integer" if kind == "int" else "string"}
+    if kind == "int":
+        if rng.random() < 0.5:
+            rules["min"] = rng.choice([-5, 0, 3])
+        if rng.random() < 0.5:
+            rules["max"] = rng.choice([1, 7, 42])
+    else:
+        if rng.random() < 0.5:
+            rules["regex"] = rng.choice(["[a-z]+", "[0-9]+"])
+    if rng.random() < 0.4:
+        rules["required"] = rng.random() < 0.5
+    return rules
+
+
+def _rand_nested_doc(rng: random.Random) -> dict:
+    doc: dict = {}
+    if rng.random() < 0.8:
+        sub = {}
+        for f in ("x", "y"):
+            r = rng.random()
+            if r < 0.25:
+                continue
+            sub[f] = rng.choice([0, 7, 42, "a", "zz", "42", None])
+        doc["c"] = sub
+    if rng.random() < 0.7:
+        doc["a"] = rng.choice([0, 1, 42, "x", None])
+    return doc
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_nested_schema_matches_interpreter(seed: int, spark) -> None:
+    """Nested dict fields: struct-column recursion in the columnar
+    engine must agree with the interpreter's recursive descent."""
+    rng = random.Random(7000 + seed)
+    schema = {
+        "a": {"type": "integer"},
+        "c": {"type": "dict", "schema": {
+            "x": _rand_subrules(rng),
+            "y": _rand_subrules(rng),
+        }},
+    }
+    docs = [_rand_nested_doc(rng) for _ in range(20)]
+
+    interp = Validator()
+    try:
+        expected = [interp.validate(d, schema) for d in docs]
+    except SchemaError:
+        pytest.skip("schema rejected by meta-validation")
+
+    try:
+        frame = golden_frame(
+            spark, schema, [(d, e) for d, e in zip(docs, expected)]
+        )
+    except HeterogeneousShape:
+        pytest.skip("mixed shapes")
+
+    tv = TableValidator(
+        schema, presence="defined", extra_cols=("doc_id", "expected"),
+        allow_unknown=True,
+    )
+    got = {
+        r["doc_id"]: r["valid"]
+        for r in tv.validate(frame).annotated.collect()
+    }
+    mismatches = [
+        (i, docs[i], expected[i], got[i])
+        for i in range(len(docs)) if got[i] != expected[i]
+    ]
+    assert not mismatches, (
+        f"seed {seed}: first mismatch {mismatches[0]} schema={schema}"
+    )
