@@ -207,3 +207,50 @@ def test_nested_schema_matches_interpreter(seed: int, spark) -> None:
     assert not mismatches, (
         f"seed {seed}: first mismatch {mismatches[0]} schema={schema}"
     )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_violation_paths_match_interpreter(seed: int, spark) -> None:
+    """Stronger than verdicts: the SET of violation paths per doc
+    must match the interpreter's error paths."""
+    rng = random.Random(4000 + seed)
+    schema = {f: _rand_rules(rng) for f in FIELDS}
+    shapes = {
+        f: ("list" if schema[f].get("type") == "list" else "scalar")
+        for f in FIELDS
+    }
+    docs = [_rand_doc(rng, schema, shapes) for _ in range(16)]
+
+    interp = Validator()
+    exp_paths = []
+    try:
+        for d in docs:
+            interp.validate(d, schema)
+            exp_paths.append(
+                {e.path for e in interp.errors}
+            )
+    except SchemaError:
+        pytest.skip("schema rejected by meta-validation")
+
+    try:
+        frame = golden_frame(
+            spark, schema, [(d, True) for d in docs]
+        )
+    except HeterogeneousShape:
+        pytest.skip("mixed shapes")
+
+    tv = TableValidator(
+        schema, presence="defined", extra_cols=("doc_id", "expected"),
+        allow_unknown=True,
+    )
+    got: dict[int, set] = {i: set() for i in range(len(docs))}
+    for r in tv.validate(frame).violations("doc_id").collect():
+        got[r["doc_id"]].add(r["path"])
+    mismatches = [
+        (i, docs[i], sorted(exp_paths[i]), sorted(got[i]))
+        for i in range(len(docs)) if got[i] != exp_paths[i]
+    ]
+    assert not mismatches, (
+        f"seed {seed}: first path mismatch {mismatches[0]}"
+        f" schema={schema}"
+    )
