@@ -41,7 +41,9 @@ def column_stats(df: DataFrame, cols: Sequence[str] | None = None,
     for c in cols:
         col = F.col(c)
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"__null_{c}"),
+            # sum over ZERO rows is NULL — empty tables must report 0
+            F.coalesce(F.sum(col.isNull().cast("long")), F.lit(0))
+            .alias(f"__null_{c}"),
             F.approx_count_distinct(col, rsd).alias(f"__dist_{c}"),
             F.min(col).cast("string").alias(f"__min_{c}"),
             F.max(col).cast("string").alias(f"__max_{c}"),
@@ -53,7 +55,9 @@ def column_stats(df: DataFrame, cols: Sequence[str] | None = None,
             F.lit(c).alias("col_name"),
             F.col("__n").alias("n_rows"),
             F.col(f"__null_{c}").alias("null_count"),
-            (F.col(f"__null_{c}") / F.col("__n")).alias("null_rate"),
+            F.when(F.col("__n") > 0,
+                   F.col(f"__null_{c}") / F.col("__n"))
+            .otherwise(F.lit(0.0)).alias("null_rate"),  # ANSI: n=0
             F.col(f"__dist_{c}").alias("approx_distinct"),
             F.col(f"__min_{c}").alias("min_value"),
             F.col(f"__max_{c}").alias("max_value"),
@@ -68,7 +72,8 @@ def numeric_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for c in cols:
         col = F.col(c).cast("double")
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"__null_{c}"),
             F.min(col).alias(f"__min_{c}"),
             F.max(col).alias(f"__max_{c}"),
             F.avg(col).alias(f"__avg_{c}"),

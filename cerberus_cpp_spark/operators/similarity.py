@@ -249,6 +249,10 @@ def _exact_near_duplicates_blas(base: DataFrame,
     rows = base.collect()  # bounded by exact-mode contract
     import numpy as np
 
+    if not rows:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     ids = np.array([r["vid"] for r in rows], dtype=np.int64)
     mat = np.array([list(r["vec"]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
