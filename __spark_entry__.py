@@ -76,6 +76,17 @@ def q_val_embeddings_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations("vec_id")
 
 
+def q_stats_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column distinct counts (the oracle-checkable twin of
+    the HyperLogLog path in checks.column_stats)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+    )
+
+
 def q_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = checks.numeric_stats(
         _t(spark, sf_dir, "lineitem"),
@@ -418,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_part_summary": q_val_part_summary,
         "val_embeddings_len": q_val_embeddings_len,
         "stats_lineitem": q_stats_lineitem,
+        "stats_distinct": q_stats_distinct,
         "nullcount_events": q_nullcount_events,
         "dup_keys_orders": q_dup_keys_orders,
         "dup_rows_orders": q_dup_rows_orders,
@@ -803,6 +815,12 @@ def oracle_sql() -> dict[str, str]:
         "val_orders_violations": _ORDERS_VIOL_SQL,
         "val_part_summary": _PART_SUMMARY_SQL,
         "val_embeddings_len": _EMB_VIOL_SQL,
+        "stats_distinct": """
+            SELECT count(DISTINCT o_custkey) AS d_custkey,
+                   count(DISTINCT o_orderstatus) AS d_status,
+                   count(DISTINCT o_orderpriority) AS d_priority
+            FROM orders
+        """,
         "stats_lineitem": """
             SELECT c.col_name, c.null_count, c.min_value, c.max_value
             FROM (

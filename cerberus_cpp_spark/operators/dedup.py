@@ -6,8 +6,8 @@ Four families, all shuffle-planned for scale:
   partials), violation rows via broadcast semi-join.
 - **MinHash + LSH**: shingle explode → per-doc min over k universal
   hashes (partial agg before shuffle; shuffle payload = |docs| × k
-  ints, never the shingles) → band buckets → per-band self-joins →
-  exact-Jaccard verification of candidates only.
+  ints, never the shingles) → ONE self-join over posexploded
+  (band, bkey) rows → exact-Jaccard verification of candidates only.
 - **n-gram Jaccard (complete)**: shared-shingle blocking join — finds
   EVERY pair with Jaccard > 0 (no approximation); quadratic only
   within a shared shingle, so ``max_shingle_freq`` drops
@@ -15,8 +15,9 @@ Four families, all shuffle-planned for scale:
 - **SimHash**: frequency-weighted 16-bit signature from token
   hashes; one explode + one agg.
 
-Hashes are the portable rolling hash (``text.ROLL_MOD``) so every
-pipeline here has a bit-identical DuckDB oracle.
+Hashes default to the portable rolling hash (``text.ROLL_MOD``) so
+every pipeline here has a bit-identical DuckDB oracle; pass
+``hash_fn="fast"`` for xxhash64 at scale (no oracle needed).
 """
 
 from __future__ import annotations
