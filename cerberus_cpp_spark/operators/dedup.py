@@ -165,12 +165,18 @@ def lsh_candidate_pairs(
     (surfaced by ``oversized_lsh_buckets`` — never silently)."""
     banded = _banded_keys(signatures, id_col, band_rows)
     if max_bucket is not None:
-        sizes = banded.groupBy("band", "bkey").agg(
-            F.count(F.lit(1)).alias("bsz")
-        ).where(F.col("bsz") <= max_bucket)
+        # anti-join against the OVERSIZED set (tiny by construction —
+        # only pathological buckets exceed the cap), never the kept
+        # set: broadcasting kept buckets would ship ~|docs|·n_bands
+        # rows and OOM the driver at 1e9-doc scale
+        oversized = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_bucket)
+            .select("band", "bkey")
+        )
         banded = banded.join(
-            F.broadcast(sizes.select("band", "bkey")),
-            on=["band", "bkey"], how="left_semi",
+            F.broadcast(oversized), on=["band", "bkey"], how="left_anti",
         )
     a = banded.alias("a")
     c = banded.alias("c")
@@ -208,7 +214,11 @@ def jaccard_pairs(
     shingles. ``max_shingle_freq`` excludes shingles appearing in
     more than N docs from PAIR GENERATION (a stop-shingle guard; the
     Jaccard denominator still counts them exactly)."""
-    sh = doc_shingles(df, id_col, text_col, k, hash_fn).cache()
+    # localCheckpoint, not .cache(): plain cache still embeds the full
+    # lineage in every referencing plan (same policy as near_duplicates;
+    # also avoids leaking storage memory across repeated calls)
+    sh = doc_shingles(df, id_col, text_col, k, hash_fn) \
+        .localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     pair_src = sh
     if max_shingle_freq is not None:

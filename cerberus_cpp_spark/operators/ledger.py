@@ -31,6 +31,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
+
+#: stand-in ledger key for rows whose partition column is NULL —
+#: keeps NULL partitions validated + resumable (a plain IN-list
+#: filter would silently never match them)
+NULL_PARTITION = "__NULL__"
 
 LEDGER_SCHEMA = T.StructType([
     T.StructField("run_id", T.StringType(), False),
@@ -56,18 +62,25 @@ class ValidationLedger:
     def read(self) -> DataFrame:
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        except AnalysisException as e:
+            # ONLY the missing-path case means "fresh ledger"; genuine
+            # corruption / permission errors must propagate — silently
+            # returning empty would discard all resume state and
+            # revalidate everything (appending duplicate 'done' rows)
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return self.spark.createDataFrame([], LEDGER_SCHEMA)
+            raise
 
-    def completed_partitions(self) -> DataFrame:
-        """(partition_value) rows already validated successfully —
-        across ALL runs (lineage-compatible resumption)."""
-        return (
-            self.read()
-            .where(F.col("status") == "done")
-            .select("partition_value")
-            .distinct()
-        )
+    def completed_partitions(self, lineage: str | None = None) -> DataFrame:
+        """(partition_value) rows already validated successfully.
+        When ``lineage`` is given, ONLY rows validated under that
+        exact lineage fingerprint count — after a schema/rule change
+        old verdicts are stale and their partitions re-validate
+        instead of being silently skipped."""
+        done = self.read().where(F.col("status") == "done")
+        if lineage is not None:
+            done = done.where(F.col("lineage") == lineage)
+        return done.select("partition_value").distinct()
 
     def append(self, rows: list[dict]) -> None:
         df = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
@@ -78,16 +91,27 @@ class KilledRun(RuntimeError):
     """Raised by the fault injector in tests."""
 
 
+def _part_key(partition_col: str):
+    """Ledger key for a partition column: string cast with NULLs
+    mapped to the :data:`NULL_PARTITION` sentinel (so NULL-partition
+    rows are validated, committed, and resumable like any other)."""
+    return F.coalesce(
+        F.col(partition_col).cast("string"), F.lit(NULL_PARTITION)
+    )
+
+
 def pending_partitions(
-    df: DataFrame, partition_col: str, ledger: ValidationLedger
+    df: DataFrame, partition_col: str, ledger: ValidationLedger,
+    lineage: str | None = None,
 ) -> list[str]:
-    """Distinct partition values minus the ledger's completed set.
-    Partition-list scale; safe to collect driver-side."""
+    """Distinct partition values minus the ledger's completed set
+    (for this ``lineage``, when given). Partition-list scale; safe to
+    collect driver-side."""
     parts = df.select(
-        F.col(partition_col).cast("string").alias("partition_value")
+        _part_key(partition_col).alias("partition_value")
     ).distinct()
     todo = parts.join(
-        ledger.completed_partitions(), on="partition_value",
+        ledger.completed_partitions(lineage), on="partition_value",
         how="left_anti",
     )
     return sorted(r["partition_value"] for r in todo.collect())
@@ -108,12 +132,17 @@ def run_validation(
     test fault-injector (raises KilledRun mid-run).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    todo = pending_partitions(df, partition_col, ledger)
+    # the fingerprint covers the FULL rule tree (not just field
+    # names): any rule edit changes the lineage and forces
+    # re-validation of previously-committed partitions
     lineage = json.dumps({
-        "schema": sorted(validator.schema),
+        "schema": validator.schema,
         "source_schema": df.schema.simpleString(),
         "partition_col": partition_col,
-    }, sort_keys=True)
+    }, sort_keys=True, default=str)
+    # resume honors ONLY verdicts recorded under the same lineage
+    # fingerprint — a schema/rule change re-validates everything
+    todo = pending_partitions(df, partition_col, ledger, lineage)
     chunks = [
         todo[i:i + partitions_per_commit]
         for i in range(0, len(todo), partitions_per_commit)
@@ -125,8 +154,17 @@ def run_validation(
                 f"injected failure before chunk {ci} ({len(chunk)} parts)"
             )
         t0 = time.perf_counter()
-        part_str = F.col(partition_col).cast("string")
-        slice_df = df.where(part_str.isin(chunk))
+        # pruning-friendly chunk predicate: a plain IN-list on the
+        # partition column (pushes to parquet/Iceberg partition
+        # pruning), with the NULL sentinel handled via isNull — NOT
+        # the coalesce() key expression, which would defeat pushdown
+        vals = [p for p in chunk if p != NULL_PARTITION]
+        pred = F.col(partition_col).cast("string").isin(vals) \
+            if vals else F.lit(False)
+        if NULL_PARTITION in chunk:
+            pred = pred | F.col(partition_col).isNull()
+        part_str = _part_key(partition_col)
+        slice_df = df.where(pred)
         res = validator.validate(slice_df)
         verdicts = (
             res.annotated.groupBy(part_str.alias("partition_value"))

@@ -22,6 +22,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions.shipping import PKG_PARENT
@@ -85,9 +86,17 @@ def rh_signatures(
     n_bits: int = 16,
     seed: int = 7,
 ) -> DataFrame:
-    """(id, sig): random-hyperplane signature, one numpy matmul per
-    Arrow batch. Narrow stage, no shuffle."""
-    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    """(``id_col``, sig): random-hyperplane signature, one numpy
+    matmul per Arrow batch. Narrow stage, no shuffle. The id column
+    keeps its caller-facing name AND dtype (the mapInPandas output
+    schema is derived from ``df.schema[id_col]``, so string/int/long
+    ids all work)."""
+    src = df.select(F.col(id_col), F.col(vec_col))
+    id_dtype = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_dtype, True),
+        T.StructField("sig", T.LongType(), True),
+    ])
     pkg_parent = PKG_PARENT
 
     def compute(batches):
@@ -112,11 +121,11 @@ def rh_signatures(
                 planes = _hyperplanes(mat.shape[1], n_bits, seed)
             bits = (mat @ planes) > 0
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"],
+                id_col: pdf[id_col],
                 "sig": (bits @ weights).astype("int64"),
             })
 
-    return src.mapInPandas(compute, schema="vec_id long, sig long")
+    return src.mapInPandas(compute, schema=out_schema)
 
 
 def _band_key(sig_col: str, band: int, band_bits: int):
@@ -160,11 +169,11 @@ def ann_topk_lsh(
                          n_bits=n_bits, seed=seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec")) \
-        .join(csig.select(F.col("vec_id").alias("neighbor_id"), "sig"),
+        .join(csig.select(F.col(id_col).alias("neighbor_id"), "sig"),
               on="neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec")) \
-        .join(qsig.select(F.col("vec_id").alias("query_id"),
+        .join(qsig.select(F.col(id_col).alias("query_id"),
                           F.col("sig").alias("qsig")),
               on="query_id")
     cb = _banded(c, "sig", n_bits, band_bits)
@@ -198,6 +207,7 @@ def embedding_near_duplicates(
     band_bits: int = 4,
     seed: int = 7,
     exact: bool = False,
+    exact_max_rows: int = 200_000,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
@@ -209,12 +219,14 @@ def embedding_near_duplicates(
     base = df.select(F.col(id_col).alias("vid"),
                      F.col(vec_col).alias("vec"))
     if exact:
-        return _exact_near_duplicates_blas(base, threshold)
+        return _exact_near_duplicates_blas(
+            base, threshold, max_rows=exact_max_rows
+        )
     else:
         sig = rh_signatures(df, id_col=id_col, vec_col=vec_col,
                             n_bits=n_bits, seed=seed)
         wsig = base.join(
-            sig.select(F.col("vec_id").alias("vid"), "sig"), on="vid"
+            sig.select(F.col(id_col).alias("vid"), "sig"), on="vid"
         )
         banded = _banded(wsig, "sig", n_bits, band_bits)
         a = banded.alias("a")
@@ -238,15 +250,29 @@ def embedding_near_duplicates(
 
 
 def _exact_near_duplicates_blas(base: DataFrame,
-                                threshold: float) -> DataFrame:
+                                threshold: float,
+                                max_rows: int = 200_000) -> DataFrame:
     """Exact all-pairs cosine via broadcast matrix + one BLAS matmul
     per Arrow batch. The interpreted-HOF crossJoin version took 59s
     for 5000 vectors (12.5M pairs through CodegenFallback folds);
     this runs the identical math in C (~0.1s). Only for corpora whose
     (id, vector) set fits in a broadcast (the LSH path is the scale
-    route; at 1e9 vectors all-pairs is off the table regardless)."""
+    route; at 1e9 vectors all-pairs is off the table regardless).
+
+    The driver ``collect()`` is size-GUARDED: a corpus above
+    ``max_rows`` raises before any collect instead of OOMing the
+    driver — callers at scale must use the LSH route
+    (``exact=False``)."""
     spark = base.sparkSession
-    rows = base.collect()  # bounded by exact-mode contract
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact near-duplicate mode collects the corpus to the "
+            f"driver and is bounded at {max_rows} rows; got {n}. Use "
+            f"exact=False (the LSH-bucketed scale path) or raise "
+            f"exact_max_rows explicitly."
+        )
+    rows = base.collect()  # bounded: guarded by max_rows above
     import numpy as np
 
     if not rows:

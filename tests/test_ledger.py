@@ -110,3 +110,61 @@ def test_chunk_filter_prunes_partitions(spark, tmp_path) -> None:
     )
     assert summary["partitions_processed"] == 8
     assert ledger.read().agg(F.sum("rows")).collect()[0][0] == 2000
+
+
+def test_lineage_change_revalidates(spark, table, tmp_path) -> None:
+    """Verdicts recorded under an old schema are stale: resume must
+    re-validate, not skip, after the rules change."""
+    ledger = ValidationLedger(spark, str(tmp_path / "ledger"))
+    tv = TableValidator(IMAGE_TABLE_RULES, extra_cols=("part",))
+    assert run_validation(table, tv, "part", ledger)[
+        "partitions_processed"] == N_PARTS
+
+    changed = {**IMAGE_TABLE_RULES,
+               "caption": {"type": "string", "regex": "cap.*"}}
+    tv2 = TableValidator(changed, extra_cols=("part",))
+    s2 = run_validation(table, tv2, "part", ledger)
+    assert s2["partitions_processed"] == N_PARTS  # all redone
+
+    # same schema again → verdicts current → true no-op
+    assert run_validation(table, tv2, "part", ledger)[
+        "partitions_processed"] == 0
+
+
+def test_null_partition_values_handled(spark, tmp_path) -> None:
+    """NULL partition values validate under the __NULL__ sentinel and
+    resume like any other partition (no TypeError, no silent skip)."""
+    from cerberus_cpp_spark.operators.ledger import NULL_PARTITION
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    table = image_caption_frame(spark, 1000, partitions=4).withColumn(
+        "part", F.expr("CASE WHEN pmod(id, 4) = 3 THEN NULL "
+                       "ELSE pmod(id, 4) END")
+    ).drop("id")
+    ledger = ValidationLedger(spark, str(tmp_path / "ledger"))
+    tv = TableValidator(IMAGE_TABLE_RULES, extra_cols=("part",))
+
+    todo = pending_partitions(table, "part", ledger)
+    assert NULL_PARTITION in todo and len(todo) == 4
+
+    run_validation(table, tv, "part", ledger, partitions_per_commit=2)
+    assert pending_partitions(table, "part", ledger) == []
+    led = ledger.read()
+    assert led.agg(F.sum("rows")).collect()[0][0] == 1000
+    null_row = led.where(
+        F.col("partition_value") == NULL_PARTITION).collect()
+    assert len(null_row) == 1 and null_row[0]["rows"] == 250
+
+
+def test_missing_ledger_reads_empty_but_corruption_raises(
+    spark, tmp_path
+) -> None:
+    ledger = ValidationLedger(spark, str(tmp_path / "no-such-ledger"))
+    assert ledger.read().count() == 0  # fresh path → empty frame
+
+    bad = tmp_path / "corrupt-ledger"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    corrupt = ValidationLedger(spark, str(bad))
+    with pytest.raises(Exception):
+        corrupt.read().count()  # corruption must surface, not vanish

@@ -155,3 +155,28 @@ def test_embedding_near_duplicates_finds_planted_dup(spark, emb) -> None:
     exact = SIM.embedding_near_duplicates(with_dup, 0.999, exact=True)
     assert {(r["id_a"], r["id_b"]) for r in exact.collect()} == \
         {(7, 100007)}
+
+
+def test_exact_near_dup_guard_refuses_unbounded_collect(spark, emb) -> None:
+    """The BLAS exact path collects the corpus driver-side; above the
+    cap it must REFUSE with a pointer at the LSH route, not OOM."""
+    with pytest.raises(ValueError, match="exact=False"):
+        SIM.embedding_near_duplicates(emb, 0.99, exact=True,
+                                      exact_max_rows=10)
+
+
+def test_rh_signatures_string_ids(spark, emb) -> None:
+    """rh_signatures derives the id output dtype from the input —
+    non-long id columns (e.g. string doc ids) must work end-to-end
+    through ann_topk_lsh."""
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    sig = SIM.rh_signatures(semb)
+    assert dict(sig.dtypes)["vec_id"] == "string"
+    assert sig.count() == emb.count()
+    qs = semb.where("vec_id in ('doc-0', 'doc-1')")
+    ann = SIM.ann_topk_lsh(semb, qs, k=3)
+    rows = ann.collect()
+    assert rows and all(r["query_id"].startswith("doc-") for r in rows)
