@@ -240,6 +240,34 @@ def q_dynamic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv.validate(ev).violations("event_id")
 
 
+def q_schemaless_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous schemaless documents at scale (reference
+    rules.hh:549-553/575-612 type semantics — the golden
+    'type-simple' shape): field `a` is an int, dict, list, numeric
+    string or explicit null depending on the row, so NO static Spark
+    type exists and the columnar compiler refuses the column. The
+    validation runs through the DISTRIBUTED interpreter
+    (dynamic/spark.py: Arrow-batched mapInPandas, one Validator per
+    worker). Docs are synthesized from pure event_id arithmetic so
+    DuckDB can oracle the exact violation set without JSON parsing."""
+    from cerberus_cpp_spark.dynamic.spark import json_violations
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("""CASE pmod(event_id, 6)
+          WHEN 0 THEN concat('{"a": ', pmod(event_id, 23), ', "b": "s"}')
+          WHEN 1 THEN '{"a": {"x": 1}, "b": "t"}'
+          WHEN 2 THEN concat('{"a": [', pmod(event_id, 23), ']}')
+          WHEN 3 THEN concat('{"a": "', pmod(event_id, 23), '"}')
+          WHEN 4 THEN '{"a": null, "b": "u"}'
+          ELSE '{"b": [1]}'
+        END""").alias("doc"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    schema = {"a": {"type": "integer", "min": 10},
+              "b": {"type": "string", "required": True}}
+    return json_violations(ev, schema, id_cols=("event_id",))
+
+
 def _events_with_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with DETERMINISTIC synthesized nulls (the raw table has
     none at these SFs): value nulled on id%7, props on id%11 — same
@@ -449,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events": q_drift_events,
         "windowed_events": q_windowed_events,
         "dynamic_props": q_dynamic_props,
+        "schemaless_props": q_schemaless_props,
         "deps_events": q_deps_events,
         "normalize_events": q_normalize_events,
         "rules_list_docs": q_rules_list_docs,
@@ -810,6 +839,39 @@ SELECT event_id, '^.props.k', 'max-rule violated'
 """
 
 
+# violations of the schemaless_props heterogeneous-doc query, derived
+# from the same event_id arithmetic that synthesizes the docs:
+#   m = event_id % 6 selects the shape, k = event_id % 23 the value
+#   m=0 {"a": k, "b": "s"}     → min iff k <= 10 (exclusive bound)
+#   m=1 {"a": {...}, "b": "t"} → min (dict not decodable) + type
+#   m=2 {"a": [k]}             → min + type; b missing → required
+#   m=3 {"a": "k"}             → numeric STRING decodes as integer
+#                                (yaml-convertibility): min iff k<=10;
+#                                b missing → required
+#   m=4 {"a": null, "b": "u"}  → nullable (auto-injected false) + min
+#   m=5 {"b": [1]}             → a absent: all rules skip; b list →
+#                                type (any scalar decodes as string,
+#                                so only containers can violate it)
+_SCHEMALESS_PROPS_SQL = """
+WITH e AS (
+  SELECT event_id, event_id % 6 AS m, event_id % 23 AS k FROM events
+)
+SELECT event_id, '^.a' AS path, 'min-rule violated' AS message
+  FROM e WHERE (m IN (0, 3) AND k <= 10) OR m IN (1, 2, 4)
+UNION ALL
+SELECT event_id, '^.a', 'type-rule violated: expected integer'
+  FROM e WHERE m IN (1, 2)
+UNION ALL
+SELECT event_id, '^.a', 'nullable-rule violated' FROM e WHERE m = 4
+UNION ALL
+SELECT event_id, '^.b', 'required-rule violated: field missing'
+  FROM e WHERE m IN (2, 3)
+UNION ALL
+SELECT event_id, '^.b', 'type-rule violated: expected string'
+  FROM e WHERE m = 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "val_orders_violations": _ORDERS_VIOL_SQL,
@@ -882,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_events": _DRIFT_EVENTS_SQL,
         "windowed_events": _WINDOWED_EVENTS_SQL,
         "dynamic_props": _DYNAMIC_PROPS_SQL,
+        "schemaless_props": _SCHEMALESS_PROPS_SQL,
         "deps_events": """
             SELECT event_id, '^.props' AS path,
                    'dependencies-rule violated: value required'
