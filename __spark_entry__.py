@@ -182,10 +182,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH + verification (approximate: no oracle entry; the
-    complete-join twin q_jaccard_pairs is the oracle-checked one)."""
+    """MinHash-LSH candidates + exact-Jaccard verification. The whole
+    pipeline is deterministic portable arithmetic (fixed universal-
+    hash params, fixed banding), so the DuckDB oracle replays it
+    EXACTLY: signatures → band keys → candidate pairs → verified
+    Jaccard ≥ 0.5. max_bucket=None here because the contract data has
+    no pathological buckets (the cap's semantics have their own unit
+    tests; oversized_lsh_buckets surfaces what a cap would drop)."""
     return _dd.near_duplicates(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_bucket=None
     )
 
 
@@ -204,10 +209,38 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, emb.where("vec_id < 10"), k=5)
 
 
+_PERTURB = """concat(
+  transform(slice(embedding, 1, r), x -> cast(x as double)),
+  array(cast(element_at(embedding, r + 1) as double) * 1.002D),
+  transform(slice(embedding, r + 2, size(embedding)),
+            x -> cast(x as double)))"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate by construction: rows-only)."""
+    """LSH-bucketed ANN on a PLANTED-TRUTH corpus: each query gets 5
+    near-identical twins (one coordinate scaled by 1.002 — cosine
+    ≈ 0.999998, far above the ~0.5 max random 64-dim cosine), so the
+    true top-5 is exactly the twin set and the random-hyperplane
+    signatures (deterministic: fixed seed) place every twin in the
+    query's buckets. The approximate path therefore carries an EXACT
+    top-k oracle; recall-under-stress measurements for non-planted
+    corpora live in tests/test_dedup_scale.py + BENCH.md §5."""
     emb = _t(spark, sf_dir, "embeddings")
-    return _sim.ann_topk_lsh(emb, emb.where("vec_id < 10"), k=5)
+    reps = spark.range(5).select(F.col("id").cast("int").alias("r"))
+    planted = (
+        emb.where("vec_id < 10").crossJoin(reps)
+        .select(
+            (F.lit(1000000) + F.col("vec_id") * 10 + F.col("r"))
+            .alias("vec_id"),
+            F.expr(_PERTURB).alias("embedding"),
+        )
+    )
+    as_double = F.expr("transform(embedding, x -> cast(x as double))")
+    corpus = emb.select("vec_id", as_double.alias("embedding")) \
+        .unionByName(planted)
+    queries = emb.where("vec_id < 10").select(
+        "vec_id", as_double.alias("embedding"))
+    return _sim.ann_topk_lsh(corpus, queries, k=5)
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +722,54 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def _near_dups_lsh_sql() -> str:
+    """DuckDB replay of the FULL LSH near-dup pipeline: minhash
+    signatures (identical universal-hash constants), 8×2 band keys
+    (same ':'-joined key strings), distinct band-colliding candidate
+    pairs, exact-Jaccard verification of candidates only."""
+    mins = ",\n       ".join(
+        f"min((sh * {_dd.MINHASH_A[j]} + {_dd.MINHASH_B[j]})"
+        f" % {_dd.MERSENNE31}) AS mh_{j}"
+        for j in range(_dd.MINHASH_K)
+    )
+    br = _dd.LSH_BAND_ROWS
+    n_bands = _dd.MINHASH_K // br
+    band_sel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, CAST(mh_{b * br} AS VARCHAR)"
+        + "".join(
+            f" || ':' || CAST(mh_{b * br + j} AS VARCHAR)"
+            for j in range(1, br)
+        )
+        + " AS kv FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_DUCK_SHINGLE_CTE},
+sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+banded AS (
+{band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.kv = b.kv AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
+
+
 def _simhash_sql() -> str:
     bits = ",\n       ".join(
         f"sum(CASE WHEN (th & {1 << b}) > 0 THEN 1 ELSE -1 END)"
@@ -739,6 +820,41 @@ s AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS cs
   FROM embeddings c, q WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cs, 6) AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+# exact top-k over the planted-truth ANN corpus: the twins are
+# rebuilt with the IDENTICAL slice/scale arithmetic (float→double
+# widening is exact, double multiply is IEEE-identical), so the
+# oracle needs no signature replay — the construction guarantees the
+# ANN candidate set contains the true top-5
+_ANN_TOPK_SQL = """
+WITH r AS (SELECT unnest(range(5)) AS r),
+planted AS (
+  SELECT 1000000 + e.vec_id * 10 + r.r AS vec_id,
+         list_slice(e.embedding::DOUBLE[], 1, r.r)
+           || [e.embedding[r.r + 1]::DOUBLE * 1.002]
+           || list_slice(e.embedding::DOUBLE[], r.r + 2,
+                         len(e.embedding)) AS emb
+  FROM embeddings e, r WHERE e.vec_id < 10
+),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL SELECT vec_id, emb FROM planted
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.emb, q.qv) AS cs
+  FROM corpus c, q WHERE c.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, rank, round(cs, 6) AS cosine FROM (
   SELECT *, row_number() OVER (
@@ -934,12 +1050,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_signatures": _minhash_sql(),
         "jaccard_pairs": _jaccard_sql(),
+        "near_dups_lsh": _near_dups_lsh_sql(),
         # near_dups_lsh / ann_topk_lsh: approximate by construction —
         # deliberately no oracle (rows-only check); their exact twins
         # jaccard_pairs / cosine_topk ARE oracle-checked
         "simhash": _simhash_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
+        "ann_topk_lsh": _ANN_TOPK_SQL,
         "emb_near_dups": _EMB_NEAR_DUPS_SQL,
         "drift_events": _DRIFT_EVENTS_SQL,
         "windowed_events": _WINDOWED_EVENTS_SQL,
