@@ -136,6 +136,44 @@ def q_ref_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey")
 
 
+def q_ref_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop referential integrity supplier→nation→region
+    (table-scope dependencies over the star schema): both dims are
+    sliced deterministically so each hop has real violations;
+    ``missing_hop`` names the first broken link. Plan: one supplier
+    scan + two broadcast hash joins — no fact shuffle at any scale."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") % 5 != 0)
+    reg = _t(spark, sf_dir, "region").where(F.col("r_regionkey") != 2)
+    return checks.referential_chain(
+        sup,
+        [(nat, "s_nationkey", "n_nationkey", "nation"),
+         (reg, "n_regionkey", "r_regionkey", "region")],
+    ).select("s_suppkey", "s_nationkey", "missing_hop")
+
+
+def q_val_defined_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """presence='defined' over a production-shaped parquet table: a
+    __defined__ bookkeeping column distinguishes ABSENT (key missing:
+    required fires, nothing else) from EXPLICIT NULL (nullable:false
+    AND min fire — the reference's min-fails-on-null oddity,
+    rules.hh:316-336) from VALUE. Synthesis is pure event_id
+    arithmetic so DuckDB reproduces the exact violation set."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("IF(event_id % 3 = 0 OR event_id % 7 = 0, NULL, value)")
+        .alias("value"),
+        F.expr("""IF(event_id % 3 = 0, array('event_id'),
+                   array('event_id', 'value'))""").alias("__defined__"),
+    )
+    tv = TableValidator(
+        {"value": {"type": "float", "required": True, "nullable": False,
+                   "min": 100.0}},
+        presence="defined", allow_unknown=True, extra_cols=("event_id",),
+    )
+    return tv.validate(ev).violations("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -496,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rows_orders": q_dup_rows_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_lineitem_part": q_ref_lineitem_part,
+        "ref_supplier_chain": q_ref_supplier_chain,
+        "val_defined_orders": q_val_defined_orders,
         "text_profile": q_text_profile,
         "lang_hist": q_lang_hist,
         "dedup_exact": q_dedup_exact,
@@ -1044,6 +1084,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_partkey FROM lineitem l
             WHERE l_partkey IS NOT NULL AND NOT EXISTS (
               SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        """,
+        "ref_supplier_chain": """
+            SELECT s.s_suppkey, s.s_nationkey,
+                   CASE WHEN n.n_nationkey IS NULL THEN 'nation'
+                        ELSE 'region' END AS missing_hop
+            FROM supplier s
+            LEFT JOIN (SELECT * FROM nation
+                       WHERE n_nationkey % 5 <> 0) n
+              ON s.s_nationkey = n.n_nationkey
+            LEFT JOIN (SELECT * FROM region
+                       WHERE r_regionkey <> 2) r
+              ON n.n_regionkey = r.r_regionkey
+            WHERE s.s_nationkey IS NOT NULL
+              AND (n.n_nationkey IS NULL
+                   OR (n.n_regionkey IS NOT NULL
+                       AND r.r_regionkey IS NULL))
+        """,
+        "val_defined_orders": """
+            WITH ev AS (
+              SELECT event_id,
+                     IF(event_id % 3 = 0 OR event_id % 7 = 0,
+                        NULL, value) AS value,
+                     event_id % 3 <> 0 AS value_defined
+              FROM events
+            ), v AS (
+              SELECT event_id, '^.value' AS path,
+                     'required-rule violated: field missing' AS message
+                FROM ev WHERE NOT value_defined
+              UNION ALL
+              SELECT event_id, '^.value', 'nullable-rule violated'
+                FROM ev WHERE value_defined AND value IS NULL
+              UNION ALL
+              SELECT event_id, '^.value', 'min-rule violated'
+                FROM ev WHERE value_defined
+                          AND NOT coalesce(value > 100.0, FALSE)
+            )
+            SELECT * FROM v
         """,
         "text_profile": _text_profile_sql(),
         "lang_hist": _lang_hist_sql(),

@@ -16,7 +16,8 @@ stay inside whole-stage codegen; no Python UDFs on this path.
 
 from __future__ import annotations
 
-from typing import Optional
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -100,6 +101,51 @@ def convertible_expr(
     if dec is None:
         return F.lit(False)
     return dec.isNotNull()
+
+
+@dataclass(frozen=True)
+class SparkTypeAdapter:
+    """Columnar twin of the reference's three-operation type interface
+    (``types.hh:16-21``: ``is_convertible`` / ``equality`` / ``less``).
+
+    Spark total orders come for free once values live in an *orderable
+    decoded representation*, so instead of separate equality/less
+    callables the adapter exposes:
+
+    - ``convertible(col, dtype) -> Column[bool]``: would a YAML decode
+      of this scalar to the custom type succeed (the ``type`` rule).
+    - ``decode(col, dtype) -> Column | None``: the decoded, orderable
+      representation (e.g. a date string → timestamp). ``min``/``max``
+      compare with ``<``/``>=`` on it and ``allowed``/``forbidden``
+      with ``isin``/``eqNullSafe`` — i.e. the custom ``less``/
+      ``equality`` of ``doc/examples/datetype.cc`` expressed once as a
+      canonicalization. None ⇒ statically never decodable.
+    - ``literal(value) -> Column``: schema-side constant (the ``min:``
+      / ``allowed:`` argument) decoded to the SAME representation.
+    """
+
+    name: str
+    convertible: Callable[[Column, T.DataType], Column]
+    decode: Callable[[Column, T.DataType], Optional[Column]] | None = None
+    literal: Callable[[Any], Column] | None = None
+
+
+def decode_with(
+    spark_types: dict, col: Column, dtype: T.DataType, target: str
+) -> Optional[Column]:
+    """``decode_expr`` extended with the custom-type registry."""
+    ad = spark_types.get(target)
+    if ad is not None and ad.decode is not None:
+        return ad.decode(col, dtype)
+    return decode_expr(col, dtype, target)
+
+
+def literal_with(spark_types: dict, value, target: str) -> Column:
+    """``typed_literal`` extended with the custom-type registry."""
+    ad = spark_types.get(target)
+    if ad is not None and ad.literal is not None:
+        return ad.literal(value)
+    return typed_literal(value, target)
 
 
 def typed_literal(value, target: str) -> Column:

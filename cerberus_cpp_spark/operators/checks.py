@@ -158,6 +158,63 @@ def referential_violations(
     )
 
 
+def referential_chain(
+    fact: DataFrame,
+    hops: Sequence[tuple[DataFrame, str, str, str]],
+    *,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Multi-hop referential integrity (fact → dim1 → dim2 → …):
+    returns fact rows that break the chain anywhere, with
+    ``missing_hop`` naming the FIRST dimension without a match.
+
+    Each hop is ``(dim, fk, pk, label)`` where ``fk`` is a column of
+    the PREVIOUS level (the fact for hop 0) and ``pk``/``label``
+    belong to ``dim``. Dimensions are broadcast by default — hop
+    tables are small by construction (nation/region-like), so the
+    whole chain is one scan of the fact with N broadcast hash joins,
+    no shuffle of the fact side. NULL FKs at any level are not
+    violations (reference ``rules.hh:152-154`` semantics), but a
+    present FK pointing at a dim row whose OWN fk is null breaks the
+    chain at the next hop."""
+    cur = fact
+    markers: list[tuple[str, str]] = []  # (pk marker col, label)
+    prev_fk_marker: str | None = None
+    for i, (dim, fk, pk, label) in enumerate(hops):
+        pk_marker = f"__hop{i}_{pk}"
+        fk_col = F.col(fk) if prev_fk_marker is None else F.col(
+            prev_fk_marker)
+        keyed = dim.select(
+            F.col(pk).alias(pk_marker),
+            *([F.col(hops[i + 1][1]).alias(f"__hop{i}_next_fk")]
+              if i + 1 < len(hops) else []),
+        ).distinct()
+        if broadcast_dims:
+            keyed = F.broadcast(keyed)
+        cur = cur.join(keyed, fk_col.eqNullSafe(F.col(pk_marker)), "left")
+        markers.append((pk_marker, label))
+        prev_fk_marker = f"__hop{i}_next_fk" if i + 1 < len(hops) else None
+    # first missing hop, skipping hops whose fk was NULL (not a
+    # violation) — a null fk ends the chain silently
+    missing = F.lit(None).cast("string")
+    fk0 = hops[0][1]
+    null_chain = F.col(fk0).isNull()
+    for i, (pk_marker, label) in enumerate(markers):
+        is_missing = ~null_chain & F.col(pk_marker).isNull()
+        missing = F.when(
+            (missing.isNull()) & is_missing, F.lit(label)
+        ).otherwise(missing)
+        if i + 1 < len(markers):
+            next_fk = F.col(f"__hop{i}_next_fk")
+            null_chain = null_chain | F.col(pk_marker).isNull() \
+                | next_fk.isNull()
+    out = cur.where(missing.isNotNull()).withColumn(
+        "missing_hop", missing)
+    drop = [m for m, _ in markers] + [
+        f"__hop{i}_next_fk" for i in range(len(hops) - 1)]
+    return out.drop(*drop)
+
+
 def quantile_sketch(
     df: DataFrame, col: str, probs: Sequence[float] | None = None,
     accuracy: int = 10000,

@@ -42,7 +42,8 @@ from ..functions.pytypes import _scalar_text, builtin_types
 from ..functions.sparktypes import (
     convertible_expr,
     decode_expr,
-    typed_literal,
+    decode_with,
+    literal_with,
 )
 
 VIOL_ARRAY_T = "array<struct<path:string,message:string>>"
@@ -147,6 +148,11 @@ class FieldCtx:
     defined: Column
     path: str
     scope: Scope
+    # True when this ctx is a list ELEMENT (items rule): null is then
+    # unambiguously explicit (definedness comes from the list length,
+    # not isNotNull), so injected nullable:false fires in every
+    # presence mode and explicit nullable gates on definedness.
+    elem: bool = False
 
     def declared_type(self) -> str:
         t = self.rules.get("type", "string")
@@ -155,7 +161,12 @@ class FieldCtx:
     def decoded(self, target: str | None = None) -> Optional[Column]:
         if self.value is None or self.dtype is None:
             return None
-        return decode_expr(self.value, self.dtype, target or self.declared_type())
+        return decode_with(self.opts.spark_types, self.value, self.dtype,
+                           target or self.declared_type())
+
+    def literal(self, value) -> Column:
+        return literal_with(self.opts.spark_types, value,
+                            self.declared_type())
 
     def path_lit(self) -> Column:
         return F.lit(self.path)
@@ -180,7 +191,7 @@ def _child_ref(parent: FieldRef, name: str, opts: CompilerOpts) -> Optional[Fiel
             defined = parent.defined & v.isNotNull()
         return FieldRef(v, dt, defined)
     if isinstance(parent.dtype, T.MapType):
-        v = F.element_at(parent.value, F.lit(name))
+        v = F.try_element_at(parent.value, F.lit(name))
         defined = parent.defined & F.coalesce(
             F.map_contains_key(parent.value, F.lit(name)), F.lit(False)
         )
@@ -203,7 +214,20 @@ def _resolve(scope: Scope, path_str: str, opts: CompilerOpts) -> Optional[FieldR
     for m in _PATH_TOKEN.finditer(text):
         key, idx = m.group(1), m.group(2)
         if idx is not None:
-            return None  # list indices in dependency paths: dynamic path only
+            # `[i]` list index (stack.hh:146-172): descend into an
+            # array element; out-of-range → undefined, mirroring the
+            # dynamic interpreter's lookup_path.
+            if (ref is None or ref.value is None
+                    or not isinstance(ref.dtype, T.ArrayType)):
+                return None
+            i = int(idx)
+            ref = FieldRef(
+                F.try_element_at(ref.value, F.lit(i + 1)),
+                ref.dtype.elementType,
+                ref.defined
+                & (F.coalesce(F.size(ref.value), F.lit(0)) > i),
+            )
+            continue
         if ref is None:
             ref = start.fields.get(key)
             if ref is None:
@@ -259,7 +283,8 @@ def _scalar_conds(
                                 "type-rule violated: expected " + "/".join(names)))
                 continue
             preds = [
-                opts.spark_types[n](x, dtype) if n in opts.spark_types
+                opts.spark_types[n].convertible(x, dtype)
+                if n in opts.spark_types
                 else convertible_expr(x, dtype, n)
                 for n in names
                 if n in _BUILTIN_TYPE_NAMES or n in opts.spark_types
@@ -272,40 +297,45 @@ def _scalar_conds(
                 out.append((x.isNotNull(),
                             "type-rule violated: expected " + "/".join(names)))
         elif name == "allowed":
-            dec = decode_expr(x, dtype, tname)
+            dec = decode_with(opts.spark_types, x, dtype, tname)
             if dec is None:
                 out.append((x.isNotNull(), "value disallowed by allowed-rule"))
             else:
-                lits = [typed_literal(v, tname) for v in _as_list(arg)]
+                lits = [literal_with(opts.spark_types, v, tname)
+                        for v in _as_list(arg)]
                 out.append((
                     x.isNotNull()
                     & ~F.coalesce(dec.isin(*lits), F.lit(False)),
                     "value disallowed by allowed-rule",
                 ))
         elif name == "forbidden":
-            dec = decode_expr(x, dtype, tname)
+            dec = decode_with(opts.spark_types, x, dtype, tname)
             if dec is not None:
                 for cand in _as_list(arg):
                     out.append((
                         x.isNotNull()
                         & F.coalesce(
-                            dec.eqNullSafe(typed_literal(cand, tname)),
+                            dec.eqNullSafe(
+                                literal_with(opts.spark_types, cand, tname)),
                             F.lit(False),
                         ),
                         f"forbidden-rule violated: {cand}",
                     ))
         elif name == "min":
-            dec = decode_expr(x, dtype, tname)
+            dec = decode_with(opts.spark_types, x, dtype, tname)
             cond = (
-                ~F.coalesce(dec > typed_literal(arg, tname), F.lit(False))
+                ~F.coalesce(dec > literal_with(opts.spark_types, arg, tname),
+                            F.lit(False))
                 if dec is not None else F.lit(True)
             )
             out.append((cond, "min-rule violated"))
         elif name == "max":
-            dec = decode_expr(x, dtype, tname)
+            dec = decode_with(opts.spark_types, x, dtype, tname)
             if dec is not None:
                 out.append((
-                    F.coalesce(dec >= typed_literal(arg, tname), F.lit(False)),
+                    F.coalesce(
+                        dec >= literal_with(opts.spark_types, arg, tname),
+                        F.lit(False)),
                     "max-rule violated",
                 ))
         elif name == "regex":
@@ -320,7 +350,11 @@ def _scalar_conds(
                     "regex-rule violated",
                 ))
         elif name == "nullable":
-            if not _truthy(arg) and not rules.get("__nullable_injected__"):
+            # elements/map-values are unambiguously explicit nulls (no
+            # absent-key ambiguity), so the auto-injected nullable:false
+            # (rules.hh:393-397) fires here in EVERY presence mode —
+            # matching the interpreter's per-element validateItem.
+            if not _truthy(arg):
                 out.append((x.isNull(), "nullable-rule violated"))
         elif name in ("meta", "required"):
             continue  # elements are always defined
@@ -382,23 +416,219 @@ def _elem_path(prefix: str) -> Callable[[Column], Column]:
 def _array_rule_viols(
     ctx: FieldCtx, elem_rules: dict
 ) -> list[Column]:
-    """schema(list form): one F.transform per (rule, message) so each
-    element yields its own violation struct with an indexed path."""
+    """schema(list form): each emitter is ``fn(x, base_path) →
+    array<struct<path,message>>`` (null entries allowed) evaluated per
+    element inside one F.transform, then flattened. Scalar rules emit
+    one-entry arrays; nested dict-form ``schema`` over struct/map
+    elements (map-in-list-in-struct) emits suffixed-path entries,
+    keysrules/valuesrules emit one entry per offending key."""
     assert isinstance(ctx.dtype, T.ArrayType)
     elem_dt = ctx.dtype.elementType
     path_of = _elem_path(ctx.path)
+    empty = F.array().cast(VIOL_ARRAY_T)
     out: list[Column] = []
-    def make(cb, m):
+
+    def make(emitter):
         def fn(x, i):
-            return F.when(
-                cb(x), F.struct(path_of(i).alias("path"),
-                                F.lit(m).alias("message")))
+            return F.coalesce(emitter(x, path_of(i)), empty)
         return fn
 
-    for cond_builder, msg in _probe_scalar_conds(elem_rules, elem_dt, ctx.opts):
-        arr = F.transform(ctx.value, make(cond_builder, msg))
-        out.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
+    for emitter in _elem_emitters(elem_rules, elem_dt, ctx.opts):
+        arr = F.flatten(F.transform(ctx.value, make(emitter)))
+        out.append(ArrayViol(F.coalesce(arr, empty)))
     return out
+
+
+def _one(cond: Column, path: Column, msg: Column) -> Column:
+    """One-entry violation array (entry null when passing)."""
+    return F.array(F.when(cond, F.struct(path.alias("path"),
+                                         msg.alias("message"))))
+
+
+def _elem_emitters(
+    elem_rules: dict, dtype: T.DataType, opts: CompilerOpts
+) -> list[Callable[[Column, Column], Column]]:
+    """Violation emitters ``fn(x, base) → array<viol>`` for one array
+    element ``x`` whose own path is the Column ``base``: the scalar
+    rule subset plus dict-form nested ``schema`` /
+    keysrules/valuesrules when elements are structs/maps."""
+    mapping_rules = ("schema", "keysrules", "valuesrules",
+                     "allow_unknown")
+    scalar = {k: v for k, v in elem_rules.items()
+              if k not in mapping_rules}
+    emitters: list = []
+    for b, m in _probe_scalar_conds(scalar, dtype, opts):
+        emitters.append(
+            lambda x, base, _b=b, _m=m: _one(_b(x), base, F.lit(_m)))
+
+    if not isinstance(dtype, (T.StructType, T.MapType)):
+        for r in ("schema", "keysrules", "valuesrules"):
+            if r in elem_rules:
+                raise CompileError(
+                    f"`{r}` inside list elements requires struct/map"
+                    " elements in the columnar compiler (use the"
+                    " dynamic interpreter path for list-in-list"
+                    " nesting)")
+        return emitters
+
+    # nested rules skip null elements (the injected nullable:false
+    # already fires on them via the scalar path)
+    inner = _mapping_emitters(elem_rules, dtype, opts)
+    emitters.extend(
+        lambda x, base, _ib=ib: F.when(x.isNotNull(), _ib(x, base))
+        for ib in inner)
+    return emitters
+
+
+def _mapping_emitters(
+    rules: dict, dtype: T.DataType, opts: CompilerOpts
+) -> list[Callable[[Column, Column], Column]]:
+    """validateDict (``validator.hh:302-344``) over a struct/map value
+    inside an array element: nested ``schema`` recursion,
+    keysrules/valuesrules, unknown-key checks — all as dynamic-path
+    emitters. The caller gates on the mapping's definedness."""
+    emitters: list = []
+    is_struct = isinstance(dtype, T.StructType)
+    names = dtype.fieldNames() if is_struct else ()
+    has_def = (opts.presence == "defined" and "__defined__" in names)
+    allow_unknown = (_truthy(rules.get("allow_unknown", False))
+                     or opts.allow_unknown)
+
+    def accessors(fname: str):
+        if is_struct:
+            val = (lambda x, _f=fname: x[_f])
+            if has_def:
+                dfn = (lambda x, _f=fname: F.coalesce(
+                    F.array_contains(x["__defined__"], _f), F.lit(False)))
+            else:
+                dfn = (lambda x, _f=fname: F.coalesce(
+                    x[_f].isNotNull(), F.lit(False)))
+            fdt = dtype[fname].dataType
+        else:
+            val = (lambda x, _f=fname: F.try_element_at(x, F.lit(_f)))
+            dfn = (lambda x, _f=fname: F.coalesce(
+                F.map_contains_key(x, F.lit(_f)), F.lit(False)))
+            fdt = dtype.valueType
+        return val, dfn, fdt
+
+    nested = rules.get("schema")
+    if nested is not None:
+        if isinstance(nested, str):
+            resolved = opts.schema_registry.get(nested)
+            if resolved is None:
+                raise CompileError(
+                    f"unknown registered schema: {nested}")
+            nested = resolved
+        for fname, frules in nested.items():
+            sfx = F.lit(f".{fname}")
+            if is_struct and fname not in names:
+                # field absent from the frame: undefined everywhere
+                if _truthy(frules.get("required")):
+                    emitters.append(
+                        lambda x, base, _s=sfx: _one(
+                            F.lit(True), F.concat(base, _s),
+                            F.lit("required-rule violated: field"
+                                  " missing")))
+                continue
+            val, dfn, fdt = accessors(fname)
+            if _truthy(frules.get("required")):
+                emitters.append(
+                    lambda x, base, _d=dfn, _s=sfx: _one(
+                        ~_d(x), F.concat(base, _s),
+                        F.lit("required-rule violated: field missing")))
+            sub_scalar = {
+                k: v for k, v in frules.items()
+                if k not in ("required",) + mapping_excl(fdt)}
+            for b, m in _probe_scalar_conds(sub_scalar, fdt, opts):
+                emitters.append(
+                    lambda x, base, _d=dfn, _v=val, _b=b, _m=m, _s=sfx:
+                        _one(_d(x) & F.coalesce(_b(_v(x)), F.lit(False)),
+                             F.concat(base, _s), F.lit(_m)))
+            if isinstance(fdt, (T.StructType, T.MapType)):
+                # recurse; nested rules no-op on undefined/null child
+                for ib in _mapping_emitters(frules, fdt, opts):
+                    emitters.append(
+                        lambda x, base, _d=dfn, _v=val, _ib=ib, _s=sfx:
+                            F.when(_d(x) & _v(x).isNotNull(),
+                                   _ib(_v(x), F.concat(base, _s))))
+            elif any(r in frules
+                     for r in ("schema", "keysrules", "valuesrules")):
+                raise CompileError(
+                    "nested mapping rules under a non-mapping element"
+                    " field are not columnar-compilable (use the"
+                    " dynamic interpreter path)")
+
+    if "keysrules" in rules:
+        if not isinstance(dtype, T.MapType):
+            raise CompileError(
+                "keysrules inside elements requires a map-typed value")
+        for b, m in _probe_scalar_conds(rules["keysrules"],
+                                        dtype.keyType, opts):
+            emitters.append(
+                lambda x, base, _b=b, _m=m: F.transform(
+                    F.map_keys(x),
+                    lambda k: F.when(
+                        _b(k),
+                        F.struct(
+                            F.concat(base, F.lit("."),
+                                     k.cast("string")).alias("path"),
+                            F.lit(_m).alias("message")))))
+    if "valuesrules" in rules:
+        if not isinstance(dtype, T.MapType):
+            raise CompileError(
+                "valuesrules inside elements requires a map-typed value")
+        for b, m in _probe_scalar_conds(rules["valuesrules"],
+                                        dtype.valueType, opts):
+            emitters.append(
+                lambda x, base, _b=b, _m=m: F.transform(
+                    F.map_entries(x),
+                    lambda e: F.when(
+                        _b(e["value"]),
+                        F.struct(
+                            F.concat(base, F.lit("."),
+                                     e["key"].cast("string")
+                                     ).alias("path"),
+                            F.lit(_m).alias("message")))))
+
+    # unknown keys (validator.hh:334-339), at the mapping's own path;
+    # keysrules/valuesrules mappings accept any key
+    known_names = set((nested or {}).keys()) if nested is not None else set()
+    checks_keys = ("keysrules" in rules or "valuesrules" in rules)
+    if not allow_unknown and not checks_keys and nested is not None:
+        if is_struct:
+            for fname in names:
+                if fname in known_names or fname == "__defined__":
+                    continue
+                _, dfn, _ = accessors(fname)
+                emitters.append(
+                    lambda x, base, _d=dfn, _f=fname: _one(
+                        _d(x), base,
+                        F.lit(f"unknown field not permitted: {_f}")))
+        else:
+            known = (F.array(*[F.lit(str(k)) for k in known_names])
+                     if known_names else F.array().cast("array<string>"))
+
+            def unk(x, _k=known):
+                return F.array_except(
+                    F.transform(F.map_keys(x),
+                                lambda k: k.cast("string")), _k)
+
+            emitters.append(
+                lambda x, base: F.transform(
+                    F.sort_array(unk(x)),
+                    lambda k: F.struct(
+                        base.alias("path"),
+                        F.concat(F.lit("unknown field not permitted: "),
+                                 k).alias("message"))))
+    return emitters
+
+
+def mapping_excl(fdt: T.DataType) -> tuple:
+    """Rule names handled by the mapping recursion (not the scalar
+    probe) for a child of dtype ``fdt``."""
+    if isinstance(fdt, (T.StructType, T.MapType)):
+        return ("schema", "keysrules", "valuesrules", "allow_unknown")
+    return ()
 
 
 def _probe_scalar_conds(rules: dict, dtype: T.DataType, opts: CompilerOpts):
@@ -430,7 +660,7 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
     # ---- NORMALIZATION phase: default (rules.hh:128-141) ----
     value, defined = ctx.value, ctx.defined
     if "default" in rules:
-        dlit = typed_literal(rules["default"], tname)
+        dlit = literal_with(opts.spark_types, rules["default"], tname)
         if value is None:
             value, ctx.dtype = dlit, None  # column absent: constant default
             # dtype left as declared; decode handled via literal
@@ -454,15 +684,16 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                                    "required-rule violated: field missing"))
         elif name == "nullable":
             explicit = not rules.get("__nullable_injected__", False)
-            if not _truthy(arg) and (explicit or opts.presence == "defined"):
+            if not _truthy(arg) and (explicit or opts.presence == "defined"
+                                     or ctx.elem):
                 if ctx.value is not None:
                     cond = (defined & ctx.value.isNull()
-                            if opts.presence == "defined"
+                            if opts.presence == "defined" or ctx.elem
                             else ctx.value.isNull())
                     viols.append(_viol(cond, path, "nullable-rule violated"))
         elif name == "min":
             dec = ctx.decoded()
-            cond = (defined & ~F.coalesce(dec > typed_literal(arg, tname),
+            cond = (defined & ~F.coalesce(dec > ctx.literal(arg),
                                           F.lit(False))
                     if dec is not None else defined)
             viols.append(_viol(cond, path, "min-rule violated"))
@@ -470,7 +701,7 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
             dec = ctx.decoded()
             if dec is not None:
                 viols.append(_viol(
-                    defined & F.coalesce(dec >= typed_literal(arg, tname),
+                    defined & F.coalesce(dec >= ctx.literal(arg),
                                          F.lit(False)),
                     path, "max-rule violated"))
         elif name == "allowed":
@@ -483,7 +714,7 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                 viols.append(_viol(base, path,
                                    "value disallowed by allowed-rule"))
             else:
-                lits = [typed_literal(v, tname) for v in _as_list(arg)]
+                lits = [ctx.literal(v) for v in _as_list(arg)]
                 viols.append(_viol(
                     base & ~F.coalesce(dec.isin(*lits), F.lit(False)),
                     path, "value disallowed by allowed-rule"))
@@ -494,7 +725,7 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
             for cand in _as_list(arg):
                 viols.append(_viol(
                     defined & ctx.value.isNotNull()
-                    & F.coalesce(dec.eqNullSafe(typed_literal(cand, tname)),
+                    & F.coalesce(dec.eqNullSafe(ctx.literal(cand)),
                                  F.lit(False)),
                     path, f"forbidden-rule violated: {cand}"))
         elif name == "regex":
@@ -552,7 +783,7 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                                        + "/".join(names)))
             else:
                 preds = [
-                    opts.spark_types[n](ctx.value, ctx.dtype)
+                    opts.spark_types[n].convertible(ctx.value, ctx.dtype)
                     if n in opts.spark_types
                     else convertible_expr(ctx.value, ctx.dtype, n)
                     for n in names
@@ -612,9 +843,9 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                 for i, sub in enumerate(_as_list(arg)):
                     ectx = FieldCtx(
                         opts, sub,
-                        F.element_at(ctx.value, i + 1), elem_dt,
+                        F.try_element_at(ctx.value, F.lit(i + 1)), elem_dt,
                         defined & (F.coalesce(F.size(ctx.value), F.lit(0)) > i),
-                        f"{ctx.path}[{i}]", ctx.scope)
+                        f"{ctx.path}[{i}]", ctx.scope, elem=True)
                     v2, _, _ = compile_field(ectx)
                     # items no-ops on an undefined list (same skip
                     # semantics as the schema rule)

@@ -201,9 +201,40 @@ class TableValidator:
         self._schema_cache = None  # re-meta-validate with the new rule
 
     def register_spark_type(
-        self, name: str, convertible: Callable[[Column, T.DataType], Column]
+        self,
+        name: str,
+        convertible: Callable[[Column, T.DataType], Column] | None = None,
+        *,
+        decode: Callable[[Column, T.DataType], Optional[Column]] | None = None,
+        literal: Callable[[Any], Column] | None = None,
+        py_decode: Callable[[Any], Any] | None = None,
     ) -> None:
-        self._spark_types[name] = convertible
+        """Register a custom scalar type (reference ``registerType``,
+        ``validator.hh:56-60``; example ``doc/examples/datetype.cc``).
+
+        ``convertible`` feeds the ``type`` rule. ``decode``/``literal``
+        supply the custom ordering (``types.hh:16-21`` equality/less)
+        used by ``min``/``max``/``allowed``/``forbidden``: both decode
+        to one orderable representation and Spark's native comparisons
+        apply. ``py_decode`` registers the interpreter twin so
+        meta-validation and the dynamic path accept the name too.
+        At minimum one of ``convertible``/``decode`` is required.
+        """
+        from ..functions.sparktypes import SparkTypeAdapter
+
+        if convertible is None:
+            if decode is None:
+                raise ValueError(
+                    "register_spark_type needs convertible= or decode=")
+            def convertible(col, dtype, _d=decode):  # noqa: E731
+                dec = _d(col, dtype)
+                return dec.isNotNull() if dec is not None else F.lit(False)
+        self._spark_types[name] = SparkTypeAdapter(
+            name, convertible, decode, literal)
+        if py_decode is not None:
+            from ..functions.pytypes import TypeAdapter
+
+            self._interp.register_type(TypeAdapter(name, py_decode))
         self._schema_cache = None
 
     def _normalized_registry(self) -> dict[str, dict]:

@@ -70,7 +70,16 @@ def _field_type(
         declared if declared in ("dict", "list") else "scalar"
     )
     if shape == "list":
-        return T.ArrayType(T.StringType())
+        # list form: `schema` is a RULE MAP for the elements — type
+        # them recursively (list-of-dict → array<struct>, enabling the
+        # columnar map-in-list-in-struct path)
+        elem_rules = rules.get("schema")
+        if isinstance(elem_rules, str) and registry:
+            elem_rules = registry.get(elem_rules)
+        if not isinstance(elem_rules, dict) or _is_field_map(elem_rules):
+            elem_rules = {}
+        elems = [x for v in values if isinstance(v, list) for x in v]
+        return T.ArrayType(_field_type(elem_rules, elems, registry))
     if shape == "dict":
         sub = rules.get("schema")
         if isinstance(sub, str) and registry:
@@ -109,7 +118,15 @@ def _convert(value: Any, dtype: T.DataType, rules: dict,
     if value is UNDEFINED or value is None:
         return None
     if isinstance(dtype, T.ArrayType):
-        return [_scalar_cell(x) for x in value] if isinstance(value, list) else None
+        if not isinstance(value, list):
+            return None
+        elem_rules = rules.get("schema")
+        if isinstance(elem_rules, str) and registry:
+            elem_rules = registry.get(elem_rules)
+        if not isinstance(elem_rules, dict) or _is_field_map(elem_rules):
+            elem_rules = {}
+        return [_convert(x, dtype.elementType, elem_rules, registry)
+                for x in value]
     if isinstance(dtype, T.MapType):
         if isinstance(value, dict):
             return {str(k): _scalar_cell(v) for k, v in value.items()}
