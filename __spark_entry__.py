@@ -489,6 +489,32 @@ SELECT image_id, '^.caption', 'regex-rule violated'
 """
 
 
+def q_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash-based uniqueness via salted two-phase hash-aggregate
+    (north_star verbatim): the synthetic image table plants one HOT
+    phash on every 50th row (2% of a trillion-row table in one key),
+    so the salt fans the hot key over 32 reducers before the final
+    sum — the skew pattern the north_rule calls out."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, VAL_IMAGES_N)
+    return checks.duplicate_keys(
+        df, "phash", salt_buckets=32, salt_on="image_id")
+
+
+_PHASH_DUPS_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {VAL_IMAGES_N})
+)
+SELECT CASE WHEN id % 50 = 0 THEN {0x5A5A5A5A5A5A5A5A} ELSE mix END
+         AS phash,
+       count(*) AS cnt
+FROM g GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -556,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_list_docs": q_rules_list_docs,
         "rules_cross_orders": q_rules_cross_orders,
         "val_images": q_val_images,
+        "phash_dups": q_phash_dups,
     }
 
 
@@ -1128,9 +1155,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_sql(),
         "jaccard_pairs": _jaccard_sql(),
         "near_dups_lsh": _near_dups_lsh_sql(),
-        # near_dups_lsh / ann_topk_lsh: approximate by construction —
-        # deliberately no oracle (rows-only check); their exact twins
-        # jaccard_pairs / cosine_topk ARE oracle-checked
         "simhash": _simhash_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
@@ -1156,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "val_images": _VAL_IMAGES_SQL,
+        "phash_dups": _PHASH_DUPS_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

@@ -163,6 +163,7 @@ def referential_chain(
     hops: Sequence[tuple[DataFrame, str, str, str]],
     *,
     broadcast_dims: bool = True,
+    dedup_dims: bool = True,
 ) -> DataFrame:
     """Multi-hop referential integrity (fact → dim1 → dim2 → …):
     returns fact rows that break the chain anywhere, with
@@ -176,7 +177,12 @@ def referential_chain(
     no shuffle of the fact side. NULL FKs at any level are not
     violations (reference ``rules.hh:152-154`` semantics), but a
     present FK pointing at a dim row whose OWN fk is null breaks the
-    chain at the next hop."""
+    chain at the next hop.
+
+    ``dedup_dims`` guards against duplicate PKs multiplying fact rows
+    (a small dim-side shuffle before the broadcast); pass ``False``
+    when PK uniqueness is already enforced to make the whole plan
+    broadcast-only."""
     cur = fact
     markers: list[tuple[str, str]] = []  # (pk marker col, label)
     prev_fk_marker: str | None = None
@@ -188,7 +194,9 @@ def referential_chain(
             F.col(pk).alias(pk_marker),
             *([F.col(hops[i + 1][1]).alias(f"__hop{i}_next_fk")]
               if i + 1 < len(hops) else []),
-        ).distinct()
+        )
+        if dedup_dims:
+            keyed = keyed.distinct()
         if broadcast_dims:
             keyed = F.broadcast(keyed)
         cur = cur.join(keyed, fk_col.eqNullSafe(F.col(pk_marker)), "left")

@@ -103,13 +103,23 @@ def _part_key(partition_col: str):
 def pending_partitions(
     df: DataFrame, partition_col: str, ledger: ValidationLedger,
     lineage: str | None = None,
+    known_partitions: list[str] | None = None,
 ) -> list[str]:
     """Distinct partition values minus the ledger's completed set
     (for this ``lineage``, when given). Partition-list scale; safe to
-    collect driver-side."""
-    parts = df.select(
-        _part_key(partition_col).alias("partition_value")
-    ).distinct()
+    collect driver-side. Pass ``known_partitions`` (e.g. from
+    ``sources.catalog.list_partitions`` — Iceberg metadata table or
+    hive directory names) to skip the discovery scan entirely."""
+    if known_partitions is not None:
+        spark = df.sparkSession
+        parts = spark.createDataFrame(
+            [(str(p),) for p in known_partitions],
+            "partition_value: string",
+        ).distinct()
+    else:
+        parts = df.select(
+            _part_key(partition_col).alias("partition_value")
+        ).distinct()
     todo = parts.join(
         ledger.completed_partitions(lineage), on="partition_value",
         how="left_anti",
@@ -126,6 +136,7 @@ def run_validation(
     partitions_per_commit: int = 4,
     fail_after_chunks: int | None = None,
     run_id: str | None = None,
+    known_partitions: list[str] | None = None,
 ) -> dict:
     """Validate all pending partitions, committing the ledger after
     every chunk. Returns run summary. ``fail_after_chunks`` is the
@@ -142,7 +153,8 @@ def run_validation(
     }, sort_keys=True, default=str)
     # resume honors ONLY verdicts recorded under the same lineage
     # fingerprint — a schema/rule change re-validates everything
-    todo = pending_partitions(df, partition_col, ledger, lineage)
+    todo = pending_partitions(df, partition_col, ledger, lineage,
+                              known_partitions=known_partitions)
     chunks = [
         todo[i:i + partitions_per_commit]
         for i in range(0, len(todo), partitions_per_commit)

@@ -559,42 +559,51 @@ def _mapping_emitters(
                     " dynamic interpreter path)")
 
     if "keysrules" in rules:
-        if not isinstance(dtype, T.MapType):
+        if isinstance(dtype, T.StructType):
+            emitters.extend(_struct_kv_emitters(
+                rules["keysrules"], "keysrules", dtype, opts))
+        elif not isinstance(dtype, T.MapType):
             raise CompileError(
-                "keysrules inside elements requires a map-typed value")
-        for b, m in _probe_scalar_conds(rules["keysrules"],
-                                        dtype.keyType, opts):
-            emitters.append(
-                lambda x, base, _b=b, _m=m: F.transform(
-                    F.map_keys(x),
-                    lambda k: F.when(
-                        _b(k),
-                        F.struct(
-                            F.concat(base, F.lit("."),
-                                     k.cast("string")).alias("path"),
-                            F.lit(_m).alias("message")))))
+                "keysrules inside elements requires a mapping-typed value")
+        else:
+            for b, m in _probe_scalar_conds(rules["keysrules"],
+                                            dtype.keyType, opts):
+                emitters.append(
+                    lambda x, base, _b=b, _m=m: F.transform(
+                        F.map_keys(x),
+                        lambda k: F.when(
+                            _b(k),
+                            F.struct(
+                                F.concat(base, F.lit("."),
+                                         k.cast("string")).alias("path"),
+                                F.lit(_m).alias("message")))))
     if "valuesrules" in rules:
-        if not isinstance(dtype, T.MapType):
+        if isinstance(dtype, T.StructType):
+            emitters.extend(_struct_kv_emitters(
+                rules["valuesrules"], "valuesrules", dtype, opts))
+        elif not isinstance(dtype, T.MapType):
             raise CompileError(
-                "valuesrules inside elements requires a map-typed value")
-        for b, m in _probe_scalar_conds(rules["valuesrules"],
-                                        dtype.valueType, opts):
-            emitters.append(
-                lambda x, base, _b=b, _m=m: F.transform(
-                    F.map_entries(x),
-                    lambda e: F.when(
-                        _b(e["value"]),
-                        F.struct(
-                            F.concat(base, F.lit("."),
-                                     e["key"].cast("string")
-                                     ).alias("path"),
-                            F.lit(_m).alias("message")))))
+                "valuesrules inside elements requires a mapping-typed value")
+        else:
+            for b, m in _probe_scalar_conds(rules["valuesrules"],
+                                            dtype.valueType, opts):
+                emitters.append(
+                    lambda x, base, _b=b, _m=m: F.transform(
+                        F.map_entries(x),
+                        lambda e: F.when(
+                            _b(e["value"]),
+                            F.struct(
+                                F.concat(base, F.lit("."),
+                                         e["key"].cast("string")
+                                         ).alias("path"),
+                                F.lit(_m).alias("message")))))
 
-    # unknown keys (validator.hh:334-339), at the mapping's own path;
-    # keysrules/valuesrules mappings accept any key
+    # unknown keys (validator.hh:334-339), at the mapping's own path —
+    # the check belongs to the `schema` rule's validateDict, so it
+    # fires iff a dict-form schema is present (keysrules alone puts no
+    # constraint on key NAMES beyond its own rule)
     known_names = set((nested or {}).keys()) if nested is not None else set()
-    checks_keys = ("keysrules" in rules or "valuesrules" in rules)
-    if not allow_unknown and not checks_keys and nested is not None:
+    if not allow_unknown and nested is not None:
         if is_struct:
             for fname in names:
                 if fname in known_names or fname == "__defined__":
@@ -621,6 +630,42 @@ def _mapping_emitters(
                         F.concat(F.lit("unknown field not permitted: "),
                                  k).alias("message"))))
     return emitters
+
+
+def _struct_kv_emitters(
+    arg: dict, which: str, dtype: T.StructType, opts: CompilerOpts
+) -> list[Callable[[Column, Column], Column]]:
+    """keysrules/valuesrules over a STRUCT-typed mapping (a dict-form
+    ``schema`` alongside keysrules/valuesrules types the value as a
+    struct, so key names are compile-time constants): key checks fold
+    to literal probes, value checks probe each field's own dtype.
+    Matches the interpreter, which runs keysrules/valuesrules over
+    every key PRESENT in the document — known and unknown alike
+    (``rules.hh:270-288, 614-632``)."""
+    names = dtype.fieldNames()
+    has_def = (opts.presence == "defined" and "__defined__" in names)
+    ems: list = []
+    for fname in names:
+        if fname == "__defined__":
+            continue
+        if has_def:
+            dfn = (lambda x, _f=fname: F.coalesce(
+                F.array_contains(x["__defined__"], _f), F.lit(False)))
+        else:
+            dfn = (lambda x, _f=fname: F.coalesce(
+                x[_f].isNotNull(), F.lit(False)))
+        if which == "keysrules":
+            probe_dt: T.DataType = T.StringType()
+            val = (lambda x, _f=fname: F.lit(_f))
+        else:
+            probe_dt = dtype[fname].dataType
+            val = (lambda x, _f=fname: x[_f])
+        for b, m in _probe_scalar_conds(arg, probe_dt, opts):
+            ems.append(
+                lambda x, base, _d=dfn, _v=val, _b=b, _m=m, _f=fname:
+                    _one(_d(x) & F.coalesce(_b(_v(x)), F.lit(False)),
+                         F.concat(base, F.lit("." + _f)), F.lit(_m)))
+    return ems
 
 
 def mapping_excl(fdt: T.DataType) -> tuple:
@@ -851,7 +896,15 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                     # semantics as the schema rule)
                     viols.extend(_gate_viols(v2, defined))
         elif name == "keysrules":
-            if ctx.value is not None and isinstance(ctx.dtype, T.MapType):
+            if ctx.value is not None and isinstance(ctx.dtype, T.StructType):
+                base = F.lit(ctx.path)
+                gate = defined & ctx.value.isNotNull()
+                for em in _struct_kv_emitters(arg, "keysrules",
+                                              ctx.dtype, opts):
+                    viols.append(ArrayViol(
+                        F.when(gate, em(ctx.value, base))
+                        .otherwise(F.array().cast(VIOL_ARRAY_T))))
+            elif ctx.value is not None and isinstance(ctx.dtype, T.MapType):
                 key_dt = ctx.dtype.keyType
                 prefix = ctx.path + "."
 
@@ -870,7 +923,15 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                                       make_key_fn(cb, msg))
                     viols.append(ArrayViol(F.coalesce(arr, F.array().cast(VIOL_ARRAY_T))))
         elif name == "valuesrules":
-            if ctx.value is not None and isinstance(ctx.dtype, T.MapType):
+            if ctx.value is not None and isinstance(ctx.dtype, T.StructType):
+                base = F.lit(ctx.path)
+                gate = defined & ctx.value.isNotNull()
+                for em in _struct_kv_emitters(arg, "valuesrules",
+                                              ctx.dtype, opts):
+                    viols.append(ArrayViol(
+                        F.when(gate, em(ctx.value, base))
+                        .otherwise(F.array().cast(VIOL_ARRAY_T))))
+            elif ctx.value is not None and isinstance(ctx.dtype, T.MapType):
                 val_dt = ctx.dtype.valueType
                 prefix = ctx.path + "."
 

@@ -94,9 +94,7 @@ def test_entry_smoke(spark) -> None:
 
 
 def test_every_query_has_oracle_or_reason() -> None:
+    """Every contract query is oracle-checked — including the two
+    LSH queries (deterministic-arithmetic / planted-truth oracles)."""
     missing = set(E.queries()) - set(E.oracle_sql())
-    # approximate-by-construction ops run rows-only; each has an
-    # exact oracle-checked twin (near_dups_lsh → jaccard_pairs,
-    # ann_topk_lsh → cosine_topk). Keep the list explicit.
-    assert missing <= {"near_dups_lsh", "ann_topk_lsh"}, \
-        f"queries without oracle: {missing}"
+    assert missing == set(), f"queries without oracle: {missing}"

@@ -198,3 +198,38 @@ def test_property_map_in_list_in_struct(seed: int, spark) -> None:
         _differential(spark, schema, docs)
     except HeterogeneousShape:
         pytest.skip("mixed shapes — dynamic-interpreter-only case")
+
+
+def test_schema_plus_keysrules_on_same_element(spark) -> None:
+    """A dict element carrying BOTH dict-form schema and keysrules:
+    unknown-key check (from the schema rule) and key-pattern check
+    (from keysrules) both fire, as in the interpreter."""
+    schema = {"xs": {"type": "list", "schema": {
+        "type": "dict",
+        "schema": {"a": {"type": "integer"}},
+        "keysrules": {"regex": "[a-z]+"},
+    }}}
+    docs = [
+        {"xs": [{"a": 1}]},
+        {"xs": [{"a": 1, "zz": 2}]},   # unknown key (name matches regex)
+        {"xs": [{"a": 1, "Z9": 2}]},   # unknown key AND keysrules
+    ]
+    _differential(spark, schema, docs)
+
+
+def test_schema_plus_kv_rules_top_level_field(spark) -> None:
+    """Same combination one level up: a FIELD whose value carries
+    dict-form schema + keysrules + valuesrules (struct-typed, so key
+    names fold to compile-time literals)."""
+    schema = {"cfg": {"type": "dict",
+                      "schema": {"a": {"type": "integer"}},
+                      "keysrules": {"regex": "[a-z]+"},
+                      "valuesrules": {"type": "integer", "max": 10}}}
+    docs = [
+        {"cfg": {"a": 1}},
+        {"cfg": {"a": 99}},            # valuesrules max
+        {"cfg": {"a": 1, "zz": 2}},    # unknown key only
+        {"cfg": {"a": 1, "Z9": 99}},   # unknown + keysrules + valuesrules
+        {},                            # cfg undefined: all skip
+    ]
+    _differential(spark, schema, docs)

@@ -86,6 +86,40 @@ def test_referential_broadcasts_dim_keys(spark) -> None:
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_referential_chain_broadcasts_every_hop(spark) -> None:
+    """supplier→nation→region: the fact side must never shuffle —
+    one scan + N BroadcastHashJoins (the 100 TB plan shape)."""
+    from pyspark.sql import functions as F
+
+    sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+    nat = spark.read.parquet("/root/testdata/sf0.01/nation.parquet") \
+        .where(F.col("n_nationkey") % 5 != 0)
+    reg = spark.read.parquet("/root/testdata/sf0.01/region.parquet") \
+        .where(F.col("r_regionkey") != 2)
+    df = checks.referential_chain(
+        sup,
+        [(nat, "s_nationkey", "n_nationkey", "nation"),
+         (reg, "n_regionkey", "r_regionkey", "region")],
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # the fact side never shuffles: no Exchange keyed by fact columns
+    # (the default dedup_dims adds tiny DIM-side shuffles only)
+    import re
+    assert not re.search(r"Exchange hashpartitioning\(s_", plan), plan
+
+    # with unique PKs declared, the whole plan is broadcast-only
+    df2 = checks.referential_chain(
+        sup,
+        [(nat, "s_nationkey", "n_nationkey", "nation"),
+         (reg, "n_regionkey", "r_regionkey", "region")],
+        dedup_dims=False,
+    )
+    plan2 = _plan(df2)
+    assert plan2.count("Exchange") == plan2.count("BroadcastExchange"), plan2
+
+
 def test_validation_stays_in_codegen(spark) -> None:
     df = spark.read.parquet(ORDERS)
     tv = TableValidator(
