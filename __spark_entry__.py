@@ -515,6 +515,45 @@ FROM g GROUP BY 1 HAVING count(*) > 1
 """
 
 
+IMG_FIDELITY_N = 3000
+
+
+def q_img_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-pixel + caption fidelity over REAL payload bytes
+    (input_hint row-wise invariant): synthesize the image+caption
+    table WITH payloads (real PNG + real baseline JPEG, stub webp),
+    decode every blob in an Arrow-batched stage, and compare against
+    the re-synthesized reference. Every outcome is a deterministic
+    function of the row id — the jpeg coder's worst-case PSNR over
+    this id family is 43.0 dB (> the 40 dB gate, pinned in
+    tests/test_jpegcodec.py) — so DuckDB can oracle the exact
+    (pixels_ok, caption_ok) sets without decoding anything. psnr_db
+    itself is excluded: it's real-valued and codec-specific."""
+    from cerberus_cpp_spark.operators.image_checks import fidelity_check
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_FIDELITY_N, with_bytes=True)
+    return fidelity_check(df).select("image_id", "pixels_ok", "caption_ok")
+
+
+_IMG_FIDELITY_SQL = f"""
+WITH g AS (SELECT range AS id FROM range(0, {IMG_FIDELITY_N})),
+t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'bmp'
+         ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1] END AS fmt,
+    (id % 100 = 0 AND (id // 100) % 6 IN (3, 4)) AS bad_caption
+  FROM g
+)
+SELECT image_id,
+       (image_id IS NOT NULL AND fmt <> 'bmp') AS pixels_ok,
+       (image_id IS NOT NULL AND NOT bad_caption) AS caption_ok
+FROM t
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -583,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_cross_orders": q_rules_cross_orders,
         "val_images": q_val_images,
         "phash_dups": q_phash_dups,
+        "img_fidelity": q_img_fidelity,
     }
 
 
@@ -1181,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "val_images": _VAL_IMAGES_SQL,
         "phash_dups": _PHASH_DUPS_SQL,
+        "img_fidelity": _IMG_FIDELITY_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

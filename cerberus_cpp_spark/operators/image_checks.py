@@ -8,10 +8,12 @@ sized by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low,
 e.g. 256-1024, when payloads are MB-scale so a batch fits executor
 memory).
 
-Codecs come from ``sources.imagegen``: PNG is a real codec; jpeg/webp
-are clearly-marked deterministic stubs (container has no libjpeg) —
-the Spark-side plumbing (binary columns, batch shapes, UDF
-signatures, violation surfaces) is real and tested either way.
+Codecs come from ``sources.imagegen``: PNG and baseline JPEG are real
+in-repo codecs (``jpegcodec.py`` is interop-verified against Java
+ImageIO); webp is a clearly-marked deterministic stub (no libwebp in
+the container) — the Spark-side plumbing (binary columns, batch
+shapes, UDF signatures, violation surfaces) is real and tested for
+all three.
 
 The reference analogue is a custom type's ``equality`` op
 (``types.hh:41-48``) promoted to a row-wise invariant: decoded pixels

@@ -9,7 +9,8 @@ memory for MB-scale payloads.
 
 Reality of this container (per the task brief): no Pillow/libjpeg/
 ffmpeg. Image ops are REAL over the repo's own codecs
-(``sources.imagegen``: real PNG; deterministic stub jpeg/webp).
+(``sources.imagegen``: real PNG + real baseline JPEG codecs in-repo;
+deterministic stub webp).
 Audio/video decoding is STUBBED — ``NotImplementedError`` by
 default, or a clearly-marked deterministic fake
 (``stub_strategy="fake"``) that exercises the full Spark plumbing

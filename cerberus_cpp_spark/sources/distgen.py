@@ -36,7 +36,7 @@ def image_caption_frame(
     Columns: (image_id, bytes, w, h, fmt, caption, phash) per
     BASELINE.json input_hint. Seeded violations at the same indices
     as the driver-side fixture; ``with_bytes`` synthesizes real
-    (PNG) / stub (jpeg, webp) image payloads inside an Arrow-batched
+    (PNG, baseline JPEG) / stub (webp) image payloads inside an Arrow-batched
     ``mapInPandas`` stage — the only Python-side step, and only when
     bytes are requested.
     """

@@ -1,16 +1,18 @@
 """Deterministic in-process image synthesis + codecs.
 
-The container has no Pillow/libjpeg/libwebp, so (per the task brief)
-the *decode step* for lossy formats is a deterministic stand-in while
-all Spark-side plumbing (binary columns, Arrow batches, UDF
-signatures) stays real:
+The container has no Pillow/libjpeg/libwebp, so codecs are
+implemented in-repo (all Spark-side plumbing — binary columns, Arrow
+batches, UDF signatures — is real either way):
 
 - ``png``: a REAL minimal PNG codec (8-bit RGB, filter 0, zlib) —
   bit-exact round-trip, readable by any external PNG tool.
-- ``jpeg``/``webp``: STUB CODECS — a magic header + 6-bit-quantized
-  RGB payload. Deterministically "lossy" (max channel error 2 →
-  PSNR ≈ 46 dB vs source, comfortably over the 40 dB gate) but NOT
-  real JPEG/WEBP bitstreams. Marked by the ``CBSTUB`` magic.
+- ``jpeg``: a REAL baseline JFIF codec (``jpegcodec.py``: numpy
+  DCT + standard Annex K quant/Huffman tables; interop-verified
+  against Java ImageIO). Default quality 98 → PSNR ≈ 44-55 dB on the
+  synthetic gradient family, over the 40 dB fidelity gate.
+- ``webp``: STUB CODEC — a magic header + 6-bit-quantized RGB
+  payload. Deterministically "lossy" (max channel error 2 → PSNR
+  ≈ 46 dB) but NOT a real VP8 bitstream; marked by ``CBSTUBW1``.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
@@ -26,8 +28,12 @@ import zlib
 
 import numpy as np
 
+from .jpegcodec import decode_jpeg, encode_jpeg
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-STUB_MAGICS = {"jpeg": b"CBSTUBJ1", "webp": b"CBSTUBW1"}
+JPEG_MAGIC = b"\xFF\xD8\xFF"
+STUB_MAGICS = {"webp": b"CBSTUBW1"}
+JPEG_QUALITY = 98  # keeps the worst synth-gradient PSNR >= 43 dB
 
 
 def pixel_seed(i: int, seed: int = 42) -> int:
@@ -123,6 +129,8 @@ def encode_image(pix_seed: int, w: int, h: int, fmt: str) -> bytes:
     pixels = synth_pixels(pix_seed, w, h)
     if fmt == "png":
         return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_jpeg(pixels, quality=JPEG_QUALITY)
     if fmt in STUB_MAGICS:
         return _encode_stub(pixels, fmt)
     raise ValueError(f"unknown format {fmt!r}")
@@ -133,6 +141,8 @@ def sniff_format(data: bytes) -> str | None:
         return None
     if data.startswith(PNG_MAGIC):
         return "png"
+    if data.startswith(JPEG_MAGIC):
+        return "jpeg"
     for fmt, magic in STUB_MAGICS.items():
         if data.startswith(magic):
             return fmt
@@ -143,6 +153,8 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
     fmt = sniff_format(data)
     if fmt == "png":
         return fmt, decode_png(data)
+    if fmt == "jpeg":
+        return fmt, decode_jpeg(data)
     if fmt in STUB_MAGICS:
         return fmt, _decode_stub(data, fmt)
     raise ValueError("unrecognized image stream")

@@ -1,0 +1,631 @@
+"""Baseline JFIF JPEG codec in pure numpy (no libjpeg in container).
+
+This replaces the round-1 ``CBSTUBJ1`` jpeg stand-in with a REAL
+codec so the lossy branch of the fidelity gate (BASELINE.json
+input_hint: decoded-pixel PSNR >= 40 dB) exercises an actual
+DCT-quantize-entropy pipeline, not a bit-truncation fake:
+
+- :func:`encode_jpeg` — baseline sequential DCT, 4:4:4 (no chroma
+  subsampling), standard ITU T.81 Annex K quantization + Huffman
+  tables, IJG quality scaling. Output is a spec-conformant JFIF
+  stream (interop-verified against Java ImageIO in
+  ``tests/test_jpeg_interop.py``).
+- :func:`decode_jpeg` — general baseline decoder: multi-table
+  DQT/DHT segments, SOF0/SOF1, arbitrary sampling factors (4:4:4,
+  4:2:2, 4:2:0 — replication upsampling), restart markers (DRI/RSTn),
+  grayscale or YCbCr. Progressive (SOF2) is rejected explicitly.
+
+Everything below is straight from the public JPEG specification
+(ITU-T T.81 / ISO 10918-1, Annex K for the tables); the hot math
+(FDCT/IDCT/quantization/color transform) is vectorized over all 8x8
+blocks at once, with only the entropy loop per-block in Python —
+this runs inside Arrow-batched ``mapInPandas`` stages, never per-row
+Spark UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import lru_cache
+
+import numpy as np
+
+# -- constant tables (ITU T.81 Annex K) -------------------------------------
+
+# zigzag position -> raster index within an 8x8 block
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# (bits-per-length[1..16], symbol values) — standard tables
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+# orthonormal 8x8 DCT-II matrix: forward C = M @ B @ M.T,
+# inverse B = M.T @ C @ M (exactly the T.81 FDCT/IDCT scaling)
+_k = np.arange(8)
+DCT_M = 0.5 * np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16)
+DCT_M[0, :] *= 1.0 / np.sqrt(2.0)
+del _k
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables under the IJG quality scaling (public libjpeg
+    convention: scale = 5000/q below 50 else 200-2q, clip to 1..255)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def s(base: np.ndarray) -> np.ndarray:
+        return np.clip((base * scale + 50) // 100, 1, 255)
+    return s(QUANT_LUMA), s(QUANT_CHROMA)
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """(symbol -> (code, length)) and ((length, code) -> symbol) maps
+    for a canonical Huffman table (T.81 C.2 code assignment)."""
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[idx]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            idx += 1
+        code <<= 1
+    return enc, dec
+
+
+_DC_LUMA_ENC, _DC_LUMA_DEC = _canonical_codes(*DC_LUMA)
+_DC_CHROMA_ENC, _DC_CHROMA_DEC = _canonical_codes(*DC_CHROMA)
+_AC_LUMA_ENC, _AC_LUMA_DEC = _canonical_codes(*AC_LUMA)
+_AC_CHROMA_ENC, _AC_CHROMA_DEC = _canonical_codes(*AC_CHROMA)
+
+
+# -- color transforms (JFIF / BT.601 full range) ----------------------------
+
+def rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    p = px.astype(np.float64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# -- encoder ----------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended-bits pattern) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return (s, v) if v > 0 else (s, v + (1 << s) - 1)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 92,
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF, 4:4:4.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (resumable scans / parallel-decode friendly,
+    and exercises the decoder's restart path)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w, _ = pixels.shape
+    if not (0 < h <= 65500 and 0 < w <= 65500):
+        raise ValueError("dimensions out of JPEG range")
+    qy, qc = quality_tables(quality)
+
+    ycc = rgb_to_ycbcr(pixels)
+    h8 = (h + 7) // 8 * 8
+    w8 = (w + 7) // 8 * 8
+    ycc = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    by, bx = h8 // 8, w8 // 8
+
+    # all blocks of all 3 components: FDCT + quantize, vectorized
+    zz_per_comp = []
+    for c, qt in ((0, qy), (1, qc), (2, qc)):
+        plane = ycc[:, :, c] - 128.0
+        blocks = (
+            plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+            .reshape(by * bx, 8, 8)
+        )
+        coeffs = np.einsum("ux,nxy,vy->nuv", DCT_M, blocks, DCT_M)
+        q = np.round(coeffs / qt[None, :, :]).astype(np.int64)
+        zz_per_comp.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    tables = (
+        (_DC_LUMA_ENC, _AC_LUMA_ENC),
+        (_DC_CHROMA_ENC, _AC_CHROMA_ENC),
+        (_DC_CHROMA_ENC, _AC_CHROMA_ENC),
+    )
+    n_rst = 0
+    for n in range(by * bx):  # MCU raster order; 4:4:4 => 1 block/comp
+        if restart_interval and n and n % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes((0xFF, 0xD0 + n_rst))  # RSTn, not stuffed
+            n_rst = (n_rst + 1) & 7
+            pred = [0, 0, 0]
+        for c in range(3):
+            blk = zz_per_comp[c][n]
+            dc_enc, ac_enc = tables[c]
+            s, bits = _magnitude(int(blk[0]) - pred[c])
+            pred[c] = int(blk[0])
+            code, length = dc_enc[s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, length = ac_enc[run * 16 + s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if last < 63:
+                code, length = ac_enc[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    dqt = (b"\x00" + bytes(qy.reshape(-1)[ZIGZAG].astype(np.uint8))
+           + b"\x01" + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # Hi=Vi=1 (4:4:4)
+    out += _seg(0xFFC0, sof)
+    dht = b""
+    for tc_th, (bits, values) in (
+        (0x00, DC_LUMA), (0x10, AC_LUMA),
+        (0x01, DC_CHROMA), (0x11, AC_CHROMA),
+    ):
+        dht += bytes([tc_th]) + bytes(bits) + bytes(values)
+    out += _seg(0xFFC4, dht)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3F\x00"
+    out += _seg(0xFFDA, sos)
+    out += bw.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# -- decoder ----------------------------------------------------------------
+
+class _BitReader:
+    """Buffered MSB-first reader over the entropy-coded segment.
+
+    Byte stuffing (FF 00) is resolved during refill; hitting any real
+    marker switches to zero-padding so the caller's MCU-count loop
+    terminates the scan (consuming more than the encoder's <=7 pad
+    bits raises: the stream was truncated). Designed for the LUT
+    decode path: `peek16` + `skip` are O(1) Python ops per symbol,
+    not per bit."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "pad")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.pad = 0  # zero bits appended past end-of-scan
+
+    def _refill(self, need: int) -> None:
+        d = self.data
+        while self.nbits < need:
+            p = self.pos
+            if p < len(d):
+                b = d[p]
+                if b == 0xFF:
+                    nb = d[p + 1] if p + 1 < len(d) else -1
+                    if nb == 0x00:
+                        self.pos = p + 2  # stuffed FF data byte
+                    else:  # a real marker: stop consuming, pad zeros
+                        self.acc <<= 8
+                        self.nbits += 8
+                        self.pad += 8
+                        continue
+                else:
+                    self.pos = p + 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+            else:
+                self.acc <<= 8
+                self.nbits += 8
+                self.pad += 8
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._refill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        # consuming more than the encoder's <=7 byte-align pad bits
+        # means the scan ended before the frame's last MCU
+        if self.pad and self.nbits < self.pad - 7:
+            raise ValueError("entropy data ended before last MCU")
+        self.acc &= (1 << self.nbits) - 1
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker at an interval edge."""
+        self.acc = 0
+        self.nbits = 0
+        self.pad = 0
+        d, p = self.data, self.pos
+        if p + 1 >= len(d) or d[p] != 0xFF or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        if d[p + 1] != 0xD0 + (expected & 7):
+            raise ValueError("restart marker out of sequence")
+        self.pos = p + 2
+
+
+def _build_lut(dec: dict) -> tuple[list[int], list[int]]:
+    """libjpeg-style 16-bit-prefix lookup: lut_sym[peek16] = symbol,
+    lut_len[peek16] = code length (0 => invalid prefix)."""
+    sym = np.zeros(1 << 16, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
+    for (length, code), s in dec.items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym.tolist(), ln.tolist()
+
+
+@lru_cache(maxsize=16)
+def _huff_lut(bits: tuple, values: tuple) -> tuple[list[int], list[int]]:
+    """Cached (bits, values) -> 16-bit-prefix LUT. Nearly every real
+    JPEG (including ours and Java's) uses the four Annex K standard
+    tables, so across a batch of images the 2x65536-entry build cost
+    is paid once per table, not once per image (measured ~40 ms/image
+    -> microseconds on the fidelity contract query)."""
+    _, dec = _canonical_codes(list(bits), list(values))
+    return _build_lut(dec)
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.get(s)
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v
+
+
+def _triangle2(plane: np.ndarray, axis: int) -> np.ndarray:
+    """2x upsample along ``axis`` with libjpeg's "fancy" triangle
+    filter (3/4 nearest + 1/4 next-nearest, edges replicated)."""
+    p = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]], axis=0)
+    nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+    out = np.empty((p.shape[0] * 2,) + p.shape[1:], dtype=p.dtype)
+    out[0::2] = (3.0 * p + prev) * 0.25
+    out[1::2] = (3.0 * p + nxt) * 0.25
+    return np.moveaxis(out, 0, axis)
+
+
+def _upsample(plane: np.ndarray, fv: int, fh: int) -> np.ndarray:
+    """Upsample by (fv, fh); triangle filter for factor 2 (matches
+    libjpeg's default), replication for anything larger (rare)."""
+    for axis, f in ((0, fv), (1, fh)):
+        if f == 2:
+            plane = _triangle2(plane, axis)
+        elif f != 1:
+            plane = np.repeat(plane, f, axis=axis)
+    return plane
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) uint8 RGB (grayscale is
+    replicated across channels). Supports multi-table DQT/DHT, DRI
+    restart intervals, and any Hi/Vi sampling via replication
+    upsampling. Raises ValueError on progressive/arithmetic/
+    unsupported streams."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8)
+                qtables[tq] = tbl.astype(np.int64)[UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = tuple(seg[p + 1:p + 17])
+                n = sum(bits)
+                values = tuple(seg[p + 17:p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = (bits, values)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-huffman
+            prec, fh, fw, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            pos += seglen
+            break
+        pos += seglen
+
+    fh, fw, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+
+    # per scan-component decode state; huffman tables compiled to
+    # 16-bit-prefix LUTs (cached process-wide by table content —
+    # nearly all JPEGs use the four standard Annex K tables)
+    sdefs = []
+    for cs, td, ta in scan:
+        hi, vi, tq = by_id[cs]
+        if tq not in qtables or td not in huff_dc or ta not in huff_ac:
+            raise ValueError("missing quant/huffman table")
+        n_blocks = mcus_x * hi * mcus_y * vi
+        dc_sym, dc_len = _huff_lut(*huff_dc[td])
+        ac_sym, ac_len = _huff_lut(*huff_ac[ta])
+        sdefs.append({
+            "hi": hi, "vi": vi, "qt": qtables[tq],
+            "dc_sym": dc_sym, "dc_len": dc_len,
+            "ac_sym": ac_sym, "ac_len": ac_len,
+            "zz": np.zeros((n_blocks, 64), dtype=np.int64),
+        })
+
+    r = _BitReader(data, pos)
+    pred = [0] * len(sdefs)
+    n_rst = 0
+    total_mcus = mcus_x * mcus_y
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.sync_restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            pred = [0] * len(sdefs)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, sd in enumerate(sdefs):
+            hi, vi = sd["hi"], sd["vi"]
+            dc_sym, dc_len = sd["dc_sym"], sd["dc_len"]
+            ac_sym, ac_len = sd["ac_sym"], sd["ac_len"]
+            zz = sd["zz"]
+            for v in range(vi):
+                row_base = (my * vi + v) * mcus_x * hi + mx * hi
+                for hbl in range(hi):
+                    blk = [0] * 64
+                    w16 = r.peek16()
+                    length = dc_len[w16]
+                    if length == 0:
+                        raise ValueError("invalid Huffman code")
+                    r.skip(length)
+                    pred[ci] += _receive_extend(r, dc_sym[w16])
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        w16 = r.peek16()
+                        length = ac_len[w16]
+                        if length == 0:
+                            raise ValueError("invalid Huffman code")
+                        r.skip(length)
+                        rs = ac_sym[w16]
+                        s = rs & 15
+                        if s == 0:
+                            if rs != 0xF0:
+                                break  # EOB
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        blk[k] = _receive_extend(r, s)
+                        k += 1
+                    zz[row_base + hbl] = blk
+
+    # dequantize + IDCT all blocks per component at once
+    planes = []
+    for sd in sdefs:
+        hi, vi = sd["hi"], sd["vi"]
+        bw_, bh_ = mcus_x * hi, mcus_y * vi
+        coeffs = (sd["zz"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+                  * sd["qt"][None, :, :])
+        blocks = np.einsum("ux,nuv,vy->nxy", DCT_M, coeffs, DCT_M) + 128.0
+        plane = (
+            blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh_ * 8, bw_ * 8)
+        )
+        plane = _upsample(plane, vmax // vi, hmax // hi)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
