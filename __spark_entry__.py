@@ -554,6 +554,84 @@ FROM t
 """
 
 
+AUDIO_STATS_N = 300
+VIDEO_FRAMES_N = 120
+
+
+def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: WAV-PCM clips synthesized executor-
+    side (integer sawtooth mixtures, sources/wavcodec.synth_pcm),
+    decoded by the in-repo RIFF/WAVE parser inside an Arrow-batched
+    stage, reduced to integer statistics (sample count, sum of
+    squares, zero crossings) that DuckDB regenerates bit-exactly from
+    the same id arithmetic — no libm anywhere, so no float drift."""
+    from cerberus_cpp_spark.operators.multimodal import audio_features
+    from cerberus_cpp_spark.sources.clipgen import audio_clip_frame
+
+    clips = audio_clip_frame(spark, AUDIO_STATS_N)
+    return audio_features(clips).select(
+        "clip_id", "sample_rate", "n_samples", "zero_crossings",
+        "sumsq")
+
+
+_AUDIO_STATS_SQL = f"""
+WITH c AS (SELECT range AS cid FROM range(0, {AUDIO_STATS_N})),
+s AS (  -- cross join + filter: DuckDB range() is not correlatable
+  SELECT c.cid, r.range AS i
+  FROM c, range(0, 4000) r
+  WHERE r.range < 1000 + (c.cid % 7) * 500
+),
+w AS (
+  SELECT cid, i,
+         ((i % (20 + cid % 41)) * 16000 // (20 + cid % 41) - 8000)
+       + ((i % (50 + cid % 97)) * 8000 // (50 + cid % 97) - 4000) AS v
+  FROM s
+),
+lagged AS (
+  SELECT cid, v,
+         lag(v) OVER (PARTITION BY cid ORDER BY i) AS pv
+  FROM w
+)
+SELECT printf('clip-%06d', cid) AS clip_id,
+       16000 AS sample_rate,
+       count(*) AS n_samples,
+       CAST(count(*) FILTER (WHERE pv * v < 0) AS BIGINT)
+         AS zero_crossings,
+       CAST(sum(v * v) AS BIGINT) AS sumsq
+FROM lagged GROUP BY cid
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode path: AVI-MJPEG clips (frames are baseline
+    JPEGs from the in-repo codec) demuxed by the RIFF parser; every
+    sampled frame is actually JPEG-decoded for its dimensions, so
+    the oracle row (frame_w/h from id arithmetic) fails if either
+    the container demux or the image codec regresses."""
+    from cerberus_cpp_spark.operators.multimodal import sample_frames
+    from cerberus_cpp_spark.sources.clipgen import video_clip_frame
+
+    clips = video_clip_frame(spark, VIDEO_FRAMES_N)
+    return sample_frames(clips, every_n=2, max_frames=8).select(
+        "clip_id", "frame_idx", "ts_sec", "frame_w", "frame_h")
+
+
+_VIDEO_FRAMES_SQL = f"""
+WITH c AS (SELECT range AS cid FROM range(0, {VIDEO_FRAMES_N})),
+f AS (
+  SELECT c.cid, r.range AS fi
+  FROM c, range(0, 6) r
+  WHERE r.range < 2 + c.cid % 5
+)
+SELECT printf('clip-%06d', cid) AS clip_id,
+       CAST(fi AS INT) AS frame_idx,
+       fi / 30.0 AS ts_sec,
+       CAST(8 + cid % 5 AS INT) AS frame_w,
+       CAST(8 + cid % 4 AS INT) AS frame_h
+FROM f WHERE fi % 2 = 0
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -623,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_images": q_val_images,
         "phash_dups": q_phash_dups,
         "img_fidelity": q_img_fidelity,
+        "audio_pcm_stats": q_audio_pcm_stats,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1222,6 +1302,8 @@ def oracle_sql() -> dict[str, str]:
         "val_images": _VAL_IMAGES_SQL,
         "phash_dups": _PHASH_DUPS_SQL,
         "img_fidelity": _IMG_FIDELITY_SQL,
+        "audio_pcm_stats": _AUDIO_STATS_SQL,
+        "video_frames": _VIDEO_FRAMES_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

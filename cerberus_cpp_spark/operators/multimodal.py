@@ -8,13 +8,15 @@ Arrow-batched ``mapInPandas`` stages (narrow, no shuffle), with
 memory for MB-scale payloads.
 
 Reality of this container (per the task brief): no Pillow/libjpeg/
-ffmpeg. Image ops are REAL over the repo's own codecs
-(``sources.imagegen``: real PNG + real baseline JPEG codecs in-repo;
-deterministic stub webp).
-Audio/video decoding is STUBBED — ``NotImplementedError`` by
-default, or a clearly-marked deterministic fake
-(``stub_strategy="fake"``) that exercises the full Spark plumbing
-(schema, batching, UDF signature) without pretending to be a codec.
+ffmpeg. Every self-contained public format decodes for REAL with
+in-repo codecs — images (PNG + baseline JPEG, ``sources.imagegen``/
+``jpegcodec``), audio (WAV-PCM, ``sources.wavcodec``), video
+(AVI-MJPEG, ``sources.avicodec``). Only formats that genuinely need
+external codec libraries (webp/mp3/aac/h264/...) are STUBBED:
+``NotImplementedError`` by default, or a clearly-marked
+deterministic fake (``stub_strategy="fake"``) that exercises the
+full Spark plumbing (schema, batching, UDF signature) without
+pretending to be a codec.
 """
 
 from __future__ import annotations
@@ -143,11 +145,14 @@ def resize_images(df: DataFrame, *, width: int, height: int,
 
 
 # ---------------------------------------------------------------------------
-# Audio / video: plumbing real, decode stubbed (no codecs in container)
+# Audio / video: REAL for the self-contained public formats
+# (WAV-PCM via sources/wavcodec, AVI-MJPEG via sources/avicodec);
+# compressed codecs (mp3/h264/...) stay stubbed — they need ffmpeg.
 # ---------------------------------------------------------------------------
 
 FRAME_SAMPLE_SCHEMA = (
-    "clip_id string, frame_idx int, frame binary, ts_sec double"
+    "clip_id string, frame_idx int, frame binary, ts_sec double,"
+    " frame_w int, frame_h int"
 )
 
 
@@ -162,34 +167,60 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame.
 
-    STUB: this container ships no video codec. ``stub_strategy``:
-    - ``"raise"`` (default): NotImplementedError at execution time —
-      the honest production placeholder (swap the decoder in via
-      ``real_decoder`` when ffmpeg/pyav is available).
-    - ``"fake"``: deterministic fake frames (payload = xxhash-style
-      bytes of (clip_id, frame_idx)) exercising the full fan-out
-      plumbing: schema, Arrow batches, per-row multiplication.
+    AVI-MJPEG payloads decode for REAL (``sources/avicodec`` demux;
+    each emitted ``frame`` is that frame's standalone JPEG bytes,
+    ``ts_sec`` from the stream's fps, ``frame_w/h`` from an actual
+    ``jpegcodec`` decode of the sampled frame). For any other payload
+    ``stub_strategy`` applies:
+    - ``"raise"`` (default): NotImplementedError — the honest
+      placeholder for compressed codecs this container can't decode.
+    - ``"fake"``: deterministic fake frames (seeded digest payload)
+      exercising the fan-out plumbing only.
     """
     src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.avicodec import (
+            decode_frame,
+            demux_avi_mjpeg,
+            sniff_avi,
+        )
 
         for pdf in batches:
-            if stub_strategy == "raise":
-                raise NotImplementedError(
-                    "video decode unavailable in this environment: "
-                    "no ffmpeg/pyav codec is installed (STUB — the "
-                    "Spark plumbing around it is real and tested "
-                    "with stub_strategy='fake')"
-                )
             rows = {"clip_id": [], "frame_idx": [], "frame": [],
-                    "ts_sec": []}
+                    "ts_sec": [], "frame_w": [], "frame_h": []}
             for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
                 if blob is None:
                     continue
-                # deterministic fake: frame count derived from the
-                # payload size, bytes from a seeded digest
+                blob = bytes(blob)
+                if sniff_avi(blob):
+                    fps, frames = demux_avi_mjpeg(blob)
+                    for k, fi in enumerate(
+                        range(0, len(frames), every_n)
+                    ):
+                        if k >= max_frames:
+                            break
+                        px = decode_frame(frames[fi])
+                        rows["clip_id"].append(cid)
+                        rows["frame_idx"].append(fi)
+                        rows["frame"].append(frames[fi])
+                        rows["ts_sec"].append(fi / fps)
+                        rows["frame_w"].append(px.shape[1])
+                        rows["frame_h"].append(px.shape[0])
+                    continue
+                if stub_strategy == "raise":
+                    raise NotImplementedError(
+                        "video decode unavailable for this payload: "
+                        "only AVI-MJPEG decodes in-container (no "
+                        "ffmpeg/pyav for compressed codecs; STUB "
+                        "path exercisable with stub_strategy='fake')"
+                    )
                 n_avail = max(len(blob) // 1024, 1)
                 for k, fi in enumerate(
                     range(0, n_avail * every_n, every_n)
@@ -199,10 +230,10 @@ def sample_frames(
                     seed = f"{cid}:{fi}".encode()
                     rows["clip_id"].append(cid)
                     rows["frame_idx"].append(fi)
-                    rows["frame"].append(
-                        hashlib.sha256(seed).digest()
-                    )
+                    rows["frame"].append(hashlib.sha256(seed).digest())
                     rows["ts_sec"].append(fi / 30.0)
+                    rows["frame_w"].append(None)
+                    rows["frame_h"].append(None)
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(work, schema=FRAME_SAMPLE_SCHEMA)
@@ -215,42 +246,75 @@ def audio_features(
     bytes_col: str = "bytes",
     stub_strategy: str = "raise",
 ) -> DataFrame:
-    """Audio feature extraction (STUB decode, real plumbing).
-    Output: (clip_id, duration_sec, rms, zero_crossings)."""
+    """Audio feature extraction. WAV-PCM payloads decode for REAL
+    (``sources/wavcodec``); other formats fall to ``stub_strategy``
+    (see ``sample_frames``). Output: (clip_id, sample_rate,
+    n_samples, duration_sec, rms, zero_crossings, sumsq) — the
+    integer columns (n_samples, zero_crossings, sumsq) are exact,
+    which is what lets a SQL oracle replay them bit-for-bit."""
     src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         import numpy as np
 
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.wavcodec import (
+            decode_wav,
+            sniff_wav,
+        )
+
+        cols = ("sample_rate", "n_samples", "duration_sec", "rms",
+                "zero_crossings", "sumsq")
+
         for pdf in batches:
-            if stub_strategy == "raise":
-                raise NotImplementedError(
-                    "audio decode unavailable in this environment "
-                    "(STUB; see sample_frames docstring)"
-                )
-            out = {"clip_id": pdf["clip_id"], "duration_sec": [],
-                   "rms": [], "zero_crossings": []}
+            out = {"clip_id": pdf["clip_id"],
+                   **{c: [] for c in cols}}
+
+            def put(**kw):
+                for c in cols:
+                    out[c].append(kw.get(c))
+
             for blob in pdf[bytes_col]:
                 if blob is None:
-                    out["duration_sec"].append(None)
-                    out["rms"].append(None)
-                    out["zero_crossings"].append(None)
+                    put()
                     continue
-                # deterministic fake: interpret payload bytes as a
-                # centered int8 waveform
-                wave = np.frombuffer(bytes(blob), dtype=np.uint8) \
-                    .astype(np.int16) - 128
-                out["duration_sec"].append(len(wave) / 16000.0)
-                out["rms"].append(
-                    float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
-                )
-                out["zero_crossings"].append(
-                    int(((wave[:-1] * wave[1:]) < 0).sum())
-                )
+                blob = bytes(blob)
+                if sniff_wav(blob):
+                    rate, pcm = decode_wav(blob)
+                    mono = pcm.astype(np.int64).sum(axis=1) \
+                        // pcm.shape[1]
+                    sumsq = int((mono * mono).sum())
+                    zc = int(((mono[:-1] * mono[1:]) < 0).sum())
+                    put(sample_rate=rate, n_samples=len(mono),
+                        duration_sec=len(mono) / rate,
+                        rms=float(np.sqrt(sumsq / max(len(mono), 1))),
+                        zero_crossings=zc, sumsq=sumsq)
+                    continue
+                if stub_strategy == "raise":
+                    raise NotImplementedError(
+                        "audio decode unavailable for this payload: "
+                        "only WAV-PCM decodes in-container (no codec "
+                        "libs for mp3/aac/ogg; STUB path exercisable "
+                        "with stub_strategy='fake')"
+                    )
+                wave = np.frombuffer(blob, dtype=np.uint8) \
+                    .astype(np.int64) - 128
+                sumsq = int((wave * wave).sum())
+                put(sample_rate=16000, n_samples=len(wave),
+                    duration_sec=len(wave) / 16000.0,
+                    rms=float(np.sqrt(sumsq / max(len(wave), 1))),
+                    zero_crossings=int(((wave[:-1] * wave[1:]) < 0)
+                                       .sum()),
+                    sumsq=sumsq)
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
         work,
-        schema="clip_id string, duration_sec double, rms double,"
-               " zero_crossings long",
+        schema="clip_id string, sample_rate int, n_samples long,"
+               " duration_sec double, rms double,"
+               " zero_crossings long, sumsq long",
     )

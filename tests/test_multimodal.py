@@ -1,6 +1,8 @@
 """Multimodal operators: real image feature/resize paths over the
-repo codecs; audio/video stubs exercise the Spark plumbing and raise
-honestly by default."""
+repo codecs; the stub fallbacks for non-decodable payload formats
+(these clips are image bytes, not WAV/AVI) exercise the Spark
+plumbing and raise honestly by default. Real WAV/AVI decode paths
+are covered in test_avwav.py."""
 
 from __future__ import annotations
 
