@@ -76,6 +76,13 @@ def demux_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
     Walks the RIFF tree; accepts any stream whose frames live in
     ``00dc``/``00db`` chunks inside LIST('movi'). Raises ValueError
     for non-AVI or non-MJPEG streams."""
+    try:
+        return _demux_avi_mjpeg(data)
+    except struct.error as e:
+        raise ValueError(f"malformed AVI stream: {e}") from e
+
+
+def _demux_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     fps = 30.0

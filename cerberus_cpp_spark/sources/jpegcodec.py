@@ -465,9 +465,16 @@ def _upsample(plane: np.ndarray, fv: int, fh: int) -> np.ndarray:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to (h, w, 3) uint8 RGB (grayscale is
     replicated across channels). Supports multi-table DQT/DHT, DRI
-    restart intervals, and any Hi/Vi sampling via replication
-    upsampling. Raises ValueError on progressive/arithmetic/
-    unsupported streams."""
+    restart intervals, and any Hi/Vi sampling. Raises ValueError on
+    progressive/arithmetic/unsupported/corrupt streams (corruption
+    fuzz pinned in tests — no other exception type escapes)."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -487,6 +494,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        if seglen < 2:  # would stall the marker walk
+            raise ValueError("invalid zero-length marker segment")
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0

@@ -45,6 +45,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     Accepts PCM 8-bit (rescaled to int16 range by <<8 after the
     unsigned->signed shift) and 16-bit. Raises ValueError on
     non-PCM (compressed) streams or malformed chunks."""
+    try:
+        return _decode_wav(data)
+    except struct.error as e:
+        raise ValueError(f"malformed WAV stream: {e}") from e
+
+
+def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12

@@ -182,3 +182,33 @@ def test_sample_frames_mixed_payload_raises_for_non_avi(spark):
     with pytest.raises(Exception) as exc:
         sample_frames(mixed).collect()
     assert "video decode unavailable" in str(exc.value)
+
+
+# -- corruption hygiene (all three decoders) --------------------------------
+
+def test_fuzz_corruption_raises_only_valueerror():
+    """Random byte corruption / truncation must yield ValueError (or
+    a clean decode), never IndexError/KeyError/struct.error/hangs —
+    executor-side decode probes rely on uniform failure handling."""
+    import random
+
+    from cerberus_cpp_spark.sources.jpegcodec import decode_jpeg
+    from cerberus_cpp_spark.sources.imagegen import synth_pixels
+
+    rng = random.Random(1234)
+    jpeg = encode_jpeg(synth_pixels(2, 24, 16), quality=95)
+    wav = encode_wav(synth_pcm(2, 400))
+    avi = synth_clip(2, 3, 10, 10)
+    for blob, dec in ((jpeg, decode_jpeg),
+                      (wav, decode_wav),
+                      (avi, demux_avi_mjpeg)):
+        for trial in range(150):
+            b = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            if trial % 5 == 0:
+                b = b[:rng.randrange(10, len(b))]
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
