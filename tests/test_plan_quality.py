@@ -140,3 +140,30 @@ def test_validation_stays_in_codegen(spark) -> None:
     # partial agg must be inside one
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:600]
     assert re.search(r"\*\(\d+\) (Project|ColumnarToRow)", plan)
+
+
+def test_media_pipelines_are_narrow(spark) -> None:
+    """clip/image synthesis -> Arrow decode stages must stay a single
+    narrow pipeline: zero Exchange (shuffle) operators — at 10^12
+    payloads a shuffle of binary columns would dominate everything."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        audio_features,
+        sample_frames,
+    )
+    from cerberus_cpp_spark.operators.image_checks import fidelity_check
+    from cerberus_cpp_spark.sources.clipgen import (
+        audio_clip_frame,
+        video_clip_frame,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    for df in (
+        audio_features(audio_clip_frame(spark, 10, partitions=2)),
+        sample_frames(video_clip_frame(spark, 10, partitions=2),
+                      every_n=2),
+        fidelity_check(
+            image_caption_frame(spark, 10, partitions=2,
+                                with_bytes=True)),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan[:800]

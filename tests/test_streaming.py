@@ -77,3 +77,31 @@ def test_windowed_verdicts_with_watermark(spark, stream_dir) -> None:
     }
     got = {r["window_start"]: r["violations"] for r in rows}
     assert got == exp
+
+
+def test_stream_media_decode_equals_batch(spark, tmp_path_factory) -> None:
+    """The Arrow-batched payload-decode stage (fidelity_check) is a
+    stateless narrow transform, so it applies to a streaming frame
+    unchanged — binary columns included. Stream output must equal
+    the batch pass row-for-row."""
+    from cerberus_cpp_spark.operators.image_checks import fidelity_check
+
+    src = str(tmp_path_factory.mktemp("stream_media"))
+    image_caption_frame(spark, 600, partitions=4, with_bytes=True) \
+        .drop("id").write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    def key(rows):
+        return sorted(
+            (r["image_id"] or "", r["pixels_ok"], r["caption_ok"],
+             -1.0 if r["psnr_db"] is None else round(r["psnr_db"], 6))
+            for r in rows
+        )
+
+    expected = key(fidelity_check(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (fidelity_check(stream).writeStream.format("memory")
+         .queryName("media_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = key(spark.sql("SELECT * FROM media_stream").collect())
+    assert got == expected and len(got) == 600
