@@ -642,6 +642,65 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.exact_quantile_drift_frame(a, b, "value")
 
 
+_TDIGEST_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_tdigest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift via DISTRIBUTED t-digest sketches (north_star
+    verbatim: "t-digest quantile sketches compared across
+    snapshots"; functions/tdigest.py, checks.tdigest_of). The metric
+    column is clamped-floor(value) — 31 distinct levels, inside the
+    digest's exact (singleton-centroid) regime at compression 200 —
+    so nearest-rank quantiles equal the true discrete lower
+    quantiles and DuckDB replays them with an explicit inverse-CDF.
+    Accuracy on continuous data (rank error ~1e-5 at delta=100 on
+    1M values) is pinned in tests/test_tdigest.py."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vb = F.expr(
+        "cast(least(greatest(floor(value), 0), 30) as double)"
+    ).alias("vb")
+    da = checks.tdigest_of(
+        ev.where("event_id % 2 = 0").select(vb), "vb", compression=200)
+    db = checks.tdigest_of(
+        ev.where("event_id % 2 = 1").select(vb), "vb", compression=200)
+    rows = []
+    for p in _TDIGEST_PROBS:
+        qa = da.quantile(p, "nearest")
+        qb = db.quantile(p, "nearest")
+        rows.append((p, qa, qb, abs(qa - qb)))
+    return spark.createDataFrame(
+        rows, "prob double, q_a double, q_b double, abs_gap double")
+
+
+_TDIGEST_DRIFT_SQL = f"""
+WITH vals AS (
+  SELECT CAST(least(greatest(floor(value), 0), 30) AS DOUBLE) AS vb,
+         event_id % 2 = 0 AS side_a
+  FROM events WHERE value IS NOT NULL
+),
+probs AS (SELECT CAST(unnest([{', '.join(str(p) for p in _TDIGEST_PROBS)}])
+            AS DOUBLE) AS prob),
+agg AS (
+  SELECT side_a, vb, count(*) AS c FROM vals GROUP BY side_a, vb
+),
+cums AS (
+  SELECT side_a, vb,
+         sum(c) OVER (PARTITION BY side_a ORDER BY vb) AS cum,
+         sum(c) OVER (PARTITION BY side_a) AS w
+  FROM agg
+),
+q AS (  -- discrete lower quantile: min value whose cdf reaches prob
+  SELECT p.prob, c.side_a, min(c.vb) AS qv
+  FROM probs p JOIN cums c ON c.cum >= p.prob * c.w
+  GROUP BY p.prob, c.side_a
+)
+SELECT qa.prob, qa.qv AS q_a, qb.qv AS q_b,
+       abs(qa.qv - qb.qv) AS abs_gap
+FROM (SELECT prob, qv FROM q WHERE side_a) qa
+JOIN (SELECT prob, qv FROM q WHERE NOT side_a) qb USING (prob)
+"""
+
+
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-time rollup (batch twin of the streaming windowed
     verdict): per-window row count, null-value count, value sum."""
@@ -703,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_fidelity": q_img_fidelity,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
+        "tdigest_drift": q_tdigest_drift,
     }
 
 
@@ -1304,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         "img_fidelity": _IMG_FIDELITY_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
+        "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

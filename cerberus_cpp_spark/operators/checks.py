@@ -300,3 +300,122 @@ def quantile_drift(
         "max_rel_gap": max_gap,
         "drifted": max_gap > rel_tolerance,
     }
+
+
+def tdigest_of(
+    df: DataFrame,
+    col: str,
+    *,
+    compression: int = 100,
+    fanin: int = 64,
+):
+    """Distributed t-digest of one column (functions/tdigest.py —
+    the sketch the north_star names for snapshot drift).
+
+    Shape: per-Arrow-batch partial digests (narrow mapInPandas) →
+    one shuffle of centroid ARRAYS ONLY (O(compression) doubles per
+    partition, never values) into ``fanin`` merge buckets → the
+    ``fanin`` bucket digests (a few KB) merge on the driver. At
+    100 TB the only data movement is n_partitions × ~2·compression
+    doubles. Merge order is pinned (partition id, then bucket) so
+    results are deterministic for a fixed partitioning; in the
+    exact regime (≤ compression/4 distinct values) they are
+    order-independent and SQL-replayable.
+
+    Returns a ``TDigest`` (driver-side handle, O(compression))."""
+    from ..functions.shipping import PKG_PARENT
+    from ..functions.tdigest import TDigest
+
+    pkg_parent = PKG_PARENT
+    comp = int(compression)
+    src = df.select(F.col(col).cast("double").alias("v")) \
+        .where(F.col("v").isNotNull())
+
+    partial_schema = ("pid long, means array<double>, "
+                      "weights array<double>, vmin double, vmax double")
+
+    def partials(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from pyspark import TaskContext
+
+        from cerberus_cpp_spark.functions.tdigest import TDigest as TD
+
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            d = TD.from_values(pdf["v"].to_numpy(), comp)
+            r = d.to_row()
+            yield pd.DataFrame({
+                "pid": [pid], "means": [r["means"]],
+                "weights": [r["weights"]],
+                "vmin": [r["vmin"]], "vmax": [r["vmax"]],
+            })
+
+    def merge_bucket(key, pdf):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.functions.tdigest import TDigest as TD
+
+        pdf = pdf.sort_values("pid")  # pinned merge order
+        acc = TD(comp)
+        for _, row in pdf.iterrows():
+            acc = acc.merge(TD.from_row(row, comp))
+        r = acc.to_row()
+        return pd.DataFrame({
+            "pid": [int(key[0])], "means": [r["means"]],
+            "weights": [r["weights"]],
+            "vmin": [r["vmin"]], "vmax": [r["vmax"]],
+        })
+
+    buckets = (
+        src.mapInPandas(partials, schema=partial_schema)
+        .withColumn("bucket", F.pmod("pid", F.lit(int(fanin))))
+        .groupBy("bucket")
+        .applyInPandas(merge_bucket, schema=partial_schema)
+    )
+    rows = sorted(buckets.collect(), key=lambda r: r["pid"])
+    acc = TDigest(comp)
+    for row in rows:
+        acc = acc.merge(TDigest.from_row(row, comp))
+    return acc
+
+
+def tdigest_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    probs: Sequence[float] | None = None,
+    *,
+    compression: int = 100,
+    rel_tolerance: float = 0.1,
+    method: str = "interp",
+) -> dict:
+    """Snapshot drift via t-digest sketches (north_star verbatim):
+    one distributed digest per snapshot, quantile vectors compared
+    driver-side. Same output contract as ``quantile_drift``."""
+    probs = list(probs or (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))
+    da = tdigest_of(df_a, col, compression=compression)
+    db = tdigest_of(df_b, col, compression=compression)
+    qa = [da.quantile(p, method) for p in probs]
+    qb = [db.quantile(p, method) for p in probs]
+    gaps = []
+    for a, b in zip(qa, qb):
+        denom = max(abs(a), abs(b), 1e-12)
+        gaps.append(abs(a - b) / denom)
+    max_gap = max(gaps) if gaps else 0.0
+    return {
+        "column": col,
+        "probs": probs,
+        "quantiles_a": qa,
+        "quantiles_b": qb,
+        "max_rel_gap": max_gap,
+        "drifted": max_gap > rel_tolerance,
+    }

@@ -108,3 +108,35 @@ def test_default_quality_holds_gate_across_seed_family():
         worst = min(worst, psnr(ref, px))
     assert worst >= 40.0, worst
     assert JPEG_QUALITY == 98
+
+
+# -- property-based roundtrip (hypothesis) ----------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        quality=st.integers(70, 100),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_property_roundtrip_any_dims(w, h, seed, quality):
+        px = synth_pixels(seed, w, h)
+        dec = decode_jpeg(encode_jpeg(px, quality=quality))
+        assert dec.shape == (h, w, 3)
+        # quality>=70 on <=40px images keeps error well inside 8 bits;
+        # the invariant here is structural (dims/channels/no crash) +
+        # a loose fidelity floor
+        assert psnr(px, dec) >= 20.0
+
+    @given(data=st.binary(min_size=0, max_size=300))
+    @settings(max_examples=120, deadline=None)
+    def test_property_arbitrary_bytes_never_crash(data):
+        try:
+            decode_jpeg(b"\xff\xd8\xff" + data)
+        except ValueError:
+            pass
+except ImportError:  # hypothesis not installed
+    pass
