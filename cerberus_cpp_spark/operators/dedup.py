@@ -90,6 +90,15 @@ def doc_shingles(
     non-negative 61 bits, whole-stage codegen — ~7x cheaper per
     shingle, measured; use at scale when no cross-engine oracle is
     needed; minhash/LSH math downstream is hash-agnostic)."""
+    # fan out before the explode when the source is parallelism-
+    # starved (e.g. a single small parquet split): the per-shingle
+    # hash fold downstream is the pipeline's dominant CPU cost and
+    # otherwise runs in as few tasks as the file has splits. At real
+    # scale inputs already carry >= defaultParallelism splits, so
+    # this never fires (no extra shuffle on the 100 TB path).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     ex = df.select(F.col(id_col), F.explode(shingles(text_col, k))
                    .alias("shingle"))
     if hash_fn == "fast":
@@ -107,15 +116,13 @@ def doc_shingles(
     return ex.select(F.col(id_col), sh.alias("sh"))
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, num_hashes: int = MINHASH_K, hash_fn: str = "portable",
+def signatures_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = MINHASH_K,
 ) -> DataFrame:
-    """(id, mh_0..mh_{K-1}): min over the doc's shingle hashes of
-    ``(a_j * sh + b_j) mod (2^31-1)``. One explode + one hash agg;
-    partial min runs map-side so the shuffle carries K ints per doc.
-    Docs with no shingles (< k tokens) are absent."""
-    sh = doc_shingles(df, id_col, text_col, k, hash_fn)
+    """MinHash signatures from an existing (id, sh) shingle frame —
+    lets pipelines that also need the shingles for verification
+    (``near_duplicates``) pay the shingle-hash fold ONCE."""
     # reduce into 31-bit space BEFORE the affine transform: the fast
     # hash is 61-bit and sh * a_j would overflow int64 (ANSI error);
     # a no-op for the portable hash (already < 2^31)
@@ -130,6 +137,18 @@ def minhash_signatures(
         for j in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, num_hashes: int = MINHASH_K, hash_fn: str = "portable",
+) -> DataFrame:
+    """(id, mh_0..mh_{K-1}): min over the doc's shingle hashes of
+    ``(a_j * sh + b_j) mod (2^31-1)``. One explode + one hash agg;
+    partial min runs map-side so the shuffle carries K ints per doc.
+    Docs with no shingles (< k tokens) are absent."""
+    sh = doc_shingles(df, id_col, text_col, k, hash_fn)
+    return signatures_from_shingles(sh, id_col, num_hashes)
 
 
 def _banded_keys(
@@ -268,14 +287,18 @@ def near_duplicates(
     # re-runs the whole candidate DAG per reference (measured 170s vs
     # 2s at 500 docs), and with plain .cache() every reference still
     # EMBEDS the full lineage in the query plan (a ~280KB plan that
-    # Catalyst re-optimizes each time); checkpoint truncates it
-    sigs = minhash_signatures(df, id_col, text_col, k,
-                              hash_fn=hash_fn) \
+    # Catalyst re-optimizes each time); checkpoint truncates it.
+    # The shingle frame itself is checkpointed FIRST: both the
+    # signature aggregation and the exact-Jaccard verify read it, and
+    # the per-character portable-hash fold that produces it is the
+    # pipeline's dominant cost (recomputing it doubled wall time).
+    sh = doc_shingles(df, id_col, text_col, k, hash_fn) \
+        .localCheckpoint(eager=False)
+    sigs = signatures_from_shingles(sh, id_col) \
         .localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs, id_col, max_bucket=max_bucket
     ).localCheckpoint(eager=False)
-    sh = doc_shingles(df, id_col, text_col, k, hash_fn)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
