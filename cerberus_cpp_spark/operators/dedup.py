@@ -282,19 +282,18 @@ def near_duplicates(
     """Scale path: MinHash-LSH candidates, then exact-Jaccard verify
     of candidates ONLY (semi-join the shingle table down to candidate
     ids before the verification join)."""
-    # localCheckpoint (lazy) on the reused intermediates: `cands`
-    # feeds THREE downstream plans — without persistence Spark
-    # re-runs the whole candidate DAG per reference (measured 170s vs
-    # 2s at 500 docs), and with plain .cache() every reference still
-    # EMBEDS the full lineage in the query plan (a ~280KB plan that
-    # Catalyst re-optimizes each time); checkpoint truncates it.
-    # The shingle frame itself is checkpointed FIRST: both the
-    # signature aggregation and the exact-Jaccard verify read it, and
-    # the per-character portable-hash fold that produces it is the
-    # pipeline's dominant cost (recomputing it doubled wall time).
-    sh = doc_shingles(df, id_col, text_col, k, hash_fn) \
-        .localCheckpoint(eager=False)
-    sigs = signatures_from_shingles(sh, id_col) \
+    # localCheckpoint (lazy) on the reused SMALL intermediates only:
+    # `cands` feeds three downstream plans — without persistence
+    # Spark re-runs the whole candidate DAG per reference (measured
+    # 170s vs 2s at 500 docs), and plain .cache() still EMBEDS the
+    # full lineage in every referencing plan; checkpoint truncates
+    # it. The 50x-fan-out shingle frame is deliberately NOT
+    # materialized: the fused explode→hash→partial-min pipeline
+    # computes signatures in 76s at 1M docs where checkpointing the
+    # 52M-row shingle frame alone took 237s (BENCH.md §11) — and the
+    # verify side never needs most of it anyway.
+    sigs = minhash_signatures(df, id_col, text_col, k,
+                              hash_fn=hash_fn) \
         .localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(
         sigs, id_col, max_bucket=max_bucket
@@ -304,9 +303,14 @@ def near_duplicates(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh_c = sh.join(
-        F.broadcast(cand_ids), on=id_col, how="left_semi"
-    ).localCheckpoint(eager=False)
+    # recompute shingles ONLY for candidate docs: semi-join the RAW
+    # doc table down (typically a few % of docs) BEFORE the explode,
+    # so the verify side's fold runs over a tiny fraction of the
+    # corpus instead of re-exploding (or materializing) all of it
+    docs_c = df.join(F.broadcast(cand_ids), on=id_col,
+                     how="left_semi")
+    sh_c = doc_shingles(docs_c, id_col, text_col, k, hash_fn) \
+        .localCheckpoint(eager=False)
     sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh_c.alias("a")
     b = sh_c.alias("b")
