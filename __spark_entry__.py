@@ -649,10 +649,12 @@ def q_tdigest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift via DISTRIBUTED t-digest sketches (north_star
     verbatim: "t-digest quantile sketches compared across
     snapshots"; functions/tdigest.py, checks.tdigest_of). The metric
-    column is clamped-floor(value) — 31 distinct levels, inside the
-    digest's exact (singleton-centroid) regime at compression 200 —
-    so nearest-rank quantiles equal the true discrete lower
-    quantiles and DuckDB replays them with an explicit inverse-CDF.
+    column is clamped-floor(value) — 31 near-uniform levels each
+    carrying ~3% of total weight, 6x above the exact-regime bar
+    (every level weight > W/compression; see the tdigest module
+    docstring — low cardinality ALONE is not sufficient) — so
+    nearest-rank quantiles equal the true discrete lower quantiles
+    and DuckDB replays them with an explicit inverse-CDF.
     Accuracy on continuous data (rank error ~1e-5 at delta=100 on
     1M values) is pinned in tests/test_tdigest.py."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())

@@ -16,10 +16,19 @@ Extremely Accurate Quantiles Using t-Digests", arXiv:1902.04023):
   builds a partial, the merge levels combine them, and only
   centroid arrays (O(δ)) ever move.
 
-When a column has at most ~δ/4 distinct values, no two distinct
-values ever share a centroid (each would exceed the size bound), so
-the digest is EXACT — that regime gives the drift contract query a
-DuckDB oracle (see __spark_entry__ ``tdigest_drift_events``).
+EXACT REGIME (what makes the drift contract query oracle-able): the
+digest is exact — every distinct value its own centroid — precisely
+when no ADJACENT pair of distinct values ever merges, i.e. every
+adjacent pair's combined weight exceeds the local size bound
+``4·W·q(1-q)/δ`` (and 1). Low cardinality alone is NOT sufficient:
+two adjacent RARE values between heavy masses sit under the bound
+and merge into a non-data mean — pinned in
+``test_tdigest.test_adjacent_rare_values_merge``. A simple
+sufficient condition: every distinct value carries weight > W/δ
+(the bound's maximum is 4·W·(1/4)/δ = W/δ, so any adjacent pair
+sums past it). The ``tdigest_drift`` contract data — 31 near-
+uniform levels of ~3%·W each at δ=200 (W/δ = 0.5%·W) — satisfies
+it with a 6× margin.
 """
 
 from __future__ import annotations

@@ -160,6 +160,7 @@ def run_validation(
         for i in range(0, len(todo), partitions_per_commit)
     ]
     processed = 0
+    empty_partitions: list[str] = []
     for ci, chunk in enumerate(chunks):
         if fail_after_chunks is not None and ci >= fail_after_chunks:
             raise KilledRun(
@@ -207,10 +208,17 @@ def run_validation(
                 "lineage": lineage,
             })
         ledger.append(rows)
+        empty_partitions.extend(p for p in chunk if p not in got)
         processed += len(chunk)
     return {
         "run_id": run_id,
         "partitions_total": len(todo),
         "partitions_processed": processed,
         "chunks": len(chunks),
+        # a known partition that matched ZERO rows is either a
+        # genuinely empty partition or a value-encoding mismatch
+        # between the partition source and the column's string cast
+        # (e.g. un-decoded hive escapes) — surfaced, never silent:
+        # each is recorded done/rows=0 in the ledger AND listed here
+        "empty_partitions": empty_partitions,
     }

@@ -264,15 +264,17 @@ def _exact_near_duplicates_blas(base: DataFrame,
     driver — callers at scale must use the LSH route
     (``exact=False``)."""
     spark = base.sparkSession
-    n = base.count()
-    if n > max_rows:
+    # limit(max_rows+1) enforces the guard in the SAME job as the
+    # collect — a separate count() ran the full upstream plan twice
+    # and an unguarded collect could OOM the driver first
+    rows = base.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
         raise ValueError(
             f"exact near-duplicate mode collects the corpus to the "
-            f"driver and is bounded at {max_rows} rows; got {n}. Use "
+            f"driver and is bounded at {max_rows} rows; got more. Use "
             f"exact=False (the LSH-bucketed scale path) or raise "
             f"exact_max_rows explicitly."
         )
-    rows = base.collect()  # bounded: guarded by max_rows above
     import numpy as np
 
     if not rows:

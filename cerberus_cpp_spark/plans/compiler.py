@@ -536,9 +536,16 @@ def _mapping_emitters(
                     lambda x, base, _d=dfn, _s=sfx: _one(
                         ~_d(x), F.concat(base, _s),
                         F.lit("required-rule violated: field missing")))
+            # nested-mapping rule names are excluded from the scalar
+            # probe for EVERY child dtype: on mapping children the
+            # recursion below owns them, on non-mapping children the
+            # tailored CompileError below must fire (leaving them in
+            # made _probe_scalar_conds raise its generic message
+            # first, turning that branch into dead code)
             sub_scalar = {
                 k: v for k, v in frules.items()
-                if k not in ("required",) + mapping_excl(fdt)}
+                if k not in ("required", "schema", "keysrules",
+                             "valuesrules") + mapping_excl(fdt)}
             for b, m in _probe_scalar_conds(sub_scalar, fdt, opts):
                 emitters.append(
                     lambda x, base, _d=dfn, _v=val, _b=b, _m=m, _s=sfx:

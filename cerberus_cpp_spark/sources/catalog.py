@@ -30,9 +30,12 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from typing import Optional, Sequence
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators.ledger import NULL_PARTITION
 
 
 @dataclass(frozen=True)
@@ -92,7 +95,16 @@ def _hive_partition_values(
         name = status.getPath().getName()
         if not name.startswith(prefix):
             return None  # mixed/non-hive layout: fall back to a scan
-        out.append(name[len(prefix):])
+        raw = name[len(prefix):]
+        # directory names are hive-escaped (%3A for ':', etc.) and
+        # NULL is a sentinel directory; the ledger matches partition
+        # values against the COLUMN's string cast, so both must be
+        # decoded here or its IN-list predicate silently matches
+        # nothing and records empty 'done' verdicts
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out.append(NULL_PARTITION)
+        else:
+            out.append(unquote(raw))
     return sorted(out) if out else None
 
 
@@ -109,7 +121,10 @@ def list_partitions(
             f"SELECT partition.{partition_col} AS p "
             f"FROM {r.location}.partitions"
         ).collect()
-        return sorted({str(x["p"]) for x in rows})
+        return sorted({
+            NULL_PARTITION if x["p"] is None else str(x["p"])
+            for x in rows
+        })
     vals = _hive_partition_values(spark, r.location, partition_col)
     if vals is not None:
         return vals
@@ -119,7 +134,11 @@ def list_partitions(
         .distinct()
         .collect()
     )
-    return sorted(str(x["p"]) for x in rows if x["p"] is not None)
+    # NULL partitions map to the ledger's sentinel (dropping them
+    # would leave those rows unvalidated forever on the resume path)
+    return sorted(
+        NULL_PARTITION if x["p"] is None else str(x["p"]) for x in rows
+    )
 
 
 def list_snapshots(spark: SparkSession, ref: str | TableRef) -> list[dict]:

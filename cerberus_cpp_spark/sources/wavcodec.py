@@ -77,6 +77,8 @@ def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
             "only PCM decodes without an external codec")
     if nch < 1:
         raise ValueError("invalid channel count")
+    if rate < 1:
+        raise ValueError("invalid sample rate")  # div-by-zero guard
     if bits == 16:
         arr = np.frombuffer(pcm[: len(pcm) // (2 * nch) * 2 * nch],
                             dtype="<i2")

@@ -35,7 +35,7 @@ DIGEST_SCHEMA = (
 )
 STATE_SCHEMA = (
     "rows long, means array<double>, weights array<double>, "
-    "vmin double, vmax double"
+    "vmin double, vmax double, wend_ms long"
 )
 
 _DUR_RE = re.compile(
@@ -63,7 +63,7 @@ def windowed_tdigest_stream(
 ) -> DataFrame:
     """One t-digest per tumbling event-time window, emitted when the
     watermark closes the window. Output rows: ``DIGEST_SCHEMA``."""
-    win_ms = duration_ms(window)
+    duration_ms(window)  # validate the window spec up front
     comp = int(compression)
     pkg_parent = PKG_PARENT
 
@@ -72,6 +72,12 @@ def windowed_tdigest_stream(
         .select(
             F.window(F.col(ts_col), window).start.alias("wstart"),
             F.col(col).cast("double").alias("v"),
+            # true-epoch window end computed JVM-side: a Python
+            # datetime.timestamp() on the naive key would apply the
+            # OS-local timezone and shift the timeout whenever the
+            # session timezone differs from the OS default
+            F.unix_millis(F.window(F.col(ts_col), window).end)
+            .alias("wend_ms"),
             # the watermarked event-time column must survive the
             # projection or EventTimeTimeout refuses the query
             F.col(ts_col).alias("__ts"),
@@ -92,7 +98,7 @@ def windowed_tdigest_stream(
 
         (wstart,) = key  # datetime (window start)
         if state.hasTimedOut:
-            rows, means, weights, vmin, vmax = state.get
+            rows, means, weights, vmin, vmax, _ = state.get
             state.remove()
             yield pd.DataFrame({
                 "window_start": [wstart], "rows": [rows],
@@ -101,21 +107,23 @@ def windowed_tdigest_stream(
             })
             return
         if state.exists:
-            rows, means, weights, vmin, vmax = state.get
+            rows, means, weights, vmin, vmax, end_ms = state.get
             acc = TD.from_row(
                 {"means": means, "weights": weights,
                  "vmin": vmin, "vmax": vmax}, comp)
         else:
-            rows, acc = 0, TD(comp)
+            rows, acc, end_ms = 0, TD(comp), 0
         for pdf in pdfs:
             vals = pdf["v"].to_numpy()
             rows += len(vals)
             acc = acc.merge(TD.from_values(vals, comp))
+            if len(pdf):
+                end_ms = int(pdf["wend_ms"].iloc[0])
         r = acc.to_row()
         state.update((rows, r["means"], r["weights"],
-                      r["vmin"], r["vmax"]))
-        # fire once the watermark passes the window END
-        end_ms = int(wstart.timestamp() * 1000) + win_ms
+                      r["vmin"], r["vmax"], end_ms))
+        # fire once the watermark passes the window END (true epoch
+        # ms from the JVM-computed column, timezone-safe)
         state.setTimeoutTimestamp(end_ms)
         yield pd.DataFrame({
             "window_start": pd.Series([], dtype="datetime64[ns]"),

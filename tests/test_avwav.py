@@ -212,3 +212,13 @@ def test_fuzz_corruption_raises_only_valueerror():
                 dec(bytes(b))
             except ValueError:
                 pass
+
+
+def test_wav_zero_sample_rate_rejected():
+    # structurally valid PCM with rate=0 must raise ValueError, not
+    # reach callers that divide by the rate (review finding)
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x02")
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)

@@ -103,3 +103,44 @@ def test_pending_partitions_from_catalog_metadata(
         partitions_per_commit=2,
     )
     assert summary2["partitions_total"] == 0
+
+
+def test_list_partitions_unescapes_and_maps_null(spark, tmp_path) -> None:
+    """Hive-escaped directory names (%3A for ':') and the NULL
+    sentinel directory must decode to the COLUMN's string values /
+    the ledger's NULL_PARTITION — otherwise run_validation's IN-list
+    matches nothing and records empty 'done' verdicts (review
+    finding)."""
+    from cerberus_cpp_spark.operators.ledger import NULL_PARTITION
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b:c")], "id int, day string")
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    vals = catalog.list_partitions(spark, path, "day")
+    assert vals == sorted([NULL_PARTITION, "a", "b:c"])
+
+    # end-to-end: every row validated, no silently-empty partitions
+    ledger = ValidationLedger(spark, str(tmp_path / "led"))
+    table = spark.read.parquet(path)
+    tv = TableValidator({"id": {"type": "integer", "min": 0}},
+                        allow_unknown=True)
+    summary = run_validation(table, tv, "day", ledger,
+                             known_partitions=vals)
+    assert summary["partitions_processed"] == 3
+    assert summary["empty_partitions"] == []
+    done = {r["partition_value"]: r
+            for r in ledger.read().collect()}
+    assert done[NULL_PARTITION]["rows"] == 1
+    assert done["b:c"]["rows"] == 1 and done["a"]["rows"] == 1
+
+
+def test_scan_fallback_includes_null_partition(spark, tmp_path) -> None:
+    from cerberus_cpp_spark.operators.ledger import NULL_PARTITION
+
+    path = str(tmp_path / "flatnull")
+    spark.createDataFrame(
+        [(1, "x"), (2, None)], "id int, day string"
+    ).write.parquet(path)
+    vals = catalog.list_partitions(spark, path, "day")
+    assert vals == sorted([NULL_PARTITION, "x"])

@@ -123,3 +123,30 @@ def test_tdigest_drift_empty_side(spark):
     empty = base.where("v < 0")
     res = checks.tdigest_drift(base, empty, "v")
     assert all(np.isnan(q) for q in res["quantiles_b"])
+
+
+def test_adjacent_rare_values_merge():
+    """Documents the exact-regime boundary (review finding): low
+    cardinality alone does NOT guarantee singleton centroids — two
+    adjacent rare values under the local size bound merge into a
+    non-data mean. Oracle-backed queries must keep every level's
+    weight above W/compression (the contract query has 6x margin)."""
+    vals = np.concatenate([
+        np.zeros(100_000), [15.0, 16.0], np.full(100_000, 30.0)])
+    d = TDigest.from_values(vals, 200)
+    assert d.means.size == 3  # 15 and 16 merged
+    assert 15.0 < d.means[1] < 16.0  # non-data mean
+    # heavy levels never merge: every level weight > W/compression
+    heavy = np.repeat([0.0, 15.0, 16.0, 30.0], 2000)
+    dh = TDigest.from_values(heavy, 200)
+    assert dh.means.size == 4
+
+
+def test_contract_regime_margin():
+    """The tdigest_drift contract distribution shape (31 near-uniform
+    levels) stays singleton-centroid at compression 200."""
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 31, 10_000).astype(float)
+    d = TDigest.from_values(vals, 200)
+    assert d.means.size == 31
+    assert np.array_equal(np.sort(d.means), np.arange(31.0))
