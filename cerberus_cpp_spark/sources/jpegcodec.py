@@ -10,10 +10,14 @@ DCT-quantize-entropy pipeline, not a bit-truncation fake:
   tables, IJG quality scaling. Output is a spec-conformant JFIF
   stream (interop-verified against Java ImageIO in
   ``tests/test_jpeg_interop.py``).
-- :func:`decode_jpeg` — general baseline decoder: multi-table
-  DQT/DHT segments, SOF0/SOF1, arbitrary sampling factors (4:4:4,
-  4:2:2, 4:2:0 — replication upsampling), restart markers (DRI/RSTn),
-  grayscale or YCbCr. Progressive (SOF2) is rejected explicitly.
+- :func:`decode_jpeg` — general huffman decoder: sequential
+  (SOF0/SOF1, interleaved or per-component scans) AND progressive
+  (SOF2: spectral selection + successive approximation, EOB runs,
+  DC/AC refinement passes), multi-table DQT/DHT segments, arbitrary
+  sampling factors (4:4:4, 4:2:2, 4:2:0 — triangle-filter
+  upsampling), restart markers (DRI/RSTn), grayscale or YCbCr.
+  Arithmetic/hierarchical/lossless processes are rejected
+  explicitly.
 
 Everything below is straight from the public JPEG specification
 (ITU-T T.81 / ISO 10918-1, Annex K for the tables); the hot math
@@ -474,6 +478,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG stream: {e}") from e
 
 
+class _Frame:
+    """Mutable decode state shared across scans (progressive JPEGs
+    carry many SOS segments, each touching a coefficient subset)."""
+
+    __slots__ = ("h", "w", "comps", "progressive", "hmax", "vmax",
+                 "mcus_x", "mcus_y", "coef", "stride", "nbw", "nbh")
+
+    def __init__(self, h: int, w: int, comps: list,
+                 progressive: bool) -> None:
+        self.h, self.w, self.comps = h, w, comps
+        self.progressive = progressive
+        self.hmax = max(hi for _, hi, _, _ in comps)
+        self.vmax = max(vi for _, _, vi, _ in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef = []     # per component: (n_blocks, 64) int64
+        self.stride = []   # blocks per row (interleaved padding)
+        self.nbw = []      # non-interleaved block-grid dims
+        self.nbh = []
+        for _, hi, vi, _ in comps:
+            stride = self.mcus_x * hi
+            self.coef.append(
+                np.zeros((stride * self.mcus_y * vi, 64),
+                         dtype=np.int64))
+            self.stride.append(stride)
+            cw = (w * hi + self.hmax - 1) // self.hmax
+            ch = (h * vi + self.vmax - 1) // self.vmax
+            self.nbw.append((cw + 7) // 8)
+            self.nbh.append((ch + 7) // 8)
+
+
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (no SOI)")
@@ -482,15 +517,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
-    frame = None  # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    frame: _Frame | None = None
+    got_scan = False
 
     while True:
         if pos + 1 >= len(data):
+            if got_scan:
+                break  # tolerate a missing EOI after valid scans
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
@@ -515,7 +555,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 values = tuple(seg[p + 17:p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = (bits, values)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 prog
             prec, fh, fw, nf = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -523,9 +563,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nf):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported")
+            frame = _Frame(fh, fw, comps, progressive=(marker == 0xC2))
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding process")
@@ -535,102 +573,257 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append((cs, tdta >> 4, tdta & 15))
-            pos += seglen
-            break
+                scomps.append((cs, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_scan(
+                data, pos + seglen, frame, scomps,
+                ss, se, ahal >> 4, ahal & 15,
+                qtables, huff_dc, huff_ac, restart_interval)
+            got_scan = True
+            continue
         pos += seglen
 
-    fh, fw, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("non-interleaved multi-scan JPEG unsupported")
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    hmax = max(hi for _, hi, _, _ in comps)
-    vmax = max(vi for _, _, vi, _ in comps)
-    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    if frame is None or not got_scan:
+        raise ValueError("no image data (missing SOF/SOS)")
+    return _finish(frame, qtables)
 
-    # per scan-component decode state; huffman tables compiled to
-    # 16-bit-prefix LUTs (cached process-wide by table content —
-    # nearly all JPEGs use the four standard Annex K tables)
-    sdefs = []
-    for cs, td, ta in scan:
-        hi, vi, tq = by_id[cs]
-        if tq not in qtables or td not in huff_dc or ta not in huff_ac:
-            raise ValueError("missing quant/huffman table")
-        n_blocks = mcus_x * hi * mcus_y * vi
-        dc_sym, dc_len = _huff_lut(*huff_dc[td])
-        ac_sym, ac_len = _huff_lut(*huff_ac[ta])
-        sdefs.append({
-            "hi": hi, "vi": vi, "qt": qtables[tq],
-            "dc_sym": dc_sym, "dc_len": dc_len,
-            "ac_sym": ac_sym, "ac_len": ac_len,
-            "zz": np.zeros((n_blocks, 64), dtype=np.int64),
-        })
 
+def _decode_scan(data, pos, frame: _Frame, scomps, ss, se, ah, al,
+                 qtables, huff_dc, huff_ac, restart_interval) -> int:
+    """Decode one entropy-coded scan (sequential full-band, or one
+    progressive DC/AC first/refinement pass) into ``frame.coef``.
+    Returns the position of the next marker."""
+    cidx = []
+    for cs, td, ta in scomps:
+        for i, (cid, _, _, _) in enumerate(frame.comps):
+            if cid == cs:
+                cidx.append((i, td, ta))
+                break
+        else:
+            raise ValueError("scan references unknown component")
+    if frame.progressive:
+        if ss == 0 and se == 0:
+            return _scan_dc(data, pos, frame, cidx, ah, al,
+                            huff_dc, restart_interval)
+        if ss == 0 or len(cidx) != 1:
+            raise ValueError("invalid progressive scan header")
+        return _scan_ac(data, pos, frame, cidx[0], ss, se, ah, al,
+                        huff_ac, restart_interval)
+    if ss != 0 or se != 63 or ah != 0 or al != 0:
+        raise ValueError("invalid sequential scan header")
+    return _scan_sequential(data, pos, frame, cidx,
+                            huff_dc, huff_ac, restart_interval)
+
+
+def _luts(table_bank: dict, th: int):
+    if th not in table_bank:
+        raise ValueError("missing huffman table")
+    return _huff_lut(*table_bank[th])
+
+
+def _decode_sym(r: _BitReader, sym_lut, len_lut) -> int:
+    w16 = r.peek16()
+    length = len_lut[w16]
+    if length == 0:
+        raise ValueError("invalid Huffman code")
+    r.skip(length)
+    return sym_lut[w16]
+
+
+def _interleaved_units(frame: _Frame, cidx):
+    """Yield (mcu_index, [(ci, block_index), ...]) in MCU raster
+    order — the unit list covers every block of every scan component
+    in one MCU. For a single-component scan the 'MCU' is ONE block
+    of that component over its own (nbw x nbh) grid (T.81 A.2.2)."""
+    if len(cidx) == 1:
+        ci = cidx[0][0]
+        stride = frame.stride[ci]
+        nbw, nbh = frame.nbw[ci], frame.nbh[ci]
+        for i in range(nbw * nbh):
+            by, bx = divmod(i, nbw)
+            yield i, [(ci, by * stride + bx)]
+        return
+    for mcu in range(frame.mcus_x * frame.mcus_y):
+        my, mx = divmod(mcu, frame.mcus_x)
+        units = []
+        for ci, _, _ in cidx:
+            _, hi, vi, _ = frame.comps[ci]
+            for v in range(vi):
+                row = (my * vi + v) * frame.mcus_x * hi + mx * hi
+                for hb in range(hi):
+                    units.append((ci, row + hb))
+        yield mcu, units
+
+
+def _scan_sequential(data, pos, frame, cidx, huff_dc, huff_ac,
+                     restart_interval) -> int:
     r = _BitReader(data, pos)
-    pred = [0] * len(sdefs)
+    luts = {ci: (_luts(huff_dc, td), _luts(huff_ac, ta))
+            for ci, td, ta in cidx}
+    pred = {ci: 0 for ci, _, _ in cidx}
     n_rst = 0
-    total_mcus = mcus_x * mcus_y
-    for mcu in range(total_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    for unit_i, units in _interleaved_units(frame, cidx):
+        if restart_interval and unit_i and \
+                unit_i % restart_interval == 0:
             r.sync_restart(n_rst)
             n_rst = (n_rst + 1) & 7
-            pred = [0] * len(sdefs)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, sd in enumerate(sdefs):
-            hi, vi = sd["hi"], sd["vi"]
-            dc_sym, dc_len = sd["dc_sym"], sd["dc_len"]
-            ac_sym, ac_len = sd["ac_sym"], sd["ac_len"]
-            zz = sd["zz"]
-            for v in range(vi):
-                row_base = (my * vi + v) * mcus_x * hi + mx * hi
-                for hbl in range(hi):
-                    blk = [0] * 64
-                    w16 = r.peek16()
-                    length = dc_len[w16]
-                    if length == 0:
-                        raise ValueError("invalid Huffman code")
-                    r.skip(length)
-                    pred[ci] += _receive_extend(r, dc_sym[w16])
-                    blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        w16 = r.peek16()
-                        length = ac_len[w16]
-                        if length == 0:
-                            raise ValueError("invalid Huffman code")
-                        r.skip(length)
-                        rs = ac_sym[w16]
-                        s = rs & 15
-                        if s == 0:
-                            if rs != 0xF0:
-                                break  # EOB
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        blk[k] = _receive_extend(r, s)
-                        k += 1
-                    zz[row_base + hbl] = blk
+            pred = {ci: 0 for ci, _, _ in cidx}
+        for ci, bidx in units:
+            (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
+            blk = [0] * 64
+            t = _decode_sym(r, dc_sym, dc_len)
+            pred[ci] += _receive_extend(r, t)
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _decode_sym(r, ac_sym, ac_len)
+                s = rs & 15
+                if s == 0:
+                    if rs != 0xF0:
+                        break  # EOB
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                blk[k] = _receive_extend(r, s)
+                k += 1
+            frame.coef[ci][bidx] = blk
+    return r.pos
 
+
+def _scan_dc(data, pos, frame, cidx, ah, al, huff_dc,
+             restart_interval) -> int:
+    """Progressive DC scan: first pass (Ah=0) codes DC diffs shifted
+    by Al; refinement passes (Ah>0) add one bit per block."""
+    r = _BitReader(data, pos)
+    luts = {ci: _luts(huff_dc, td) for ci, td, _ in cidx} \
+        if ah == 0 else {}
+    pred = {ci: 0 for ci, _, _ in cidx}
+    n_rst = 0
+    for unit_i, units in _interleaved_units(frame, cidx):
+        if restart_interval and unit_i and \
+                unit_i % restart_interval == 0:
+            r.sync_restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            pred = {ci: 0 for ci, _, _ in cidx}
+        for ci, bidx in units:
+            if ah == 0:
+                dc_sym, dc_len = luts[ci]
+                t = _decode_sym(r, dc_sym, dc_len)
+                pred[ci] += _receive_extend(r, t)
+                frame.coef[ci][bidx, 0] = pred[ci] << al
+            else:
+                if r.get(1):
+                    frame.coef[ci][bidx, 0] |= 1 << al
+    return r.pos
+
+
+def _scan_ac(data, pos, frame, one_cidx, ss, se, ah, al, huff_ac,
+             restart_interval) -> int:
+    """Progressive AC scan over ONE component's spectral band
+    [ss..se]: first pass (Ah=0) with EOB-run coding, refinement pass
+    (Ah>0) with correction bits (T.81 G.1.2.3 / the classic libjpeg
+    decode_mcu_AC_first/refine control flow)."""
+    ci, _, ta = one_cidx
+    ac_sym, ac_len = _luts(huff_ac, ta)
+    r = _BitReader(data, pos)
+    coef = frame.coef[ci]
+    stride = frame.stride[ci]
+    nbw, nbh = frame.nbw[ci], frame.nbh[ci]
+    eobrun = 0
+    n_rst = 0
+    p1, m1 = 1 << al, -1 << al
+    for i in range(nbw * nbh):
+        if restart_interval and i and i % restart_interval == 0:
+            r.sync_restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            eobrun = 0
+        by, bx = divmod(i, nbw)
+        blk = coef[by * stride + bx]
+        if ah == 0:  # first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_sym(r, ac_sym, ac_len)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr != 15:
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.get(rr)
+                        break
+                    k += 16
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[k] = _receive_extend(r, s) << al
+                k += 1
+            continue
+        # refinement pass
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_sym(r, ac_sym, ac_len)
+                rr, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if rr != 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.get(rr)
+                        break
+                    # rr == 15: pass over 15 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement size")
+                    val = p1 if r.get(1) else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if r.get(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        rr -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if r.get(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+    return r.pos
+
+
+def _finish(frame: _Frame, qtables) -> np.ndarray:
     # dequantize + IDCT all blocks per component at once
     planes = []
-    for sd in sdefs:
-        hi, vi = sd["hi"], sd["vi"]
-        bw_, bh_ = mcus_x * hi, mcus_y * vi
-        coeffs = (sd["zz"][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-                  * sd["qt"][None, :, :])
+    for ci, (cid, hi, vi, tq) in enumerate(frame.comps):
+        if tq not in qtables:
+            raise ValueError("missing quant table")
+        bw_, bh_ = frame.mcus_x * hi, frame.mcus_y * vi
+        coeffs = (frame.coef[ci][:, UNZIGZAG].reshape(-1, 8, 8)
+                  .astype(np.float64) * qtables[tq][None, :, :])
         blocks = np.einsum("ux,nuv,vy->nxy", DCT_M, coeffs, DCT_M) + 128.0
         plane = (
             blocks.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
             .reshape(bh_ * 8, bw_ * 8)
         )
-        plane = _upsample(plane, vmax // vi, hmax // hi)
-        planes.append(plane[:fh, :fw])
+        plane = _upsample(plane, frame.vmax // vi, frame.hmax // hi)
+        planes.append(plane[:frame.h, :frame.w])
 
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

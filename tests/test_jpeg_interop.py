@@ -37,6 +37,8 @@ public class JpegTool {
       ImageWriteParam p = wr.getDefaultWriteParam();
       p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
       p.setCompressionQuality(q);
+      if (a.length > 6 && a[6].equals("prog"))
+        p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
       try (ImageOutputStream os =
                ImageIO.createImageOutputStream(new File(a[5]))) {
         wr.setOutput(os);
@@ -143,3 +145,67 @@ def test_we_match_java_on_javas_own_stream(jpeg_tool):
     # identical coefficients; differences only from IDCT rounding and
     # our replication (vs Java's filtered) chroma upsampling
     assert psnr(java_px, ours) >= 30.0
+
+
+def test_we_decode_java_progressive_stream(jpeg_tool):
+    """Progressive (SOF2) decode: multi-scan spectral selection +
+    successive approximation. Oracle = Java's own decode of the same
+    progressive file (both decoders on one bitstream must agree
+    nearly pixel-for-pixel; measured 51 dB)."""
+    d, run = jpeg_tool
+    px = synth_pixels(23, 48, 40)
+    (d / "p.raw").write_bytes(px.tobytes())
+    run("enc", "48", "40", "0.9", str(d / "p.raw"),
+        str(d / "prog.jpg"), "prog")
+    data = (d / "prog.jpg").read_bytes()
+    assert b"\xff\xc2" in data  # SOF2: actually progressive
+    run("dec", str(d / "prog.jpg"), str(d / "prog.raw"))
+    raw = (d / "prog.raw").read_bytes()
+    w, h = struct.unpack(">II", raw[:8])
+    jdec = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
+    ours = decode_jpeg(data)
+    assert ours.shape == (40, 48, 3)
+    assert psnr(jdec, ours) >= 40.0
+    assert abs(psnr(px, ours) - psnr(px, jdec)) < 1.0
+
+
+def test_we_decode_java_progressive_high_quality(jpeg_tool):
+    # near-lossless progressive: catches refinement-pass bugs that a
+    # coarse quantizer would mask
+    d, run = jpeg_tool
+    px = synth_pixels(29, 32, 24)
+    (d / "p2.raw").write_bytes(px.tobytes())
+    run("enc", "32", "24", "0.98", str(d / "p2.raw"),
+        str(d / "p2.jpg"), "prog")
+    data = (d / "p2.jpg").read_bytes()
+    assert b"\xff\xc2" in data
+    run("dec", str(d / "p2.jpg"), str(d / "p2.raw.out"))
+    raw = (d / "p2.raw.out").read_bytes()
+    w, h = struct.unpack(">II", raw[:8])
+    jdec = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
+    ours = decode_jpeg(data)
+    assert psnr(jdec, ours) >= 45.0
+
+
+def test_progressive_corruption_hygiene(jpeg_tool):
+    # corrupt/truncate a REAL progressive stream: only ValueError (or
+    # a clean decode) may escape, same contract as baseline streams
+    import random
+
+    d, run = jpeg_tool
+    px = synth_pixels(31, 24, 24)
+    (d / "f.raw").write_bytes(px.tobytes())
+    run("enc", "24", "24", "0.9", str(d / "f.raw"),
+        str(d / "f.jpg"), "prog")
+    blob = (d / "f.jpg").read_bytes()
+    rng = random.Random(77)
+    for trial in range(200):
+        b = bytearray(blob)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        if trial % 5 == 0:
+            b = b[:rng.randrange(10, len(b))]
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass

@@ -73,11 +73,14 @@ def test_truncated_stream_rejected():
         decode_jpeg(d[: len(d) * 2 // 3])
 
 
-def test_progressive_rejected():
+def test_sequential_scan_under_progressive_frame_rejected():
+    # progressive (SOF2) is SUPPORTED (interop tests decode Java's
+    # progressive output); a full-band Ss=0..63 scan under a SOF2
+    # frame is still malformed and must fail cleanly
     d = bytearray(encode_jpeg(synth_pixels(3, 16, 16)))
     sof = d.find(b"\xff\xc0")
-    d[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    d[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(d))
 
 
