@@ -281,6 +281,33 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk_lsh(corpus, queries, k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF (k-means coarse quantizer) ANN scale path — the task
+    brief names both IVF and LSH variants; ann_topk_lsh covers the
+    other. PLANTED-TRUTH oracle: each query has an IDENTICAL twin
+    (vec_id + 1e6) in the corpus; probe lists run through the same
+    assignment code as the corpus, so the twin's inverted list is
+    always the query's first probe and top-1 is provably the twin at
+    cosine exactly 1.0 (after round-6). Recall-vs-nprobe on
+    non-planted data: tests/test_training_ops.py + BENCH.md §5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    assigned, cents = _sim.ivf_index(corpus, n_lists=16, seed=11)
+    return _sim.ivf_topk(assigned, cents, queries, k=1, nprobe=4) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_IVF_SQL = """
+SELECT vec_id AS query_id,
+       vec_id + 1000000 AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -765,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "tdigest_drift": q_tdigest_drift,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 
@@ -1367,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
+        "ann_topk_ivf": _ANN_IVF_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

@@ -315,3 +315,155 @@ def _exact_near_duplicates_blas(base: DataFrame,
     return src.mapInPandas(
         work, schema="id_a long, id_b long, cosine double"
     )
+
+
+def _assign_lists(df: DataFrame, centroids: np.ndarray, *,
+                  id_col: str, vec_col: str,
+                  out_col: str = "list_id",
+                  top_n: int = 1) -> DataFrame:
+    """Nearest-centroid assignment (cosine) as one vectorized numpy
+    matmul per Arrow batch. ``top_n`` > 1 emits that many rows per
+    vector (probe lists for queries). Centroids travel in the
+    closure — (n_lists, dim) doubles, a few KB."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    id_dtype = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True)
+         for f in df.select(id_col, vec_col).schema.fields]
+        + [T.StructField(out_col, T.IntegerType(), True)]
+    )
+    src = df.select(id_col, vec_col)
+    _ = id_dtype  # documented: schema derives from the input frame
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cn.T  # (batch, n_lists)
+            if top_n == 1:
+                lists = sims.argmax(axis=1)[:, None]
+            else:
+                # stable sort: exact score ties resolve by list index,
+                # matching argmax (the planted-oracle invariant needs
+                # probe[0] == the twin's assigned list)
+                lists = np.argsort(-sims, axis=1,
+                                   kind="stable")[:, :top_n]
+            rows = {id_col: [], vec_col: [], out_col: []}
+            for i in range(len(pdf)):
+                for j in lists[i]:
+                    rows[id_col].append(pdf[id_col].iloc[i])
+                    rows[vec_col].append(pdf[vec_col].iloc[i])
+                    rows[out_col].append(int(j))
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 11,
+    sample_mod: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer — the second scale path for ANN next to
+    the LSH route (the task brief names both): spherical k-means
+    centroids trained driver-side on a bounded deterministic sample,
+    then ONE narrow assignment pass over the corpus.
+
+    Returns ``(assigned, centroids)``: the corpus with an extra
+    ``list_id`` column (partition-pruning-friendly at rest — write
+    bucketed/partitioned by it at scale) and the (n_lists, dim)
+    centroid matrix. ``sample_mod`` skips the sizing count for giant
+    corpora (keep every row with xxhash64(id) % sample_mod == 0).
+    Deterministic for a fixed seed (k-means++ under a seeded RNG;
+    note that BLAS ulp differences across heterogeneous hardware can
+    flip assignments of near-boundary vectors)."""
+    if sample_mod is None:
+        n = corpus.count()
+        sample_mod = max(1, n // max(train_rows, 1))
+    sample = corpus.where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(sample_mod))) == 0
+    ).select(vec_col).limit(train_rows).collect()
+    if len(sample) < n_lists:
+        raise ValueError(
+            f"IVF training sample ({len(sample)}) smaller than "
+            f"n_lists ({n_lists}); lower n_lists or sample_mod")
+    mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in sample])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                      1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding, then spherical Lloyd iterations
+    cents = [mat[rng.randint(len(mat))]]
+    for _ in range(n_lists - 1):
+        d2 = np.min(
+            [1.0 - mat @ c for c in cents], axis=0).clip(min=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(mat[rng.choice(len(mat), p=probs)])
+    cents = np.asarray(cents)
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = mat[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    assigned = _assign_lists(corpus, cents, id_col=id_col,
+                             vec_col=vec_col)
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF probe lists: each query scores ONLY the
+    corpus rows assigned to its ``nprobe`` nearest centroids — the
+    candidate set shrinks ~n_lists/nprobe-fold vs brute force, and
+    the probe pairs (queries x nprobe rows) broadcast. Probe lists
+    are computed through the SAME assignment code path as the corpus
+    (identical vectors therefore probe exactly their twin's list —
+    the invariant the planted contract oracle checks). Output:
+    (query_id, neighbor_id, rank, cosine), self-matches excluded."""
+    probes = _assign_lists(
+        queries, centroids, id_col=id_col, vec_col=vec_col,
+        top_n=int(nprobe)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "list_id",
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), on="list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        # a vector can appear via several probed lists: dedup before
+        # ranking so row_number never double-counts a neighbor
+        .dropDuplicates(["query_id", id_col])
+        .withColumn("cosine", F.expr(_cosine_expr(vec_col, "qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                "rank", F.round(F.col("cosine"), 6).alias("cosine"))
+    )

@@ -180,3 +180,50 @@ def test_rh_signatures_string_ids(spark, emb) -> None:
     ann = SIM.ann_topk_lsh(semb, qs, k=3)
     rows = ann.collect()
     assert rows and all(r["query_id"].startswith("doc-") for r in rows)
+
+
+def test_ivf_index_and_recall(spark, emb) -> None:
+    """IVF coarse quantizer: nprobe=all is lossless (every list
+    probed == brute force), recall grows with nprobe, identical
+    twins always recovered at rank 1 (the contract-oracle
+    invariant)."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    assigned = assigned.localCheckpoint(eager=False)
+    assert cents.shape[0] == 8
+    qs = emb.where("vec_id < 10")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, qs, k=3).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(assigned, cents, qs, k=3,
+                                  nprobe=8).collect()}
+    assert full == exact  # all lists probed => exact
+    part = {(r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(assigned, cents, qs, k=3,
+                                  nprobe=2).collect()}
+    assert len(part & exact) >= len(exact) * 0.3  # partial recall
+
+
+def test_ivf_planted_twin_rank1(spark, emb) -> None:
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    assigned, cents = SIM.ivf_index(corpus, n_lists=8, seed=11)
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    top1 = SIM.ivf_topk(assigned, cents, qs, k=1, nprobe=1).collect()
+    assert len(top1) == 5
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] + 5000
+        assert r["cosine"] == 1.0
+
+
+def test_ivf_deterministic_and_guarded(spark, emb) -> None:
+    a1, c1 = SIM.ivf_index(emb, n_lists=8, seed=11)
+    a2, c2 = SIM.ivf_index(emb, n_lists=8, seed=11)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)
+    r1 = sorted((r["vec_id"], r["list_id"]) for r in a1.collect())
+    r2 = sorted((r["vec_id"], r["list_id"]) for r in a2.collect())
+    assert r1 == r2
+    with pytest.raises(ValueError, match="smaller than"):
+        SIM.ivf_index(emb.limit(4), n_lists=8, seed=1)
