@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
+from cerberus_cpp_spark.functions.shipping import PKG_PARENT
 from cerberus_cpp_spark.operators import checks
 from cerberus_cpp_spark.plans.engine import TableValidator
 
@@ -581,6 +583,67 @@ FROM t
 """
 
 
+PHASH_PIXEL_N = 1000
+PHASH_PIXEL_GROUPS = 250
+
+
+def q_phash_pixel_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash uniqueness computed from DECODED payload
+    pixels (north_star's phash check with the hash actually derived
+    from content): 1000 PNG payloads of deterministic white-noise
+    images, seeds planted so ids {g, g+250, g+500, g+750} carry
+    IDENTICAL bytes. Identical bytes ⇒ identical pHash; distinct
+    noise seeds are pairwise-distinct at min hamming 16 (pinned in
+    tests/test_image_checks.py), so the phash-equality groups equal
+    the planted groups EXACTLY and DuckDB predicts the full grouping
+    from id arithmetic without decoding anything."""
+    from cerberus_cpp_spark.operators.image_checks import pixel_phash
+
+    n, groups = PHASH_PIXEL_N, PHASH_PIXEL_GROUPS
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_png,
+            synth_noise_pixels,
+        )
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            yield pd.DataFrame({
+                "image_id": [f"img-{i:06d}" for i in ids],
+                "bytes": [
+                    encode_png(synth_noise_pixels(i % groups, 16, 16))
+                    for i in ids
+                ],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    ph = pixel_phash(imgs)
+    w = W.partitionBy("phash")
+    return ph.select(
+        "image_id",
+        F.count(F.lit(1)).over(w).alias("n_same_phash"),
+        F.min("image_id").over(w).alias("keep_id"),
+    )
+
+
+_PHASH_PIXEL_SQL = f"""
+SELECT printf('img-%06d', g.range) AS image_id,
+       CAST({PHASH_PIXEL_N // PHASH_PIXEL_GROUPS} AS BIGINT)
+         AS n_same_phash,
+       printf('img-%06d', g.range % {PHASH_PIXEL_GROUPS}) AS keep_id
+FROM range(0, {PHASH_PIXEL_N}) g
+"""
+
+
 AUDIO_STATS_N = 300
 VIDEO_FRAMES_N = 120
 
@@ -793,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "tdigest_drift": q_tdigest_drift,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "phash_pixel_dups": q_phash_pixel_dups,
     }
 
 
@@ -1396,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_FRAMES_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
+        "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

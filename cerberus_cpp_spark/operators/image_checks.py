@@ -229,3 +229,43 @@ def fidelity_check(
         schema="image_id string, psnr_db double, "
                "pixels_ok boolean, caption_ok boolean",
     )
+
+
+def pixel_phash(df: DataFrame, *, id_col: str = "image_id",
+                bytes_col: str = "bytes") -> DataFrame:
+    """Perceptual hash computed from DECODED pixels (north_star's
+    "phash-based uniqueness" with the hash actually derived from
+    payload content, not a metadata column): one Arrow-batched
+    narrow stage — decode (in-repo codecs) → classic pHash
+    (imagegen.phash64: 32×32 luma DCT, 8×8 low-frequency sign bits).
+    Output (image_id, phash long); undecodable payloads → NULL.
+    Downstream uniqueness is the standard hash-aggregate
+    (`checks.duplicate_keys`, salting optional per BENCH §3)."""
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            phash64,
+        )
+
+        for pdf in batches:
+            out = {"image_id": pdf["image_id"], "phash": []}
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    out["phash"].append(None)
+                    continue
+                try:
+                    _, px = decode_image(bytes(blob))
+                    out["phash"].append(phash64(px))
+                except ValueError:
+                    out["phash"].append(None)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        work, schema="image_id string, phash long")

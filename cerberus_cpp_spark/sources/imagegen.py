@@ -167,3 +167,55 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return math.inf
     return 10.0 * math.log10(255.0 * 255.0 / mse)
+
+
+def synth_noise_pixels(noise_seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic white-noise RGB image (splitmix64-style integer
+    mixing — no RNG object, reproducible anywhere). Unlike the
+    gradient family, noise images give near-maximal perceptual-hash
+    entropy: the gradient images are all genuinely SIMILAR (that is
+    what pHash is designed to collapse — 41/250 collide), noise
+    seeds are pairwise-distinct with ~2^-63 collision odds."""
+    base = (noise_seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    i = np.arange(h * w, dtype=np.uint64) + np.uint64(base)
+    with np.errstate(over="ignore"):
+        x = i.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    r = (x & np.uint64(255)).astype(np.uint8)
+    g = ((x >> np.uint64(8)) & np.uint64(255)).astype(np.uint8)
+    b = ((x >> np.uint64(16)) & np.uint64(255)).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1).reshape(h, w, 3)
+
+
+_DCT32 = None
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash): luma → 32×32 nearest
+    resize → 32-point DCT-II → top-left 8×8 low-frequency block →
+    bit = coefficient > median (DC excluded from the median).
+    Returns a SIGNED 64-bit int (two's complement) so it fits a
+    Spark/parquet long."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)
+        m = np.sqrt(2.0 / 32.0) * np.cos(
+            (2 * k[None, :] + 1) * k[:, None] * np.pi / 64)
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = m
+    lum = (0.299 * pixels[..., 0] + 0.587 * pixels[..., 1]
+           + 0.114 * pixels[..., 2]).astype(np.float64)
+    h, w = lum.shape
+    ys = np.arange(32) * h // 32
+    xs = np.arange(32) * w // 32
+    small = lum[ys][:, xs]
+    coeffs = (_DCT32 @ small @ _DCT32.T)[:8, :8].flatten()
+    med = float(np.median(coeffs[1:]))
+    v = 0
+    for b in (coeffs > med):
+        v = (v << 1) | int(b)
+    return int(np.uint64(v).astype(np.int64))

@@ -79,3 +79,40 @@ def test_decode_stage_is_narrow(spark, with_bytes) -> None:
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pixel_phash_groups_and_distinctness(spark):
+    """Pixel-derived pHash (imagegen.phash64 over decoded payloads):
+    identical bytes hash identically; the 250 noise seeds used by
+    the phash_pixel_dups contract are pairwise-distinct (min hamming
+    16 measured — pinned >= 4 here so codec/DCT drift surfaces in
+    pytest before it breaks the oracle)."""
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.image_checks import pixel_phash
+    from cerberus_cpp_spark.sources.imagegen import (
+        encode_png,
+        phash64,
+        synth_noise_pixels,
+    )
+
+    hs = [phash64(synth_noise_pixels(g, 16, 16)) for g in range(250)]
+    assert len(set(hs)) == 250
+    sample = hs[:60]
+    mn = 64
+    for i in range(len(sample)):
+        for j in range(i + 1, len(sample)):
+            mn = min(mn, bin((sample[i] ^ sample[j])
+                             & 0xFFFFFFFFFFFFFFFF).count("1"))
+    assert mn >= 4, mn
+
+    rows = [("a", bytearray(encode_png(synth_noise_pixels(7, 16, 16)))),
+            ("b", bytearray(encode_png(synth_noise_pixels(7, 16, 16)))),
+            ("c", bytearray(encode_png(synth_noise_pixels(8, 16, 16)))),
+            ("d", None),
+            ("e", bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r["phash"] for r in pixel_phash(df).collect()}
+    assert got["a"] == got["b"] == hs[7]
+    assert got["c"] == hs[8] != got["a"]
+    assert got["d"] is None and got["e"] is None
