@@ -79,7 +79,7 @@ def exact_duplicate_rows(
 
 def doc_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, hash_fn: str = "portable",
+    k: int = 3, hash_fn: str = "portable", fanout: bool = True,
 ) -> DataFrame:
     """(id, sh) — one row per DISTINCT shingle hash per doc. The
     explode is the fan-out stage; everything downstream works on
@@ -96,9 +96,15 @@ def doc_shingles(
     # otherwise runs in as few tasks as the file has splits. At real
     # scale inputs already carry >= defaultParallelism splits, so
     # this never fires (no extra shuffle on the 100 TB path).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, id_col)
+    # CAVEAT (review finding): the .rdd partition probe EAGERLY
+    # executes any shuffle/broadcast stages already in df's plan —
+    # harmless on raw scans/projections, laziness-breaking on derived
+    # frames. Callers passing a frame with upstream joins must set
+    # fanout=False (near_duplicates does for its candidate side).
+    if fanout:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, id_col)
     ex = df.select(F.col(id_col), F.explode(shingles(text_col, k))
                    .alias("shingle"))
     if hash_fn == "fast":
@@ -309,7 +315,11 @@ def near_duplicates(
     # corpus instead of re-exploding (or materializing) all of it
     docs_c = df.join(F.broadcast(cand_ids), on=id_col,
                      how="left_semi")
-    sh_c = doc_shingles(docs_c, id_col, text_col, k, hash_fn) \
+    # fanout=False: the partition probe would eagerly run the whole
+    # candidate DAG embedded in docs_c's plan; the candidate set is a
+    # few % of docs, so fan-out buys nothing here anyway
+    sh_c = doc_shingles(docs_c, id_col, text_col, k, hash_fn,
+                        fanout=False) \
         .localCheckpoint(eager=False)
     sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh_c.alias("a")

@@ -393,9 +393,21 @@ def ivf_index(
     if sample_mod is None:
         n = corpus.count()
         sample_mod = max(1, n // max(train_rows, 1))
-    sample = corpus.where(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(sample_mod))) == 0
-    ).select(vec_col).limit(train_rows).collect()
+    # the hash filter leaves ~[train_rows, 2*train_rows) rows; a bare
+    # limit() would keep whichever partitions answer first (plan-
+    # nondeterministic training sets — review finding). Ordering by
+    # the id hash first makes the kept subset a pure function of the
+    # data: TakeOrdered over a small filtered set, no full sort.
+    sample = (
+        corpus.where(
+            F.pmod(F.xxhash64(F.col(id_col)),
+                   F.lit(int(sample_mod))) == 0)
+        .select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"),
+                F.col(id_col).alias("__id"))
+        .orderBy(F.col("__h"), F.col("__id"))
+        .limit(train_rows)
+        .collect()
+    )
     if len(sample) < n_lists:
         raise ValueError(
             f"IVF training sample ({len(sample)}) smaller than "

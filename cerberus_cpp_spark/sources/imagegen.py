@@ -72,6 +72,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Raises ValueError on ANY malformed stream (zlib/struct errors
+    are translated — same uniform-exception contract as decode_jpeg,
+    so per-row decode probes can catch one type)."""
+    try:
+        return _decode_png(data)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"malformed PNG stream: {e}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG")
     pos, w, h, idat = len(PNG_MAGIC), 0, 0, b""
@@ -118,8 +128,11 @@ def _decode_stub(data: bytes, fmt: str) -> np.ndarray:
     magic = STUB_MAGICS[fmt]
     if not data.startswith(magic):
         raise ValueError(f"not a {fmt} (stub) stream")
-    w, h = struct.unpack(">II", data[8:16])
-    raw = zlib.decompress(data[16:])
+    try:
+        w, h = struct.unpack(">II", data[8:16])
+        raw = zlib.decompress(data[16:])
+    except (zlib.error, struct.error) as e:
+        raise ValueError(f"corrupt stub payload: {e}") from e
     if len(raw) != w * h * 3:
         raise ValueError("corrupt stub payload")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)

@@ -483,12 +483,14 @@ class _Frame:
     carry many SOS segments, each touching a coefficient subset)."""
 
     __slots__ = ("h", "w", "comps", "progressive", "hmax", "vmax",
-                 "mcus_x", "mcus_y", "coef", "stride", "nbw", "nbh")
+                 "mcus_x", "mcus_y", "coef", "stride", "nbw", "nbh",
+                 "touched")
 
     def __init__(self, h: int, w: int, comps: list,
                  progressive: bool) -> None:
         self.h, self.w, self.comps = h, w, comps
         self.progressive = progressive
+        self.touched: set[int] = set()  # components any scan coded
         self.hmax = max(hi for _, hi, _, _ in comps)
         self.vmax = max(vi for _, _, vi, _ in comps)
         self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
@@ -601,6 +603,7 @@ def _decode_scan(data, pos, frame: _Frame, scomps, ss, se, ah, al,
         for i, (cid, _, _, _) in enumerate(frame.comps):
             if cid == cs:
                 cidx.append((i, td, ta))
+                frame.touched.add(i)
                 break
         else:
             raise ValueError("scan references unknown component")
@@ -809,6 +812,14 @@ def _scan_ac(data, pos, frame, one_cidx, ss, se, ah, al, huff_ac,
 
 
 def _finish(frame: _Frame, qtables) -> np.ndarray:
+    # a component no scan ever coded would render as silent neutral
+    # gray (all-zero coefficients) — the pre-multi-scan decoder
+    # raised on such streams, and a validation pipeline must not
+    # accept them as clean decodes (review finding)
+    if frame.touched != set(range(len(frame.comps))):
+        missing = sorted(set(range(len(frame.comps))) - frame.touched)
+        raise ValueError(
+            f"no scan coded frame component(s) {missing}")
     # dequantize + IDCT all blocks per component at once
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(frame.comps):

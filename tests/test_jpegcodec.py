@@ -145,3 +145,26 @@ try:
             pass
 except ImportError:  # hypothesis not installed
     pass
+
+
+def test_uncovered_component_rejected():
+    """A stream whose scans never code some frame component must
+    raise, not render silent neutral-gray chroma from all-zero
+    coefficients (review finding). The guard lives in _finish; a
+    byte-exact Y-only 3-component stream can't be crafted from our
+    encoder (entropy layout mismatch raises earlier, also fine), so
+    the guard is pinned at its own seam."""
+    from cerberus_cpp_spark.sources.jpegcodec import (
+        _finish,
+        _Frame,
+        quality_tables,
+    )
+
+    qy, qc = quality_tables(90)
+    fr = _Frame(16, 16, [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)],
+                progressive=False)
+    fr.touched = {0}  # only Y was ever coded
+    with pytest.raises(ValueError, match="no scan coded"):
+        _finish(fr, {0: qy, 1: qc})
+    fr.touched = {0, 1, 2}
+    assert _finish(fr, {0: qy, 1: qc}).shape == (16, 16, 3)
