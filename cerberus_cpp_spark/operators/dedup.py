@@ -421,3 +421,31 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def banding_for_threshold(
+    threshold: float, num_hashes: int = MINHASH_K,
+) -> tuple[int, int]:
+    """(band_rows, n_bands) whose LSH S-curve midpoint sits closest
+    to the target Jaccard threshold. With b bands of r rows the
+    collision probability is 1-(1-J^r)^b; its steepest point is at
+    J ≈ (1/b)^(1/r), so pick the divisor r of ``num_hashes``
+    minimizing |midpoint - threshold|. Candidate recall/cost then
+    follows the standard trade: lower thresholds want fewer rows per
+    band (more permissive collisions), higher thresholds more.
+
+    Opt-in: ``near_duplicates``' default stays the fixed 8×2 banding
+    (the contract oracle replays it byte-for-byte); pass the result
+    as ``band_rows=`` when tuning for a different threshold."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in (1, 2, 4, 8, 16):
+        if r > num_hashes or num_hashes % r:
+            continue
+        b = num_hashes // r
+        midpoint = (1.0 / b) ** (1.0 / r)
+        gap = abs(midpoint - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, r, b)
+    return best[1], best[2]

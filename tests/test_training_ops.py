@@ -227,3 +227,23 @@ def test_ivf_deterministic_and_guarded(spark, emb) -> None:
     assert r1 == r2
     with pytest.raises(ValueError, match="smaller than"):
         SIM.ivf_index(emb.limit(4), n_lists=8, seed=1)
+
+
+def test_banding_for_threshold() -> None:
+    from cerberus_cpp_spark.operators.dedup import banding_for_threshold
+
+    # midpoints with 16 hashes: r=1→0.0625, r=2→0.354, r=4→0.707,
+    # r=8→0.917, r=16→1.0 → thresholds snap to the nearest curve
+    assert banding_for_threshold(0.10) == (1, 16)
+    assert banding_for_threshold(0.35) == (2, 8)
+    assert banding_for_threshold(0.5) == (2, 8)
+    assert banding_for_threshold(0.7) == (4, 4)
+    assert banding_for_threshold(0.9) == (8, 2)
+    with pytest.raises(ValueError):
+        banding_for_threshold(1.5)
+    # the selected curve is steep AROUND the target: ~coin-flip
+    # collision at the threshold (the midpoint), near-zero well below
+    r, b = banding_for_threshold(0.9)
+    p_sel = 1 - (1 - 0.9 ** r) ** b
+    p_below = 1 - (1 - 0.6 ** r) ** b
+    assert p_sel > 0.4 and p_below < 0.1
