@@ -239,7 +239,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
+
+    # the Karp-Rabin fold is CodegenFallback — gate split-starved
+    # local inputs up to full parallelism (raw scan, so the eager
+    # partition probe is harmless)
+    return fanout_gate(_t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", _tx.rolling_fingerprint("text")
     )
 
@@ -751,10 +756,12 @@ def q_tdigest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = F.expr(
         "cast(least(greatest(floor(value), 0), 30) as double)"
     ).alias("vb")
-    da = checks.tdigest_of(
-        ev.where("event_id % 2 = 0").select(vb), "vb", compression=200)
-    db = checks.tdigest_of(
-        ev.where("event_id % 2 = 1").select(vb), "vb", compression=200)
+    # SINGLE PASS (round-2 verdict item): both snapshots live in the
+    # same events table, so tag each row with its side and build both
+    # digests' partials in one scan instead of two tdigest_of jobs
+    da, db = checks.tdigest_pair(
+        ev.select(F.expr("event_id % 2").alias("side"), vb),
+        "side", "vb", compression=200)
     rows = []
     for p in _TDIGEST_PROBS:
         qa = da.quantile(p, "nearest")

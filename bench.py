@@ -106,14 +106,41 @@ def flagship_throughput(spark, n_rows: int, partitions: int) -> dict:
 
 
 def run_contract_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Warm-up + best-of-2 with a FRESH plan per repetition.
+
+    Round-2 judging showed single-shot timings are not reproducible
+    (simhash recorded 11.32s; quiet re-runs gave 0.94-1.57s, code
+    unchanged) — one sample under neighbor load randomizes the number.
+    Protocol per query, mirroring the flagship:
+
+    - 1 untimed warm-up run (pays codegen/C2 compile for THIS plan),
+    - 2 timed runs, report the min.
+
+    Each repetition calls ``fn(spark, sf_dir)`` again: that builds a
+    brand-new DataFrame -> fresh RDD lineage, so Spark 4's shuffle-stage
+    reuse (which only triggers when the SAME collected object is re-run)
+    cannot fake the second rep.  ``SPARK_GRAFT_QUERY_REPS`` overrides the
+    timed-rep count (>=1); warm-up is skipped when it is 1 to keep a
+    cheap single-pass mode for smoke runs.
+    """
     import __spark_entry__ as entrymod
 
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        _materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        if reps > 1:
+            _materialize(fn(spark, sf_dir))  # warm-up, untimed
+        best = None
+        for _ in range(max(1, reps)):
+            # time plan construction too: some queries do eager driver
+            # work inside fn() (index builds, sampling) that is part of
+            # the operator's real cost
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))  # fresh plan every rep
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 4)
     return timings
 
 

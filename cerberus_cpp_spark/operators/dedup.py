@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import fanout_gate
 from .text import fingerprint_md5, rolling_hash_sql, shingles
 
 MERSENNE31 = 2_147_483_647
@@ -91,20 +92,12 @@ def doc_shingles(
     shingle, measured; use at scale when no cross-engine oracle is
     needed; minhash/LSH math downstream is hash-agnostic)."""
     # fan out before the explode when the source is parallelism-
-    # starved (e.g. a single small parquet split): the per-shingle
-    # hash fold downstream is the pipeline's dominant CPU cost and
-    # otherwise runs in as few tasks as the file has splits. At real
-    # scale inputs already carry >= defaultParallelism splits, so
-    # this never fires (no extra shuffle on the 100 TB path).
-    # CAVEAT (review finding): the .rdd partition probe EAGERLY
-    # executes any shuffle/broadcast stages already in df's plan —
-    # harmless on raw scans/projections, laziness-breaking on derived
-    # frames. Callers passing a frame with upstream joins must set
-    # fanout=False (near_duplicates does for its candidate side).
+    # starved — shared policy + eager-probe caveat documented in
+    # partitioning.fanout_gate (callers passing a frame with upstream
+    # joins must set fanout=False; near_duplicates does for its
+    # candidate side)
     if fanout:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target, id_col)
+        df = fanout_gate(df, id_col)
     ex = df.select(F.col(id_col), F.explode(shingles(text_col, k))
                    .alias("shingle"))
     if hash_fn == "fast":
@@ -353,13 +346,17 @@ SIMHASH_BITS = 16
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    fanout: bool = True,
 ) -> DataFrame:
     """(id, simhash): 16-bit frequency-weighted SimHash over token
     rolling-hashes. bit_b(sig) = 1 iff sum over token occurrences of
     ±1 (by bit b of the token hash) is positive. One explode + one
-    agg; portable arithmetic only."""
+    agg; portable arithmetic only. ``fanout`` applies the shared
+    split-starvation gate (raw scans only — see fanout_gate)."""
     from .text import TOKEN_RE
 
+    if fanout:
+        df = fanout_gate(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(

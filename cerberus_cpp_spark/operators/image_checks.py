@@ -262,7 +262,11 @@ def pixel_phash(df: DataFrame, *, id_col: str = "image_id",
                     continue
                 try:
                     _, px = decode_image(bytes(blob))
-                    out["phash"].append(phash64(px))
+                    # a structurally-parseable file declaring zero
+                    # dimensions decodes to an EMPTY pixel array;
+                    # phash64 would IndexError — treat as undecodable
+                    out["phash"].append(
+                        None if px.size == 0 else phash64(px))
                 except ValueError:
                     out["phash"].append(None)
             yield pd.DataFrame(out)

@@ -200,19 +200,32 @@ def sample_frames(
                     continue
                 blob = bytes(blob)
                 if sniff_avi(blob):
-                    fps, frames = demux_avi_mjpeg(blob)
-                    for k, fi in enumerate(
-                        range(0, len(frames), every_n)
-                    ):
-                        if k >= max_frames:
-                            break
-                        px = decode_frame(frames[fi])
+                    # per-clip skip on corruption (uniform ValueError
+                    # contract shared by every decode surface): one
+                    # corrupt embedded frame drops ITS CLIP's rows,
+                    # never the whole job — same policy as
+                    # fidelity_check / pixel_phash's NULL-on-bad-row
+                    try:
+                        fps, frames = demux_avi_mjpeg(blob)
+                        clip_rows = []
+                        for k, fi in enumerate(
+                            range(0, len(frames), every_n)
+                        ):
+                            if k >= max_frames:
+                                break
+                            px = decode_frame(frames[fi])
+                            clip_rows.append(
+                                (fi, frames[fi], fi / fps,
+                                 px.shape[1], px.shape[0]))
+                    except ValueError:
+                        continue
+                    for fi, frame, ts, w, h in clip_rows:
                         rows["clip_id"].append(cid)
                         rows["frame_idx"].append(fi)
-                        rows["frame"].append(frames[fi])
-                        rows["ts_sec"].append(fi / fps)
-                        rows["frame_w"].append(px.shape[1])
-                        rows["frame_h"].append(px.shape[0])
+                        rows["frame"].append(frame)
+                        rows["ts_sec"].append(ts)
+                        rows["frame_w"].append(w)
+                        rows["frame_h"].append(h)
                     continue
                 if stub_strategy == "raise":
                     raise NotImplementedError(

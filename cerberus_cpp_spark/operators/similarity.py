@@ -391,8 +391,27 @@ def ivf_index(
     note that BLAS ulp differences across heterogeneous hardware can
     flip assignments of near-boundary vectors)."""
     if sample_mod is None:
-        n = corpus.count()
-        sample_mod = max(1, n // max(train_rows, 1))
+        # size the sample WITHOUT a full count job (round-2 verdict:
+        # the default paid one extra full scan at 100 TB): count rows
+        # in <= 8 probe partitions via runJob — only those tasks run,
+        # non-probed splits are never read — and scale by the
+        # partition count. The fixed stride makes the probe (and so
+        # the derived sample_mod and training set) a pure function of
+        # the data. CAVEAT: the .rdd access eagerly executes upstream
+        # shuffle stages on derived frames — pass sample_mod
+        # explicitly for non-raw inputs or when an exact rate is
+        # preferred. Estimate error only shifts the sample size band
+        # (the orderBy+limit below still hard-bounds the collect).
+        rdd = corpus.select(F.lit(0).alias("__one")).rdd
+        nparts = rdd.getNumPartitions()
+        if nparts == 0:
+            raise ValueError("empty corpus: nothing to train on")
+        stride = -(-nparts // 8)  # ceil → at most 8 probed partitions
+        probe = list(range(0, nparts, stride))
+        counts = corpus.sparkSession.sparkContext.runJob(
+            rdd, lambda it: [sum(1 for _ in it)], probe)
+        n_est = int(sum(counts) * nparts / len(probe))
+        sample_mod = max(1, n_est // max(train_rows, 1))
     # the hash filter leaves ~[train_rows, 2*train_rows) rows; a bare
     # limit() would keep whichever partitions answer first (plan-
     # nondeterministic training sets — review finding). Ordering by
@@ -479,3 +498,53 @@ def ivf_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "rank", F.round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def tune_nprobe(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    sample_queries: DataFrame,
+    *,
+    target_recall: float = 0.9,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, float]:
+    """Pick the smallest ``nprobe`` whose measured recall@k on a
+    held-out query sample meets ``target_recall``; returns
+    ``(nprobe, measured_recall)``.
+
+    Ground truth = exact ``cosine_topk`` over the SAME corpus (the
+    ``assigned`` frame minus its ``list_id`` column), so recall is
+    measured, not modeled. Probe levels double (1, 2, 4, …, n_lists);
+    ``nprobe = n_lists`` scans every list and is exact (the lossless
+    pin in tests), so the search always terminates at recall 1.0.
+    Cost: one bounded job per probed level over the sample queries —
+    run this on a few hundred held-out queries, then reuse the tuned
+    nprobe for the full query load.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    n_lists = len(centroids)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            assigned.drop("list_id"), sample_queries, k,
+            id_col=id_col, vec_col=vec_col,
+        ).collect()
+    }
+    if not truth:
+        return 1, 1.0
+    nprobe = 1
+    while True:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                assigned, centroids, sample_queries, k,
+                nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            ).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        if recall >= target_recall or nprobe >= n_lists:
+            return nprobe, recall
+        nprobe = min(nprobe * 2, n_lists)

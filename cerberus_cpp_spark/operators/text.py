@@ -174,9 +174,18 @@ def rolling_hash_sql(expr: str) -> str:
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text", fanout: bool = True) -> DataFrame:
     """One narrow pass: id + all quality features + token count +
-    language guess + md5 fingerprint."""
+    language guess + md5 fingerprint.
+
+    The HOF ``filter`` folds here are CodegenFallback, so on a
+    split-starved local input the whole pass ran on one core; the
+    shared ``fanout_gate`` (raw scans only — see its caveat) restores
+    full parallelism without adding a shuffle at real scale."""
+    if fanout:
+        from .partitioning import fanout_gate
+
+        df = fanout_gate(df, id_col)
     return df.select(
         F.col(id_col),
         *quality_features(text_col),

