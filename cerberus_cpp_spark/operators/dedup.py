@@ -446,3 +446,103 @@ def banding_for_threshold(
         if best is None or gap < best[0]:
             best = (gap, r, b)
     return best[1], best[2]
+
+
+def near_duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → survivor selection:
+    ``(doc_id, cluster_id, keep_id)``, one row per document that
+    participates in at least one pair. ``cluster_id`` = the minimum
+    doc id of the component; ``keep_id`` = the canonical survivor
+    (same min-id policy as ``exact_duplicates``' keep_id), so a
+    training pipeline drops every row with ``doc_id != keep_id``.
+
+    Algorithm: iterative min-label propagation PLUS pointer jumping
+    (label ← label of label) each round, which squares the reach per
+    iteration — convergence in O(log diameter) rounds instead of
+    O(diameter). Near-dup graphs are small-diameter by construction
+    (clusters are variants of one source doc), so this terminates in
+    a handful of rounds; a non-converged run RAISES rather than
+    returning partial components.
+
+    Scale shape: the symmetric edge list is checkpointed once; each
+    round is one edges⋈labels shuffle (by vertex id), one min-agg,
+    and one labels self-join — all partitioned on the id, no
+    broadcast of anything proportional to |docs|. Per-round
+    ``localCheckpoint(eager=True)`` truncates the iterative lineage
+    (plain .cache() would embed every prior round in each new plan).
+
+    Reference analogue: cerberus-cpp has no graph scope; this extends
+    ``exact_duplicates``' keep_id semantics (operators/dedup.py) to
+    transitive near-duplicate chains a-b-c per the round-2 verdict.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"),
+                         F.col("id_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels.select(F.col("id").alias("a"), "label"), on="a"
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: follow the label one more hop (labels ARE
+        # vertex ids, so label(label) exists whenever label != id)
+        hop = new_labels.select(F.col("id").alias("label"),
+                                F.col("label").alias("label2"))
+        jumped = (
+            new_labels.join(hop, on="label", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("label2"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("label").alias("old")),
+                on="id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected components did not converge in {max_iter} "
+            "rounds — raise max_iter (diameter > 2^max_iter is "
+            "implausible for near-dup graphs; check the pair input)")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("label").alias("keep_id"),
+    )
+
+
+def near_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.7,
+    max_bucket: int | None = 10_000, hash_fn: str = "portable",
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup grouping: LSH pipeline (``near_duplicates``)
+    → connected components → ``(doc_id, cluster_id, keep_id)``."""
+    pairs = near_duplicates(df, id_col, text_col, k, threshold,
+                            max_bucket, hash_fn)
+    return near_duplicate_clusters(pairs, max_iter=max_iter)

@@ -205,3 +205,92 @@ def test_sample_frames_skips_corrupt_clip(spark):
     clips = {r["clip_id"] for r in rows}
     assert "ok" in clips and "bad" not in clips
     assert len(rows) == 4
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long")
+
+
+def test_clusters_transitive_chain(spark):
+    from cerberus_cpp_spark.operators.dedup import near_duplicate_clusters
+
+    out = near_duplicate_clusters(
+        _pairs_df(spark, [(1, 2), (2, 3), (10, 11)]))
+    got = {r["doc_id"]: (r["cluster_id"], r["keep_id"])
+           for r in out.collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1),
+                   10: (10, 10), 11: (10, 10)}
+
+
+def test_clusters_match_union_find_reference(spark):
+    """Random graph vs a driver-side union-find reference."""
+    import random
+
+    from cerberus_cpp_spark.operators.dedup import near_duplicate_clusters
+
+    rng = random.Random(17)
+    n = 120
+    edges = sorted({
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(150)
+    })
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expected = {v: min(u for u in touched if find(u) == find(v))
+                for v in touched}
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(
+               _pairs_df(spark, edges)).collect()}
+    assert got == expected
+
+
+def test_clusters_long_path_converges(spark):
+    """A 64-node path graph needs pointer jumping to converge in few
+    rounds; plain propagation would need 63."""
+    from cerberus_cpp_spark.operators.dedup import near_duplicate_clusters
+
+    out = near_duplicate_clusters(
+        _pairs_df(spark, [(i, i + 1) for i in range(63)]),
+        max_iter=10)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert all(r["cluster_id"] == 0 and r["keep_id"] == 0 for r in rows)
+
+
+def test_clusters_empty_pairs(spark):
+    from cerberus_cpp_spark.operators.dedup import near_duplicate_clusters
+
+    out = near_duplicate_clusters(_pairs_df(spark, []))
+    assert out.collect() == []
+
+
+def test_near_duplicate_groups_end_to_end(spark):
+    """LSH pipeline → components: three exact-style variants of one
+    doc form one cluster with the min id as survivor."""
+    from cerberus_cpp_spark.operators.dedup import near_duplicate_groups
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma tau")
+    rows = [(1, base), (2, base + " upsilon"), (3, base + " phi chi"),
+            (50, "entirely different words about spark shuffles and "
+                 "partitions in a distributed engine context")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_duplicate_groups(df, threshold=0.5, max_bucket=None)
+    got = {r["doc_id"]: r["keep_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
