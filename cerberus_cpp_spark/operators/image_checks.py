@@ -8,12 +8,13 @@ sized by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low,
 e.g. 256-1024, when payloads are MB-scale so a batch fits executor
 memory).
 
-Codecs come from ``sources.imagegen``: PNG and baseline JPEG are real
-in-repo codecs (``jpegcodec.py`` is interop-verified against Java
-ImageIO); webp is a clearly-marked deterministic stub (no libwebp in
-the container) — the Spark-side plumbing (binary columns, batch
-shapes, UDF signatures, violation surfaces) is real and tested for
-all three.
+Codecs come from ``sources.imagegen``: PNG, baseline JPEG
+(``jpegcodec.py``, interop-verified against Java ImageIO) and webp
+VP8L lossless (``webpcodec.py``, RFC 9649 — roundtrip + hand-built
+conformance streams; lossy VP8 remains a documented ValueError gap)
+are all REAL in-repo codecs; the Spark-side plumbing (binary columns,
+batch shapes, UDF signatures, violation surfaces) is tested for all
+three.
 
 The reference analogue is a custom type's ``equality`` op
 (``types.hh:41-48``) promoted to a row-wise invariant: decoded pixels
@@ -215,7 +216,7 @@ def fidelity_check(
                     pixel_seed(i, seed), px.shape[1], px.shape[0]
                 )
                 db = psnr(px, ref)
-                lossless = fmt == "png"
+                lossless = fmt in ("png", "webp")  # webp = VP8L lossless
                 ok = (db == math.inf) if lossless \
                     else (db >= psnr_threshold_db)
                 out["psnr_db"].append(

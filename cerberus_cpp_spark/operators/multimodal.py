@@ -9,10 +9,11 @@ memory for MB-scale payloads.
 
 Reality of this container (per the task brief): no Pillow/libjpeg/
 ffmpeg. Every self-contained public format decodes for REAL with
-in-repo codecs — images (PNG + baseline JPEG, ``sources.imagegen``/
-``jpegcodec``), audio (WAV-PCM, ``sources.wavcodec``), video
-(AVI-MJPEG, ``sources.avicodec``). Only formats that genuinely need
-external codec libraries (webp/mp3/aac/h264/...) are STUBBED:
+in-repo codecs — images (PNG + baseline JPEG + webp VP8L lossless,
+``sources.imagegen``/``jpegcodec``/``webpcodec``), audio (WAV-PCM,
+``sources.wavcodec``), video (AVI-MJPEG, ``sources.avicodec``). Only
+formats that genuinely need external codec libraries (lossy VP8,
+mp3/aac/h264/...) are STUBBED:
 ``NotImplementedError`` by default, or a clearly-marked
 deterministic fake (``stub_strategy="fake"``) that exercises the
 full Spark plumbing (schema, batching, UDF signature) without
@@ -110,8 +111,7 @@ def resize_images(df: DataFrame, *, width: int, height: int,
 
         from cerberus_cpp_spark.sources.imagegen import (
             decode_image,
-            encode_png,
-            _encode_stub,
+            encode_pixels,
         )
 
         for pdf in batches:
@@ -128,10 +128,7 @@ def resize_images(df: DataFrame, *, width: int, height: int,
                 ys = (np.arange(height) * px.shape[0] // height)
                 xs = (np.arange(width) * px.shape[1] // width)
                 resized = px[ys][:, xs]
-                payloads.append(
-                    encode_png(resized) if out_fmt == "png"
-                    else _encode_stub(resized, out_fmt)
-                )
+                payloads.append(encode_pixels(resized, out_fmt))
             yield pd.DataFrame({
                 "image_id": pdf["image_id"],
                 "bytes": payloads,

@@ -10,9 +10,11 @@ batches, UDF signatures — is real either way):
   DCT + standard Annex K quant/Huffman tables; interop-verified
   against Java ImageIO). Default quality 98 → PSNR ≈ 44-55 dB on the
   synthetic gradient family, over the 40 dB fidelity gate.
-- ``webp``: STUB CODEC — a magic header + 6-bit-quantized RGB
-  payload. Deterministically "lossy" (max channel error 2 → PSNR
-  ≈ 46 dB) but NOT a real VP8 bitstream; marked by ``CBSTUBW1``.
+- ``webp``: a REAL VP8L (lossless) codec (``webpcodec.py``, RFC
+  9649): bit-exact round-trip; the decoder covers the full VP8L
+  feature set (transforms, color cache, LZ77, meta prefix codes).
+  Lossy ``VP8``/extended ``VP8X`` containers raise ValueError — the
+  one remaining (documented) webp gap.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
@@ -29,10 +31,11 @@ import zlib
 import numpy as np
 
 from .jpegcodec import decode_jpeg, encode_jpeg
+from .webpcodec import decode_webp, encode_webp, sniff_webp
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xFF\xD8\xFF"
-STUB_MAGICS = {"webp": b"CBSTUBW1"}
+STUB_MAGICS: dict[str, bytes] = {}  # webp is real now; none left
 JPEG_QUALITY = 98  # keeps the worst synth-gradient PSNR >= 43 dB
 
 
@@ -111,42 +114,20 @@ def _decode_png(data: bytes) -> np.ndarray:
     return np.stack(rows).reshape(h, w, 3)
 
 
-# -- stub lossy codecs ------------------------------------------------------
-
-def _encode_stub(pixels: np.ndarray, fmt: str) -> bytes:
-    h, w, _ = pixels.shape
-    quant = (pixels.astype(np.uint16) >> 2 << 2).astype(np.uint8)
-    quant = np.minimum(quant + 2, 255).astype(np.uint8)  # center the bin
-    return (
-        STUB_MAGICS[fmt]
-        + struct.pack(">II", w, h)
-        + zlib.compress(quant.tobytes(), 6)
-    )
-
-
-def _decode_stub(data: bytes, fmt: str) -> np.ndarray:
-    magic = STUB_MAGICS[fmt]
-    if not data.startswith(magic):
-        raise ValueError(f"not a {fmt} (stub) stream")
-    try:
-        w, h = struct.unpack(">II", data[8:16])
-        raw = zlib.decompress(data[16:])
-    except (zlib.error, struct.error) as e:
-        raise ValueError(f"corrupt stub payload: {e}") from e
-    if len(raw) != w * h * 3:
-        raise ValueError("corrupt stub payload")
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-
-
-def encode_image(pix_seed: int, w: int, h: int, fmt: str) -> bytes:
-    pixels = synth_pixels(pix_seed, w, h)
+def encode_pixels(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an already-decoded RGB array with the named in-repo
+    codec (the dispatch twin of ``decode_image``)."""
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
         return encode_jpeg(pixels, quality=JPEG_QUALITY)
-    if fmt in STUB_MAGICS:
-        return _encode_stub(pixels, fmt)
+    if fmt == "webp":
+        return encode_webp(pixels)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def encode_image(pix_seed: int, w: int, h: int, fmt: str) -> bytes:
+    return encode_pixels(synth_pixels(pix_seed, w, h), fmt)
 
 
 def sniff_format(data: bytes) -> str | None:
@@ -156,9 +137,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data.startswith(JPEG_MAGIC):
         return "jpeg"
-    for fmt, magic in STUB_MAGICS.items():
-        if data.startswith(magic):
-            return fmt
+    if sniff_webp(data):
+        return "webp"
     return None
 
 
@@ -168,8 +148,8 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(data)
     if fmt == "jpeg":
         return fmt, decode_jpeg(data)
-    if fmt in STUB_MAGICS:
-        return fmt, _decode_stub(data, fmt)
+    if fmt == "webp":
+        return fmt, decode_webp(data)
     raise ValueError("unrecognized image stream")
 
 

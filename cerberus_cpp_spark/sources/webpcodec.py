@@ -1,0 +1,672 @@
+"""In-repo WebP VP8L (lossless) codec — no external image libraries.
+
+Implemented from the PUBLIC "WebP Lossless Bitstream Specification"
+(RFC 9649); closes the last format gap in the input_hint's own set
+(``fmt ∈ {jpeg, png, webp}`` — SURVEY.md §1.3; reference analogue:
+the custom-type equality op ``types.hh:41-48`` promoted to decoded-
+pixel equality).
+
+Decoder — full VP8L feature set:
+
+- simple (1/2-symbol) AND normal prefix codes, including the
+  code-length prefix code, repeat codes 16/17/18, and the optional
+  ``max_symbol`` short-circuit;
+- LZ77 backward references with the 120-entry 2D distance map;
+- color cache (hash-indexed recent pixels);
+- meta prefix codes (entropy image selecting per-block code groups);
+- all four transforms: PREDICTOR (14 modes), COLOR, SUBTRACT_GREEN,
+  COLOR_INDEXING (palette incl. sub-byte pixel packing).
+
+Encoder — deliberately small valid subset used for deterministic
+fixtures (the decoder never assumes it): optional SUBTRACT_GREEN,
+then literal-only coding with dense 8-bit codes for g/r/b, a 1-symbol
+code for alpha (255), no cache, no backrefs.
+
+Interop caveat (honest): this container has no libwebp, so unlike the
+JPEG/WAV codecs there is no cross-library interop pin; conformance is
+covered by encoder↔decoder roundtrips plus HAND-BUILT bitstreams in
+``tests/test_webpcodec.py`` that exercise every decoder feature
+(palette, predictor, color transform, cache, backrefs, meta codes)
+against independently computed expected pixels. Lossy ``VP8`` and
+extended ``VP8X`` containers raise ``ValueError`` (documented gap —
+HANDOFF: VP8 lossy is not worth reimplementing).
+
+All malformed input raises ``ValueError`` — the uniform decode-error
+contract shared by every codec in ``sources/``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# 2D offset map for LZ77 distance codes 1..120 (RFC 9649 §4.2.2.3);
+# code > 120 means a plain linear distance of (code - 120).
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+_CODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# transform type tags
+_PREDICTOR, _COLOR, _SUBTRACT_GREEN, _COLOR_INDEXING = 0, 1, 2, 3
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------------------
+# bit i/o — VP8L reads bits LSB-first within each little-endian byte;
+# prefix-code WORDS are read bit-by-bit MSB-of-code-first (DEFLATE
+# convention)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        data, pos = self.data, self.pos
+        if pos + n > len(data) * 8:
+            raise ValueError("truncated VP8L stream")
+        for i in range(n):
+            v |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        self.pos = pos
+        return v
+
+    def read_bit(self) -> int:
+        pos = self.pos
+        if pos >= len(self.data) * 8:
+            raise ValueError("truncated VP8L stream")
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (pos & 7)) & 1
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.bitpos = 0
+
+    def write(self, v: int, n: int) -> None:
+        """n bits of v, LSB first (ReadBits order)."""
+        for i in range(n):
+            if self.bitpos == 0:
+                self.buf.append(0)
+            if (v >> i) & 1:
+                self.buf[-1] |= 1 << self.bitpos
+            self.bitpos = (self.bitpos + 1) & 7
+
+    def write_code(self, code: int, length: int) -> None:
+        """A prefix-code word: MSB of the code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes (DEFLATE-style)
+# ---------------------------------------------------------------------------
+
+
+def canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical (DEFLATE) rule:
+    shorter codes first, ties by symbol index."""
+    max_len = max(lengths)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 2)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixCode:
+    """Decoder for one canonical prefix code. A code with exactly one
+    used symbol is read with ZERO bits (RFC 9649 special case); any
+    other incomplete code is rejected."""
+
+    MAX_LEN = 15
+
+    def __init__(self, lengths: list[int]):
+        used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("empty prefix code")
+        if len(used) == 1:
+            self.single: int | None = used[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in used)
+        if max_len > self.MAX_LEN:
+            raise ValueError("prefix code length > 15")
+        kraft = sum(1 << (max_len - ln) for ln, _ in used)
+        if kraft != (1 << max_len):
+            raise ValueError("invalid (incomplete/oversubscribed) "
+                             "prefix code")
+        self.table = {
+            (ln, code): sym
+            for sym, (code, ln) in canonical_codes(lengths).items()
+        }
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        table = self.table
+        for ln in range(1, self.MAX_LEN + 1):
+            code = (code << 1) | br.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code word")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    lengths = [0] * alphabet_size
+    if br.read_bit():  # simple code: 1 or 2 symbols
+        num_symbols = br.read_bit() + 1
+        first = br.read(8) if br.read_bit() else br.read_bit()
+        symbols = [first]
+        if num_symbols == 2:
+            symbols.append(br.read(8))
+        for s in symbols:
+            if s >= alphabet_size:
+                raise ValueError("prefix symbol out of range")
+        if num_symbols == 2 and symbols[0] == symbols[1]:
+            raise ValueError("duplicate simple-code symbol")
+        for s in symbols:
+            lengths[s] = 1
+        return _PrefixCode(lengths)
+    # normal code: code lengths themselves prefix-coded
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read_bit():  # explicit number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev_len = 8  # spec default when repeat-16 precedes any literal
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = cl_code.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        elif code_len == 16:
+            rep = 3 + br.read(2)
+            if symbol + rep > alphabet_size:
+                raise ValueError("code-length repeat overflow")
+            for _ in range(rep):
+                lengths[symbol] = prev_len
+                symbol += 1
+        elif code_len == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+        if symbol > alphabet_size:
+            raise ValueError("code-length repeat overflow")
+    return _PrefixCode(lengths)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 helpers
+# ---------------------------------------------------------------------------
+
+
+def _lz77_value(br: _BitReader, prefix: int) -> int:
+    if prefix < 4:
+        return prefix + 1
+    extra = (prefix - 2) >> 1
+    offset = (2 + (prefix & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _plane_code_to_distance(code: int, xsize: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_MAP[code - 1]
+    d = dy * xsize + dx
+    return d if d >= 1 else 1
+
+
+def _cache_index(a: int, r: int, g: int, b: int, cache_bits: int) -> int:
+    argb = (a << 24) | (r << 16) | (g << 8) | b
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+# ---------------------------------------------------------------------------
+# entropy-coded image data
+# ---------------------------------------------------------------------------
+
+
+def _decode_image_data(br: _BitReader, w: int, h: int,
+                       allow_meta: bool) -> np.ndarray:
+    """(h, w, 4) uint8 ARGB (channel order a, r, g, b)."""
+    meta_idx = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mimg = _decode_image_stream(
+            br, _subsample(w, meta_bits), _subsample(h, meta_bits), False)
+        meta_idx = ((mimg[..., 1].astype(np.int64) << 8)
+                    | mimg[..., 2].astype(np.int64))
+        n_groups = int(meta_idx.max()) + 1
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, 256 + 24 + cache_size),  # green/len/cache
+            _read_prefix_code(br, 256),                    # red
+            _read_prefix_code(br, 256),                    # blue
+            _read_prefix_code(br, 256),                    # alpha
+            _read_prefix_code(br, 40),                     # distance
+        ))
+    cache: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * cache_size
+    n = w * h
+    out = np.zeros((n, 4), dtype=np.uint8)
+    pos = 0
+    group = groups[0]
+    while pos < n:
+        if meta_idx is not None:
+            y, x = divmod(pos, w)
+            group = groups[int(meta_idx[y >> meta_bits, x >> meta_bits])]
+        gc, rc, bc, ac, dc = group
+        s = gc.read(br)
+        if s < 256:  # literal: g already read, then r, b, a
+            g = s
+            r = rc.read(br)
+            b = bc.read(br)
+            a = ac.read(br)
+            out[pos] = (a, r, g, b)
+            pos += 1
+            if cache_size:
+                cache[_cache_index(a, r, g, b, cache_bits)] = (a, r, g, b)
+        elif s < 256 + 24:  # LZ77 backref
+            length = _lz77_value(br, s - 256)
+            dist = _plane_code_to_distance(
+                _lz77_value(br, dc.read(br)), w)
+            if dist > pos:
+                raise ValueError("backref before image start")
+            if pos + length > n:
+                raise ValueError("backref overruns image")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                if cache_size:
+                    a, r, g, b = (int(px[0]), int(px[1]),
+                                  int(px[2]), int(px[3]))
+                    cache[_cache_index(a, r, g, b, cache_bits)] = \
+                        (a, r, g, b)
+                pos += 1
+        else:  # color-cache hit
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w, 4)
+
+
+# ---------------------------------------------------------------------------
+# transforms (inverse application — decode side)
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.int32) + b.astype(np.int32)) // 2
+
+
+def _inverse_predictor(data: np.ndarray, size_bits: int,
+                       modes: np.ndarray) -> np.ndarray:
+    """Sequential per-pixel inverse of the 14-mode predictor
+    transform. Neighbor addressing is linear-memory (RFC 9649): for
+    the rightmost column, TR is the first pixel of the current row."""
+    h, w, _ = data.shape
+    px = data.astype(np.int32).reshape(h * w, 4)
+    out = np.zeros_like(px)
+
+    def at(i):
+        return out[i]
+
+    for pos in range(h * w):
+        y, x = divmod(pos, w)
+        if pos == 0:
+            pred = np.array([255, 0, 0, 0], dtype=np.int32)
+        elif y == 0:
+            pred = at(pos - 1)  # first row: left
+        elif x == 0:
+            pred = at(pos - w)  # first column: top
+        else:
+            mode = int(modes[y >> size_bits, x >> size_bits])
+            left = at(pos - 1)
+            top = at(pos - w)
+            tl = at(pos - w - 1)
+            tr = at(pos - w + 1)
+            if mode == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _avg2(_avg2(left, tr), top)
+            elif mode == 6:
+                pred = _avg2(left, tl)
+            elif mode == 7:
+                pred = _avg2(left, top)
+            elif mode == 8:
+                pred = _avg2(tl, top)
+            elif mode == 9:
+                pred = _avg2(top, tr)
+            elif mode == 10:
+                pred = _avg2(_avg2(left, tl), _avg2(top, tr))
+            elif mode == 11:
+                est = left + top - tl
+                p_l = int(np.abs(est - left).sum())
+                p_t = int(np.abs(est - top).sum())
+                pred = left if p_l < p_t else top
+            elif mode == 12:
+                pred = np.clip(left + top - tl, 0, 255)
+            elif mode == 13:
+                ave = _avg2(left, top)
+                diff = ave - tl
+                # C-style truncation toward zero for the halving
+                half = np.where(diff >= 0, diff // 2, -((-diff) // 2))
+                pred = np.clip(ave + half, 0, 255)
+            else:
+                raise ValueError(f"invalid predictor mode {mode}")
+        out[pos] = (px[pos] + pred) & 0xFF
+    return out.reshape(h, w, 4).astype(np.uint8)
+
+
+def _s8(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 128, v.astype(np.int32) - 256, v.astype(np.int32))
+
+
+def _inverse_color(data: np.ndarray, size_bits: int,
+                   cte: np.ndarray) -> np.ndarray:
+    """Inverse color transform. ColorTransformElement packing per RFC
+    9649: cte pixel RED = red_to_blue, GREEN = green_to_blue,
+    BLUE = green_to_red. delta(t, c) = (int8(t) * int8(c)) >> 5."""
+    h, w, _ = data.shape
+    ys = (np.arange(h) >> size_bits)
+    xs = (np.arange(w) >> size_bits)
+    blk = cte[ys][:, xs]  # (h, w, 4) broadcast of block elements
+    g2r = _s8(blk[..., 3])
+    g2b = _s8(blk[..., 2])
+    r2b = _s8(blk[..., 1])
+    a = data[..., 0]
+    g = data[..., 2]
+    gs = _s8(g)
+    red = data[..., 1].astype(np.int32) + ((g2r * gs) >> 5)
+    red &= 0xFF
+    blue = data[..., 3].astype(np.int32) + ((g2b * gs) >> 5)
+    blue += (r2b * _s8(red.astype(np.uint8))) >> 5
+    blue &= 0xFF
+    return np.stack(
+        [a, red.astype(np.uint8), g, blue.astype(np.uint8)], axis=-1)
+
+
+def _inverse_subtract_green(data: np.ndarray) -> np.ndarray:
+    g = data[..., 2].astype(np.int32)
+    r = (data[..., 1].astype(np.int32) + g) & 0xFF
+    b = (data[..., 3].astype(np.int32) + g) & 0xFF
+    return np.stack(
+        [data[..., 0], r.astype(np.uint8), data[..., 2],
+         b.astype(np.uint8)], axis=-1)
+
+
+def _inverse_palette(data: np.ndarray, full_w: int, pbits: int,
+                     palette: np.ndarray) -> np.ndarray:
+    h = data.shape[0]
+    idx = data[..., 2].astype(np.int64)  # green channel holds index
+    if pbits:
+        bpp = 8 >> pbits          # index bits per pixel
+        ppb = 1 << pbits          # pixels packed per coded green byte
+        mask = (1 << bpp) - 1
+        cols = []
+        for i in range(ppb):
+            cols.append((idx >> (bpp * i)) & mask)
+        idx = np.stack(cols, axis=-1).reshape(h, -1)[:, :full_w]
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    return palette[idx]
+
+
+# ---------------------------------------------------------------------------
+# image stream (transforms + entropy data)
+# ---------------------------------------------------------------------------
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int,
+                         is_main: bool) -> np.ndarray:
+    transforms = []
+    if is_main:
+        seen = set()
+        while br.read_bit():
+            t = br.read(2)
+            if t in seen:
+                raise ValueError("duplicate transform")
+            seen.add(t)
+            if t in (_PREDICTOR, _COLOR):
+                size_bits = br.read(3) + 2
+                sub = _decode_image_stream(
+                    br, _subsample(w, size_bits),
+                    _subsample(h, size_bits), False)
+                transforms.append((t, size_bits, sub))
+            elif t == _SUBTRACT_GREEN:
+                transforms.append((t, None, None))
+            else:  # COLOR_INDEXING
+                num_colors = br.read(8) + 1
+                deltas = _decode_image_stream(br, num_colors, 1, False)
+                pal = np.cumsum(
+                    deltas.reshape(num_colors, 4).astype(np.int64),
+                    axis=0) & 0xFF
+                pal = pal.astype(np.uint8)
+                if num_colors <= 2:
+                    pbits = 3
+                elif num_colors <= 4:
+                    pbits = 2
+                elif num_colors <= 16:
+                    pbits = 1
+                else:
+                    pbits = 0
+                transforms.append((t, (w, pbits), pal))
+                w = _subsample(w, pbits)  # packed coded width
+    data = _decode_image_data(br, w, h, is_main)
+    for t, arg, aux in reversed(transforms):
+        if t == _PREDICTOR:
+            data = _inverse_predictor(data, arg, aux[..., 2])
+        elif t == _COLOR:
+            data = _inverse_color(data, arg, aux)
+        elif t == _SUBTRACT_GREEN:
+            data = _inverse_subtract_green(data)
+        else:
+            full_w, pbits = arg
+            data = _inverse_palette(data, full_w, pbits, aux)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# public decode
+# ---------------------------------------------------------------------------
+
+
+def sniff_webp(data: bytes) -> bool:
+    return (len(data) >= 12 and data[:4] == b"RIFF"
+            and data[8:12] == b"WEBP")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """RGB uint8 (h, w, 3) from a WebP container holding a VP8L
+    chunk. Raises ValueError for malformed input and for the
+    documented lossy/extended gaps (VP8 / VP8X chunks)."""
+    try:
+        return _decode_webp(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed WebP stream: {e}") from e
+
+
+def _decode_webp(data: bytes) -> np.ndarray:
+    if not sniff_webp(data):
+        raise ValueError("not a WebP stream")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc in (b"VP8 ", b"VP8X"):
+            raise ValueError(
+                "unsupported WebP variant: only VP8L (lossless) "
+                "decodes in-repo; lossy VP8 / extended VP8X need "
+                "libwebp")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk in WebP container")
+    br = _BitReader(payload)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read_bit()  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    argb = _decode_image_stream(br, w, h, True)
+    return argb[..., 1:4].copy()  # (r, g, b)
+
+
+# ---------------------------------------------------------------------------
+# encoder (valid minimal subset)
+# ---------------------------------------------------------------------------
+
+
+def _write_dense_byte_code(bw: _BitWriter, alphabet_size: int) -> None:
+    """Normal-format prefix code assigning length 8 to symbols 0..255
+    (a complete code; symbols >= 256 absent). The code-length code
+    uses two 1-bit symbols {0, 8} and the max_symbol short-circuit so
+    the 256 lengths cost one bit each."""
+    bw.write(0, 1)            # normal (not simple)
+    bw.write(12 - 4, 4)       # num_code_lengths = 12 (covers sym 8)
+    # order: 17,18,0,1,2,3,4,5,16,6,7,8 — lengths 0 except sym0/sym8=1
+    for sym in _CODE_LENGTH_ORDER[:12]:
+        bw.write(1 if sym in (0, 8) else 0, 3)
+    bw.write(1, 1)            # use max_symbol
+    bw.write(3, 3)            # length_nbits = 2 + 2*3 = 8
+    bw.write(256 - 2, 8)      # max_symbol = 256
+    # canonical over {0: len1, 8: len1} → code(0)=0, code(8)=1
+    for _ in range(256):
+        bw.write(1, 1)        # 256 × "length 8"
+    if alphabet_size < 256:
+        raise ValueError("dense byte code needs alphabet >= 256")
+
+
+def _write_single_symbol_code(bw: _BitWriter, symbol: int) -> None:
+    bw.write(1, 1)                      # simple
+    bw.write(0, 1)                      # one symbol
+    if symbol < 2:
+        bw.write(0, 1)                  # 1-bit symbol
+        bw.write(symbol, 1)
+    else:
+        bw.write(1, 1)                  # 8-bit symbol
+        bw.write(symbol, 8)
+
+
+def encode_webp(pixels: np.ndarray, *,
+                subtract_green: bool = True) -> bytes:
+    """Lossless VP8L WebP of an RGB uint8 (h, w, 3) array. Literal
+    coding with dense 8-bit codes (optionally after SUBTRACT_GREEN);
+    alpha constant 255 via a zero-bit single-symbol code."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint: none
+    bw.write(0, 3)  # version
+    r = pixels[..., 0].astype(np.int32)
+    g = pixels[..., 1].astype(np.int32)
+    b = pixels[..., 2].astype(np.int32)
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(_SUBTRACT_GREEN, 2)
+        r = (r - g) & 0xFF
+        b = (b - g) & 0xFF
+    bw.write(0, 1)  # end of transforms
+    bw.write(0, 1)  # no meta prefix codes
+    bw.write(0, 1)  # no color cache
+    _write_dense_byte_code(bw, 256 + 24)   # green/length
+    _write_dense_byte_code(bw, 256)        # red
+    _write_dense_byte_code(bw, 256)        # blue
+    _write_single_symbol_code(bw, 255)     # alpha ≡ 255
+    _write_single_symbol_code(bw, 0)       # distance (unused)
+    gf = g.ravel()
+    rf = r.ravel()
+    bf = b.ravel()
+    for i in range(gf.size):
+        bw.write_code(int(gf[i]), 8)
+        bw.write_code(int(rf[i]), 8)
+        bw.write_code(int(bf[i]), 8)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body

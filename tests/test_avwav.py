@@ -224,29 +224,30 @@ def test_wav_zero_sample_rate_rejected():
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
-def test_fuzz_png_and_stub_corruption_valueerror_only():
-    """PNG and webp-stub decoders share the uniform-ValueError
+def test_fuzz_png_and_webp_corruption_valueerror_only():
+    """PNG and webp (real VP8L) decoders share the uniform-ValueError
     contract (zlib/struct errors translated — review finding: a
     corrupt PNG previously escaped with zlib.error and aborted the
-    whole pixel_phash job)."""
+    whole pixel_phash job). Webp corruption starts past the 28 header
+    bits: a dimension flip is a VALID (just huge) image, exercised
+    separately in test_webpcodec."""
     import random
-    import zlib as _z
 
     from cerberus_cpp_spark.sources.imagegen import (
-        _encode_stub,
         decode_image,
         encode_png,
+        encode_webp,
         synth_pixels,
     )
 
     rng = random.Random(99)
     png = encode_png(synth_pixels(3, 20, 16))
-    stub = _encode_stub(synth_pixels(3, 20, 16), "webp")
-    for blob in (png, stub):
+    webp = encode_webp(synth_pixels(3, 20, 16))
+    for blob in (png, webp):
         for trial in range(150):
             b = bytearray(blob)
             for _ in range(rng.randint(1, 6)):
-                b[rng.randrange(8, len(b))] = rng.randrange(256)
+                b[rng.randrange(25, len(b))] = rng.randrange(256)
             if trial % 5 == 0:
                 b = b[:rng.randrange(12, len(b))]
             try:

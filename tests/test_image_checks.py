@@ -43,12 +43,14 @@ def test_fidelity(spark, with_bytes) -> None:
     bad_caption = [r for r in res if not r["caption_ok"]]
     # i=300 (null caption), i=400 (control chars), i=500 (no id)
     assert len(bad_caption) == 3
-    stub_psnr = [r["psnr_db"] for r in res
-                 if r["pixels_ok"] and r["psnr_db"] is not None]
-    assert stub_psnr and all(p >= 40.0 for p in stub_psnr)
-    # lossless (png) rows round-trip exactly → psnr NULL + ok
+    lossy_psnr = [r["psnr_db"] for r in res
+                  if r["pixels_ok"] and r["psnr_db"] is not None]
+    assert lossy_psnr and all(p >= 40.0 for p in lossy_psnr)
+    # lossless rows round-trip exactly → psnr NULL + ok: 200 png
+    # (i%3==1) + 200 webp VP8L (i%3==2) minus the two seeded webp-slot
+    # violations (i=200 bmp/no payload, i=500 null id)
     exact = [r for r in res if r["pixels_ok"] and r["psnr_db"] is None]
-    assert len(exact) == 200  # fmt cycle: i%3==1 → png
+    assert len(exact) == 398
 
 
 def test_metadata_consistency(spark, with_bytes) -> None:
