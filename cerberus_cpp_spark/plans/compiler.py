@@ -132,6 +132,12 @@ class CompilerOpts:
     presence: str = "null"  # "null" | "defined"
     allow_unknown: bool = False
     purge_unknown: bool = False
+    # opt-in regex-free structural predicate for eligible patterns
+    # (see _regex_fast_path): 2x faster STANDALONE (single-rule scan
+    # jobs), but measured ~15% SLOWER inside the fused wide projection
+    # (translate's per-row allocation at 32 threads vs anchored
+    # rlike) — hence default False; BENCH.md §6 has the A/B numbers
+    structural_regex: bool = False
     extra_cols: tuple[str, ...] = ()
     # engine-supplied registries
     schema_registry: dict = dc_field(default_factory=dict)
@@ -202,6 +208,47 @@ def _child_ref(parent: FieldRef, name: str, opts: CompilerOpts) -> Optional[Fiel
 import re as _re
 
 _PATH_TOKEN = _re.compile(r"([^.\[\]]+)|\[(\d+)\]")
+
+# regex-rule structural fast path (OPT-IN via
+# CompilerOpts.structural_regex): full-match patterns of the EXACT
+# shape <literal prefix>[0-9]{n} (prefix limited to characters that
+# are literals in both regex and the emitted predicates; notably no
+# '.', no LIKE metacharacters). Eligible patterns compile to
+# startswith + two length checks over translate() instead of rlike.
+# Measured (BENCH.md §6): 2.0x faster STANDALONE (8.9M vs 4.4M
+# rows/s, single-expression scan), but ~15% SLOWER inside the fused
+# 25-rule flagship projection (interleaved A/B best-of-3: 10.8s vs
+# 9.05s at 120M rows) — translate's per-row allocation hurts at 32
+# codegen threads where anchored rlike allocates nothing. Use it for
+# sparse single-rule filter jobs; the fused default stays rlike.
+_STRUCT_REGEX = _re.compile(
+    r"^(?P<prefix>[A-Za-z0-9\- :#/@]*)\[0-9\]\{(?P<n>\d+)\}$")
+_DIGITS = "0123456789"
+
+
+def _regex_fast_path(sdec: Column, pattern_body: str) -> Optional[Column]:
+    """Regex-free equivalent of ``^<prefix>[0-9]{n}$`` or None.
+
+    Equivalence: startswith(prefix) pins the first |prefix| chars;
+    length = |prefix| + n pins the total; non-digit-count(s) ==
+    non-digit-count(prefix) then forces the remaining n characters to
+    be digits (translate strips digits; comparing LENGTHS avoids the
+    order-ambiguity of comparing the stripped string itself — e.g.
+    'i1mg-…' strips to 'img-' but has 5 non-digits, so it still
+    fails). NULL propagates through every branch exactly like rlike.
+    """
+    m = _STRUCT_REGEX.match(str(pattern_body))
+    if not m:
+        return None
+    prefix, n = m.group("prefix"), int(m.group("n"))
+    if n < 1:
+        return None
+    nondigit = sum(1 for c in prefix if not c.isdigit())
+    cond = (F.length(sdec) == (len(prefix) + n)) & (
+        F.length(F.translate(sdec, _DIGITS, "")) == nondigit)
+    if prefix:
+        cond = cond & sdec.startswith(prefix)
+    return cond
 
 
 def _resolve(scope: Scope, path_str: str, opts: CompilerOpts) -> Optional[FieldRef]:
@@ -790,8 +837,11 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
             if sdec is None:
                 viols.append(_viol(base, path, "regex-rule violated"))
             else:
+                fast = _regex_fast_path(sdec, arg) \
+                    if ctx.opts.structural_regex else None
+                match = fast if fast is not None else sdec.rlike(pattern)
                 viols.append(_viol(
-                    base & ~F.coalesce(sdec.rlike(pattern), F.lit(False)),
+                    base & ~F.coalesce(match, F.lit(False)),
                     path, "regex-rule violated"))
         elif name == "empty":
             if (ctx.value is not None and isinstance(ctx.dtype, T.ArrayType)

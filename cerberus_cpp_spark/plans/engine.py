@@ -144,6 +144,7 @@ class TableValidator:
         presence: str = "null",
         extra_cols: tuple[str, ...] = (),
         registry: dict[str, dict] | None = None,
+        structural_regex: bool = False,
     ) -> None:
         self._interp = Validator(
             allow_unknown=allow_unknown,
@@ -158,6 +159,7 @@ class TableValidator:
         self.allow_unknown = allow_unknown
         self.purge_unknown = purge_unknown
         self.presence = presence
+        self.structural_regex = structural_regex
         self.extra_cols = tuple(extra_cols)
         self._column_rules: dict[str, Callable] = {}
         self._spark_types: dict[str, Callable] = {}
@@ -251,6 +253,7 @@ class TableValidator:
             presence=self.presence,
             allow_unknown=self.allow_unknown,
             purge_unknown=self.purge_unknown,
+            structural_regex=self.structural_regex,
             extra_cols=self.extra_cols,
             schema_registry=self._normalized_registry(),
             column_rules=self._column_rules,
