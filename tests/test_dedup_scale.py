@@ -58,3 +58,52 @@ def test_near_dup_recall_and_precision(spark, corpus) -> None:
     # random 997-word docs share almost no 3-gram shingles: nothing
     # besides the plants should clear jaccard 0.5
     assert not extras, f"unexpected pairs: {sorted(extras)[:5]}"
+
+
+def test_clusters_match_union_find_at_scale(spark, corpus) -> None:
+    """Distributed connected components over the REAL found-pair
+    distribution at 20k docs must equal a driver-side union-find on
+    the identical pairs — and converge in few rounds (pointer
+    jumping; near-dup graphs are shallow)."""
+    pairs_df = DD.near_duplicates(corpus, threshold=0.5) \
+        .select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    assert len(pairs) > 150  # plants actually surfaced
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in pairs for v in e}
+    expected = {}
+    roots: dict[int, int] = {}
+    for v in touched:
+        r = find(v)
+        roots.setdefault(r, v)
+        roots[r] = min(roots[r], v)
+    for v in touched:
+        expected[v] = roots[find(v)]
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep_id"])
+        for r in DD.near_duplicate_clusters(pairs_df, max_iter=8)
+        .collect()
+    }
+    assert len(got) == len(expected)
+    for v, cid in expected.items():
+        assert got[v] == (cid, cid), (v, got[v], cid)
+    # transitive components exist in this corpus (exact-copy chains
+    # overlapping near-copy bases) — make sure we exercised >2-node
+    # clusters, not just pairs
+    from collections import Counter
+
+    sizes = Counter(c for c, _ in got.values())
+    assert max(sizes.values()) >= 3

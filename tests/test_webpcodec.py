@@ -486,3 +486,98 @@ def test_fuzz_bitflips_valueerror_or_decode():
 def test_dimension_limits():
     with pytest.raises(ValueError):
         encode_webp(np.zeros((1, 16385, 3), np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# richer encoder modes: palette + color cache (real roundtrip coverage
+# of the decoder paths the literal encoder never emits)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_colors,dims", [
+    (2, (16, 8)),    # 1-bit packing, width divisible by 8
+    (2, (13, 3)),    # 1-bit packing, ragged width
+    (3, (10, 10)),   # 2-bit packing
+    (4, (7, 9)),     # 2-bit packing, ragged
+    (9, (17, 5)),    # 4-bit packing
+    (16, (5, 5)),    # 4-bit boundary
+    (17, (6, 6)),    # no packing
+    (200, (20, 20)),  # large palette, no packing
+])
+def test_palette_roundtrip(n_colors, dims):
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_palette
+
+    rng = np.random.RandomState(n_colors * 7 + dims[0])
+    pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.randint(0, n_colors, dims)
+    px = pal[idx]
+    assert np.array_equal(decode_webp(encode_webp_palette(px)), px)
+
+
+def test_palette_rejects_too_many_colors():
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_palette
+
+    with pytest.raises(ValueError, match="<= 256 colors"):
+        encode_webp_palette(synth_noise_pixels(1, 32, 32))
+
+
+@pytest.mark.parametrize("cache_bits", [1, 4, 6, 11])
+def test_cache_roundtrip(cache_bits):
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_cached
+
+    base = synth_pixels(3, 8, 8)
+    tiled = np.tile(base, (3, 2, 1))  # heavy cache hits
+    blob = encode_webp_cached(tiled, cache_bits=cache_bits)
+    assert np.array_equal(decode_webp(blob), tiled)
+
+
+def test_cache_low_hit_rate_still_exact():
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_cached
+
+    px = synth_noise_pixels(11, 19, 13)
+    assert np.array_equal(
+        decode_webp(encode_webp_cached(px, cache_bits=2)), px)
+
+
+def test_palette_and_cache_shrink_payloads():
+    from cerberus_cpp_spark.sources.webpcodec import (
+        encode_webp_cached,
+        encode_webp_palette,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = (np.arange(24 * 24) % 2).reshape(24, 24)
+    two_color = pal[idx]
+    assert len(encode_webp_palette(two_color)) \
+        < len(encode_webp(two_color)) / 4
+    tiled = np.tile(synth_pixels(1, 8, 8), (4, 4, 1))
+    assert len(encode_webp_cached(tiled)) < len(encode_webp(tiled))
+
+
+def test_hypothesis_roundtrip_all_modes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_cpp_spark.sources.webpcodec import (
+        encode_webp_cached,
+        encode_webp_palette,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 24),
+        n_colors=st.integers(1, 20), seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+    )
+    def roundtrip(w, h, n_colors, seed, sg):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        px = pal[rng.randint(0, n_colors, (h, w))]
+        assert np.array_equal(
+            decode_webp(encode_webp(px, subtract_green=sg)), px)
+        assert np.array_equal(
+            decode_webp(encode_webp_palette(px)), px)
+        assert np.array_equal(
+            decode_webp(encode_webp_cached(px, cache_bits=3)), px)
+
+    roundtrip()
