@@ -435,7 +435,12 @@ def tdigest_pair(
     src = df.select(
         F.col(side_col).cast("long").alias("side"),
         F.col(col).cast("double").alias("v"),
-    ).where(F.col("v").isNotNull() & F.col("side").isNotNull())
+    ).where(
+        F.col("v").isNotNull()
+        # rows tagged outside {0,1} are dropped HERE, not silently
+        # aggregated into partials nobody reads
+        & F.col(side_col).cast("long").isin(0, 1)
+    )
     rows = _sided_bucket_rows(src, comp, fanin)
     return _merge_side(rows, 0, comp), _merge_side(rows, 1, comp)
 

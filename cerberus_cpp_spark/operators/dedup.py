@@ -480,7 +480,14 @@ def near_duplicate_clusters(
     transitive near-duplicate chains a-b-c per the round-2 verdict.
     """
     edges = pairs.select(F.col("id_a").alias("a"),
-                         F.col("id_b").alias("b"))
+                         F.col("id_b").alias("b")).where(
+        # defensive: NULL endpoints would silently vanish from joins
+        # mid-iteration (null-keyed rows never match) and self-loops
+        # only add work — neither occurs from our pair generators,
+        # but callers can feed arbitrary frames
+        F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+        & (F.col("id_a") != F.col("id_b"))
+    )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)

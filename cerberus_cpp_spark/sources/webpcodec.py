@@ -737,7 +737,7 @@ def _write_code_for_values(bw: _BitWriter, alphabet_size: int,
     code by promoting the last symbols one level up is avoided —
     instead pad the level count by reusing two lengths)."""
     used = sorted(set(int(v) for v in values))
-    if len(used) == 1:
+    if len(used) == 1 and used[0] < 256:  # simple codes are 8-bit max
         s = used[0]
         bw.write(1, 1)
         bw.write(0, 1)
@@ -748,6 +748,8 @@ def _write_code_for_values(bw: _BitWriter, alphabet_size: int,
             bw.write(1, 1)
             bw.write(s, 8)
         return {s: (0, 0)}
+    if len(used) == 1:  # single symbol >= 256: normal-format form
+        return _write_unit_length_code(bw, alphabet_size, {used[0]: 1})
     if len(used) == 2 and max(used) < 256:
         bw.write(1, 1)
         bw.write(1, 1)
