@@ -62,6 +62,86 @@ def q_val_orders_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations("o_orderkey")
 
 
+def q_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production quarantine split (round-3): one compiled pass,
+    failing ORIGINAL rows + violation metrics routed to the repair
+    side, clean rows to the normalized side. The query returns the
+    quarantined keys with their violation counts AND pins the split
+    arithmetic inline: |clean| + |quarantined| must equal the table
+    row count (raises otherwise)."""
+    tv = TableValidator(ORDERS_RULES, allow_unknown=True)
+    orders = _t(spark, sf_dir, "orders")
+    res = tv.validate(orders)
+    clean, quar = res.quarantine()
+    n_clean, n_quar, n_all = (clean.count(), quar.count(),
+                              orders.count())
+    if n_clean + n_quar != n_all:
+        raise AssertionError(
+            f"quarantine split lost rows: {n_clean}+{n_quar} != {n_all}")
+    return quar.select(
+        "o_orderkey", F.col("n_violations").cast("int").alias("n_violations"))
+
+
+def q_suggest_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint SUGGESTION (deequ-style, re-expressed in the
+    reference rule vocabulary — plans/suggest.py): profile orders →
+    propose a rules dict (type/required/nullable/min/max/allowed,
+    exclusive bounds widened; timestamp columns get NO type rule per
+    the reference's documented omission, doc/index.rst:278-284).
+    Inline self-consistency pin: the suggested rules must validate
+    the very data they were derived from (raises otherwise). Output:
+    the flattened (col_name, rule, value) triples; the oracle
+    recomputes every triple from raw SQL aggregates."""
+    from cerberus_cpp_spark.plans.suggest import (
+        rules_as_rows,
+        suggest_rules,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = suggest_rules(orders)
+    tv = TableValidator(rules, allow_unknown=True)
+    if not tv.validate(orders).is_valid():
+        raise AssertionError("suggested rules flag their own data")
+    return spark.createDataFrame(
+        rules_as_rows(rules), "col_name string, rule string, value string")
+
+
+def _suggest_orders_sql() -> str:
+    cols = [("o_orderkey", "integer"), ("o_custkey", "integer"),
+            ("o_orderstatus", "string"), ("o_totalprice", "float"),
+            ("o_orderdate", None), ("o_orderpriority", "string")]
+    parts = []
+    for c, t in cols:
+        if t is not None:
+            parts.append(
+                f"SELECT '{c}' AS col_name, 'type' AS rule,"
+                f" '{t}' AS value")
+        parts.append(
+            f"SELECT '{c}', 'required', 'true' WHERE"
+            f" (SELECT count(*) FROM orders WHERE {c} IS NULL) = 0")
+        parts.append(
+            f"SELECT '{c}', 'nullable', 'true' WHERE"
+            f" (SELECT count(*) FROM orders WHERE {c} IS NULL) > 0")
+    for c in ("o_orderkey", "o_custkey"):
+        parts.append(f"SELECT '{c}', 'min',"
+                     f" CAST(min({c}) - 1 AS VARCHAR) FROM orders")
+        parts.append(f"SELECT '{c}', 'max',"
+                     f" CAST(max({c}) + 1 AS VARCHAR) FROM orders")
+    parts.append("SELECT 'o_totalprice', 'min',"
+                 " CAST(floor(min(o_totalprice)) - 1.0 AS VARCHAR)"
+                 " FROM orders")
+    parts.append("SELECT 'o_totalprice', 'max',"
+                 " CAST(floor(max(o_totalprice)) + 1.0 AS VARCHAR)"
+                 " FROM orders")
+    for c in ("o_orderstatus", "o_orderpriority"):
+        parts.append(
+            f"SELECT '{c}', 'allowed',"
+            f" array_to_string(list_sort(list(DISTINCT {c})), '|')"
+            f" FROM orders WHERE {c} IS NOT NULL"
+            f" HAVING count(DISTINCT {c}) <= 16")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_val_part_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tv = TableValidator(PART_RULES, allow_unknown=True)
     res = tv.validate(_t(spark, sf_dir, "part"))
@@ -978,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dups_lsh": q_near_dups_lsh,
         "near_dup_clusters": q_near_dup_clusters,
+        "quarantine_orders": q_quarantine_orders,
+        "suggest_orders_rules": q_suggest_orders_rules,
         "simhash": q_simhash,
         "rolling_fingerprint": q_rolling_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1031,6 +1113,12 @@ WITH v AS (
 )
 SELECT * FROM v
 """
+
+_QUARANTINE_SQL = _ORDERS_VIOL_SQL.replace(
+    "SELECT * FROM v",
+    "SELECT o_orderkey, CAST(count(*) AS INT) AS n_violations\n"
+    "FROM v GROUP BY o_orderkey",
+)
 
 _PART_SUMMARY_SQL = """
 SELECT count(*) AS n_rows,
@@ -1634,6 +1722,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _jaccard_sql(),
         "near_dups_lsh": _near_dups_lsh_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "quarantine_orders": _QUARANTINE_SQL,
+        "suggest_orders_rules": _suggest_orders_sql(),
         "simhash": _simhash_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,

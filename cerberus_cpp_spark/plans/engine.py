@@ -416,3 +416,24 @@ class TableValidationResult:
             F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
             (F.sum("n_violations") == 0).alias("passed"),
         )
+
+    def quarantine(self) -> tuple[DataFrame, DataFrame]:
+        """Production split: ``(clean, quarantined)``.
+
+        ``clean`` = the NORMALIZED projection (defaults injected,
+        renames applied, unknowns purged — reference
+        ``getDocument()``) of rows with zero violations — the frame a
+        pipeline writes onward. ``quarantined`` = the ORIGINAL rows
+        of every failing record plus their ``violations`` array and
+        ``n_violations`` — the repair/inspection input.
+
+        Both branches filter the same single compiled pass; writing
+        both sinks re-runs the narrow plan once per sink (persist
+        ``.annotated`` first if the input scan is the dominant cost
+        and memory allows — usually recompute wins, BENCH.md §11)."""
+        clean = self.annotated.where(F.col("valid")).select(
+            *self.plan.normalized_cols)
+        src_cols = [F.col(c) for c in self.source.columns]
+        quarantined = self.annotated.where(~F.col("valid")).select(
+            *src_cols, F.col("violations"), F.col("n_violations"))
+        return clean, quarantined

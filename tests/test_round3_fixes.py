@@ -375,3 +375,82 @@ def test_tune_nprobe_sf01_recall_pin(spark):
         assigned, cents, qs, target_recall=0.9, k=5)
     assert recall >= 0.9
     assert 1 <= nprobe <= 16
+
+
+# ---------------------------------------------------------------------------
+# quarantine split + constraint suggestion
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_split(spark):
+    from cerberus_cpp_spark.plans.engine import TableValidator
+
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, -3, "y"), (3, 7, None), (4, 100, "z")],
+        "id long, v long, s string")
+    rules = {"v": {"type": "integer", "min": 0, "max": 50},
+             "s": {"type": "string"}}
+    res = TableValidator(rules, allow_unknown=True).validate(df)
+    clean, quar = res.quarantine()
+    clean_rows = clean.collect()
+    quar_rows = quar.collect()
+    assert len(clean_rows) + len(quar_rows) == 4
+    bad = {r["id"]: r["n_violations"] for r in quar_rows}
+    # id=2: min violated; id=4: max violated (exclusive: 100 >= 50).
+    # id=3 is CLEAN: in presence='null' mode a NULL column means the
+    # field is UNDEFINED, so no rule fires without `required`.
+    assert bad == {2: 1, 4: 1}
+    assert {r["id"] for r in clean_rows} == {1, 3}
+    # quarantined rows keep ORIGINAL columns + violations array
+    assert set(quar.columns) == {"id", "v", "s", "violations",
+                                 "n_violations"}
+
+
+def test_quarantine_clean_is_normalized(spark):
+    from cerberus_cpp_spark.plans.engine import TableValidator
+
+    df = spark.createDataFrame([(1, None), (2, 99)],
+                               "id long, v long")
+    rules = {"v": {"type": "integer", "default": 7, "nullable": True},
+             "id": {"type": "integer", "rename": "key"}}
+    res = TableValidator(rules, allow_unknown=True).validate(df)
+    clean, quar = res.quarantine()
+    rows = {r["key"]: r["v"] for r in clean.collect()}
+    assert rows == {1: 7, 2: 99}  # default injected, rename applied
+    assert quar.count() == 0
+
+
+def test_suggest_rules_self_consistent(spark):
+    from cerberus_cpp_spark.plans.engine import TableValidator
+    from cerberus_cpp_spark.plans.suggest import suggest_rules
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", [1, 2], None),
+         (2, 9.0, "b", [1], "x"),
+         (3, -4.25, "a", [1, 2, 3], "y")],
+        "k long, f double, cat string, arr array<int>, maybe string")
+    rules = suggest_rules(df, allowed_max_distinct=4)
+    assert rules["k"] == {"type": "integer", "required": True,
+                          "min": 0, "max": 4}
+    # floor(min)-1 / floor(max)+1: strict bounds that stay strict
+    # even when the extreme is integral
+    assert rules["f"]["min"] == -6.0 and rules["f"]["max"] == 10.0
+    assert rules["cat"]["allowed"] == ["a", "b"]
+    assert rules["arr"] == {"type": "list", "required": True,
+                            "minlength": 1, "maxlength": 3}
+    assert rules["maybe"] == {"type": "string", "nullable": True,
+                              "allowed": ["x", "y"]}
+    res = TableValidator(rules, allow_unknown=True).validate(df)
+    assert res.is_valid()
+
+
+def test_suggest_rules_skips_high_cardinality_and_dates(spark):
+    from cerberus_cpp_spark.plans.suggest import suggest_rules
+
+    df = spark.range(0, 500).selectExpr(
+        "concat('id', id) as uid",
+        "timestamp('2024-01-01') + make_interval(0,0,0,0,0,0,id) as ts")
+    rules = suggest_rules(df, allowed_max_distinct=16)
+    assert "allowed" not in rules["uid"]          # 500 distinct
+    assert "type" not in rules["ts"]              # reference omits
+    assert rules["ts"] == {"required": True}
