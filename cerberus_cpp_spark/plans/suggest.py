@@ -131,7 +131,9 @@ def suggest_rules(
                     F.col(f.name).isNotNull()).distinct()
                 .limit(allowed_max_distinct + 1).collect()
             ]
-            if len(vals) <= allowed_max_distinct:
+            # an all-NULL column would yield allowed=[] — a rule that
+            # rejects every future value; suggest nothing instead
+            if 0 < len(vals) <= allowed_max_distinct:
                 r["allowed"] = sorted(vals)
         if r:
             rules[f.name] = r
