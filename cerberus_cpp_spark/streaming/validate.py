@@ -95,3 +95,24 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quarantine_stream(
+    stream_df: DataFrame, validator
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of ``TableValidationResult.quarantine()``:
+    ``(clean, quarantined)`` streaming frames from ONE stateless
+    annotation — clean carries the NORMALIZED projection of passing
+    rows, quarantined the original rows + violations array. Each side
+    starts its own ``writeStream`` (two sinks = two queries over the
+    same narrow plan; Spark shares the source offsets per query, so
+    at-least-once per sink holds independently). Stateless → any
+    output mode, no watermark needed."""
+    plan = validator.compile(stream_df.schema)
+    ann = annotate_stream(stream_df, validator)
+    clean = ann.where(F.col("valid")).select(*plan.normalized_cols)
+    quarantined = ann.where(~F.col("valid")).select(
+        *[F.col(c) for c in stream_df.columns],
+        F.col("violations"), F.col("n_violations"),
+    )
+    return clean, quarantined

@@ -105,3 +105,44 @@ def test_stream_media_decode_equals_batch(spark, tmp_path_factory) -> None:
     q.awaitTermination(120)
     got = key(spark.sql("SELECT * FROM media_stream").collect())
     assert got == expected and len(got) == 600
+
+
+def test_quarantine_stream_matches_batch(spark, tmp_path):
+    """Streaming quarantine split == batch quarantine split on the
+    same data (clean side normalized, quarantined side original +
+    metrics)."""
+    from cerberus_cpp_spark.plans.engine import TableValidator
+    from cerberus_cpp_spark.streaming.validate import quarantine_stream
+
+    rows = [(1, 5, "a"), (2, -2, "b"), (3, 60, None), (4, 9, "d")]
+    df = spark.createDataFrame(rows, "id long, v long, s string")
+    src = str(tmp_path / "qsrc")
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    rules = {"v": {"type": "integer", "min": 0, "max": 50,
+                   "default": 0},
+             "id": {"type": "integer", "required": True}}
+    tv = TableValidator(rules, allow_unknown=True)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    clean_s, quar_s = quarantine_stream(stream, tv)
+    q1 = (clean_s.writeStream.format("memory").queryName("q_clean")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2 = (quar_s.writeStream.format("memory").queryName("q_quar")
+          .outputMode("append").trigger(availableNow=True).start())
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+
+    batch_clean, batch_quar = tv.validate(
+        spark.read.parquet(src)).quarantine()
+    sc = sorted(tuple(r) for r in spark.sql(
+        "select * from q_clean").collect())
+    bc = sorted(tuple(r) for r in batch_clean.collect())
+    assert sc == bc
+    squar = {r["id"]: r["n_violations"] for r in spark.sql(
+        "select id, n_violations from q_quar").collect()}
+    bquar = {r["id"]: r["n_violations"]
+             for r in batch_quar.collect()}
+    assert squar == bquar
+    # v=-2 fails exclusive min; v=60 fails exclusive max (60 >= 50)
+    assert squar == {2: 1, 3: 1}
+    assert len(sc) == 2  # ids 1 and 4 pass, normalized projection
