@@ -167,3 +167,20 @@ def test_media_pipelines_are_narrow(spark) -> None:
     ):
         plan = _plan(df)
         assert "Exchange" not in plan, plan[:800]
+
+
+def test_quarantine_branches_are_narrow(spark) -> None:
+    """Both quarantine branches stay shuffle-free: filter + project
+    over the one compiled pass — no Exchange in either plan."""
+    df = spark.read.parquet(ORDERS)
+    rules = {"o_orderkey": {"type": "integer", "min": 0},
+             "o_orderstatus": {"type": "string",
+                               "allowed": ["O", "F", "P"]}}
+    clean, quar = TableValidator(
+        rules, allow_unknown=True).validate(df).quarantine()
+    for side in (clean, quar):
+        plan = _plan(side)
+        assert "Exchange" not in plan
+        # codegen marker is either the literal node name or the
+        # "*(n)" stage prefix depending on the toString form
+        assert "WholeStageCodegen" in plan or "*(1)" in plan
