@@ -17,7 +17,7 @@ Decoder — full VP8L feature set:
 - all four transforms: PREDICTOR (14 modes), COLOR, SUBTRACT_GREEN,
   COLOR_INDEXING (palette incl. sub-byte pixel packing).
 
-Encoders — three valid modes, all lossless (the decoder never
+Encoders — four valid modes, all lossless (the decoder never
 assumes any of them):
 
 - :func:`encode_webp` (default): optional SUBTRACT_GREEN + literal
@@ -28,7 +28,10 @@ assumes any of them):
   smaller payloads on low-color images;
 - :func:`encode_webp_cached`: color-cache coding (literals at 9
   bits, cache hits at cache_bits+1) — real roundtrip coverage of
-  the cache path.
+  the cache path;
+- :func:`encode_webp_predicted`: PREDICTOR transform with a fixed
+  left/top mode per block — real roundtrip coverage of the
+  predictor path (all 14 modes stay covered by hand-built streams).
 
 Interop caveat (honest): this container has no libwebp, so unlike the
 JPEG/WAV codecs there is no cross-library interop pin; conformance is
@@ -905,6 +908,84 @@ def encode_webp_cached(pixels: np.ndarray, *,
             bw.write_code(*rcodes[r])
             bw.write_code(*bcodes[b])
             cache[h_idx] = (r, g, b)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
+                          size_bits: int = 4) -> bytes:
+    """Lossless VP8L using the PREDICTOR transform with one fixed
+    mode for every block — real roundtrip coverage of the decoder's
+    predictor path (its 14-mode inner loop was previously reachable
+    only via hand-built streams). The forward pass mirrors the
+    decoder's edge rules exactly: (0,0) predicts 0xff000000, row 0
+    predicts LEFT, column 0 predicts TOP, interior pixels the chosen
+    mode (supported here: 1=left, 2=top); residual = pixel - pred
+    (mod 256, per channel). Residuals are literal-coded with the
+    dense byte codes."""
+    if mode not in (1, 2):
+        raise ValueError("encoder supports predictor modes 1 (left) "
+                         "and 2 (top); the decoder handles all 14")
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    px = np.zeros((h, w, 4), dtype=np.int32)
+    px[..., 0] = 255
+    px[..., 1:4] = pixels
+    res = np.zeros_like(px)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = px[y, x - 1]
+            elif x == 0:
+                pred = px[y - 1, x]
+            elif mode == 1:
+                pred = px[y, x - 1]
+            else:
+                pred = px[y - 1, x]
+            res[y, x] = (px[y, x] - pred) & 0xFF
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)                  # a transform
+    bw.write(_PREDICTOR, 2)
+    bw.write(size_bits - 2, 3)
+    # block-mode sub-image: every block uses `mode` (green channel)
+    bs_w = _subsample(w, size_bits)
+    bs_h = _subsample(h, size_bits)
+    bw.write(0, 1)                  # sub-image: no cache
+    _write_code_for_values(bw, 256 + 24, [mode])   # green = mode
+    _write_code_for_values(bw, 256, [0])           # red
+    _write_code_for_values(bw, 256, [0])           # blue
+    _write_code_for_values(bw, 256, [255])         # alpha
+    _write_code_for_values(bw, 40, [0])            # distance
+    # all codes are single-symbol (zero bits/pixel): bs_w*bs_h
+    # pixels cost nothing to emit
+    _ = (bs_w, bs_h)
+    bw.write(0, 1)                  # end of transforms
+    bw.write(0, 1)                  # no meta
+    bw.write(0, 1)                  # no cache
+    _write_dense_byte_code(bw, 256 + 24)
+    _write_dense_byte_code(bw, 256)
+    _write_dense_byte_code(bw, 256)
+    # alpha residual is 0 everywhere except (0,0) where pred alpha is
+    # 255 → residual 0 too; single-symbol zero-bit code suffices
+    _write_single_symbol_code(bw, 0)
+    _write_single_symbol_code(bw, 0)  # distance
+    for y in range(h):
+        for x in range(w):
+            bw.write_code(int(res[y, x, 2]), 8)
+            bw.write_code(int(res[y, x, 1]), 8)
+            bw.write_code(int(res[y, x, 3]), 8)
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

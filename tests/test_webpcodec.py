@@ -581,3 +581,24 @@ def test_hypothesis_roundtrip_all_modes():
             decode_webp(encode_webp_cached(px, cache_bits=3)), px)
 
     roundtrip()
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("dims", [(1, 1), (5, 3), (16, 16), (33, 9)])
+def test_predicted_roundtrip(mode, dims):
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_predicted
+
+    px = synth_pixels(77 + dims[0], *dims)
+    assert np.array_equal(
+        decode_webp(encode_webp_predicted(px, mode=mode)), px)
+
+
+def test_predicted_noise_and_block_sizes():
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_predicted
+
+    n = synth_noise_pixels(4, 21, 14)
+    for sb in (2, 3, 5):
+        assert np.array_equal(
+            decode_webp(encode_webp_predicted(n, size_bits=sb)), n)
+    with pytest.raises(ValueError, match="modes 1"):
+        encode_webp_predicted(n, mode=11)
