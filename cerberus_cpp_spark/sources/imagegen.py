@@ -122,7 +122,17 @@ def encode_pixels(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         return encode_jpeg(pixels, quality=JPEG_QUALITY)
     if fmt == "webp":
-        return encode_webp(pixels)
+        # palette mode when the image allows it (deterministic:
+        # same pixels → same branch): smaller payloads AND the
+        # contract pipeline's webp rows then decode through the
+        # COLOR_INDEXING transform, exercising the full path. Falls
+        # back to literal coding above 256 colors.
+        from .webpcodec import encode_webp_palette
+
+        try:
+            return encode_webp_palette(pixels)
+        except ValueError:
+            return encode_webp(pixels)
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -17,7 +17,7 @@ Decoder — full VP8L feature set:
 - all four transforms: PREDICTOR (14 modes), COLOR, SUBTRACT_GREEN,
   COLOR_INDEXING (palette incl. sub-byte pixel packing).
 
-Encoders — four valid modes, all lossless (the decoder never
+Encoders — five valid modes, all lossless (the decoder never
 assumes any of them):
 
 - :func:`encode_webp` (default): optional SUBTRACT_GREEN + literal
@@ -31,7 +31,15 @@ assumes any of them):
   the cache path;
 - :func:`encode_webp_predicted`: PREDICTOR transform with a fixed
   left/top mode per block — real roundtrip coverage of the
-  predictor path (all 14 modes stay covered by hand-built streams).
+  predictor path (all 14 modes stay covered by hand-built streams);
+- :func:`encode_webp_color_transformed`: COLOR transform with a
+  fixed ColorTransformElement — roundtrip coverage of the
+  cross-channel inverse incl. negative int8 multipliers.
+
+The pipeline default for webp payloads (``imagegen.encode_pixels``)
+is PALETTE mode when the image has ≤256 colors (the synthetic thumbs
+always do), so the contract queries' webp rows decode through
+COLOR_INDEXING for real; literal mode is the fallback.
 
 Interop caveat (honest): this container has no libwebp, so unlike the
 JPEG/WAV codecs there is no cross-library interop pin; conformance is
@@ -986,6 +994,75 @@ def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
             bw.write_code(int(res[y, x, 2]), 8)
             bw.write_code(int(res[y, x, 1]), 8)
             bw.write_code(int(res[y, x, 3]), 8)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_webp_color_transformed(
+    pixels: np.ndarray, *, green_to_red: int = 16,
+    green_to_blue: int = 8, red_to_blue: int = 4,
+    size_bits: int = 4,
+) -> bytes:
+    """Lossless VP8L using the COLOR transform with one fixed
+    ColorTransformElement for every block — real roundtrip coverage
+    of the decoder's cross-channel inverse (delta(t, c) =
+    (int8)t * (int8)c >> 5, red updated before feeding red_to_blue).
+    The forward pass is the exact inverse: subtract the deltas in
+    the opposite order (blue first using the ORIGINAL red? no — the
+    decoder adds g2r to red, then r2b uses the UPDATED red, so the
+    forward must subtract r2b using the ORIGINAL red, then g2b, then
+    g2r from red last-to-first)."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    for t in (green_to_red, green_to_blue, red_to_blue):
+        if not 0 <= t <= 255:
+            raise ValueError("transform multipliers are uint8")
+    r = pixels[..., 0].astype(np.int32)
+    g = pixels[..., 1].astype(np.int32)
+    b = pixels[..., 2].astype(np.int32)
+    gs = _s8(g.astype(np.uint8))
+    # forward: blue' = blue - delta(r2b, FINAL red) - delta(g2b, g);
+    # FINAL red here is the original red (the decoder reconstructs it
+    # before applying r2b), so subtract with the original red first
+    b2 = (b - ((_s8(np.uint8(red_to_blue)) * _s8(r.astype(np.uint8)))
+               >> 5)
+          - ((_s8(np.uint8(green_to_blue)) * gs) >> 5)) & 0xFF
+    r2 = (r - ((_s8(np.uint8(green_to_red)) * gs) >> 5)) & 0xFF
+    coded = np.stack([r2, g, b2], axis=-1).astype(np.uint8)
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)                  # a transform
+    bw.write(_COLOR, 2)
+    bw.write(size_bits - 2, 3)
+    # cte sub-image: pixel red=r2b, green=g2b, blue=g2r (RFC packing)
+    bw.write(0, 1)                  # sub-image: no cache
+    _write_code_for_values(bw, 256 + 24, [green_to_blue])
+    _write_code_for_values(bw, 256, [red_to_blue])
+    _write_code_for_values(bw, 256, [green_to_red])
+    _write_code_for_values(bw, 256, [255])
+    _write_code_for_values(bw, 40, [0])
+    bw.write(0, 1)                  # end of transforms
+    bw.write(0, 1)                  # no meta
+    bw.write(0, 1)                  # no cache
+    _write_dense_byte_code(bw, 256 + 24)
+    _write_dense_byte_code(bw, 256)
+    _write_dense_byte_code(bw, 256)
+    _write_single_symbol_code(bw, 255)
+    _write_single_symbol_code(bw, 0)
+    for y in range(h):
+        for x in range(w):
+            bw.write_code(int(coded[y, x, 1]), 8)
+            bw.write_code(int(coded[y, x, 0]), 8)
+            bw.write_code(int(coded[y, x, 2]), 8)
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

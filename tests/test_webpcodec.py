@@ -602,3 +602,45 @@ def test_predicted_noise_and_block_sizes():
             decode_webp(encode_webp_predicted(n, size_bits=sb)), n)
     with pytest.raises(ValueError, match="modes 1"):
         encode_webp_predicted(n, mode=11)
+
+
+@pytest.mark.parametrize("params", [
+    {},
+    {"green_to_red": 200, "green_to_blue": 130, "red_to_blue": 77},
+])
+def test_color_transformed_roundtrip(params):
+    from cerberus_cpp_spark.sources.webpcodec import (
+        encode_webp_color_transformed,
+    )
+
+    for dims in [(1, 1), (7, 5), (16, 16)]:
+        px = synth_pixels(31 + dims[0], *dims)
+        assert np.array_equal(
+            decode_webp(encode_webp_color_transformed(px, **params)),
+            px), (params, dims)
+    n = synth_noise_pixels(8, 15, 11)
+    assert np.array_equal(
+        decode_webp(encode_webp_color_transformed(n, **params)), n)
+
+
+def test_pipeline_webp_payloads_use_palette():
+    """encode_image's webp branch emits palette streams for the
+    synthetic thumbs (<=256 colors) — the contract pipeline's webp
+    rows therefore decode through COLOR_INDEXING for real."""
+    from cerberus_cpp_spark.sources.imagegen import (
+        decode_image,
+        encode_image,
+        synth_pixels,
+    )
+    from cerberus_cpp_spark.sources.webpcodec import _BitReader
+
+    blob = encode_image(1234, 12, 9, "webp")
+    fmt, px = decode_image(blob)
+    assert fmt == "webp"
+    assert np.array_equal(px, synth_pixels(1234, 12, 9))
+    # the VP8L payload declares a transform of type COLOR_INDEXING
+    payload = blob[20:]
+    br = _BitReader(payload)
+    br.read(8 + 14 + 14 + 1 + 3)
+    assert br.read_bit() == 1      # a transform present
+    assert br.read(2) == 3         # COLOR_INDEXING
