@@ -644,3 +644,57 @@ def test_pipeline_webp_payloads_use_palette():
     br.read(8 + 14 + 14 + 1 + 3)
     assert br.read_bit() == 1      # a transform present
     assert br.read(2) == 3         # COLOR_INDEXING
+
+
+def test_multi_transform_subtract_green_plus_palette():
+    """Two transforms in one stream — SUBTRACT_GREEN then
+    COLOR_INDEXING (which changes the coded width). The decoder must
+    apply inverses in REVERSE read order (palette lookup back to
+    subtract-green space, then add green back) and restore the full
+    width. 8x1 image over two colors, expected pixels hand-computed."""
+    from cerberus_cpp_spark.sources.webpcodec import _subsample
+
+    # original colors (r, g, b)
+    c0, c1 = (40, 30, 20), (200, 100, 250)
+    # forward SG space: (r-g, g, b-g) mod 256
+    sg0 = ((40 - 30) & 0xFF, 30, (20 - 30) & 0xFF)
+    sg1 = ((200 - 100) & 0xFF, 100, (250 - 100) & 0xFF)
+    bits = [0, 1, 1, 0, 0, 1, 0, 1]
+    bw = _BitWriter()
+    header(bw, 8, 1)
+    bw.write(1, 1)
+    bw.write(2, 2)          # SUBTRACT_GREEN (no data)
+    bw.write(1, 1)
+    bw.write(3, 2)          # COLOR_INDEXING
+    bw.write(2 - 1, 8)      # 2 colors
+    # palette deltas in SG space: entry0 = (255, sg0), delta1 = sg1-sg0
+    d0 = (255,) + sg0
+    d1 = (0, (sg1[0] - sg0[0]) & 0xFF, (sg1[1] - sg0[1]) & 0xFF,
+          (sg1[2] - sg0[2]) & 0xFF)
+    bw.write(0, 1)          # sub-image: no cache
+    g = write_simple_code(bw, [d0[2], d1[2]])
+    r = write_simple_code(bw, [d0[1], d1[1]])
+    b = write_simple_code(bw, [d0[3], d1[3]])
+    a = write_simple_code(bw, [d0[0], d1[0]])
+    write_simple_code(bw, [0])
+    for d in (d0, d1):
+        bw.write_code(*g[d[2]])
+        bw.write_code(*r[d[1]])
+        bw.write_code(*b[d[3]])
+        bw.write_code(*a[d[0]])
+    bw.write(0, 1)          # end of transforms
+    # main image: packed width = 1 (2 colors -> 8 px per byte)
+    assert _subsample(8, 3) == 1
+    packed = sum(bit << i for i, bit in enumerate(bits))
+    bw.write(0, 1)          # no meta
+    bw.write(0, 1)          # no cache
+    gm = write_simple_code(bw, [packed])
+    write_simple_code(bw, [0])
+    write_simple_code(bw, [0])
+    write_simple_code(bw, [255])
+    write_simple_code(bw, [0])
+    bw.write_code(*gm[packed])
+    out = decode_webp(wrap(bw.bytes()))
+    expected = np.array(
+        [[c1 if t else c0 for t in bits]], np.uint8)
+    assert np.array_equal(out, expected)
