@@ -560,7 +560,9 @@ def test_hypothesis_roundtrip_all_modes():
 
     from cerberus_cpp_spark.sources.webpcodec import (
         encode_webp_cached,
+        encode_webp_color_transformed,
         encode_webp_palette,
+        encode_webp_predicted,
     )
 
     @settings(max_examples=40, deadline=None)
@@ -579,6 +581,12 @@ def test_hypothesis_roundtrip_all_modes():
             decode_webp(encode_webp_palette(px)), px)
         assert np.array_equal(
             decode_webp(encode_webp_cached(px, cache_bits=3)), px)
+        assert np.array_equal(
+            decode_webp(encode_webp_predicted(px, mode=2)), px)
+        assert np.array_equal(
+            decode_webp(encode_webp_color_transformed(
+                px, green_to_red=seed % 256, green_to_blue=37,
+                red_to_blue=201)), px)
 
     roundtrip()
 
