@@ -184,3 +184,39 @@ def test_quarantine_branches_are_narrow(spark) -> None:
         # codegen marker is either the literal node name or the
         # "*(n)" stage prefix depending on the toString form
         assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_once_per_row_barrier_prevents_parse_duplication(spark) -> None:
+    """Expensive derived columns (from_json here) must not be inlined
+    into every rule branch of the violations() filter: the
+    once_per_row barrier keeps the parse at exactly ONE occurrence in
+    the executed plan (without it, Spark 4 inlines it 12x — measured
+    2.49s vs 0.90s at sf0.1). Also pins that Spark's optimizer does
+    not fold the barrier away (it ELIMINATES rand()-guard barriers)."""
+    from cerberus_cpp_spark.functions.barrier import once_per_row
+
+    df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    src = df.select(
+        "event_id",
+        once_per_row(
+            F.from_json("props", "map<string,string>")).alias("props"),
+    )
+    rules = {"props": {"type": "dict",
+                       "keysrules": {"allowed": ["k"]},
+                       "valuesrules": {"type": "integer",
+                                       "min": 0, "max": 75}}}
+    tv = TableValidator(rules, allow_unknown=True,
+                        extra_cols=("event_id",))
+    out = tv.validate(src).violations("event_id")
+    plan = _plan(out)
+    assert plan.count("from_json") == 1, plan.count("from_json")
+
+
+def test_once_per_row_is_identity(spark) -> None:
+    from cerberus_cpp_spark.functions.barrier import once_per_row
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z")], "id long, s string")
+    got = df.select("id", once_per_row(F.col("s")).alias("s")).collect()
+    assert sorted((r["id"], r["s"]) for r in got) \
+        == [(1, "x"), (2, None), (3, "z")]
