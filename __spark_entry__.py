@@ -106,6 +106,124 @@ def q_suggest_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules_as_rows(rules), "col_name string, rule string, value string")
 
 
+def q_suggest_customer_rules(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Suggestion BREADTH (round 4): the customer table exercises the
+    regex-SHAPE suggestion — every c_name shares one character-class
+    shape ('Customer#000000123' → 'Aaaaaaaa#999999999'), so the
+    profiler proposes a full-match pattern of char-expanded classes
+    (plans/suggest.py shape_of/shape_to_regex; built WITHOUT {n}
+    quantifiers so the oracle rebuilds the exact string with three
+    replace() calls). Also covers float bounds with the isfinite
+    guard path (c_acctbal) and allowed (c_mktsegment). Inline
+    self-consistency pin as for orders."""
+    from cerberus_cpp_spark.plans.suggest import (
+        rules_as_rows,
+        suggest_rules,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    rules = suggest_rules(cust)
+    tv = TableValidator(rules, allow_unknown=True)
+    if not tv.validate(cust).is_valid():
+        raise AssertionError("suggested rules flag their own data")
+    return spark.createDataFrame(
+        rules_as_rows(rules), "col_name string, rule string, value string")
+
+
+def q_suggest_robust_bounds(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Quantile ("robust") bounds (round 4): numeric min/max derive
+    from the exact 1%/99% percentiles instead of observed extremes —
+    the deequ-style outlier-tolerant suggestion. quantile_method=
+    'exact' here so DuckDB's quantile_cont replays it bit-for-bit;
+    the t-digest method (one melted scan for ALL numeric columns,
+    checks.tdigests_of) is the 100 TB path, pinned against this
+    exact output in tests instead of the oracle. Output: only the
+    min/max triples (the rest of the suggestion is
+    suggest_orders_rules' contract)."""
+    from cerberus_cpp_spark.plans.suggest import (
+        rules_as_rows,
+        suggest_rules,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rules = suggest_rules(orders, robust_bounds=(0.01, 0.99))
+    rows = [t for t in rules_as_rows(rules) if t[1] in ("min", "max")]
+    return spark.createDataFrame(
+        rows, "col_name string, rule string, value string")
+
+
+def _suggest_customer_sql() -> str:
+    shape = ("translate(translate(translate(c_name,"
+             "'0123456789','9999999999'),"
+             "'abcdefghijklmnopqrstuvwxyz','aaaaaaaaaaaaaaaaaaaaaaaaaa'),"
+             "'ABCDEFGHIJKLMNOPQRSTUVWXYZ','AAAAAAAAAAAAAAAAAAAAAAAAAA')")
+    parts = []
+    for c, t in [("c_custkey", "integer"), ("c_name", "string"),
+                 ("c_nationkey", "integer"), ("c_acctbal", "float"),
+                 ("c_mktsegment", "string")]:
+        parts.append(f"SELECT '{c}' AS col_name, 'type' AS rule,"
+                     f" '{t}' AS value")
+        parts.append(
+            f"SELECT '{c}', 'required', 'true' WHERE"
+            f" (SELECT count(*) FROM customer WHERE {c} IS NULL) = 0")
+        parts.append(
+            f"SELECT '{c}', 'nullable', 'true' WHERE"
+            f" (SELECT count(*) FROM customer WHERE {c} IS NULL) > 0")
+    for c in ("c_custkey", "c_nationkey"):
+        parts.append(f"SELECT '{c}', 'min',"
+                     f" CAST(min({c}) - 1 AS VARCHAR) FROM customer")
+        parts.append(f"SELECT '{c}', 'max',"
+                     f" CAST(max({c}) + 1 AS VARCHAR) FROM customer")
+    parts.append("SELECT 'c_acctbal', 'min',"
+                 " CAST(floor(min(c_acctbal)) - 1.0 AS VARCHAR)"
+                 " FROM customer")
+    parts.append("SELECT 'c_acctbal', 'max',"
+                 " CAST(floor(max(c_acctbal)) + 1.0 AS VARCHAR)"
+                 " FROM customer")
+    parts.append(
+        "SELECT 'c_mktsegment', 'allowed',"
+        " array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|')"
+        " FROM customer WHERE c_mktsegment IS NOT NULL"
+        " HAVING count(DISTINCT c_mktsegment) <= 16")
+    # regex shape: emitted iff every non-null value shares ONE shape,
+    # all values fit the 64-char gate, and no allowed rule fired
+    # (c_name has ~|customers| distinct values, so it cannot)
+    parts.append(
+        "SELECT 'c_name', 'regex',"
+        " replace(replace(replace(min(shape),'9','[0-9]'),"
+        "'a','[a-z]'),'A','[A-Z]')"
+        f" FROM (SELECT {shape} AS shape, c_name FROM customer"
+        " WHERE c_name IS NOT NULL)"
+        " HAVING min(shape) = max(shape)"
+        " AND max(length(c_name)) <= 64"
+        " AND (SELECT count(DISTINCT c_name) FROM customer) > 32")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _suggest_robust_sql() -> str:
+    parts = []
+    for c in ("o_orderkey", "o_custkey"):
+        parts.append(
+            f"SELECT '{c}' AS col_name, 'min' AS rule,"
+            f" CAST(CAST(floor(quantile_cont(CAST({c} AS DOUBLE),"
+            f" 0.01)) AS BIGINT) - 1 AS VARCHAR) AS value FROM orders")
+        parts.append(
+            f"SELECT '{c}', 'max',"
+            f" CAST(CAST(floor(quantile_cont(CAST({c} AS DOUBLE),"
+            f" 0.99)) AS BIGINT) + 1 AS VARCHAR) FROM orders")
+    parts.append(
+        "SELECT 'o_totalprice', 'min',"
+        " CAST(floor(quantile_cont(o_totalprice, 0.01)) - 1.0"
+        " AS VARCHAR) FROM orders")
+    parts.append(
+        "SELECT 'o_totalprice', 'max',"
+        " CAST(floor(quantile_cont(o_totalprice, 0.99)) + 1.0"
+        " AS VARCHAR) FROM orders")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _suggest_orders_sql() -> str:
     cols = [("o_orderkey", "integer"), ("o_custkey", "integer"),
             ("o_orderstatus", "string"), ("o_totalprice", "float"),
@@ -1066,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "quarantine_orders": q_quarantine_orders,
         "suggest_orders_rules": q_suggest_orders_rules,
+        "suggest_customer_rules": q_suggest_customer_rules,
+        "suggest_robust_bounds": q_suggest_robust_bounds,
         "simhash": q_simhash,
         "rolling_fingerprint": q_rolling_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -1730,6 +1850,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _near_dup_clusters_sql(),
         "quarantine_orders": _QUARANTINE_SQL,
         "suggest_orders_rules": _suggest_orders_sql(),
+        "suggest_customer_rules": _suggest_customer_sql(),
+        "suggest_robust_bounds": _suggest_robust_sql(),
         "simhash": _simhash_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,

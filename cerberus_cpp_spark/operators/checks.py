@@ -418,6 +418,38 @@ def tdigest_of(
     return _merge_side(_sided_bucket_rows(src, comp, fanin), 0, comp)
 
 
+def tdigests_of(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    compression: int = 100,
+    fanin: int = 64,
+) -> dict:
+    """t-digests for MANY columns in ONE scan: the columns melt into
+    (side=column-index, v) rows via ``posexplode`` (narrow — no
+    shuffle of values; each Arrow batch folds into per-side partial
+    digests exactly like :func:`tdigest_of`). The suggestion
+    engine's 100 TB quantile path (``plans/suggest.py``): one job
+    regardless of column count, shuffle payload = n_partitions ×
+    n_cols × ~2·compression doubles.
+
+    NaN and ±inf are excluded (they would poison the extreme
+    quantiles; the caller's isfinite guard handles the min/max rules
+    separately). Returns ``{col: TDigest}``."""
+    comp = int(compression)
+    melted = df.select(
+        F.posexplode(F.array(*[F.col(c).cast("double")
+                               for c in cols])).alias("side", "v"))
+    src = melted.select(
+        F.col("side").cast("long").alias("side"), "v"
+    ).where(
+        F.col("v").isNotNull() & ~F.isnan("v")
+        & ~F.col("v").isin(float("inf"), float("-inf"))
+    )
+    rows = _sided_bucket_rows(src, comp, fanin)
+    return {c: _merge_side(rows, i, comp) for i, c in enumerate(cols)}
+
+
 def tdigest_pair(
     df: DataFrame,
     side_col: str,

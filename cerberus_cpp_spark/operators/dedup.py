@@ -3,7 +3,8 @@
 Four families, all shuffle-planned for scale:
 
 - **exact**: md5-fingerprint ``groupBy`` — one hash agg (map-side
-  partials), violation rows via broadcast semi-join.
+  partials), violation rows via an AQE-planned join back (broadcast
+  only when the dup-group set is measured small at runtime).
 - **MinHash + LSH**: shingle explode → per-doc min over k universal
   hashes (partial agg before shuffle; shuffle payload = |docs| × k
   ints, never the shingles) → ONE self-join over posexploded
@@ -25,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.ckpt import checkpoint_tracked, free_checkpoint
 from .partitioning import fanout_gate
 from .text import fingerprint_md5, rolling_hash_sql, shingles
 
@@ -64,15 +66,26 @@ def exact_duplicates(
 
 
 def exact_duplicate_rows(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    *, broadcast_groups: bool = False,
 ) -> DataFrame:
     """Rows that would be dropped by exact dedup (id != keep_id of
-    their group). Broadcast the (small) dup-group set back."""
+    their group).
+
+    The dup-group set is joined back WITHOUT a forced broadcast hint:
+    its size is data-dependent (at crawl-scale dup rates, 30-50% of a
+    10^9-doc corpus, it is multi-GB), so a hard ``F.broadcast`` would
+    bypass ``autoBroadcastJoinThreshold`` and OOM executors. AQE
+    converts the join to broadcast-hash at runtime whenever the group
+    set's ACTUAL materialized size is under the adaptive threshold —
+    the size guard for free. ``broadcast_groups=True`` is the explicit
+    escape hatch when the caller KNOWS the set is tiny (mirrors
+    ``checks.referential_violations(broadcast_dim=)``)."""
     groups = exact_duplicates(df, id_col, text_col)
+    if broadcast_groups:
+        groups = F.broadcast(groups)
     fp = df.select(F.col(id_col), fingerprint_md5(text_col))
-    joined = fp.join(
-        F.broadcast(groups), on="fingerprint", how="inner"
-    )
+    joined = fp.join(groups, on="fingerprint", how="inner")
     return joined.where(F.col(id_col) != F.col("keep_id")).select(
         id_col, "fingerprint", "keep_id"
     )
@@ -273,10 +286,31 @@ def jaccard_pairs(
     return out
 
 
+def _candidate_docs(
+    df: DataFrame, cand_ids: DataFrame, id_col: str,
+    broadcast_candidates: bool,
+) -> DataFrame:
+    """Semi-join the raw doc table down to LSH candidate ids.
+
+    No forced broadcast on cand_ids by default: at LLM-training dup
+    rates the candidate-id set can be tens of millions of ids
+    (hundreds of MB), and a hard ``F.broadcast`` bypasses
+    ``autoBroadcastJoinThreshold``. AQE sees the ACTUAL size of the
+    (checkpointed) candidate stage at runtime and picks
+    broadcast-semi when it is genuinely small; when it is not, a
+    shuffled semi-join is the plan that finishes.
+    ``broadcast_candidates=True`` is the explicit escape hatch
+    (mirrors ``checks.referential_violations(broadcast_dim=)``)."""
+    if broadcast_candidates:
+        cand_ids = F.broadcast(cand_ids)
+    return df.join(cand_ids, on=id_col, how="left_semi")
+
+
 def near_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, threshold: float = 0.7,
     max_bucket: int | None = 10_000, hash_fn: str = "portable",
+    broadcast_candidates: bool = False,
 ) -> DataFrame:
     """Scale path: MinHash-LSH candidates, then exact-Jaccard verify
     of candidates ONLY (semi-join the shingle table down to candidate
@@ -306,8 +340,8 @@ def near_duplicates(
     # doc table down (typically a few % of docs) BEFORE the explode,
     # so the verify side's fold runs over a tiny fraction of the
     # corpus instead of re-exploding (or materializing) all of it
-    docs_c = df.join(F.broadcast(cand_ids), on=id_col,
-                     how="left_semi")
+    docs_c = _candidate_docs(df, cand_ids, id_col,
+                             broadcast_candidates)
     # fanout=False: the partition probe would eagerly run the whole
     # candidate DAG embedded in docs_c's plan; the candidate set is a
     # few % of docs, so fan-out buys nothing here anyway
@@ -473,7 +507,13 @@ def near_duplicate_clusters(
     and one labels self-join — all partitioned on the id, no
     broadcast of anything proportional to |docs|. Per-round
     ``localCheckpoint(eager=True)`` truncates the iterative lineage
-    (plain .cache() would embed every prior round in each new plan).
+    (plain .cache() would embed every prior round in each new plan),
+    and the PREVIOUS round's checkpoint blocks are explicitly freed
+    once the new round is materialized (``functions/ckpt.py`` —
+    ``DataFrame.unpersist`` cannot release checkpoint blocks, so
+    without this the loop leaks O(rounds) |V|-sized materializations
+    in executor block storage). The edge-list checkpoint is freed on
+    exit; only the final labels frame stays resident.
 
     Reference analogue: cerberus-cpp has no graph scope; this extends
     ``exact_duplicates``' keep_id semantics (operators/dedup.py) to
@@ -488,13 +528,16 @@ def near_duplicate_clusters(
         F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
         & (F.col("id_a") != F.col("id_b"))
     )
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    spark = pairs.sparkSession
+    sym, sym_blocks = checkpoint_tracked(
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        eager=False,
+    )
+    labels, label_blocks = checkpoint_tracked(
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neigh = sym.join(
@@ -509,7 +552,7 @@ def near_duplicate_clusters(
         # vertex ids, so label(label) exists whenever label != id)
         hop = new_labels.select(F.col("id").alias("label"),
                                 F.col("label").alias("label2"))
-        jumped = (
+        jumped, jumped_blocks = checkpoint_tracked(
             new_labels.join(hop, on="label", how="left")
             .select(
                 "id",
@@ -517,7 +560,6 @@ def near_duplicate_clusters(
                         F.coalesce(F.col("label2"), F.col("label")))
                 .alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             jumped.join(
@@ -527,14 +569,23 @@ def near_duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = jumped
+        # the changed-check above was the last reader of the PREVIOUS
+        # round's labels — release its checkpoint blocks now (ADVICE
+        # r3: the loop otherwise leaks O(rounds) |V|-sized
+        # materializations for the life of the session)
+        free_checkpoint(spark, label_blocks)
+        labels, label_blocks = jumped, jumped_blocks
         if changed == 0:
             break
     else:
+        free_checkpoint(spark, sym_blocks)
         raise ValueError(
             f"connected components did not converge in {max_iter} "
             "rounds — raise max_iter (diameter > 2^max_iter is "
             "implausible for near-dup graphs; check the pair input)")
+    # edge list no longer referenced: the result plan is just the
+    # final labels checkpoint (which must stay resident for callers)
+    free_checkpoint(spark, sym_blocks)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

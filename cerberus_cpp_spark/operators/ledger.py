@@ -53,15 +53,35 @@ LEDGER_SCHEMA = T.StructType([
 
 
 class ValidationLedger:
-    """Append-only parquet ledger of completed partition validations."""
+    """Append-only parquet ledger of completed partition validations.
 
-    def __init__(self, spark: SparkSession, path: str):
+    Every chunk commit appends ONE small file; left unchecked, a
+    10k-partition run at ``partitions_per_commit=8`` leaves ~1,250
+    tiny files and every resume's ``read()`` degrades with file count
+    (r3 verdict #4). ``compact_every`` bounds that: whenever the
+    data-file count reaches the threshold, the ledger is folded into
+    a single snapshot file. Compaction is CRASH-SAFE without
+    renames: (1) the combined snapshot is APPENDED as one new file,
+    (2) the old files are deleted. A crash between the two leaves
+    exact duplicate rows, which ``read()``'s ``distinct()`` heals —
+    never lost rows. (On a transactional table format — Iceberg —
+    the commit itself would be atomic; this is the plain-parquet
+    equivalent.)"""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 *, compact_every: int = 32):
         self.spark = spark
         self.path = path
+        self.compact_every = int(compact_every)
 
     def read(self) -> DataFrame:
         try:
-            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+            raw = self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+            # exact-duplicate rows exist only transiently (crash
+            # between compaction's append and its deletes); distinct
+            # makes every reader see the healed ledger. The ledger is
+            # partition-list scale, so the extra tiny shuffle is noise.
+            return raw.distinct()
         except AnalysisException as e:
             # ONLY the missing-path case means "fresh ledger"; genuine
             # corruption / permission errors must propagate — silently
@@ -85,6 +105,45 @@ class ValidationLedger:
     def append(self, rows: list[dict]) -> None:
         df = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.path)
+        self._maybe_compact()
+
+    # -- compaction ------------------------------------------------------
+
+    def _fs_and_path(self):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def data_files(self) -> list:
+        """Hadoop Paths of the ledger's parquet data files (works on
+        any Hadoop-compatible FS, not just local disk)."""
+        fs, jpath = self._fs_and_path()
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st.getPath())
+        return out
+
+    def _maybe_compact(self) -> None:
+        old = self.data_files()
+        if len(old) < self.compact_every:
+            return
+        # materialize the snapshot BEFORE appending it, so its content
+        # provably covers exactly `old` (no read-while-write on the
+        # same directory). The ledger is partition-list scale — one
+        # row per (partition, run) — so a driver-side collect is the
+        # same metadata-sized transfer pending_partitions already does.
+        snap_rows = self.read().collect()
+        self.spark.createDataFrame(snap_rows, LEDGER_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(self.path)
+        fs, _ = self._fs_and_path()
+        for p in old:
+            fs.delete(p, False)
 
 
 class KilledRun(RuntimeError):

@@ -13,18 +13,52 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical operators that imply the frame is DERIVED (carries a
+# shuffle/join/agg upstream). Two reasons to skip the gate on such
+# frames: (a) the `.rdd` partition probe EAGERLY executes the
+# adaptive query stages embedded in the plan (round-1 finding —
+# measured extra full executions), and (b) post-shuffle output is
+# already spread across `spark.sql.shuffle.partitions` splits, so
+# the starvation the gate exists for cannot occur.
+_WIDE_NODES = (
+    "Join", "Aggregate", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "Rebalance", "Deduplicate",
+    "Except", "Intersect", "GlobalLimit", "CoGroup", "FlatMapGroups",
+)
+
+
+def _has_wide_ancestor(df: DataFrame) -> bool:
+    """True iff the optimized LOGICAL plan contains a shuffle-inducing
+    node. Logical-plan introspection runs no job (unlike ``.rdd`` on
+    an adaptive plan). Unparseable plans count as wide — skipping the
+    gate is the safe direction (no eager execution, no extra shuffle).
+    """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - introspection API drift
+        return True
+    for line in plan.splitlines():
+        head = line.lstrip(" +-:*").split(" ", 1)[0]
+        if head.startswith(_WIDE_NODES):
+            return True
+    return False
+
 
 def fanout_gate(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Repartition ``df`` up to ``defaultParallelism`` iff it is
-    parallelism-starved; identity otherwise.
+    """Repartition ``df`` up to ``defaultParallelism`` iff it is a
+    parallelism-starved RAW scan (the classic local trap: one small
+    parquet file = one split); identity otherwise.
 
-    CAVEAT (round-1 review finding, still binding): the ``.rdd``
-    partition probe EAGERLY executes any shuffle/broadcast stage
-    already in ``df``'s plan. Call this ONLY on raw scans or narrow
-    projections of them; callers holding a derived frame with upstream
-    joins must skip the gate (``near_duplicates`` does for its
-    candidate side).
+    Self-guarding since round 4 (ADVICE r3): frames whose optimized
+    logical plan contains a join/aggregate/repartition ancestor are
+    returned untouched WITHOUT probing ``.rdd`` — on adaptive plans
+    that probe eagerly executes the upstream query stages, and a
+    post-shuffle frame is already fanned out anyway. Callers no
+    longer need to remember ``fanout=False`` for derived frames
+    (``near_duplicates`` still passes it for documentation value).
     """
+    if _has_wide_ancestor(df):
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = (

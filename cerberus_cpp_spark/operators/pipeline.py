@@ -14,7 +14,10 @@ Job layout at scale (each bullet = one job, no cross-talk):
   combine-less payloads)
 - referential: broadcast LEFT ANTI per (fk, dim) pair
 - drift: quantile sketch per snapshot + tiny driver compare
-- image checks: Arrow-batched decode stages over (id, bytes) only
+- image checks: ONE fused Arrow-batched decode stage over
+  (id, bytes, caption, fmt, w, h) emitting both verdict families
+  (metadata consistency + pixel/caption fidelity) — bytes decoded
+  exactly once per row, both counts from one action
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..plans.engine import TableValidator
 from . import checks
-from .image_checks import fidelity_check, metadata_consistency_violations
+from .image_checks import image_full_check
 from .ledger import ValidationLedger, run_validation
 
 
@@ -109,10 +112,19 @@ def run_full_validation(
 
     img_meta = img_fid = None
     if image_checks:
-        img_meta = metadata_consistency_violations(df).count()
-        img_fid = fidelity_check(df).where(
-            "NOT pixels_ok OR NOT caption_ok"
-        ).count()
+        # ONE decode pass for both image verdict families, and ONE
+        # action for both counts (r3 verdict #5: two full decodes of
+        # `bytes` was the dominant image-leg cost, paid twice; a
+        # second .count() would re-run the Arrow stage too)
+        combined = image_full_check(df)
+        row = combined.agg(
+            F.coalesce(F.sum("n_meta_violations"), F.lit(0))
+            .alias("meta"),
+            F.coalesce(
+                F.sum((~F.col("pixels_ok") | ~F.col("caption_ok"))
+                      .cast("long")), F.lit(0)).alias("fid"),
+        ).collect()[0]
+        img_meta, img_fid = int(row["meta"]), int(row["fid"])
 
     return PipelineReport(
         run=run,

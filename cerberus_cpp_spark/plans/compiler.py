@@ -387,7 +387,11 @@ def _scalar_conds(
                 ))
         elif name == "regex":
             sdec = decode_expr(x, dtype, "string")
-            pattern = f"^(?:{arg})$"  # std::regex_match is a FULL match
+            # std::regex_match is a FULL match. \A..\z, not ^..$:
+            # Java's $ matches BEFORE a final line terminator, so
+            # "img-123\n" would pass ^-$ anchoring but fails
+            # re.fullmatch / std::regex_match (ADVICE r3).
+            pattern = f"\\A(?:{arg})\\z"
             if sdec is None:
                 out.append((x.isNotNull(), "regex-rule violated"))
             else:
@@ -832,7 +836,11 @@ def compile_field(ctx: FieldCtx) -> tuple[list[Column], Column, Column]:
                 continue
             sdec = decode_expr(ctx.value, ctx.dtype, "string") \
                 if ctx.dtype is not None else None
-            pattern = f"^(?:{arg})$"  # full match (rules.hh:448)
+            # full match (rules.hh:448); \A..\z so a trailing newline
+            # can't sneak past Java's line-terminator-tolerant $ —
+            # keeps rlike, the structural fast path, the interpreter
+            # twin (re.fullmatch), and the C++ reference in agreement
+            pattern = f"\\A(?:{arg})\\z"
             base = defined & ctx.value.isNotNull()
             if sdec is None:
                 viols.append(_viol(base, path, "regex-rule violated"))

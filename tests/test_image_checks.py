@@ -118,3 +118,51 @@ def test_pixel_phash_groups_and_distinctness(spark):
     assert got["a"] == got["b"] == hs[7]
     assert got["c"] == hs[8] != got["a"]
     assert got["d"] is None and got["e"] is None
+
+
+def test_image_full_check_equivalence_and_single_decode(
+        spark, with_bytes) -> None:
+    """The fused single-decode stage (r4, pipeline's path) must agree
+    with BOTH standalone families on a corpus with seeded metadata
+    corruptions, and its plan must contain exactly one Arrow stage —
+    one read of `bytes`."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_full_check,
+    )
+
+    df = (
+        with_bytes
+        .withColumn("i", F.expr("cast(substring(image_id, 5) as long)"))
+        .withColumn("w", F.expr("cast(8 + i % 9 as int)"))
+        .withColumn("h", F.expr("cast(8 + i % 7 as int)"))
+        .withColumn("fmt", F.expr("IF(i = 7, 'webp', fmt)"))
+        .withColumn("bytes", F.expr(
+            "IF(i = 11, substring(bytes, 1, 10), bytes)"))
+        .drop("i")
+    )
+    combined = image_full_check(df)
+    plan = combined._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE check stage ('work'); the fixture's synthetic byte
+    # GENERATOR is itself a MapInPandas ('gen'), so count by name
+    assert plan.count("MapInPandas work") == 1, plan
+    assert "Exchange" not in plan  # narrow: no shuffle either
+    got = combined.collect()
+
+    # metadata family: sum of per-row counts == standalone row count,
+    # and the per-row messages match the standalone (id, path) set
+    meta_rows = metadata_consistency_violations(df).collect()
+    assert sum(r["n_meta_violations"] for r in got) == len(meta_rows)
+    fused_msgs = sorted(
+        (r["image_id"], m) for r in got for m in r["meta_messages"])
+    standalone_msgs = sorted(
+        (r["image_id"], r["message"]) for r in meta_rows)
+    assert fused_msgs == standalone_msgs
+
+    # fidelity family: per-row verdicts identical (the truncated
+    # payload at i=11 now also fails pixels_ok — same in both)
+    fid = {r["image_id"]: r for r in fidelity_check(df).collect()}
+    for r in got:
+        f = fid[r["image_id"]]
+        assert r["pixels_ok"] == f["pixels_ok"], r["image_id"]
+        assert r["caption_ok"] == f["caption_ok"], r["image_id"]
+        assert r["psnr_db"] == f["psnr_db"], r["image_id"]

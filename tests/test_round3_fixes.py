@@ -311,14 +311,16 @@ def test_regex_fast_path_equivalence(spark):
     cases = ["img-123456789012", "i1mg-23456789012", "img-12345678901",
              "img-1234567890123", "IMG-123456789012", "img-1234567890x2",
              "ximg-12345678901", "", "img-", "123456789012img-",
-             "img-12345678901١", None]
+             "img-12345678901١", "img-123456789012\n", None]
     df = spark.createDataFrame([(c,) for c in cases], "s string")
     fast = _regex_fast_path(F.col("s"), "img-[0-9]{12}")
     assert fast is not None
     out = df.select(
         "s",
         F.coalesce(fast, F.lit(False)).alias("fast"),
-        F.coalesce(F.col("s").rlike("^(?:img-[0-9]{12})$"),
+        # \A..\z = the compiler's anchoring since round 4: Java's $
+        # matches before a trailing newline, \z does not (ADVICE r3)
+        F.coalesce(F.col("s").rlike("\\A(?:img-[0-9]{12})\\z"),
                    F.lit(False)).alias("slow"),
     ).collect()
     for r in out:
@@ -346,7 +348,7 @@ def test_structural_regex_opt_in_identical_violations(spark):
 
     rows = [("img-123456789012",), ("i1mg-23456789012",),
             ("img-12345678901",), ("zzz",), (None,),
-            ("img-123456789012x",)]
+            ("img-123456789012x",), ("img-123456789012\n",)]
     df = spark.createDataFrame(rows, "image_id string")
     rules = {"image_id": {"type": "string", "nullable": True,
                           "regex": "img-[0-9]{12}"}}

@@ -72,6 +72,10 @@ def test_regex_is_full_match() -> None:
     v = Validator({"x": {"type": "string", "regex": "[0-9]+"}})
     assert v.validate({"x": "123"})
     assert not v.validate({"x": "a123b"})
+    # trailing newline is NOT part of a full match (ADVICE r3: Java's
+    # $ anchor tolerates a final line terminator; our compiled path
+    # uses \A..\z so both engines reject it, like std::regex_match)
+    assert not v.validate({"x": "123\n"})
 
 
 def test_default_normalization_output() -> None:
