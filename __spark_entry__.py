@@ -805,19 +805,28 @@ IMG_FIDELITY_N = 3000
 def q_img_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-pixel + caption fidelity over REAL payload bytes
     (input_hint row-wise invariant): synthesize the image+caption
-    table WITH payloads (real PNG + real baseline JPEG, stub webp),
-    decode every blob in an Arrow-batched stage, and compare against
-    the re-synthesized reference. Every outcome is a deterministic
-    function of the row id — the jpeg coder's worst-case PSNR over
-    this id family is 43.0 dB (> the 40 dB gate, pinned in
-    tests/test_jpegcodec.py) — so DuckDB can oracle the exact
-    (pixels_ok, caption_ok) sets without decoding anything. psnr_db
-    itself is excluded: it's real-valued and codec-specific."""
+    table WITH payloads (real PNG + real baseline JPEG + real VP8L
+    webp), decode every blob in an Arrow-batched stage, and compare
+    against the re-synthesized reference. Every outcome is a
+    deterministic function of the row id — the jpeg coder's
+    worst-case PSNR over this id family is 43.0 dB (> the 40 dB
+    gate, pinned in tests/test_jpegcodec.py) — so DuckDB can oracle
+    the exact (pixels_ok, caption_ok, verdict) sets without decoding
+    anything. psnr_db itself is excluded: it's real-valued and
+    codec-specific.
+
+    ``plant_lossy`` swaps every id%30==8 payload (always a webp row)
+    for a well-formed LOSSY-VP8 container: the planted contract rows
+    proving unsupported codecs route to the ``decode_unsupported``
+    verdict instead of killing the job or reading as corruption (r3
+    verdict #6)."""
     from cerberus_cpp_spark.operators.image_checks import fidelity_check
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
-    df = image_caption_frame(spark, IMG_FIDELITY_N, with_bytes=True)
-    return fidelity_check(df).select("image_id", "pixels_ok", "caption_ok")
+    df = image_caption_frame(spark, IMG_FIDELITY_N, with_bytes=True,
+                             plant_lossy=True)
+    return fidelity_check(df).select(
+        "image_id", "pixels_ok", "caption_ok", "verdict")
 
 
 _IMG_FIDELITY_SQL = f"""
@@ -832,8 +841,13 @@ t AS (
   FROM g
 )
 SELECT image_id,
-       (image_id IS NOT NULL AND fmt <> 'bmp') AS pixels_ok,
-       (image_id IS NOT NULL AND NOT bad_caption) AS caption_ok
+       (image_id IS NOT NULL AND fmt <> 'bmp' AND id % 30 <> 8)
+         AS pixels_ok,
+       (image_id IS NOT NULL AND NOT bad_caption) AS caption_ok,
+       CASE WHEN fmt = 'bmp' THEN 'undecodable'
+            WHEN id % 30 = 8 THEN 'decode_unsupported'
+            WHEN image_id IS NULL THEN 'no_reference'
+            ELSE 'ok' END AS verdict
 FROM t
 """
 

@@ -55,7 +55,11 @@ def decode_probe(df: DataFrame, *, id_col: str = "image_id",
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
-        from cerberus_cpp_spark.sources.imagegen import decode_image
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+            sniff_format,
+        )
 
         for pdf in batches:
             out = {"image_id": pdf["image_id"], "decode_ok": [],
@@ -76,6 +80,15 @@ def decode_probe(df: DataFrame, *, id_col: str = "image_id",
                     out["dec_h"].append(px.shape[0])
                     out["dec_w"].append(px.shape[1])
                     out["message"].append(None)
+                except UnsupportedCodecError as e:
+                    # recognized container, codec outside the in-repo
+                    # decoders — distinct from corruption
+                    out["decode_ok"].append(False)
+                    out["sniffed_fmt"].append(sniff_format(bytes(blob)))
+                    out["dec_w"].append(None)
+                    out["dec_h"].append(None)
+                    out["message"].append(
+                        f"decode_unsupported: {str(e)[:180]}")
                 except Exception as e:  # corrupt / unknown stream
                     out["decode_ok"].append(False)
                     out["sniffed_fmt"].append(None)
@@ -112,7 +125,10 @@ def metadata_consistency_violations(
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
-        from cerberus_cpp_spark.sources.imagegen import decode_image
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+        )
 
         for pdf in batches:
             ids, paths, msgs = [], [], []
@@ -128,6 +144,13 @@ def metadata_consistency_violations(
                     continue
                 try:
                     fmt, px = decode_image(bytes(blob))
+                except UnsupportedCodecError as e:
+                    # the payload IS what the metadata says, we just
+                    # can't verify dims — distinct message so consumers
+                    # don't quarantine it as corruption
+                    viol(i, "^.bytes",
+                         f"decode_unsupported: {str(e)[:120]}")
+                    continue
                 except Exception as e:
                     viol(i, "^.bytes", f"undecodable payload: {str(e)[:120]}")
                     continue
@@ -163,10 +186,16 @@ def fidelity_check(
     decoded-pixel PSNR ≥ 40 dB for lossy, exact for lossless, +
     caption equality). The reference image is re-synthesized
     executor-side from the row id — no ground-truth shipping, no
-    shuffle. Output: (image_id, psnr_db, pixels_ok, caption_ok).
+    shuffle. Output: (image_id, psnr_db, pixels_ok, caption_ok,
+    verdict).
 
     Rows whose id cannot be parsed or payload cannot be decoded get
-    pixels_ok = false with psnr_db NULL.
+    pixels_ok = false with psnr_db NULL; ``verdict`` classifies the
+    pixel outcome — ``ok`` / ``mismatch`` (decoded, PSNR below gate) /
+    ``decode_unsupported`` (well-formed container, codec outside the
+    in-repo decoders, e.g. lossy VP8 — never kills the job) /
+    ``undecodable`` (missing or corrupt payload) / ``no_reference``
+    (id unparseable so no reference image can be synthesized).
     """
     src = df.select(F.col(id_col).alias("image_id"), "bytes", "caption")
 
@@ -179,6 +208,7 @@ def fidelity_check(
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
         from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
             decode_image,
             pixel_seed,
             psnr,
@@ -187,7 +217,7 @@ def fidelity_check(
 
         for pdf in batches:
             out = {"image_id": pdf["image_id"], "psnr_db": [],
-                   "pixels_ok": [], "caption_ok": []}
+                   "pixels_ok": [], "caption_ok": [], "verdict": []}
             for img_id, blob, cap in zip(
                 pdf["image_id"], pdf["bytes"], pdf["caption"]
             ):
@@ -202,15 +232,23 @@ def fidelity_check(
                 out["caption_ok"].append(
                     cap is not None and cap == expected_cap
                 )
-                if i is None or blob is None:
+                fmt = px = None
+                if blob is None:
+                    bad = "undecodable"
+                else:
+                    try:
+                        fmt, px = decode_image(bytes(blob))
+                        bad = None
+                    except UnsupportedCodecError:
+                        bad = "decode_unsupported"
+                    except Exception:
+                        bad = "undecodable"
+                if bad is None and i is None:
+                    bad = "no_reference"
+                if bad is not None:
                     out["psnr_db"].append(None)
                     out["pixels_ok"].append(False)
-                    continue
-                try:
-                    fmt, px = decode_image(bytes(blob))
-                except Exception:
-                    out["psnr_db"].append(None)
-                    out["pixels_ok"].append(False)
+                    out["verdict"].append(bad)
                     continue
                 ref = synth_pixels(
                     pixel_seed(i, seed), px.shape[1], px.shape[0]
@@ -223,12 +261,13 @@ def fidelity_check(
                     None if db == math.inf else float(db)
                 )
                 out["pixels_ok"].append(bool(ok))
+                out["verdict"].append("ok" if ok else "mismatch")
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
         check,
         schema="image_id string, psnr_db double, "
-               "pixels_ok boolean, caption_ok boolean",
+               "pixels_ok boolean, caption_ok boolean, verdict string",
     )
 
 
@@ -248,10 +287,11 @@ def image_full_check(
     One Arrow-batched narrow stage decodes each payload once and
     emits per row:
     ``(image_id, n_meta_violations, meta_messages, psnr_db,
-    pixels_ok, caption_ok)`` — the metadata family aggregated to a
-    count + messages (sum(n_meta_violations) equals the row count of
-    ``metadata_consistency_violations``, pinned in tests), the
-    fidelity family exactly as :func:`fidelity_check`.
+    pixels_ok, caption_ok, verdict)`` — the metadata family
+    aggregated to a count + messages (sum(n_meta_violations) equals
+    the row count of ``metadata_consistency_violations``, pinned in
+    tests), the fidelity family exactly as :func:`fidelity_check`
+    including its 5-state ``verdict``.
 
     The standalone functions remain the contract/violation-row
     surfaces; this is the pipeline's fused path."""
@@ -270,6 +310,7 @@ def image_full_check(
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
         from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
             decode_image,
             pixel_seed,
             psnr,
@@ -279,24 +320,31 @@ def image_full_check(
         for pdf in batches:
             out = {"image_id": pdf["image_id"],
                    "n_meta_violations": [], "meta_messages": [],
-                   "psnr_db": [], "pixels_ok": [], "caption_ok": []}
+                   "psnr_db": [], "pixels_ok": [], "caption_ok": [],
+                   "verdict": []}
             for idx, (img_id, blob, cap) in enumerate(zip(
                 pdf["image_id"], pdf["bytes"], pdf["caption"]
             )):
                 msgs: list[str] = []
                 fmt = px = None
                 decode_err = None
+                unsupported = False
                 if blob is None:
                     decode_err = "no payload"
                 else:
                     try:
                         fmt, px = decode_image(bytes(blob))
+                    except UnsupportedCodecError as e:
+                        decode_err = str(e)[:120]
+                        unsupported = True
                     except Exception as e:
                         decode_err = str(e)[:120]
                 # -- metadata family (one decode, same verdicts as
                 #    metadata_consistency_violations) --
                 if decode_err is not None:
-                    msgs.append(f"undecodable payload: {decode_err}")
+                    msgs.append(
+                        f"decode_unsupported: {decode_err}" if unsupported
+                        else f"undecodable payload: {decode_err}")
                 else:
                     meta_fmt = pdf["meta_fmt"].iloc[idx]
                     if not pd.isna(meta_fmt) and fmt != meta_fmt:
@@ -328,6 +376,10 @@ def image_full_check(
                 if i is None or px is None:
                     out["psnr_db"].append(None)
                     out["pixels_ok"].append(False)
+                    out["verdict"].append(
+                        "decode_unsupported" if unsupported
+                        else ("undecodable" if px is None
+                              else "no_reference"))
                     continue
                 ref = synth_pixels(
                     pixel_seed(i, seed), px.shape[1], px.shape[0]
@@ -340,13 +392,14 @@ def image_full_check(
                     None if db == math.inf else float(db)
                 )
                 out["pixels_ok"].append(bool(ok))
+                out["verdict"].append("ok" if ok else "mismatch")
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
         work,
         schema="image_id string, n_meta_violations int, "
                "meta_messages array<string>, psnr_db double, "
-               "pixels_ok boolean, caption_ok boolean",
+               "pixels_ok boolean, caption_ok boolean, verdict string",
     )
 
 

@@ -30,15 +30,21 @@ def image_caption_frame(
     hot_phash_every: int = 50,
     partitions: int | None = None,
     with_bytes: bool = False,
+    plant_lossy: bool = False,
 ) -> DataFrame:
     """Executor-side twin of ``fixtures.image_caption_rows``.
 
     Columns: (image_id, bytes, w, h, fmt, caption, phash) per
     BASELINE.json input_hint. Seeded violations at the same indices
     as the driver-side fixture; ``with_bytes`` synthesizes real
-    (PNG, baseline JPEG) / stub (webp) image payloads inside an Arrow-batched
-    ``mapInPandas`` stage — the only Python-side step, and only when
-    bytes are requested.
+    (PNG, baseline JPEG, VP8L webp) image payloads inside an
+    Arrow-batched ``mapInPandas`` stage — the only Python-side step,
+    and only when bytes are requested.
+
+    ``plant_lossy`` swaps the payload of rows with ``id % 30 == 8``
+    (always webp rows, never colliding with the ``id % 100 == 0``
+    violation plants) for a well-formed LOSSY-VP8 container — the
+    contract fixture for the ``decode_unsupported`` verdict routing.
     """
     num_parts = partitions or spark.sparkContext.defaultParallelism
     df = spark.range(0, n, 1, num_parts)
@@ -87,14 +93,15 @@ def image_caption_frame(
         ).alias("phash"),
     )
     if with_bytes:
-        out = _attach_bytes(out, seed)
+        out = _attach_bytes(out, seed, plant_lossy=plant_lossy)
     else:
         out = out.withColumn("bytes", F.lit(None).cast("binary"))
     return out.select("image_id", "bytes", "w", "h", "fmt", "caption",
                       "phash", "id")
 
 
-def _attach_bytes(df: DataFrame, seed: int) -> DataFrame:
+def _attach_bytes(df: DataFrame, seed: int, *,
+                  plant_lossy: bool = False) -> DataFrame:
     """Arrow-batched byte synthesis (the only Python stage; matches
     ``fixtures.image_caption_rows(with_bytes=True)``: small thumbs
     8+i%9 × 8+i%7, encoded per the row's fmt)."""
@@ -112,16 +119,22 @@ def _attach_bytes(df: DataFrame, seed: int) -> DataFrame:
             sys.path.insert(0, pkg_parent)
         from cerberus_cpp_spark.sources.imagegen import (
             encode_image,
+            lossy_vp8_stub,
             pixel_seed,
         )
 
         for pdf in batches:
             payload = []
             for i, fmt in zip(pdf["id"], pdf["fmt"]):
+                i = int(i)
+                if plant_lossy and i % 30 == 8:
+                    payload.append(
+                        lossy_vp8_stub(8 + i % 9, 8 + i % 7))
+                    continue
                 try:
                     payload.append(
-                        encode_image(pixel_seed(int(i), seed),
-                                     8 + int(i) % 9, 8 + int(i) % 7, fmt)
+                        encode_image(pixel_seed(i, seed),
+                                     8 + i % 9, 8 + i % 7, fmt)
                     )
                 except ValueError:  # seeded bad fmt ('bmp') → no payload
                     payload.append(None)

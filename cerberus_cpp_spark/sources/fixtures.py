@@ -194,6 +194,7 @@ def image_caption_rows(
     violation_every: int | None = 100,
     hot_phash_every: int = 50,
     with_bytes: bool = False,
+    plant_lossy: bool = False,
 ) -> list[dict]:
     """Deterministic image+caption rows with seeded violations at
     known indices: every ``violation_every``-th row cycles through one
@@ -236,10 +237,19 @@ def image_caption_rows(
                 row["caption"] = "x\x01y"  # regex violated
             elif kind == 5:
                 row["image_id"] = None  # required violated
-        if with_bytes:
-            row["bytes"] = encode_image(
-                pixel_seed(i, seed), 8 + i % 9, 8 + i % 7, row["fmt"]
-            )
+        if with_bytes and plant_lossy and i % 30 == 8:
+            # lossy-VP8 plant (decode_unsupported contract rows);
+            # id%30==8 ⇒ fmt webp, disjoint from the i%100 plants
+            from .imagegen import lossy_vp8_stub
+
+            row["bytes"] = lossy_vp8_stub(8 + i % 9, 8 + i % 7)
+        elif with_bytes:
+            try:
+                row["bytes"] = encode_image(
+                    pixel_seed(i, seed), 8 + i % 9, 8 + i % 7, row["fmt"]
+                )
+            except ValueError:  # seeded bad fmt ('bmp') → no payload
+                row["bytes"] = None
         else:
             row["bytes"] = None
         rows.append(row)

@@ -31,7 +31,13 @@ import zlib
 import numpy as np
 
 from .jpegcodec import decode_jpeg, encode_jpeg
-from .webpcodec import decode_webp, encode_webp, sniff_webp
+from .webpcodec import (  # noqa: F401 — UnsupportedCodecError re-exported
+    UnsupportedCodecError,
+    decode_webp,
+    encode_webp,
+    lossy_vp8_stub,
+    sniff_webp,
+)
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xFF\xD8\xFF"

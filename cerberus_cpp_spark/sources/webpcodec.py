@@ -562,6 +562,37 @@ def _decode_image_stream(br: _BitReader, w: int, h: int,
 # ---------------------------------------------------------------------------
 
 
+class UnsupportedCodecError(ValueError):
+    """Well-formed WebP container whose codec is outside the in-repo
+    decoder (lossy ``VP8 `` / extended ``VP8X``). Subclasses
+    ``ValueError`` so the uniform decode-error contract holds, but
+    lets dataset checks route these rows to a ``decode_unsupported``
+    verdict instead of lumping them in with corrupt payloads (r3
+    verdict #6 — an unsupported codec must not be reported as data
+    corruption, and must never kill the job)."""
+
+
+def lossy_vp8_stub(w: int, h: int) -> bytes:
+    """A structurally well-formed lossy-WebP container: RIFF/WEBP
+    with a ``VP8 `` chunk carrying a real VP8 key-frame header
+    (frame tag, 0x9D012A start code, 14-bit dimensions) and a zeroed
+    coefficient payload. Decoders that support lossy VP8 would parse
+    the header; ours raises :class:`UnsupportedCodecError` at the
+    fourcc. Used to PLANT decode_unsupported rows in contract tests."""
+    if not (1 <= w < 1 << 14 and 1 <= h < 1 << 14):
+        raise ValueError("VP8 dimensions must be in [1, 16383]")
+    # key frame (bit0=0), version 0, show_frame=1, part0 size 0
+    tag = 0 | (0 << 1) | (1 << 4) | (0 << 5)
+    header = struct.pack("<I", tag)[:3] + b"\x9d\x01\x2a" \
+        + struct.pack("<HH", w, h)
+    payload = header + b"\x00" * 16
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def sniff_webp(data: bytes) -> bool:
     return (len(data) >= 12 and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP")
@@ -592,7 +623,7 @@ def _decode_webp(data: bytes) -> np.ndarray:
             payload = body
             break
         if fourcc in (b"VP8 ", b"VP8X"):
-            raise ValueError(
+            raise UnsupportedCodecError(
                 "unsupported WebP variant: only VP8L (lossless) "
                 "decodes in-repo; lossy VP8 / extended VP8X need "
                 "libwebp")

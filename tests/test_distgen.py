@@ -39,6 +39,23 @@ def test_bytes_match_driver_fixture(spark) -> None:
         assert dist[i] == expected["bytes"], f"row {i}"
 
 
+def test_lossy_plant_matches_driver_fixture(spark) -> None:
+    n = 60
+    dist = {
+        r["id"]: bytes(r["bytes"]) if r["bytes"] is not None else None
+        for r in image_caption_frame(
+            spark, n, partitions=2, with_bytes=True, plant_lossy=True
+        ).collect()
+    }
+    ref = image_caption_rows(n, with_bytes=True, plant_lossy=True)
+    planted = [i for i in range(n) if i % 30 == 8]
+    assert planted == [8, 38]
+    for i, expected in enumerate(ref):
+        assert dist[i] == expected["bytes"], f"row {i}"
+    for i in planted:
+        assert dist[i][:4] == b"RIFF" and b"VP8 " in dist[i][:20]
+
+
 def test_no_shuffle_in_generation(spark) -> None:
     df = image_caption_frame(spark, 1000, partitions=4)
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -166,3 +166,77 @@ def test_image_full_check_equivalence_and_single_decode(
         assert r["pixels_ok"] == f["pixels_ok"], r["image_id"]
         assert r["caption_ok"] == f["caption_ok"], r["image_id"]
         assert r["psnr_db"] == f["psnr_db"], r["image_id"]
+        assert r["verdict"] == f["verdict"], r["image_id"]
+
+
+def test_lossy_vp8_routes_to_decode_unsupported(spark) -> None:
+    """r3 verdict #6: a well-formed lossy-VP8 container must surface
+    as a distinct decode_unsupported verdict — never a job-killing
+    error, never conflated with corruption. Planted via the same
+    id%30==8 rule the img_fidelity contract query uses."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_full_check,
+    )
+    from cerberus_cpp_spark.sources.imagegen import (
+        UnsupportedCodecError,
+        decode_image,
+        lossy_vp8_stub,
+        sniff_format,
+    )
+
+    stub = lossy_vp8_stub(10, 9)
+    assert sniff_format(stub) == "webp"
+    with pytest.raises(UnsupportedCodecError):
+        decode_image(stub)
+    # the uniform ValueError contract still holds (subclass)
+    with pytest.raises(ValueError):
+        decode_image(stub)
+
+    df = image_caption_frame(spark, 120, partitions=2,
+                             with_bytes=True, plant_lossy=True)
+    planted = {f"img-{i:012d}" for i in range(120) if i % 30 == 8}
+    assert planted  # 8, 38, 68, 98
+
+    fid = {r["image_id"]: r for r in fidelity_check(df).collect()}
+    for img_id, r in fid.items():
+        if img_id in planted:
+            assert r["verdict"] == "decode_unsupported", img_id
+            assert r["pixels_ok"] is False and r["psnr_db"] is None
+            assert r["caption_ok"] is True  # caption is untouched
+        else:
+            assert r["verdict"] != "decode_unsupported", img_id
+
+    probe = {r["image_id"]: r for r in decode_probe(df).collect()}
+    for img_id in planted:
+        r = probe[img_id]
+        assert r["decode_ok"] is False and r["sniffed_fmt"] == "webp"
+        assert r["message"].startswith("decode_unsupported:")
+
+    # metadata family: distinct message prefix (not "undecodable"),
+    # in both the standalone and the fused single-decode stage
+    meta = metadata_consistency_violations(
+        df.withColumn("i", F.expr("cast(substring(image_id, 5) as long)"))
+        .withColumn("w", F.expr("cast(8 + i % 9 as int)"))
+        .withColumn("h", F.expr("cast(8 + i % 7 as int)"))
+        .drop("i")
+    ).collect()
+    lossy_msgs = [r for r in meta if r["image_id"] in planted]
+    assert len(lossy_msgs) == len(planted)
+    assert all(r["message"].startswith("decode_unsupported:")
+               for r in lossy_msgs)
+    full = {r["image_id"]: r for r in image_full_check(df).collect()}
+    for img_id in planted:
+        assert full[img_id]["verdict"] == "decode_unsupported"
+
+
+def test_fidelity_verdicts_partition_the_corpus(spark, with_bytes) -> None:
+    """Verdict taxonomy over the standard seeded corpus (no lossy
+    plants): bmp row → undecodable, NULL-id row → no_reference,
+    everything else ok; verdict ok ⟺ pixels_ok."""
+    res = fidelity_check(with_bytes).collect()
+    by_id = {r["image_id"]: r for r in res}
+    assert by_id["img-000000000200"]["verdict"] == "undecodable"
+    none_row = [r for r in res if r["image_id"] is None]
+    assert len(none_row) == 1 and none_row[0]["verdict"] == "no_reference"
+    for r in res:
+        assert (r["verdict"] == "ok") == bool(r["pixels_ok"])
