@@ -1100,3 +1100,146 @@ def encode_webp_color_transformed(
         chunk += b"\x00"
     body = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _lz77_prefix_of(v: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_lz77_value`: a length/distance VALUE ≥ 1 →
+    ``(prefix_symbol, extra_bits_value, extra_bits_count)``. Values
+    1..4 are the literal prefixes 0..3; beyond that the RFC 9649
+    (prefix, extra-bits) split: x = v - 1 lies in [2<<e, 3<<e) →
+    prefix 2+2e, or [3<<e, 4<<e) → prefix 3+2e."""
+    if v < 1:
+        raise ValueError("lz77 values start at 1")
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    e = x.bit_length() - 2
+    if x < (3 << e):
+        return 2 + 2 * e, x - (2 << e), e
+    return 3 + 2 * e, x - (3 << e), e
+
+
+# largest distance VALUE the 40-symbol prefix alphabet can express
+# (prefix 39: offset (2+1)<<18, 18 extra bits) — the VP8L window
+_LZ77_MAX_DISTANCE_VALUE = (3 << 18) + (1 << 18)  # 1_048_576
+_LZ77_MAX_LENGTH = (3 << 10) + (1 << 10)          # 4_096 (prefix 23)
+
+
+def _lz77_tokenize(seq: list, width: int, *, min_match: int = 3,
+                   max_length: int = _LZ77_MAX_LENGTH) -> list:
+    """Greedy LZ77 over a pixel sequence (hashable items). Candidate
+    distances per position: the most recent occurrence of the next
+    3-pixel window (hash table), distance 1 (horizontal runs) and
+    distance ``width`` (repeated rows). Returns
+    ``[("lit", px) | ("ref", length, distance), ...]``; overlapping
+    matches (distance < length) are allowed, matching the decoder's
+    byte-at-a-time copy."""
+    n = len(seq)
+    table: dict = {}
+    tokens: list = []
+    pos = 0
+    max_dist = _LZ77_MAX_DISTANCE_VALUE - 120  # leave room for +120
+    while pos < n:
+        cands = []
+        if pos + min_match <= n:
+            prev = table.get((seq[pos], seq[pos + 1], seq[pos + 2]))
+            if prev is not None and pos - prev <= max_dist:
+                cands.append(pos - prev)
+        if pos >= 1:
+            cands.append(1)
+        if width and pos >= width and width != 1:
+            cands.append(width)
+        best_len = 0
+        best_dist = 0
+        for d in cands:
+            length = 0
+            while (pos + length < n and length < max_length
+                   and seq[pos + length - d] == seq[pos + length]):
+                length += 1
+            if length > best_len:
+                best_len, best_dist = length, d
+        if pos + min_match <= n:
+            table[(seq[pos], seq[pos + 1], seq[pos + 2])] = pos
+        if best_len >= min_match:
+            for k in range(1, best_len):
+                p = pos + k
+                if p + min_match <= n:
+                    table[(seq[p], seq[p + 1], seq[p + 2])] = p
+            tokens.append(("ref", best_len, best_dist))
+            pos += best_len
+        else:
+            tokens.append(("lit", seq[pos]))
+            pos += 1
+    return tokens
+
+
+def encode_webp_lz77(pixels: np.ndarray, *,
+                     min_match: int = 3) -> bytes:
+    """Lossless VP8L with LZ77 BACKREFERENCES (r3 verdict #3 — the
+    last decoder path covered only by hand-built streams now gets
+    real roundtrip coverage): greedy matcher over the pixel sequence
+    emitting length/distance pairs through the RFC 9649
+    (prefix, extra-bits) scheme, literals through per-channel flat
+    codes sized to the distinct values actually used. Distances are
+    coded as plain values (+120 past the 2D proximity map); no
+    transforms, no color cache, so every decoded pixel comes out of
+    the literal or backref branch."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    flat = pixels.reshape(-1, 3)
+    seq = [(255, int(r), int(g), int(b)) for r, g, b in flat]
+    tokens = _lz77_tokenize(seq, w, min_match=min_match)
+
+    greens: list[int] = []
+    reds: list[int] = []
+    blues: list[int] = []
+    dists: list[int] = []
+    for t in tokens:
+        if t[0] == "lit":
+            _, (_, r, g, b) = t
+            greens.append(g)
+            reds.append(r)
+            blues.append(b)
+        else:
+            _, length, dist = t
+            greens.append(256 + _lz77_prefix_of(length)[0])
+            dists.append(_lz77_prefix_of(dist + 120)[0])
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no meta prefix codes
+    bw.write(0, 1)  # no color cache
+    gcodes = _write_code_for_values(bw, 256 + 24, greens)
+    rcodes = _write_code_for_values(bw, 256, reds or [0])
+    bcodes = _write_code_for_values(bw, 256, blues or [0])
+    acodes = _write_code_for_values(bw, 256, [255])
+    dcodes = _write_code_for_values(bw, 40, dists or [0])
+    for t in tokens:
+        if t[0] == "lit":
+            _, (a, r, g, b) = t
+            bw.write_code(*gcodes[g])
+            bw.write_code(*rcodes[r])
+            bw.write_code(*bcodes[b])
+            bw.write_code(*acodes[a])
+        else:
+            _, length, dist = t
+            p, extra, nbits = _lz77_prefix_of(length)
+            bw.write_code(*gcodes[256 + p])
+            if nbits:
+                bw.write(extra, nbits)
+            p, extra, nbits = _lz77_prefix_of(dist + 120)
+            bw.write_code(*dcodes[p])
+            if nbits:
+                bw.write(extra, nbits)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body

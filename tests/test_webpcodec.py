@@ -561,6 +561,7 @@ def test_hypothesis_roundtrip_all_modes():
     from cerberus_cpp_spark.sources.webpcodec import (
         encode_webp_cached,
         encode_webp_color_transformed,
+        encode_webp_lz77,
         encode_webp_palette,
         encode_webp_predicted,
     )
@@ -587,8 +588,74 @@ def test_hypothesis_roundtrip_all_modes():
             decode_webp(encode_webp_color_transformed(
                 px, green_to_red=seed % 256, green_to_blue=37,
                 red_to_blue=201)), px)
+        # low-color images repeat pixels a lot → heavy backref use
+        assert np.array_equal(decode_webp(encode_webp_lz77(px)), px)
 
     roundtrip()
+
+
+def test_lz77_prefix_inverse_of_decoder():
+    """_lz77_prefix_of must invert the decoder's _lz77_value across
+    the whole 40-prefix range (boundary values of every extra-bits
+    level + the window max)."""
+    from cerberus_cpp_spark.sources.webpcodec import (
+        _LZ77_MAX_DISTANCE_VALUE,
+        _lz77_prefix_of,
+        _lz77_value,
+    )
+
+    class FakeBR:
+        def __init__(self, val, n):
+            self.val, self.n = val, n
+
+        def read(self, n):
+            assert n == self.n
+            return self.val
+
+    vals = (list(range(1, 3000))
+            + [(2 << e) + d for e in range(2, 19) for d in (-1, 0, 1)]
+            + [(3 << e) + d for e in range(2, 18) for d in (-1, 0, 1)]
+            + [_LZ77_MAX_DISTANCE_VALUE])
+    for v in vals:
+        p, extra, nbits = _lz77_prefix_of(v)
+        assert 0 <= p < 40, (v, p)
+        assert _lz77_value(FakeBR(extra, nbits), p) == v, v
+    with pytest.raises(ValueError):
+        _lz77_prefix_of(0)
+
+
+def test_lz77_encoder_roundtrip_and_compression():
+    """The LZ77 encoder mode (r3 verdict #3): real roundtrip coverage
+    of the decoder's backref branch — tiled, constant, noise and
+    gradient images all roundtrip bit-exactly, and repetitive images
+    compress an order of magnitude below literal coding."""
+    from cerberus_cpp_spark.sources.webpcodec import (
+        _lz77_tokenize,
+        encode_webp_lz77,
+    )
+
+    rng = np.random.RandomState(7)
+    patch = rng.randint(0, 256, (4, 4, 3)).astype(np.uint8)
+    tiled = np.tile(patch, (8, 8, 1))
+    enc = encode_webp_lz77(tiled)
+    assert np.array_equal(decode_webp(enc), tiled)
+    assert len(enc) * 5 < len(encode_webp(tiled))
+
+    for img in (
+        np.full((17, 5, 3), 99, np.uint8),            # dist-1 runs
+        rng.randint(0, 256, (9, 13, 3)).astype(np.uint8),  # no matches
+        synth_pixels(123, 14, 11),                    # gradient
+        np.repeat(rng.randint(0, 256, (1, 20, 3)), 30, axis=0
+                  ).astype(np.uint8),                 # dist-w rows
+        np.zeros((1, 1, 3), np.uint8),                # minimum dims
+    ):
+        assert np.array_equal(decode_webp(encode_webp_lz77(img)), img)
+
+    # the tokenizer emits real backrefs, including overlapping
+    # (distance < length) runs, and reconstructs exactly
+    seq = [(255, 1, 2, 3)] * 20
+    toks = _lz77_tokenize(seq, 5)
+    assert toks[0][0] == "lit" and toks[1] == ("ref", 19, 1)
 
 
 @pytest.mark.parametrize("mode", [1, 2])
