@@ -107,3 +107,56 @@ def test_clusters_match_union_find_at_scale(spark, corpus) -> None:
 
     sizes = Counter(c for c, _ in got.values())
     assert max(sizes.values()) >= 3
+
+
+def test_cc_scale_pin_million_node_chains(spark) -> None:
+    """r3 verdict #8 — CC at 10^6 docs: ~977 planted chains of
+    diameter 1023 (the adversarial shape for label propagation; real
+    near-dup clusters are far shallower). Pins three things:
+
+    * ROUND COUNT: pointer jumping must converge within 13 rounds
+      (O(log2 diameter) + slack); `near_duplicate_clusters` RAISES
+      past max_iter, so plain propagation (O(diameter) = 1023
+      rounds) fails loudly rather than slowly.
+    * CORRECTNESS at scale: every node's cluster_id equals its
+      chain head — asserted with one distributed count, no 10^6-row
+      driver collect.
+    * BLOCK-STORAGE HYGIENE: the per-round checkpoints are freed as
+      the loop advances (r3 ADVICE leak); at the end only the final
+      labels frame may remain resident.
+
+    Wall time ~50 s at local[4] (BENCH.md §15 records the measured
+    local[32] figure).
+    """
+    import time
+
+    from cerberus_cpp_spark.functions.ckpt import (
+        _persistent_ids,
+        free_checkpoint,
+    )
+
+    n, chain = 1_000_000, 1024
+    edges = (
+        spark.range(0, n, 1, 8)
+        .where((F.col("id") + 1) % chain != 0)   # chain boundaries
+        .where(F.col("id") + 1 < n)
+        .select(F.col("id").alias("id_a"),
+                (F.col("id") + 1).alias("id_b"))
+    )
+    before = _persistent_ids(spark)
+    t0 = time.time()
+    labels = DD.near_duplicate_clusters(edges, max_iter=13)
+    bad = labels.where(
+        F.col("cluster_id")
+        != (F.col("doc_id") / chain).cast("long") * chain
+    ).count()
+    total = labels.count()
+    wall = time.time() - t0
+    assert total == n and bad == 0, (total, bad)
+
+    leaked = frozenset(_persistent_ids(spark) - before)
+    # only the FINAL labels checkpoint may be resident (callers own
+    # it); O(rounds) leftovers mean the per-round free regressed
+    assert len(leaked) <= 1, f"leaked {len(leaked)} checkpoint RDDs"
+    free_checkpoint(spark, leaked)
+    assert wall < 600, f"CC at 1M nodes took {wall:.0f}s"

@@ -222,3 +222,58 @@ def test_compaction_crash_window_heals(spark, tmp_path) -> None:
     assert len(led.data_files()) == 2
     assert led.read().count() == 1  # healed
     assert led.completed_partitions().count() == 1
+
+
+def test_thousand_partition_resume_cost_stays_flat(spark, tmp_path) -> None:
+    """r3 verdict #4 scale pin: ~1,000 partitions through
+    run_validation. Kill after 90% of the chunks; the resume must
+    (a) re-plan ONLY the uncommitted remainder — 2 chunks / 100
+    partitions, never the 900 already committed, (b) keep the
+    ledger's file count bounded by compaction across the ~20 commits
+    (reads stay metadata-scale no matter how many chunks have
+    appended), and (c) take a small fraction of the 18-chunk run's
+    wall time — flat in remaining work, not in total partitions."""
+    import time
+
+    n_parts, per_commit = 1000, 50
+    df = (
+        spark.range(0, 4 * n_parts, 1, 8)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("p"), (F.col("id") % n_parts))
+            .alias("part"),
+        )
+    )
+    ledger = ValidationLedger(spark, str(tmp_path / "ledger"),
+                              compact_every=8)
+    tv = TableValidator({"k": {"type": "integer", "min": 0}},
+                        extra_cols=("part",))
+
+    t0 = time.time()
+    with pytest.raises(KilledRun):
+        run_validation(df, tv, "part", ledger,
+                       partitions_per_commit=per_commit,
+                       fail_after_chunks=18)
+    kill_wall = time.time() - t0
+    assert ledger.completed_partitions().count() == 18 * per_commit
+
+    # (b) compaction bound: 18 appends at compact_every=8 must not
+    # leave 18 files behind
+    assert len(ledger.data_files()) <= 9, len(ledger.data_files())
+
+    t0 = time.time()
+    summary = run_validation(df, tv, "part", ledger,
+                             partitions_per_commit=per_commit)
+    resume_wall = time.time() - t0
+
+    # (a) the resume planned exactly the uncommitted remainder
+    assert summary["partitions_total"] == n_parts - 18 * per_commit
+    assert summary["chunks"] == 2
+    assert summary["empty_partitions"] == []
+    assert ledger.completed_partitions().count() == n_parts
+    assert pending_partitions(df, "part", ledger) == []
+
+    # (c) 2 chunks of work vs 18: generous 60% bound absorbs fixed
+    # overhead (ledger read + discovery scan) and host noise while
+    # still failing loudly if resume re-validates committed chunks
+    assert resume_wall < kill_wall * 0.6, (resume_wall, kill_wall)
