@@ -17,7 +17,10 @@ Job layout at scale (each bullet = one job, no cross-talk):
 - image checks: ONE fused Arrow-batched decode stage over
   (id, bytes, caption, fmt, w, h) emitting both verdict families
   (metadata consistency + pixel/caption fidelity) — bytes decoded
-  exactly once per row, both counts from one action
+  exactly once per row, both counts from one action; opt-in
+  ``balance_image_bytes`` pre-shuffles byte-skewed splits so the
+  decode stage has no straggler partition
+  (``partitioning.size_balanced``)
 """
 
 from __future__ import annotations
@@ -67,6 +70,8 @@ def run_full_validation(
     drift_against: DataFrame | None = None,
     drift_col: str | None = None,
     image_checks: bool = False,
+    balance_image_bytes: int | None = None,
+    image_total_bytes: int | None = None,
     allow_unknown: bool = True,
     partitions_per_commit: int = 8,
 ) -> PipelineReport:
@@ -116,7 +121,19 @@ def run_full_validation(
         # action for both counts (r3 verdict #5: two full decodes of
         # `bytes` was the dominant image-leg cost, paid twice; a
         # second .count() would re-run the Arrow stage too)
-        combined = image_full_check(df)
+        img_in = df
+        if balance_image_bytes is not None:
+            # byte-skewed splits make the Arrow decode stage run at
+            # the speed of its fattest partition; one payload-sized
+            # round-robin shuffle evens it (north_star "size-based
+            # coalesce" for oversized image partitions). Opt-in: it
+            # IS an extra shuffle of the payload.
+            from .partitioning import size_balanced
+
+            img_in = size_balanced(
+                df, "bytes", target_bytes=balance_image_bytes,
+                total_bytes=image_total_bytes)
+        combined = image_full_check(img_in)
         row = combined.agg(
             F.coalesce(F.sum("n_meta_violations"), F.lit(0))
             .alias("meta"),
