@@ -41,15 +41,19 @@ is PALETTE mode when the image has ≤256 colors (the synthetic thumbs
 always do), so the contract queries' webp rows decode through
 COLOR_INDEXING for real; literal mode is the fallback.
 
-Interop caveat (honest): this container has no libwebp, so unlike the
-JPEG/WAV codecs there is no cross-library interop pin; conformance is
-covered by encoder↔decoder roundtrips (incl. a hypothesis sweep over
-all three modes) plus HAND-BUILT bitstreams in
-``tests/test_webpcodec.py`` that exercise every decoder feature
-(palette, predictor, color transform, cache, backrefs, meta codes)
-against independently computed expected pixels. Lossy ``VP8`` and
-extended ``VP8X`` containers raise ``ValueError`` (documented gap —
-HANDOFF: VP8 lossy is not worth reimplementing).
+Interop (round 4): rounds 2-3 recorded "this container has no
+libwebp" — WRONG: the system ships ``libwebp.so.7`` (only Python
+bindings are absent). ``sources/libwebp.py`` now binds it via ctypes
+and ``tests/test_webp_interop.py`` pins BOTH directions: every
+encoder mode's output decodes bit-exactly in libwebp, and libwebp's
+own lossless encoder output decodes bit-exactly here. That oracle
+immediately caught a real spec deviation the self-consistent
+roundtrips + hand-built streams could not: rounds 2-3 swapped the
+``color-cache-info`` / ``meta-prefix`` field order (RFC 9649 puts
+cache info FIRST) — fixed in round 4 in decoder, encoders, and the
+hand-built streams. The hand-built bitstreams in
+``tests/test_webpcodec.py`` remain the environment-independent
+conformance floor for containers without the shared library.
 
 All malformed input raises ``ValueError`` — the uniform decode-error
 contract shared by every codec in ``sources/``.
@@ -302,6 +306,18 @@ def _cache_index(a: int, r: int, g: int, b: int, cache_bits: int) -> int:
 def _decode_image_data(br: _BitReader, w: int, h: int,
                        allow_meta: bool) -> np.ndarray:
     """(h, w, 4) uint8 ARGB (channel order a, r, g, b)."""
+    # RFC 9649 grammar: spatially-coded-image ::= color-cache-info
+    # meta-prefix data — the cache info comes FIRST. Rounds 2-3 read
+    # meta before cache (and the hand-built test streams were written
+    # in the same swapped order, so the error was self-consistent);
+    # the round-4 libwebp interop oracle caught it: real streams with
+    # a color cache or meta codes desynced immediately.
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
     meta_idx = None
     meta_bits = 0
     n_groups = 1
@@ -312,12 +328,6 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
         meta_idx = ((mimg[..., 1].astype(np.int64) << 8)
                     | mimg[..., 2].astype(np.int64))
         n_groups = int(meta_idx.max()) + 1
-    cache_bits = 0
-    if br.read_bit():
-        cache_bits = br.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("invalid color-cache size")
-    cache_size = (1 << cache_bits) if cache_bits else 0
     groups = []
     for _ in range(n_groups):
         groups.append((
@@ -701,8 +711,8 @@ def encode_webp(pixels: np.ndarray, *,
         r = (r - g) & 0xFF
         b = (b - g) & 0xFF
     bw.write(0, 1)  # end of transforms
-    bw.write(0, 1)  # no meta prefix codes
     bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
     _write_dense_byte_code(bw, 256 + 24)   # green/length
     _write_dense_byte_code(bw, 256)        # red
     _write_dense_byte_code(bw, 256)        # blue
@@ -887,8 +897,8 @@ def encode_webp_palette(pixels: np.ndarray) -> bytes:
     else:
         coded = idx
     bw.write(0, 1)  # end of transforms
-    bw.write(0, 1)  # no meta
     bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
     gcodes = _write_code_for_values(bw, 256 + 24, coded.ravel())
     _write_code_for_values(bw, 256, [0])    # red
     _write_code_for_values(bw, 256, [0])    # blue
@@ -922,9 +932,9 @@ def encode_webp_cached(pixels: np.ndarray, *,
     bw.write(0, 1)
     bw.write(0, 3)
     bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache present (color-cache-info precedes the
+    bw.write(cache_bits, 4)  # meta-prefix bit — RFC 9649 grammar)
     bw.write(0, 1)  # no meta
-    bw.write(1, 1)  # cache present
-    bw.write(cache_bits, 4)
     # green code: 256 literals at 9 bits (Kraft 0.5) + cache_size
     # symbols at cache_bits+1 bits (Kraft 0.5) = complete
     glens = {i: 9 for i in range(256)}
@@ -1011,8 +1021,8 @@ def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
     # pixels cost nothing to emit
     _ = (bs_w, bs_h)
     bw.write(0, 1)                  # end of transforms
-    bw.write(0, 1)                  # no meta
     bw.write(0, 1)                  # no cache
+    bw.write(0, 1)                  # no meta
     _write_dense_byte_code(bw, 256 + 24)
     _write_dense_byte_code(bw, 256)
     _write_dense_byte_code(bw, 256)
@@ -1082,8 +1092,8 @@ def encode_webp_color_transformed(
     _write_code_for_values(bw, 256, [255])
     _write_code_for_values(bw, 40, [0])
     bw.write(0, 1)                  # end of transforms
-    bw.write(0, 1)                  # no meta
     bw.write(0, 1)                  # no cache
+    bw.write(0, 1)                  # no meta
     _write_dense_byte_code(bw, 256 + 24)
     _write_dense_byte_code(bw, 256)
     _write_dense_byte_code(bw, 256)
@@ -1213,8 +1223,8 @@ def encode_webp_lz77(pixels: np.ndarray, *,
     bw.write(0, 1)  # alpha hint
     bw.write(0, 3)  # version
     bw.write(0, 1)  # no transforms
-    bw.write(0, 1)  # no meta prefix codes
     bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
     gcodes = _write_code_for_values(bw, 256 + 24, greens)
     rcodes = _write_code_for_values(bw, 256, reds or [0])
     bcodes = _write_code_for_values(bw, 256, blues or [0])

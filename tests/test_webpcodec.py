@@ -110,7 +110,7 @@ def write_normal_code(bw: _BitWriter, alphabet: int,
 
 
 def no_extras(bw: _BitWriter) -> None:
-    """No transforms, no meta codes, no cache."""
+    """No transforms, no cache, no meta codes (spec order)."""
     bw.write(0, 1)
     bw.write(0, 1)
     bw.write(0, 1)
@@ -202,9 +202,9 @@ def test_color_cache_hit():
     bw = _BitWriter()
     header(bw, 3, 1)
     bw.write(0, 1)          # no transforms
-    bw.write(0, 1)          # no meta
-    bw.write(1, 1)          # cache present
+    bw.write(1, 1)          # cache present (color-cache-info FIRST,
     bw.write(2, 4)          # cache_bits = 2 (size 4)
+    bw.write(0, 1)          # then the meta-prefix bit — RFC 9649)
     g = write_normal_code(
         bw, 256 + 24 + 4, {5: 2, 6: 2, 280 + idx_a: 1})
     write_simple_code(bw, [0])     # red
@@ -350,6 +350,7 @@ def test_meta_prefix_codes_two_groups():
     bw = _BitWriter()
     header(bw, 8, 1)
     bw.write(0, 1)          # no transforms
+    bw.write(0, 1)          # main image: no cache (precedes meta bit)
     bw.write(1, 1)          # meta prefix codes present
     bw.write(2 - 2, 3)      # meta_bits = 2 -> entropy image 2x1
     # entropy image (sub-stream): greens 0 and 1 (groups), red 0
@@ -361,7 +362,6 @@ def test_meta_prefix_codes_two_groups():
     write_simple_code(bw, [0])
     bw.write_code(*mg[0])
     bw.write_code(*mg[1])
-    bw.write(0, 1)          # main image: no cache
     # group 0: constant color (50, 60, 70)
     _single_color_group(bw, 255, 50, 60, 70)
     # group 1: constant color (5, 6, 7)
