@@ -11,10 +11,13 @@ memory).
 Codecs come from ``sources.imagegen``: PNG, baseline JPEG
 (``jpegcodec.py``, interop-verified against Java ImageIO) and webp
 VP8L lossless (``webpcodec.py``, RFC 9649 — roundtrip + hand-built
-conformance streams; lossy VP8 remains a documented ValueError gap)
-are all REAL in-repo codecs; the Spark-side plumbing (binary columns,
+conformance streams) are all REAL in-repo codecs; lossy VP8/VP8X
+decodes through the feature-detected system libwebp
+(``decode_webp_any``) and routes to the ``decode_unsupported``
+verdict only when the shared library is absent or the payload is
+undecodable even there. The Spark-side plumbing (binary columns,
 batch shapes, UDF signatures, violation surfaces) is tested for all
-three.
+paths.
 
 The reference analogue is a custom type's ``equality`` op
 (``types.hh:41-48``) promoted to a row-wise invariant: decoded pixels
@@ -213,6 +216,7 @@ def fidelity_check(
             pixel_seed,
             psnr,
             synth_pixels,
+            webp_is_lossless,
         )
 
         for pdf in batches:
@@ -254,7 +258,10 @@ def fidelity_check(
                     pixel_seed(i, seed), px.shape[1], px.shape[0]
                 )
                 db = psnr(px, ref)
-                lossless = fmt in ("png", "webp")  # webp = VP8L lossless
+                # per-payload: VP8L is lossless, VP8/VP8X (decoded
+                # via the libwebp fallback) get the PSNR gate
+                lossless = fmt == "png" or (
+                    fmt == "webp" and webp_is_lossless(bytes(blob)))
                 ok = (db == math.inf) if lossless \
                     else (db >= psnr_threshold_db)
                 out["psnr_db"].append(
@@ -315,6 +322,7 @@ def image_full_check(
             pixel_seed,
             psnr,
             synth_pixels,
+            webp_is_lossless,
         )
 
         for pdf in batches:
@@ -385,7 +393,8 @@ def image_full_check(
                     pixel_seed(i, seed), px.shape[1], px.shape[0]
                 )
                 db = psnr(px, ref)
-                lossless = fmt in ("png", "webp")
+                lossless = fmt == "png" or (
+                    fmt == "webp" and webp_is_lossless(bytes(blob)))
                 ok = (db == math.inf) if lossless \
                     else (db >= psnr_threshold_db)
                 out["psnr_db"].append(

@@ -13,8 +13,11 @@ batches, UDF signatures — is real either way):
 - ``webp``: a REAL VP8L (lossless) codec (``webpcodec.py``, RFC
   9649): bit-exact round-trip; the decoder covers the full VP8L
   feature set (transforms, color cache, LZ77, meta prefix codes).
-  Lossy ``VP8``/extended ``VP8X`` containers raise ValueError — the
-  one remaining (documented) webp gap.
+  Lossy ``VP8``/extended ``VP8X`` containers decode through the
+  feature-detected system libwebp when present
+  (``webpcodec.decode_webp_any``); without the shared library they
+  raise ``UnsupportedCodecError`` and dataset checks route them to
+  the ``decode_unsupported`` verdict.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
@@ -34,9 +37,11 @@ from .jpegcodec import decode_jpeg, encode_jpeg
 from .webpcodec import (  # noqa: F401 — UnsupportedCodecError re-exported
     UnsupportedCodecError,
     decode_webp,
+    decode_webp_any,
     encode_webp,
     lossy_vp8_stub,
     sniff_webp,
+    webp_is_lossless,
 )
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -165,7 +170,9 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
     if fmt == "jpeg":
         return fmt, decode_jpeg(data)
     if fmt == "webp":
-        return fmt, decode_webp(data)
+        # VP8L in-repo; lossy VP8/VP8X via the feature-detected
+        # system-libwebp fallback (UnsupportedCodecError when absent)
+        return fmt, decode_webp_any(data)
     raise ValueError("unrecognized image stream")
 
 
