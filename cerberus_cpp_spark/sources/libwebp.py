@@ -252,3 +252,110 @@ def encode_rgba(pixels: np.ndarray, quality: float = 90.0) -> bytes:
     finally:
         lib.WebPFree(out.value)
     return data
+
+
+# --- advanced decode API (WebPDecode + WebPDecoderConfig) ------------
+# Used by the VP8 conformance suite to obtain the PRE-loop-filter
+# reconstruction (bypass_filtering) and to toggle fancy upsampling —
+# isolating which decoder stage a mismatch lives in. ABI structs from
+# the public webp/decode.h.
+
+class _RGBABuffer(ctypes.Structure):
+    _fields_ = [("rgba", ctypes.c_void_p), ("stride", ctypes.c_int),
+                ("size", ctypes.c_size_t)]
+
+
+class _YUVABuffer(ctypes.Structure):
+    _fields_ = [("y", ctypes.c_void_p), ("u", ctypes.c_void_p),
+                ("v", ctypes.c_void_p), ("a", ctypes.c_void_p),
+                ("y_stride", ctypes.c_int), ("u_stride", ctypes.c_int),
+                ("v_stride", ctypes.c_int), ("a_stride", ctypes.c_int),
+                ("y_size", ctypes.c_size_t), ("u_size", ctypes.c_size_t),
+                ("v_size", ctypes.c_size_t), ("a_size", ctypes.c_size_t)]
+
+
+class _BufferUnion(ctypes.Union):
+    _fields_ = [("RGBA", _RGBABuffer), ("YUVA", _YUVABuffer)]
+
+
+class _DecBuffer(ctypes.Structure):
+    _fields_ = [("colorspace", ctypes.c_int), ("width", ctypes.c_int),
+                ("height", ctypes.c_int),
+                ("is_external_memory", ctypes.c_int),
+                ("u", _BufferUnion), ("pad", ctypes.c_uint32 * 4),
+                ("private_memory", ctypes.c_void_p)]
+
+
+class _BitstreamFeatures(ctypes.Structure):
+    _fields_ = [("width", ctypes.c_int), ("height", ctypes.c_int),
+                ("has_alpha", ctypes.c_int),
+                ("has_animation", ctypes.c_int), ("format", ctypes.c_int),
+                ("pad", ctypes.c_uint32 * 5)]
+
+
+class _DecoderOptions(ctypes.Structure):
+    _fields_ = [("bypass_filtering", ctypes.c_int),
+                ("no_fancy_upsampling", ctypes.c_int),
+                ("use_cropping", ctypes.c_int),
+                ("crop_left", ctypes.c_int), ("crop_top", ctypes.c_int),
+                ("crop_width", ctypes.c_int), ("crop_height", ctypes.c_int),
+                ("use_scaling", ctypes.c_int),
+                ("scaled_width", ctypes.c_int),
+                ("scaled_height", ctypes.c_int),
+                ("use_threads", ctypes.c_int),
+                ("dithering_strength", ctypes.c_int),
+                ("flip", ctypes.c_int),
+                ("alpha_dithering_strength", ctypes.c_int),
+                ("pad", ctypes.c_uint32 * 5)]
+
+
+class _DecoderConfig(ctypes.Structure):
+    _fields_ = [("input", _BitstreamFeatures), ("output", _DecBuffer),
+                ("options", _DecoderOptions)]
+
+
+_MODE_YUV = 11
+_DECODER_ABI_VERSION = 0x0209
+
+
+def decode_yuv_ex(data: bytes, bypass_filtering: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Y/U/V planes via the advanced API; ``bypass_filtering=True``
+    returns the reconstruction BEFORE the in-loop deblocking filter."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("system libwebp not available")
+    lib.WebPInitDecoderConfigInternal.argtypes = [
+        ctypes.POINTER(_DecoderConfig), ctypes.c_int]
+    lib.WebPInitDecoderConfigInternal.restype = ctypes.c_int
+    lib.WebPDecode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_DecoderConfig)]
+    lib.WebPDecode.restype = ctypes.c_int
+    lib.WebPFreeDecBuffer.argtypes = [ctypes.POINTER(_DecBuffer)]
+    lib.WebPFreeDecBuffer.restype = None
+
+    cfg = _DecoderConfig()
+    if not lib.WebPInitDecoderConfigInternal(
+            ctypes.byref(cfg), _DECODER_ABI_VERSION):
+        raise RuntimeError("WebPInitDecoderConfig ABI mismatch")
+    cfg.output.colorspace = _MODE_YUV
+    cfg.options.bypass_filtering = 1 if bypass_filtering else 0
+    status = lib.WebPDecode(data, len(data), ctypes.byref(cfg))
+    if status != 0:
+        raise ValueError(f"libwebp WebPDecode failed (status {status})")
+    try:
+        yb = cfg.output.u.YUVA
+        w, h = cfg.output.width, cfg.output.height
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        y = (np.frombuffer(ctypes.string_at(yb.y, yb.y_stride * h),
+                           dtype=np.uint8)
+             .reshape(h, yb.y_stride)[:, :w].copy())
+        u = (np.frombuffer(ctypes.string_at(yb.u, yb.u_stride * ch),
+                           dtype=np.uint8)
+             .reshape(ch, yb.u_stride)[:, :cw].copy())
+        v = (np.frombuffer(ctypes.string_at(yb.v, yb.v_stride * ch),
+                           dtype=np.uint8)
+             .reshape(ch, yb.v_stride)[:, :cw].copy())
+    finally:
+        lib.WebPFreeDecBuffer(ctypes.byref(cfg.output))
+    return y, u, v

@@ -643,31 +643,69 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed WebP stream: {e}") from e
 
 
+def _find_codec_chunk(data: bytes):
+    """First ``VP8 `` / ``VP8L`` chunk payload in a WebP container,
+    walking past metadata chunks (VP8X, ALPH, ICCP, EXIF, XMP, ANIM).
+    Returns (fourcc bytes, payload) or None."""
+    if not sniff_webp(data):
+        return None
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc in (b"VP8 ", b"VP8L"):
+            return fourcc, body
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def decode_webp_any(data: bytes) -> np.ndarray:
-    """:func:`decode_webp` with a FEATURE-DETECTED system-libwebp
-    fallback for codecs outside the in-repo decoder (lossy ``VP8 `` /
-    extended ``VP8X`` — r3 verdict "What's missing #1": real-world
-    webp is predominantly lossy).
+    """Decode any WebP variant with IN-REPO codecs first (r3 verdict
+    "What's missing #1": real-world webp is predominantly lossy):
 
-    Routing, deterministic whether or not the shared library exists:
-
-    - VP8L → in-repo decoder (always; its behavior is pinned by the
-      hand-built conformance streams and needs no native library);
-    - VP8/VP8X with libwebp present and the payload decodable →
-      decoded RGB (alpha dropped) — lossy webp now REAL;
-    - VP8/VP8X with libwebp absent, OR a payload the reference C
-      decoder itself rejects → the original
-      :class:`UnsupportedCodecError` propagates, so dataset checks
-      keep routing these rows to the ``decode_unsupported`` verdict
-      instead of crashing or re-labelling them as corruption. (The
-      planted ``lossy_vp8_stub`` contract rows rely on this: their
-      zeroed coefficient partition is undecodable everywhere.)
+    - VP8L (lossless) → in-repo RFC 9649 decoder;
+    - ``VP8 `` (lossy key frame) → in-repo RFC 6386 decoder
+      (``vp8codec.decode_vp8_rgb``), whose YUV and RGB output are
+      pinned bit-exact against libwebp in the conformance suite;
+    - VP8X (extended container) → the inner VP8/VP8L chunk decodes
+      through the same in-repo codecs (alpha, if any, is dropped —
+      the fidelity contract compares RGB);
+    - anything the in-repo decoders reject → feature-detected system
+      libwebp, when present, as a LAST-RESORT fallback;
+    - still undecodable → :class:`UnsupportedCodecError` propagates,
+      so dataset checks route these rows to the ``decode_unsupported``
+      verdict instead of crashing or re-labelling them as corruption.
+      (The planted ``lossy_vp8_stub`` contract rows rely on this:
+      their empty first partition is rejected everywhere.)
 
     Per-process dlopen cost only (``libwebp._load`` caches the CDLL),
     so Arrow-batched decode UDFs pay nothing per batch."""
     try:
         return decode_webp(data)
     except UnsupportedCodecError as unsup:
+        found = _find_codec_chunk(data)
+        if found is not None:
+            fourcc, body = found
+            if fourcc == b"VP8 ":
+                from .vp8codec import decode_vp8_rgb
+
+                try:
+                    return decode_vp8_rgb(body)
+                except ValueError:
+                    pass  # fall through to the system library
+            elif fourcc == b"VP8L":
+                # VP8X-wrapped lossless: rebuild a bare container for
+                # the in-repo VP8L decoder
+                chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+                if len(body) & 1:
+                    chunk += b"\x00"
+                bare = (b"RIFF" + struct.pack("<I", 4 + len(chunk))
+                        + b"WEBP" + chunk)
+                try:
+                    return decode_webp(bare)
+                except ValueError:
+                    pass
         from . import libwebp
 
         if not libwebp.available():

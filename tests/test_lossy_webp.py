@@ -81,15 +81,21 @@ def test_stub_keeps_decode_unsupported_routing() -> None:
         decode_webp_any(lossy_vp8_stub(10, 9))
 
 
-def test_absent_library_keeps_prior_contract(monkeypatch) -> None:
-    ref = synth_pixels(3, 8, 6)
-    blob = (libwebp.encode_rgba(ref, 90.0) if libwebp.available()
-            else lossy_vp8_stub(8, 6))
+def test_absent_library_contract(monkeypatch) -> None:
+    """Round-4 contract: WITHOUT the system library, real lossy VP8
+    still decodes (in-repo RFC 6386 decoder), and only genuinely
+    undecodable payloads keep raising UnsupportedCodecError."""
+    lossy = (libwebp.encode_rgba(synth_pixels(3, 32, 24), 90.0)
+             if libwebp.available() else None)
     monkeypatch.setattr(libwebp, "_lib", None)
     monkeypatch.setattr(libwebp, "_load_failed", True)
+    if lossy is not None:
+        px = decode_webp_any(lossy)
+        assert px.shape == (24, 32, 3)
     with pytest.raises(UnsupportedCodecError):
-        decode_webp_any(blob)
+        decode_webp_any(lossy_vp8_stub(8, 6))
     # VP8L keeps decoding without the shared library
+    ref = synth_pixels(3, 8, 6)
     px = decode_webp_any(encode_webp(ref))
     assert np.array_equal(px, ref)
 
