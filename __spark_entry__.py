@@ -815,11 +815,16 @@ def q_img_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything. psnr_db itself is excluded: it's real-valued and
     codec-specific.
 
-    ``plant_lossy`` swaps every id%30==8 payload (always a webp row)
-    for a well-formed LOSSY-VP8 container: the planted contract rows
-    proving unsupported codecs route to the ``decode_unsupported``
-    verdict instead of killing the job or reading as corruption (r3
-    verdict #6)."""
+    ``plant_lossy`` plants two lossy-VP8 families (always webp rows,
+    disjoint from the id%100 violation plants): id%30==8 rows carry a
+    well-formed but UNDECODABLE container (empty first partition) →
+    ``decode_unsupported`` (r3 verdict #6), and id%30==23 rows carry
+    a REAL lossy payload from the in-repo RFC 6386 encoder whose
+    PSNR deterministically fails the 40 dB gate (4:2:0 chroma on the
+    wrapping-gradient family caps it ~33 dB; margin pinned in
+    tests/test_vp8enc.py) → ``mismatch`` with a decoded payload —
+    the lossy branch of the input_hint invariant, exercised in the
+    contract (round 4)."""
     from cerberus_cpp_spark.operators.image_checks import fidelity_check
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
@@ -841,11 +846,13 @@ t AS (
   FROM g
 )
 SELECT image_id,
-       (image_id IS NOT NULL AND fmt <> 'bmp' AND id % 30 <> 8)
+       (image_id IS NOT NULL AND fmt <> 'bmp' AND id % 30 <> 8
+        AND id % 30 <> 23)
          AS pixels_ok,
        (image_id IS NOT NULL AND NOT bad_caption) AS caption_ok,
        CASE WHEN fmt = 'bmp' THEN 'undecodable'
             WHEN id % 30 = 8 THEN 'decode_unsupported'
+            WHEN id % 30 = 23 THEN 'mismatch'
             WHEN image_id IS NULL THEN 'no_reference'
             ELSE 'ok' END AS verdict
 FROM t

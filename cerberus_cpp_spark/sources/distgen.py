@@ -41,10 +41,12 @@ def image_caption_frame(
     Arrow-batched ``mapInPandas`` stage — the only Python-side step,
     and only when bytes are requested.
 
-    ``plant_lossy`` swaps the payload of rows with ``id % 30 == 8``
-    (always webp rows, never colliding with the ``id % 100 == 0``
-    violation plants) for a well-formed LOSSY-VP8 container — the
-    contract fixture for the ``decode_unsupported`` verdict routing.
+    ``plant_lossy`` plants two lossy-VP8 families on webp rows that
+    never collide with the ``id % 100 == 0`` violation plants:
+    ``id % 30 == 8`` → well-formed but undecodable container (the
+    ``decode_unsupported`` routing fixture) and ``id % 30 == 23`` →
+    REAL lossy payload from the in-repo encoder that deterministically
+    fails the PSNR gate (the ``mismatch`` fixture, round 4).
     """
     num_parts = partitions or spark.sparkContext.defaultParallelism
     df = spark.range(0, n, 1, num_parts)
@@ -120,6 +122,7 @@ def _attach_bytes(df: DataFrame, seed: int, *,
         from cerberus_cpp_spark.sources.imagegen import (
             encode_image,
             lossy_vp8_stub,
+            lossy_webp_payload,
             pixel_seed,
         )
 
@@ -130,6 +133,9 @@ def _attach_bytes(df: DataFrame, seed: int, *,
                 if plant_lossy and i % 30 == 8:
                     payload.append(
                         lossy_vp8_stub(8 + i % 9, 8 + i % 7))
+                    continue
+                if plant_lossy and i % 30 == 23:
+                    payload.append(lossy_webp_payload(i, seed))
                     continue
                 try:
                     payload.append(

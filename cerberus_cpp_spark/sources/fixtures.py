@@ -243,6 +243,13 @@ def image_caption_rows(
             from .imagegen import lossy_vp8_stub
 
             row["bytes"] = lossy_vp8_stub(8 + i % 9, 8 + i % 7)
+        elif with_bytes and plant_lossy and i % 30 == 23:
+            # REAL lossy-VP8 plant (round 4): decodable payload whose
+            # PSNR deterministically fails the 40 dB gate → 'mismatch'
+            # (id%30==23 ⇒ fmt webp, disjoint from %100 and %30==8)
+            from .imagegen import lossy_webp_payload
+
+            row["bytes"] = lossy_webp_payload(i, seed)
         elif with_bytes:
             try:
                 row["bytes"] = encode_image(

@@ -151,6 +151,23 @@ def encode_image(pix_seed: int, w: int, h: int, fmt: str) -> bytes:
     return encode_pixels(synth_pixels(pix_seed, w, h), fmt)
 
 
+def lossy_webp_payload(i: int, seed: int) -> bytes:
+    """REAL lossy-VP8 WebP for planted contract rows (id %% 30 == 23):
+    the row's own reference pixels through the in-repo RFC 6386
+    encoder at a coarse quantizer. Deterministic pure-integer
+    pipeline; on the wrapping-gradient reference family, 4:2:0 chroma
+    subsampling caps PSNR at ~33 dB max over the planted ids (margin
+    pin in tests/test_vp8enc.py), so the fidelity verdict is
+    deterministically ``mismatch`` — the lossy PSNR gate's FAILING
+    branch, exercised in the contract with genuinely decodable
+    payloads (the id%%30==8 stubs cover the undecodable branch)."""
+    from .vp8enc import encode_webp_vp8
+
+    return encode_webp_vp8(
+        synth_pixels(pixel_seed(i, seed), 8 + i % 9, 8 + i % 7),
+        q_index=60, filter_level=12)
+
+
 def sniff_format(data: bytes) -> str | None:
     if data is None:
         return None

@@ -134,3 +134,44 @@ def test_encoder_input_validation():
         encode_webp_vp8(np.zeros((16, 16), np.uint8))
     with pytest.raises(VP8Error):
         decode_vp8_yuv(b"")
+
+
+def test_planted_lossy_family_margin():
+    """The id%30==23 contract plants must fail the 40 dB gate with
+    margin for EVERY planted id at contract scale — this pin is what
+    lets the DuckDB oracle predict 'mismatch' from id arithmetic."""
+    from cerberus_cpp_spark.sources.imagegen import (
+        decode_image,
+        lossy_webp_payload,
+        pixel_seed,
+        synth_pixels,
+    )
+    from cerberus_cpp_spark.sources.imagegen import psnr as img_psnr
+
+    worst = 0.0
+    for i in range(23, 3000, 30):
+        data = lossy_webp_payload(i, 42)
+        fmt, px = decode_image(data)
+        assert fmt == "webp"
+        ref = synth_pixels(pixel_seed(i, 42), 8 + i % 9, 8 + i % 7)
+        assert px.shape == ref.shape
+        worst = max(worst, img_psnr(px, ref))
+    assert worst < 36.0, worst  # >= 4 dB under the 40 dB gate
+
+
+def test_planted_lossy_row_verdict(spark):
+    """One planted row through the real fidelity_check stage lands on
+    'mismatch' with a populated psnr_db (proving the decode ran)."""
+    from cerberus_cpp_spark.operators.image_checks import fidelity_check
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, 60, with_bytes=True,
+                             plant_lossy=True)
+    out = {r["image_id"]: r for r in fidelity_check(df).collect()}
+    planted = out["img-000000000023"]
+    assert planted["verdict"] == "mismatch"
+    assert planted["pixels_ok"] is False
+    assert planted["psnr_db"] is not None and planted["psnr_db"] < 36
+    stub = out["img-000000000008"]
+    assert stub["verdict"] == "decode_unsupported"
+    assert stub["psnr_db"] is None
