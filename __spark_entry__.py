@@ -859,6 +859,90 @@ FROM t
 """
 
 
+IMG_CODEC_CENSUS_N = 3000
+
+
+def q_img_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec census over the REAL payload bytes (round 4): sniff the
+    container codec of every blob (png / jpeg / webp-VP8L /
+    webp-lossy-VP8) and attempt a full decode, counting rows by
+    (codec, decodable). Makes the codec layer itself an
+    oracle-counted contract surface: the id%30==23 rows are REAL
+    lossy VP8 from the in-repo RFC 6386 encoder (decodable), the
+    id%30==8 rows are well-formed-but-undecodable lossy containers,
+    and the seeded 'bmp' violation rows carry no payload. All counts
+    follow from id arithmetic."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_CODEC_CENSUS_N,
+                             with_bytes=True, plant_lossy=True)
+    pkg_parent = PKG_PARENT
+
+    def census(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            sniff_format,
+        )
+        from cerberus_cpp_spark.sources.webpcodec import webp_fourcc
+
+        for pdf in batches:
+            codecs, oks = [], []
+            for blob in pdf["bytes"]:
+                if blob is None:
+                    codecs.append("none")
+                    oks.append(False)
+                    continue
+                blob = bytes(blob)
+                fourcc = webp_fourcc(blob)
+                if fourcc == "VP8L":
+                    codec = "vp8l"
+                elif fourcc == "VP8 ":
+                    codec = "vp8"
+                else:
+                    codec = sniff_format(blob) or "unknown"
+                try:
+                    decode_image(blob)
+                    ok = True
+                except ValueError:
+                    ok = False
+                codecs.append(codec)
+                oks.append(ok)
+            yield pd.DataFrame({"codec": codecs, "decodable": oks})
+
+    return (
+        df.select("bytes")
+        .mapInPandas(census, schema="codec string, decodable boolean")
+        .groupBy("codec", "decodable")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+_IMG_CODEC_CENSUS_SQL = f"""
+WITH g AS (SELECT range AS id FROM range(0, {IMG_CODEC_CENSUS_N})),
+t AS (
+  SELECT id,
+    CASE
+      WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'none'
+      WHEN id % 30 = 8 THEN 'vp8'
+      WHEN id % 30 = 23 THEN 'vp8'
+      WHEN id % 3 = 0 THEN 'jpeg'
+      WHEN id % 3 = 1 THEN 'png'
+      ELSE 'vp8l' END AS codec,
+    NOT (id % 30 = 8 OR (id % 100 = 0 AND (id // 100) % 6 = 2))
+      AS decodable
+  FROM g
+)
+SELECT codec, decodable, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY codec, decodable
+"""
+
+
 PHASH_PIXEL_N = 1000
 PHASH_PIXEL_GROUPS = 250
 
@@ -1223,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_images": q_val_images,
         "phash_dups": q_phash_dups,
         "img_fidelity": q_img_fidelity,
+        "img_codec_census": q_img_codec_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "tdigest_drift": q_tdigest_drift,
@@ -1900,6 +1985,7 @@ def oracle_sql() -> dict[str, str]:
         "val_images": _VAL_IMAGES_SQL,
         "phash_dups": _PHASH_DUPS_SQL,
         "img_fidelity": _IMG_FIDELITY_SQL,
+        "img_codec_census": _IMG_CODEC_CENSUS_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,

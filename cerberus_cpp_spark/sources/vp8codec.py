@@ -42,7 +42,6 @@ from .vp8tables import (
     CAT_BASES,
     CAT_PROBS,
     COEFF_BANDS,
-    COEFF_TREE,
     COEFF_UPDATE_PROBS,
     DC_QLOOKUP,
     DEFAULT_COEFF_PROBS,

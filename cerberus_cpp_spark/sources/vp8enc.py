@@ -22,12 +22,11 @@ unfiltered reconstruction), which is what makes arbitrary
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
 from .vp8codec import (
-    B_PRED,
     DC_PRED,
     H_PRED,
     TM_PRED,
