@@ -1155,6 +1155,83 @@ JOIN (SELECT prob, qv FROM q WHERE NOT side_a) qb USING (prob)
 """
 
 
+HOT_KEYS_N = 20000
+
+
+def q_hot_keys_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key (heavy-hitter) detection over the input_hint table's
+    phash column — the detector that DECIDES the salting the
+    north_rule calls for ("skew from hot phash buckets ... handled
+    with explicit salting"): per-partition Misra-Gries summaries (one
+    narrow Arrow pass, provably complete candidates) + one exact
+    counting pass restricted to candidates; the raw table is never
+    shuffled on the key (checks.heavy_hitters). The generator plants
+    one hot phash on every 50th row (2% share); the oracle replays
+    the exact GROUP BY ... HAVING count over the same arithmetic."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, HOT_KEYS_N)
+    return checks.heavy_hitters(df, "phash", min_share=0.01)
+
+
+def _hot_keys_sql() -> str:
+    from cerberus_cpp_spark.sources.distgen import HOT_PHASH
+
+    return f"""
+WITH g AS (
+  SELECT CASE WHEN range % 50 = 0 THEN {HOT_PHASH}
+         ELSE ((range * 2654435761) + 42) & 9223372036854775807
+         END AS phash
+  FROM range(0, {HOT_KEYS_N})
+), t AS (SELECT count(*) AS total FROM g),
+c AS (SELECT phash, count(*)::BIGINT AS cnt FROM g GROUP BY phash)
+SELECT c.phash, c.cnt, CAST(c.cnt AS DOUBLE) / t.total AS share
+FROM c, t
+WHERE c.cnt >= ceil(0.01 * t.total)
+"""
+
+
+def q_cat_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical frequency drift between two event snapshots
+    (even/odd ids) over event_type, in ONE scan (the tagged-union
+    trick tdigest_drift uses, applied to frequency histograms): one
+    hash aggregate builds both histograms, then transcendental-free
+    drift terms (abs share gap + chi-square contribution) that an
+    exact SQL oracle replays bit-for-bit. The categorical complement
+    of the quantile-drift family (north_star: "distribution-drift
+    detection ... compared across snapshots")."""
+    ev = _t(spark, sf_dir, "events")
+    return checks.categorical_drift_tagged(
+        ev, F.expr("event_id % 2"), "event_type"
+    )
+
+
+_CAT_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type AS category, event_id % 2 = 0 AS a
+  FROM events WHERE event_type IS NOT NULL
+),
+c AS (
+  SELECT category,
+         SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS cnt_b
+  FROM ev GROUP BY category
+),
+t AS (SELECT SUM(cnt_a)::BIGINT AS ta, SUM(cnt_b)::BIGINT AS tb FROM c)
+SELECT c.category, c.cnt_a, c.cnt_b,
+       CAST(c.cnt_a AS DOUBLE) / t.ta AS share_a,
+       CAST(c.cnt_b AS DOUBLE) / t.tb AS share_b,
+       abs(CAST(c.cnt_a AS DOUBLE) / t.ta
+           - CAST(c.cnt_b AS DOUBLE) / t.tb) AS abs_gap,
+       ((CAST(c.cnt_a AS DOUBLE) / t.ta - CAST(c.cnt_b AS DOUBLE) / t.tb)
+        * (CAST(c.cnt_a AS DOUBLE) / t.ta
+           - CAST(c.cnt_b AS DOUBLE) / t.tb))
+       / (CAST(c.cnt_a AS DOUBLE) / t.ta
+          + CAST(c.cnt_b AS DOUBLE) / t.tb) AS chi2_term
+FROM c, t
+"""
+
+
 _LEDGER_RULES: dict = {
     "event_type": {"type": "string",
                    "allowed": ["click", "view", "purchase"]},
@@ -1311,6 +1388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "tdigest_drift": q_tdigest_drift,
+        "hot_keys_phash": q_hot_keys_phash,
+        "cat_drift_events": q_cat_drift_events,
         "full_validation_ledger": q_full_validation_ledger,
         "ann_topk_ivf": q_ann_topk_ivf,
         "phash_pixel_dups": q_phash_pixel_dups,
@@ -1989,6 +2068,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
+        "hot_keys_phash": _hot_keys_sql(),
+        "cat_drift_events": _CAT_DRIFT_SQL,
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,

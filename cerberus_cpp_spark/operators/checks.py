@@ -532,3 +532,253 @@ def _drift_report(da, db, col, probs, rel_tolerance, method) -> dict:
         "max_rel_gap": max_gap,
         "drifted": max_gap > rel_tolerance,
     }
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (hot-key detection for the skew scenario)
+# ---------------------------------------------------------------------------
+
+
+def _mg_partials(df: DataFrame, key: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries in ONE narrow Arrow pass.
+
+    Emits <= ``capacity`` surviving ``(key, counter)`` rows per input
+    partition plus one ``(key=NULL, is_total=true)`` row carrying the
+    partition's non-null key count. Per Arrow batch the work is a
+    vectorized ``value_counts`` merged into the running summary; when
+    the summary exceeds ``capacity`` it is pruned by subtracting the
+    (capacity+1)-th largest counter from every entry and dropping the
+    non-positive ones — the standard MG merge (Agarwal et al. 2012,
+    "Mergeable Summaries"), which preserves the deficit bound
+    ``true_count - counter <= n_partition/(capacity+1)``."""
+    key_type = df.schema[key].dataType.simpleString()
+    schema = f"key {key_type}, cnt long, is_total boolean"
+
+    def mg(batches):
+        import pandas as pd
+
+        acc = None
+        total = 0
+        for pdf in batches:
+            s = pdf["key"].dropna()
+            total += len(s)
+            vc = s.value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                kth = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            # candidates keep the key column's NATIVE dtype — mixing
+            # a None into the same column would route int64 keys
+            # through float64 and silently round them past 2^53
+            yield pd.DataFrame(
+                {
+                    "key": acc.index,
+                    "cnt": acc.astype("int64").to_numpy(),
+                    "is_total": False,
+                }
+            )
+        yield pd.DataFrame(
+            {"key": [None], "cnt": [total], "is_total": [True]}
+        )
+
+    return df.select(F.col(key).alias("key")).mapInPandas(mg, schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    *,
+    min_share: float | None = None,
+    min_count: int | None = None,
+    capacity: int = 256,
+) -> DataFrame:
+    """EXACT counts of every over-threshold key — without ever
+    shuffling the raw table on the key (the north_rule's hot-phash
+    scenario: detect the keys that would melt a reducer BEFORE
+    running the salted aggregate).
+
+    Pass 1 (one narrow scan): per-partition Misra-Gries summaries
+    (``_mg_partials``) reduced to a candidate set. Completeness is
+    provable by pigeonhole: a key with global non-null share
+    > 1/(capacity+1) must have per-partition share > 1/(capacity+1)
+    in at least one partition, where the MG deficit bound keeps its
+    counter positive — so every true heavy hitter is a candidate.
+    ``capacity`` is auto-widened to ``ceil(1/min_share)`` so the
+    guarantee always covers the requested threshold. The reduced
+    summary (<= capacity rows per partition + 1 total row) is
+    eagerly ``localCheckpoint``-ed — a few KB — so the total-count
+    branch and the candidate branch don't re-run the scan.
+
+    Pass 2 (one more scan): exact counts restricted to candidates —
+    a semi-join (AQE picks broadcast vs shuffled from the runtime
+    size; the set is structurally bounded by capacity x partitions,
+    but at 1e5 partitions that can exceed broadcast limits, so no
+    forced hint — mirroring the round-4 dedup fix) followed by a
+    hash aggregate whose map-side partials bound the shuffle at
+    |candidates| rows per task.
+
+    Returns ``(key, cnt, share)`` for keys with exact count >= the
+    threshold (``min_count`` and/or ``ceil(min_share x non-null
+    rows)``; both given → the stricter). NULL keys are ignored
+    (null-rate is ``column_stats``' job). Eager: pass 1 runs at call
+    time (like ``ivf_index``)."""
+    import math
+
+    if min_share is None and min_count is None:
+        raise ValueError("need min_share and/or min_count")
+    if min_share is not None:
+        if not 0.0 < min_share <= 1.0:
+            raise ValueError(f"min_share must be in (0, 1]: {min_share}")
+        capacity = max(capacity, int(math.ceil(1.0 / min_share)))
+
+    partials = _mg_partials(df, key, capacity)
+    summary = (
+        partials.groupBy("key", "is_total")
+        .agg(F.sum("cnt").alias("cnt"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    total = summary.where("is_total").select(F.sum("cnt").alias("total"))
+    cand = summary.where(~F.col("is_total")).select(
+        F.col("key").alias(key)
+    )
+
+    exact = (
+        df.where(F.col(key).isNotNull())
+        .join(cand, on=key, how="left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = exact.crossJoin(total)  # 1-row side → broadcast NL join
+    thresholds = []
+    if min_count is not None:
+        thresholds.append(F.lit(int(min_count)))
+    if min_share is not None:
+        thresholds.append(F.ceil(F.lit(float(min_share)) * F.col("total")))
+    thr = thresholds[0]
+    for t in thresholds[1:]:
+        thr = F.greatest(thr, t)
+    return out.where(F.col("cnt") >= thr).select(
+        key, "cnt", (F.col("cnt") / F.col("total")).alias("share")
+    )
+
+
+def recommend_salt_buckets(
+    hitters: DataFrame, target_parallelism: int
+) -> int:
+    """Turn a ``heavy_hitters`` result into the phase-1 salt fan-out
+    for ``duplicate_keys(salt_buckets=...)``: enough buckets that the
+    hottest key's per-reducer load matches an average reducer's
+    (share x parallelism), clamped to [1, target_parallelism]. The
+    input is already reduced (<= a handful of hot keys), so the
+    1-row aggregate collect is bounded."""
+    import math
+
+    row = hitters.agg(F.max("share").alias("s")).collect()[0]
+    share = row["s"] or 0.0
+    return max(1, min(int(target_parallelism),
+                      int(math.ceil(share * target_parallelism))))
+
+
+# ---------------------------------------------------------------------------
+# Categorical distribution drift (frequency histograms across snapshots)
+# ---------------------------------------------------------------------------
+
+
+def _categorical_drift_math(counts: DataFrame) -> DataFrame:
+    """Shared post-aggregation arithmetic: attach totals with an
+    unpartitioned window — safe ONLY because ``counts`` is already
+    reduced to |categories| rows — then derive shares and the
+    transcendental-free drift terms (abs gap + chi-square
+    contribution ``(share_a-share_b)^2/(share_a+share_b)``), so an
+    exact SQL oracle replays every double bit-for-bit (no log/exp,
+    whose libm results differ across engines)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    shares = counts.select(
+        "category",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a") / F.sum("cnt_a").over(w)).alias("share_a"),
+        (F.col("cnt_b") / F.sum("cnt_b").over(w)).alias("share_b"),
+    )
+    gap = F.col("share_a") - F.col("share_b")
+    return shares.select(
+        "category",
+        "cnt_a",
+        "cnt_b",
+        "share_a",
+        "share_b",
+        F.abs(gap).alias("abs_gap"),
+        ((gap * gap) / (F.col("share_a") + F.col("share_b"))).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def categorical_drift_tagged(
+    df: DataFrame, side: Column, col: str
+) -> DataFrame:
+    """Frequency-histogram drift between two snapshots living in the
+    SAME table, in ONE scan (the ``tdigest_pair`` trick for
+    categorical columns): tag each row with its side (``side`` = 0
+    for snapshot A, 1 for B), one hash aggregate builds both
+    histograms — map-side partials bound the shuffle at |categories|
+    rows per task. For bounded-cardinality columns (format/language/
+    source tags); high-cardinality keys belong to ``heavy_hitters``
+    or the quantile-drift family. NULL categories are excluded
+    (null-rate is ``column_stats``' job).
+
+    Returns per-category ``(category, cnt_a, cnt_b, share_a,
+    share_b, abs_gap, chi2_term)``; fold with
+    ``categorical_drift_report`` for the scalar verdict."""
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("category"), side.alias("side"))
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias(
+                "cnt_a"
+            ),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias(
+                "cnt_b"
+            ),
+        )
+    )
+    return _categorical_drift_math(counts)
+
+
+def categorical_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
+    """``categorical_drift_tagged`` over two separate frames (e.g.
+    two Iceberg snapshots): tagged union → one hash aggregate."""
+    ta = a.select(F.col(col).alias(col), F.lit(0).alias("__side"))
+    tb = b.select(F.col(col).alias(col), F.lit(1).alias("__side"))
+    return categorical_drift_tagged(
+        ta.unionByName(tb), F.col("__side"), col
+    )
+
+
+def categorical_drift_report(
+    drift: DataFrame, *, l_inf_tolerance: float = 0.05
+) -> dict:
+    """Fold a ``categorical_drift`` frame to the scalar verdict: L-inf
+    (max per-category share gap), total variation distance
+    (0.5 * sum |gap|), and the chi-square statistic. One bounded
+    1-row aggregate collect."""
+    row = drift.agg(
+        F.max("abs_gap").alias("l_inf"),
+        (F.sum("abs_gap") / 2.0).alias("tvd"),
+        F.sum("chi2_term").alias("chi2"),
+        F.count(F.lit(1)).alias("categories"),
+    ).collect()[0]
+    l_inf = row["l_inf"] or 0.0
+    return {
+        "l_inf": l_inf,
+        "tvd": row["tvd"] or 0.0,
+        "chi2": row["chi2"] or 0.0,
+        "categories": row["categories"],
+        "drifted": l_inf > l_inf_tolerance,
+    }

@@ -1,0 +1,216 @@
+"""Heavy hitters (Misra-Gries candidates + exact verify) and
+categorical frequency drift — the round-4 additions to the dataset
+check family (north_rule: "skew from hot phash buckets ... handled
+with explicit salting" needs a detector; north_star: "distribution-
+drift detection ... compared across snapshots" gets its categorical
+complement)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import checks
+
+HOT = 0x5A5A5A5A5A5A5A5A  # > 2^53: catches float round-tripping
+
+
+def _zipfish_rows(n: int, seed: int = 7) -> list[tuple[int]]:
+    rng = random.Random(seed)
+    pool = [0] * 60 + [1] * 25 + list(range(2, 400))
+    return [(rng.choice(pool),) for _ in range(n)]
+
+
+def _exact_counts(rows) -> dict:
+    out: dict = {}
+    for (k,) in rows:
+        if k is None:
+            continue
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("capacity", [4, 64, 256])
+def test_heavy_hitters_match_exact(spark, capacity) -> None:
+    rows = _zipfish_rows(8000)
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    got = {
+        r["k"]: (r["cnt"], r["share"])
+        for r in checks.heavy_hitters(
+            df, "k", min_share=0.02, capacity=capacity
+        ).collect()
+    }
+    exact = _exact_counts(rows)
+    total = sum(exact.values())
+    thr = math.ceil(0.02 * total)
+    want = {k: c for k, c in exact.items() if c >= thr}
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k] == (c, c / total)
+
+
+def test_heavy_hitters_threshold_boundary(spark) -> None:
+    # 100 rows: key 7 exactly at ceil(0.1*100)=10, key 8 at 9.
+    rows = [(7,)] * 10 + [(8,)] * 9 + [(i,) for i in range(100, 181)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = checks.heavy_hitters(df, "k", min_share=0.1).collect()
+    assert {(r["k"], r["cnt"]) for r in got} == {(7, 10)}
+
+
+def test_heavy_hitters_min_count_and_stricter_combined(spark) -> None:
+    rows = [(1,)] * 30 + [(2,)] * 12 + [(i,) for i in range(50, 108)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    by_count = checks.heavy_hitters(df, "k", min_count=12).collect()
+    assert {r["k"] for r in by_count} == {1, 2}
+    # min_share=0.2 of 100 → 20 is stricter than min_count=12
+    both = checks.heavy_hitters(
+        df, "k", min_count=12, min_share=0.2
+    ).collect()
+    assert {r["k"] for r in both} == {1}
+
+
+def test_heavy_hitters_nulls_ignored(spark) -> None:
+    rows = [(None,)] * 50 + [(1,)] * 10 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = checks.heavy_hitters(df, "k", min_share=0.2).collect()
+    # share denominator is the 50 NON-null rows: 10/50 = 0.2 passes
+    assert {(r["k"], r["cnt"], r["share"]) for r in got} == {(1, 10, 0.2)}
+
+
+def test_heavy_hitters_int64_keys_survive_exactly(spark) -> None:
+    # Regression: keys > 2^53 must not round through float64 in the
+    # Arrow partial frames (the initial implementation lost the low
+    # bits of 0x5A5A5A5A5A5A5A5A this way).
+    rows = [(HOT,)] * 40 + [(HOT + 1,)] * 3 + [(HOT - 9,)] * 3
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    got = checks.heavy_hitters(df, "k", min_share=0.5).collect()
+    assert {(r["k"], r["cnt"]) for r in got} == {(HOT, 40)}
+
+
+def test_heavy_hitters_string_keys(spark) -> None:
+    rows = [("hot",)] * 20 + [(f"u{i}",) for i in range(80)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = checks.heavy_hitters(df, "k", min_share=0.1, capacity=16)
+    assert {(r["k"], r["cnt"]) for r in got.collect()} == {("hot", 20)}
+
+
+def test_heavy_hitters_requires_threshold(spark) -> None:
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k")
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k", min_share=1.5)
+
+
+def test_heavy_hitters_capacity_autowiden(spark) -> None:
+    # capacity=2 with min_share=0.05 must auto-widen to 20, keeping
+    # the completeness guarantee: 3 keys above 5% of 1000 rows.
+    rows = [(1,)] * 100 + [(2,)] * 80 + [(3,)] * 60
+    rows += [(i,) for i in range(1000, 1760)]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    got = checks.heavy_hitters(df, "k", min_share=0.05, capacity=2)
+    assert {r["k"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_mg_pass_is_narrow(spark) -> None:
+    # Pass 1 must be a scan → mapInPandas with NO Exchange upstream.
+    df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+    plan = checks._mg_partials(df, "k", 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_recommend_salt_buckets(spark) -> None:
+    rows = [(1,)] * 50 + [(i,) for i in range(100, 150)]
+    df = spark.createDataFrame(rows, "k long").repartition(4)
+    hh = checks.heavy_hitters(df, "k", min_share=0.2)
+    # hottest share 0.5 → ceil(0.5 * 32) = 16 buckets
+    assert checks.recommend_salt_buckets(hh, 32) == 16
+    empty = checks.heavy_hitters(df, "k", min_share=0.9)
+    assert checks.recommend_salt_buckets(empty, 32) == 1
+
+
+def _manual_drift(rows_a, rows_b):
+    ca, cb = _exact_counts(rows_a), _exact_counts(rows_b)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    out = {}
+    for cat in set(ca) | set(cb):
+        sa = ca.get(cat, 0) / ta
+        sb = cb.get(cat, 0) / tb
+        out[cat] = (
+            ca.get(cat, 0), cb.get(cat, 0), sa, sb, abs(sa - sb),
+            ((sa - sb) * (sa - sb)) / (sa + sb),
+        )
+    return out
+
+
+def test_categorical_drift_matches_manual(spark) -> None:
+    rng = random.Random(11)
+    rows_a = [(rng.choice("aabbc"),) for _ in range(400)]
+    rows_b = [(rng.choice("abccd"),) for _ in range(300)]
+    a = spark.createDataFrame(rows_a, "c string").repartition(4)
+    b = spark.createDataFrame(rows_b, "c string").repartition(4)
+    got = {
+        r["category"]: (
+            r["cnt_a"], r["cnt_b"], r["share_a"], r["share_b"],
+            r["abs_gap"], r["chi2_term"],
+        )
+        for r in checks.categorical_drift(a, b, "c").collect()
+    }
+    assert got == _manual_drift(rows_a, rows_b)
+
+
+def test_categorical_drift_tagged_equals_two_frame(spark) -> None:
+    df = spark.range(0, 500, 1, 4).select(
+        F.col("id"),
+        F.expr("element_at(array('x','y','z'), cast(id % 3 as int) + 1)")
+        .alias("c"),
+    )
+    tagged = checks.categorical_drift_tagged(df, F.expr("id % 2"), "c")
+    two = checks.categorical_drift(
+        df.where("id % 2 = 0"), df.where("id % 2 = 1"), "c"
+    )
+    key = lambda r: r["category"]  # noqa: E731
+    assert sorted(tagged.collect(), key=key) == sorted(
+        two.collect(), key=key
+    )
+
+
+def test_categorical_drift_one_sided_category_and_nulls(spark) -> None:
+    a = spark.createDataFrame([("x",)] * 5 + [(None,)] * 5, "c string")
+    b = spark.createDataFrame([("y",)] * 4, "c string")
+    got = {r["category"]: r for r in
+           checks.categorical_drift(a, b, "c").collect()}
+    assert set(got) == {"x", "y"}
+    # null rows excluded from the denominator: share_x_in_a = 5/5
+    assert got["x"]["share_a"] == 1.0 and got["x"]["cnt_b"] == 0
+    assert got["y"]["share_b"] == 1.0 and got["y"]["cnt_a"] == 0
+    assert got["x"]["chi2_term"] == 1.0  # (1-0)^2/(1+0)
+
+
+def test_categorical_drift_report(spark) -> None:
+    df = spark.range(0, 600, 1, 4).select(
+        F.col("id"),
+        F.expr(
+            "IF(id % 2 = 0, element_at(array('x','y'), "
+            "cast(id % 2 as int) + 1), IF(id % 3 = 0, 'x', 'y'))"
+        ).alias("c"),
+    )
+    d = checks.categorical_drift_tagged(df, F.expr("id % 2"), "c")
+    rep = checks.categorical_drift_report(d, l_inf_tolerance=0.01)
+    assert rep["categories"] == 2
+    assert rep["drifted"] is True
+    assert 0.0 < rep["tvd"] <= 1.0
+    # identical snapshots → zero drift
+    same = checks.categorical_drift_tagged(
+        spark.range(0, 100, 1, 4).select(
+            F.col("id"), F.expr("IF(id < 50, 'a', 'a')").alias("c")
+        ),
+        F.expr("id % 2"),
+        "c",
+    )
+    rep0 = checks.categorical_drift_report(same)
+    assert rep0["l_inf"] == 0.0 and rep0["drifted"] is False
