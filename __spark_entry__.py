@@ -1170,7 +1170,12 @@ def q_hot_keys_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact GROUP BY ... HAVING count over the same arithmetic."""
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
-    df = image_caption_frame(spark, HOT_KEYS_N)
+    # 8 generator partitions: ids (hence the oracle arithmetic) are
+    # partition-count-independent, and 32 concurrent Python worker
+    # spin-ups on 625-row partitions would be pure fan-out overhead
+    # at this test scale (the MG pass itself is 0.7s at 8 parts vs
+    # 2.6s warm at 32 on local[32]).
+    df = image_caption_frame(spark, HOT_KEYS_N, partitions=8)
     return checks.heavy_hitters(df, "phash", min_share=0.01)
 
 

@@ -214,3 +214,56 @@ def test_categorical_drift_report(spark) -> None:
     )
     rep0 = checks.categorical_drift_report(same)
     assert rep0["l_inf"] == 0.0 and rep0["drifted"] is False
+
+
+def _ledger_frame(spark, rates):
+    from cerberus_cpp_spark.operators.ledger import LEDGER_SCHEMA
+
+    rows = []
+    for i, rate in enumerate(rates):
+        n = 1000
+        bad = int(rate * n)
+        rows.append({
+            "run_id": "r", "partition_value": f"p={i}",
+            "status": "done", "rows": n, "violations": bad,
+            "invalid_rows": bad, "passed": bad == 0,
+            "wall_sec": 0.1, "committed_at": 1.0, "lineage": "x",
+        })
+    return spark.createDataFrame(rows, LEDGER_SCHEMA)
+
+
+def test_partition_anomalies_flags_outlier(spark) -> None:
+    from cerberus_cpp_spark.operators.ledger import partition_anomalies
+
+    # 11 partitions at ~2% invalid, one at 40%
+    df = _ledger_frame(
+        spark, [0.02, 0.021, 0.019, 0.02, 0.022, 0.018,
+                0.02, 0.021, 0.019, 0.02, 0.022, 0.40])
+    got = partition_anomalies(df).collect()
+    assert [r["partition_value"] for r in got] == ["p=11"]
+    r = got[0]
+    assert r["rate"] == 0.4 and r["robust_z"] > 3.5
+
+
+def test_partition_anomalies_mad_zero_degrades(spark) -> None:
+    from cerberus_cpp_spark.operators.ledger import partition_anomalies
+
+    # all partitions identical except one: MAD = 0 → flag any
+    # deviation from the (constant) median
+    df = _ledger_frame(spark, [0.05] * 9 + [0.06])
+    got = partition_anomalies(df).collect()
+    assert [r["partition_value"] for r in got] == ["p=9"]
+    assert got[0]["mad"] == 0.0 and got[0]["robust_z"] is None
+
+
+def test_partition_anomalies_clean_ledger_empty(spark) -> None:
+    from cerberus_cpp_spark.operators.ledger import partition_anomalies
+
+    df = _ledger_frame(spark, [0.02] * 8)
+    assert partition_anomalies(df).count() == 0
+    # zero-row partitions are skipped, not divided by zero
+    zero = _ledger_frame(spark, [0.02] * 8)
+    zero = zero.withColumn(
+        "rows", F.when(F.col("partition_value") == "p=0", 0)
+        .otherwise(F.col("rows")))
+    assert partition_anomalies(zero).count() == 0
