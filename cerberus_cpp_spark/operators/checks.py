@@ -586,6 +586,36 @@ def _mg_partials(df: DataFrame, key: str, capacity: int) -> DataFrame:
     return df.select(F.col(key).alias("key")).mapInPandas(mg, schema)
 
 
+def _verify_candidates(
+    df: DataFrame, key: str, cand: DataFrame, total: DataFrame,
+    min_share: float | None, min_count: int | None,
+) -> DataFrame:
+    """Shared pass 2: EXACT counts restricted to the candidate set —
+    a semi-join (AQE picks broadcast vs shuffled from the runtime
+    size; no forced hint, mirroring the round-4 dedup fix) followed
+    by a hash aggregate whose map-side partials bound the shuffle at
+    |candidates| rows per task. ``total`` is a 1-row (total bigint)
+    frame — attached with a broadcast-NL cross join."""
+    exact = (
+        df.where(F.col(key).isNotNull())
+        .join(cand, on=key, how="left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = exact.crossJoin(total)
+    thresholds = []
+    if min_count is not None:
+        thresholds.append(F.lit(int(min_count)))
+    if min_share is not None:
+        thresholds.append(F.ceil(F.lit(float(min_share)) * F.col("total")))
+    thr = thresholds[0]
+    for t in thresholds[1:]:
+        thr = F.greatest(thr, t)
+    return out.where(F.col("cnt") >= thr).select(
+        key, "cnt", (F.col("cnt") / F.col("total")).alias("share")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key: str,
@@ -593,31 +623,44 @@ def heavy_hitters(
     min_share: float | None = None,
     min_count: int | None = None,
     capacity: int = 256,
+    method: str = "mg",
+    sample_fraction: float = 1e-3,
 ) -> DataFrame:
     """EXACT counts of every over-threshold key — without ever
     shuffling the raw table on the key (the north_rule's hot-phash
     scenario: detect the keys that would melt a reducer BEFORE
-    running the salted aggregate).
+    running the salted aggregate). Two candidate generators feed the
+    same exact verify pass; the FINAL counts are exact either way,
+    the methods differ only in the completeness guarantee and where
+    the pass-1 work happens:
 
-    Pass 1 (one narrow scan): per-partition Misra-Gries summaries
-    (``_mg_partials``) reduced to a candidate set. Completeness is
-    provable by pigeonhole: a key with global non-null share
+    ``method="mg"`` — per-partition Misra-Gries summaries in one
+    narrow Arrow pass (``_mg_partials``). Completeness is
+    DETERMINISTIC by pigeonhole: a key with global non-null share
     > 1/(capacity+1) must have per-partition share > 1/(capacity+1)
     in at least one partition, where the MG deficit bound keeps its
-    counter positive — so every true heavy hitter is a candidate.
-    ``capacity`` is auto-widened to ``ceil(1/min_share)`` so the
-    guarantee always covers the requested threshold. The reduced
-    summary (<= capacity rows per partition + 1 total row) is
-    eagerly ``localCheckpoint``-ed — a few KB — so the total-count
-    branch and the candidate branch don't re-run the scan.
+    counter positive. ``capacity`` auto-widens to ``ceil(1/
+    min_share)`` so the guarantee always covers the requested
+    threshold. The reduced summary (<= capacity rows per partition +
+    1 total row) is eagerly ``localCheckpoint``-ed — a few KB — so
+    the total-count and candidate branches don't re-run the scan.
+    Shuffle: O(partitions x capacity) rows. The pass-1 cost is the
+    Arrow export of the key column to Python — measured SLOWER than
+    the plain JVM groupBy on a single host (BENCH.md §17), so this
+    is the right method only where the wire matters more than the
+    local CPU: a real cluster, where the naive groupBy ships every
+    distinct key across the network and MG ships kilobytes.
 
-    Pass 2 (one more scan): exact counts restricted to candidates —
-    a semi-join (AQE picks broadcast vs shuffled from the runtime
-    size; the set is structurally bounded by capacity x partitions,
-    but at 1e5 partitions that can exceed broadcast limits, so no
-    forced hint — mirroring the round-4 dedup fix) followed by a
-    hash aggregate whose map-side partials bound the shuffle at
-    |candidates| rows per task.
+    ``method="sample"`` — JVM-only: a Bernoulli sample's key counts
+    (shuffle: ~fraction x distinct rows after map-side combine)
+    generate the candidates; completeness is PROBABILISTIC — a key
+    at exactly ``min_share`` is missed with probability
+    ``exp(-sample_fraction x min_share x n / 8)`` (Chernoff lower
+    tail at the half-expectation cut), e.g. 1e-3 x 1% x 120M rows →
+    e^-150; for small tables or tiny thresholds raise
+    ``sample_fraction`` (or use "mg"). Requires ``min_share``.
+    Stays in whole-stage codegen end-to-end and wins on wall time
+    AND shuffle bytes at scale (BENCH.md §17).
 
     Returns ``(key, cnt, share)`` for keys with exact count >= the
     threshold (``min_count`` and/or ``ceil(min_share x non-null
@@ -631,38 +674,52 @@ def heavy_hitters(
     if min_share is not None:
         if not 0.0 < min_share <= 1.0:
             raise ValueError(f"min_share must be in (0, 1]: {min_share}")
-        capacity = max(capacity, int(math.ceil(1.0 / min_share)))
 
-    partials = _mg_partials(df, key, capacity)
-    summary = (
-        partials.groupBy("key", "is_total")
-        .agg(F.sum("cnt").alias("cnt"))
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    total = summary.where("is_total").select(F.sum("cnt").alias("total"))
-    cand = summary.where(~F.col("is_total")).select(
-        F.col("key").alias(key)
-    )
+    if method == "mg":
+        if min_share is not None:
+            capacity = max(capacity, int(math.ceil(1.0 / min_share)))
+        partials = _mg_partials(df, key, capacity)
+        summary = (
+            partials.groupBy("key", "is_total")
+            .agg(F.sum("cnt").alias("cnt"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        total = summary.where("is_total").select(
+            F.sum("cnt").alias("total")
+        )
+        cand = summary.where(~F.col("is_total")).select(
+            F.col("key").alias(key)
+        )
+    elif method == "sample":
+        if min_share is None:
+            raise ValueError('method="sample" needs min_share')
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1]: {sample_fraction}"
+            )
+        nn = df.where(F.col(key).isNotNull())
+        n = nn.count()  # columnar sources answer this near-free
+        # candidate cut at HALF the expected sampled count of a key
+        # sitting exactly at min_share — the Chernoff miss bound in
+        # the docstring; >= 1 so tiny tables still yield candidates
+        cut = max(
+            1, int(math.ceil(0.5 * sample_fraction * min_share * n))
+        )
+        cand = (
+            nn.sample(fraction=float(sample_fraction), seed=42)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__scnt"))
+            .where(F.col("__scnt") >= cut)
+            .select(key)
+        )
+        total = df.sparkSession.createDataFrame(
+            [(n,)], "total bigint"
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
 
-    exact = (
-        df.where(F.col(key).isNotNull())
-        .join(cand, on=key, how="left_semi")
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    out = exact.crossJoin(total)  # 1-row side → broadcast NL join
-    thresholds = []
-    if min_count is not None:
-        thresholds.append(F.lit(int(min_count)))
-    if min_share is not None:
-        thresholds.append(F.ceil(F.lit(float(min_share)) * F.col("total")))
-    thr = thresholds[0]
-    for t in thresholds[1:]:
-        thr = F.greatest(thr, t)
-    return out.where(F.col("cnt") >= thr).select(
-        key, "cnt", (F.col("cnt") / F.col("total")).alias("share")
-    )
+    return _verify_candidates(df, key, cand, total, min_share, min_count)
 
 
 def recommend_salt_buckets(

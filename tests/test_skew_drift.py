@@ -267,3 +267,46 @@ def test_partition_anomalies_clean_ledger_empty(spark) -> None:
         "rows", F.when(F.col("partition_value") == "p=0", 0)
         .otherwise(F.col("rows")))
     assert partition_anomalies(zero).count() == 0
+
+
+@pytest.mark.parametrize("fraction", [0.05, 0.5])
+def test_heavy_hitters_sample_method_matches_exact(spark, fraction) -> None:
+    # completeness is probabilistic, but at these fractions over this
+    # distribution the Chernoff miss probability is astronomically
+    # small — and the FINAL counts are exact by construction
+    rows = _zipfish_rows(8000, seed=13)
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    got = {
+        r["k"]: (r["cnt"], r["share"])
+        for r in checks.heavy_hitters(
+            df, "k", min_share=0.02, method="sample",
+            sample_fraction=fraction,
+        ).collect()
+    }
+    exact = _exact_counts(rows)
+    total = sum(exact.values())
+    thr = math.ceil(0.02 * total)
+    want = {k: (c, c / total) for k, c in exact.items() if c >= thr}
+    assert got == want
+
+
+def test_heavy_hitters_sample_method_validation(spark) -> None:
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k", min_count=2, method="sample")
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k", min_share=0.1, method="sample",
+                             sample_fraction=0.0)
+    with pytest.raises(ValueError):
+        checks.heavy_hitters(df, "k", min_share=0.1, method="nope")
+
+
+def test_heavy_hitters_sample_jvm_only(spark) -> None:
+    # the sample path must never leave the JVM: no Arrow/Python
+    # evaluation nodes anywhere in the executed plan
+    df = spark.range(0, 1000, 1, 4).select(F.col("id").alias("k"))
+    out = checks.heavy_hitters(df, "k", min_share=0.5, method="sample",
+                               sample_fraction=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert "PythonUDF" not in plan
