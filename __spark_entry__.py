@@ -1211,6 +1211,56 @@ def q_cat_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_band_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift ACROSS SNAPSHOTS OF THE IMAGE TABLE
+    (north_star verbatim, categorical face): bucket phash into its
+    256 low-byte bands JVM-side, split the input_hint table into two
+    snapshots (even/odd ids), and compare the band histograms in one
+    tagged scan. The planted hot phash (every 50th row, all even
+    ids) concentrates one band's snapshot-A share — a real hot-bucket
+    drift signature the oracle replays exactly from id arithmetic."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, HOT_KEYS_N, partitions=8).select(
+        F.col("id"),
+        F.expr("phash & 255").alias("band"),
+    )
+    return checks.categorical_drift_tagged(df, F.expr("id % 2"), "band")
+
+
+def _phash_band_drift_sql() -> str:
+    from cerberus_cpp_spark.sources.distgen import HOT_PHASH
+
+    return f"""
+WITH g AS (
+  SELECT range AS id,
+         CASE WHEN range % 50 = 0 THEN {HOT_PHASH}
+              ELSE ((range * 2654435761) + 42) & 9223372036854775807
+         END AS phash
+  FROM range(0, {HOT_KEYS_N})
+),
+ev AS (SELECT phash & 255 AS category, id % 2 = 0 AS a FROM g),
+c AS (
+  SELECT category,
+         SUM(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS cnt_b
+  FROM ev GROUP BY category
+),
+t AS (SELECT SUM(cnt_a)::BIGINT AS ta, SUM(cnt_b)::BIGINT AS tb FROM c)
+SELECT c.category, c.cnt_a, c.cnt_b,
+       CAST(c.cnt_a AS DOUBLE) / t.ta AS share_a,
+       CAST(c.cnt_b AS DOUBLE) / t.tb AS share_b,
+       abs(CAST(c.cnt_a AS DOUBLE) / t.ta
+           - CAST(c.cnt_b AS DOUBLE) / t.tb) AS abs_gap,
+       ((CAST(c.cnt_a AS DOUBLE) / t.ta - CAST(c.cnt_b AS DOUBLE) / t.tb)
+        * (CAST(c.cnt_a AS DOUBLE) / t.ta
+           - CAST(c.cnt_b AS DOUBLE) / t.tb))
+       / (CAST(c.cnt_a AS DOUBLE) / t.ta
+          + CAST(c.cnt_b AS DOUBLE) / t.tb) AS chi2_term
+FROM c, t
+"""
+
+
 _CAT_DRIFT_SQL = """
 WITH ev AS (
   SELECT event_type AS category, event_id % 2 = 0 AS a
@@ -1395,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
+        "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
         "ann_topk_ivf": q_ann_topk_ivf,
         "phash_pixel_dups": q_phash_pixel_dups,
@@ -2075,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,
+        "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
