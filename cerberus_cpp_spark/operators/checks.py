@@ -819,23 +819,35 @@ def categorical_drift(a: DataFrame, b: DataFrame, col: str) -> DataFrame:
 
 
 def categorical_drift_report(
-    drift: DataFrame, *, l_inf_tolerance: float = 0.05
+    drift: DataFrame, *, l_inf_tolerance: float = 0.05,
+    psi_floor: float = 1e-6,
 ) -> dict:
     """Fold a ``categorical_drift`` frame to the scalar verdict: L-inf
     (max per-category share gap), total variation distance
-    (0.5 * sum |gap|), and the chi-square statistic. One bounded
-    1-row aggregate collect."""
-    row = drift.agg(
-        F.max("abs_gap").alias("l_inf"),
-        (F.sum("abs_gap") / 2.0).alias("tvd"),
-        F.sum("chi2_term").alias("chi2"),
-        F.count(F.lit(1)).alias("categories"),
-    ).collect()[0]
-    l_inf = row["l_inf"] or 0.0
+    (0.5 * sum |gap|), the chi-square statistic, and PSI (population
+    stability index, the ML-monitoring standard: Σ (p_a - p_b) ·
+    ln(p_a / p_b), shares floored at ``psi_floor`` so one-sided
+    categories contribute a large-but-finite term instead of ∞).
+    PSI lives here, driver-side over the bounded per-category rows,
+    rather than in the oracle-matched frame — its log() would break
+    the bit-exact SQL replay. ONE bounded per-category collect; all
+    folds happen driver-side so the underlying scan runs once."""
+    import math
+
+    rows = drift.select(
+        "share_a", "share_b", "abs_gap", "chi2_term"
+    ).collect()
+    l_inf = max((r["abs_gap"] for r in rows), default=0.0)
+    psi = 0.0
+    for r in rows:
+        pa = max(r["share_a"], psi_floor)
+        pb = max(r["share_b"], psi_floor)
+        psi += (pa - pb) * math.log(pa / pb)
     return {
         "l_inf": l_inf,
-        "tvd": row["tvd"] or 0.0,
-        "chi2": row["chi2"] or 0.0,
-        "categories": row["categories"],
+        "tvd": sum(r["abs_gap"] for r in rows) / 2.0,
+        "chi2": sum(r["chi2_term"] for r in rows),
+        "psi": psi,
+        "categories": len(rows),
         "drifted": l_inf > l_inf_tolerance,
     }

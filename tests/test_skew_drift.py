@@ -214,6 +214,15 @@ def test_categorical_drift_report(spark) -> None:
     )
     rep0 = checks.categorical_drift_report(same)
     assert rep0["l_inf"] == 0.0 and rep0["drifted"] is False
+    assert rep0["psi"] == 0.0
+    # PSI cross-check against a hand computation on the drifted frame
+    import math as m
+    manual = 0.0
+    for r in d.collect():
+        pa = max(r["share_a"], 1e-6)
+        pb = max(r["share_b"], 1e-6)
+        manual += (pa - pb) * m.log(pa / pb)
+    assert abs(rep["psi"] - manual) < 1e-12 and rep["psi"] > 0.0
 
 
 def _ledger_frame(spark, rates):
