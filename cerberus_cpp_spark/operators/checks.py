@@ -744,18 +744,23 @@ def recommend_salt_buckets(
 # ---------------------------------------------------------------------------
 
 
-def _categorical_drift_math(counts: DataFrame) -> DataFrame:
-    """Shared post-aggregation arithmetic: attach totals with an
-    unpartitioned window — safe ONLY because ``counts`` is already
-    reduced to |categories| rows — then derive shares and the
-    transcendental-free drift terms (abs gap + chi-square
-    contribution ``(share_a-share_b)^2/(share_a+share_b)``), so an
-    exact SQL oracle replays every double bit-for-bit (no log/exp,
-    whose libm results differ across engines)."""
+def _categorical_drift_math(
+    counts: DataFrame, partition_cols: tuple = ()
+) -> DataFrame:
+    """Shared post-aggregation arithmetic: attach totals with a
+    window over ``partition_cols`` (empty = global — safe ONLY
+    because ``counts`` is already reduced to |categories| rows; the
+    multi-column variant partitions by the melted column name), then
+    derive shares and the transcendental-free drift terms (abs gap +
+    chi-square contribution ``(share_a-share_b)^2/(share_a+share_b)``)
+    so an exact SQL oracle replays every double bit-for-bit (no
+    log/exp, whose libm results differ across engines)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy()
+    w = Window.partitionBy(*partition_cols)
+    lead = list(partition_cols)
     shares = counts.select(
+        *lead,
         "category",
         "cnt_a",
         "cnt_b",
@@ -764,6 +769,7 @@ def _categorical_drift_math(counts: DataFrame) -> DataFrame:
     )
     gap = F.col("share_a") - F.col("share_b")
     return shares.select(
+        *lead,
         "category",
         "cnt_a",
         "cnt_b",
@@ -851,3 +857,129 @@ def categorical_drift_report(
         "categories": len(rows),
         "drifted": l_inf > l_inf_tolerance,
     }
+
+
+def categorical_drift_multi(
+    a: DataFrame, b: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Frequency drift for MANY categorical columns in ONE tagged
+    scan of each snapshot: ``stack()`` melts every row into
+    (col_name, category) pairs JVM-side (categories cast to string —
+    one melted column must hold every source type), one hash
+    aggregate builds all histograms, and per-column shares come from
+    a window partitioned by col_name over the already-reduced frame.
+    One job regardless of column count — the ``tdigests_of`` design
+    applied to histograms. Returns the per-column analogue of
+    :func:`categorical_drift` with a leading ``col_name`` column."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    n = len(cols)
+    melt = "stack({}, {}) as (col_name, category)".format(
+        n,
+        ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols),
+    )
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.expr(melt), F.lit(tag).alias("side")
+        ).where(F.col("category").isNotNull())
+
+    counts = (
+        side(a, 0).unionByName(side(b, 1))
+        .groupBy("col_name", "category")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias(
+                "cnt_a"
+            ),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias(
+                "cnt_b"
+            ),
+        )
+    )
+    return _categorical_drift_math(counts, partition_cols=("col_name",))
+
+
+def schema_drift(a: DataFrame, b: DataFrame) -> dict:
+    """Schema delta between two snapshots (driver-side, no job):
+    columns added/removed and columns whose Spark type changed —
+    the cheapest drift check and the one that should run FIRST (a
+    type change invalidates the numeric/categorical comparisons
+    below it)."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    return {
+        "added": sorted(set(tb) - set(ta)),
+        "removed": sorted(set(ta) - set(tb)),
+        "changed": {
+            k: (ta[k], tb[k])
+            for k in sorted(set(ta) & set(tb))
+            if ta[k] != tb[k]
+        },
+    }
+
+
+def snapshot_drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    categorical: list[str] | None = None,
+    numeric: list[str] | None = None,
+    probs=(0.1, 0.25, 0.5, 0.75, 0.9),
+    rel_tolerance: float = 0.05,
+    l_inf_tolerance: float = 0.05,
+    compression: int = 200,
+) -> dict:
+    """The unified two-snapshot comparison (north_star:
+    "distribution-drift detection via t-digest quantile sketches
+    compared across snapshots"): schema delta (driver-side, free) +
+    t-digest quantile drift for ALL numeric columns (ONE scan per
+    snapshot via ``tdigests_of``) + frequency drift for ALL
+    categorical columns (ONE melted tagged scan via
+    ``categorical_drift_multi``) — a fixed FOUR source scans total,
+    independent of column counts. Numeric columns that changed type
+    or exist on one side only are reported under ``schema`` and
+    skipped, not crashed on.
+
+    Returns ``{"schema": ..., "numeric": {col: quantile report},
+    "categorical": {col: histogram report}, "drifted": bool}``."""
+    categorical = list(categorical or [])
+    numeric = list(numeric or [])
+    sd = schema_drift(a, b)
+    usable = [
+        c for c in numeric
+        if c not in sd["removed"] and c not in sd["added"]
+        and c not in sd["changed"]
+    ]
+    report: dict = {"schema": sd, "numeric": {}, "categorical": {}}
+    if usable:
+        da = tdigests_of(a, usable, compression=compression)
+        db = tdigests_of(b, usable, compression=compression)
+        for c in usable:
+            report["numeric"][c] = _drift_report(
+                da[c], db[c], c, list(probs), rel_tolerance, "interp"
+            )
+    cat_usable = [
+        c for c in categorical
+        if c not in sd["removed"] and c not in sd["added"]
+    ]
+    if cat_usable:
+        drift = categorical_drift_multi(a, b, cat_usable)
+        rows = drift.select(
+            "col_name", "share_a", "share_b", "abs_gap", "chi2_term"
+        ).collect()
+        for c in cat_usable:
+            sub = [r for r in rows if r["col_name"] == c]
+            l_inf = max((r["abs_gap"] for r in sub), default=0.0)
+            report["categorical"][c] = {
+                "l_inf": l_inf,
+                "tvd": sum(r["abs_gap"] for r in sub) / 2.0,
+                "chi2": sum(r["chi2_term"] for r in sub),
+                "categories": len(sub),
+                "drifted": l_inf > l_inf_tolerance,
+            }
+    report["drifted"] = bool(
+        sd["added"] or sd["removed"] or sd["changed"]
+        or any(r["drifted"] for r in report["numeric"].values())
+        or any(r["drifted"] for r in report["categorical"].values())
+    )
+    return report

@@ -319,3 +319,83 @@ def test_heavy_hitters_sample_jvm_only(spark) -> None:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" not in plan and "ArrowEval" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_categorical_drift_multi_equals_per_column(spark) -> None:
+    df = spark.range(0, 600, 1, 4).select(
+        F.col("id"),
+        F.expr("element_at(array('x','y','z'), cast(id % 3 as int) + 1)")
+        .alias("c1"),
+        F.expr("IF(id % 5 = 0, NULL, cast(id % 4 as int))").alias("c2"),
+    )
+    a, b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    multi = checks.categorical_drift_multi(a, b, ["c1", "c2"])
+    rows = multi.collect()
+    assert {r["col_name"] for r in rows} == {"c1", "c2"}
+    for col in ("c1", "c2"):
+        single = {
+            str(r["category"]): (
+                r["cnt_a"], r["cnt_b"], r["share_a"], r["share_b"],
+                r["abs_gap"], r["chi2_term"],
+            )
+            for r in checks.categorical_drift(a, b, col).collect()
+        }
+        got = {
+            r["category"]: (
+                r["cnt_a"], r["cnt_b"], r["share_a"], r["share_b"],
+                r["abs_gap"], r["chi2_term"],
+            )
+            for r in rows if r["col_name"] == col
+        }
+        assert got == single, col
+    with pytest.raises(ValueError):
+        checks.categorical_drift_multi(a, b, [])
+
+
+def test_schema_drift(spark) -> None:
+    a = spark.range(5).select(
+        F.col("id"), F.lit("x").alias("s"), F.lit(1.0).alias("gone"))
+    b = spark.range(5).select(
+        F.col("id").cast("int").alias("id"), F.lit("x").alias("s"),
+        F.lit(True).alias("new"))
+    got = checks.schema_drift(a, b)
+    assert got == {
+        "added": ["new"],
+        "removed": ["gone"],
+        "changed": {"id": ("bigint", "int")},
+    }
+
+
+def test_snapshot_drift_report(spark) -> None:
+    df = spark.range(0, 4000, 1, 8).select(
+        F.col("id"),
+        # numeric column whose odd-snapshot distribution is shifted
+        F.expr("cast(pmod(id, 40) + IF(id % 2 = 1, 20, 0) as double)")
+        .alias("v"),
+        F.expr("element_at(array('p','q'), cast(id % 2 as int) + 1)")
+        .alias("c"),
+    )
+    a, b = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    rep = checks.snapshot_drift_report(
+        a, b, categorical=["c"], numeric=["v"])
+    assert rep["schema"] == {"added": [], "removed": [], "changed": {}}
+    assert rep["numeric"]["v"]["drifted"] is True  # +20 shift
+    # category 'p' only in a, 'q' only in b → maximal drift
+    assert rep["categorical"]["c"]["l_inf"] == 1.0
+    assert rep["drifted"] is True
+    # identical snapshots → clean
+    rep0 = checks.snapshot_drift_report(
+        a, a, categorical=["c"], numeric=["v"])
+    assert rep0["drifted"] is False
+    assert rep0["numeric"]["v"]["max_rel_gap"] == 0.0
+
+
+def test_snapshot_drift_report_skips_schema_mismatch(spark) -> None:
+    a = spark.range(100).select(
+        F.col("id"), F.col("id").cast("double").alias("v"))
+    b = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("v"))
+    rep = checks.snapshot_drift_report(a, b, numeric=["v"])
+    # type change is reported, the numeric compare is skipped not crashed
+    assert rep["schema"]["changed"] == {"v": ("double", "string")}
+    assert rep["numeric"] == {} and rep["drifted"] is True
