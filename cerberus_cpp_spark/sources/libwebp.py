@@ -129,6 +129,32 @@ def version() -> Optional[str]:
     return f"{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
 
 
+def features(data: bytes) -> dict:
+    """Container-level bitstream features via ``WebPGetFeatures``:
+    ``{"width", "height", "has_alpha", "has_animation", "format"}``
+    (format: 0 undefined/mixed, 1 lossy, 2 lossless). Used as the
+    conformance oracle for the in-repo VP8X/ANIM container parser
+    (``sources/webpx.py``) — libwebp validates the extended header
+    even though its simple decode API cannot render animations.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("system libwebp not available")
+    lib.WebPGetFeaturesInternal.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(_BitstreamFeatures), ctypes.c_int]
+    lib.WebPGetFeaturesInternal.restype = ctypes.c_int
+    f = _BitstreamFeatures()
+    status = lib.WebPGetFeaturesInternal(
+        data, len(data), ctypes.byref(f), _DECODER_ABI_VERSION)
+    if status != 0:  # VP8_STATUS_OK
+        raise ValueError(f"libwebp rejected payload (status {status})")
+    return {"width": f.width, "height": f.height,
+            "has_alpha": bool(f.has_alpha),
+            "has_animation": bool(f.has_animation),
+            "format": f.format}
+
+
 def decode_rgba(data: bytes) -> np.ndarray:
     """Decode any WebP payload (lossless VP8L or lossy VP8/VP8X) to
     an (h, w, 4) uint8 RGBA array via libwebp.
