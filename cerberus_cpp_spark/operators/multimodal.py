@@ -249,6 +249,113 @@ def sample_frames(
     return src.mapInPandas(work, schema=FRAME_SAMPLE_SCHEMA)
 
 
+ANIM_FRAME_SCHEMA = (
+    "image_id string, frame_idx int, duration_ms int, "
+    "frame_w int, frame_h int, canvas_w int, canvas_h int, "
+    "pixels_ok boolean"
+)
+
+
+def animation_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    reference: str | None = None,
+) -> DataFrame:
+    """Animated-WebP frame validation: one output row per ANMF frame
+    with its header geometry/duration (``sources/webpx.py`` container
+    parse), the VP8X canvas dims, and — when a reference family is
+    named — per-frame RAW-subframe pixel equality.
+
+    Decode semantics mirror ``sample_frames``' AVI policy: a corrupt
+    or truncated container drops ITS clip's rows only (uniform
+    ValueError contract), never the whole job. Static (non-animated)
+    images yield nothing — this operator is the animation leg; stills
+    are ``fidelity_check``'s job.
+
+    ``reference``: name of a registered reference family —
+    ``"animgen"`` re-synthesizes ``sources/animgen.py``'s frames from
+    the image_id and compares each DECODED raw subframe (not the
+    composed canvas: a planted mismatch in frame k must flag frame k
+    only, not every canvas composited after it). ``None`` → the
+    ``pixels_ok`` column is NULL (structure-only census).
+
+    One Arrow-batched ``mapInPandas`` stage, narrow, no shuffle;
+    payload decode happens exactly once per clip.
+    """
+    if reference not in (None, "animgen"):
+        raise ValueError(f"unknown reference family: {reference!r}")
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.webpcodec import (
+            UnsupportedCodecError,
+        )
+        from cerberus_cpp_spark.sources.webpx import (
+            anim_frame_infos,
+            decode_webp_subframes,
+            webp_features,
+        )
+
+        if reference == "animgen":
+            from cerberus_cpp_spark.sources.animgen import (
+                reference_subframes,
+            )
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "image_id", "frame_idx", "duration_ms", "frame_w",
+                "frame_h", "canvas_w", "canvas_h", "pixels_ok")}
+            for img_id, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                try:
+                    feats = webp_features(blob)
+                    if not feats["has_animation"]:
+                        continue
+                    infos = anim_frame_infos(blob)
+                    frames = decode_webp_subframes(blob)
+                except (ValueError, UnsupportedCodecError):
+                    continue  # per-clip skip on corruption
+                refs = None
+                if reference == "animgen":
+                    try:
+                        i = int(str(img_id).rsplit("-", 1)[-1])
+                        refs = reference_subframes(i)
+                    except (ValueError, AttributeError):
+                        refs = []
+                for fi, (info, frame) in enumerate(zip(infos, frames)):
+                    ok = None
+                    if refs is not None:
+                        ok = (fi < len(refs)
+                              and frame.shape == refs[fi].shape
+                              and bool(np.array_equal(frame, refs[fi])))
+                    rows["image_id"].append(img_id)
+                    rows["frame_idx"].append(fi)
+                    rows["duration_ms"].append(info["duration_ms"])
+                    rows["frame_w"].append(info["w"])
+                    rows["frame_h"].append(info["h"])
+                    rows["canvas_w"].append(feats["width"])
+                    rows["canvas_h"].append(feats["height"])
+                    rows["pixels_ok"].append(ok)
+            out = pd.DataFrame(rows)
+            for c in ("frame_idx", "duration_ms", "frame_w", "frame_h",
+                      "canvas_w", "canvas_h"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return src.mapInPandas(work, schema=ANIM_FRAME_SCHEMA)
+
+
 def audio_features(
     df: DataFrame,
     *,

@@ -17,7 +17,7 @@ Decoder — full VP8L feature set:
 - all four transforms: PREDICTOR (14 modes), COLOR, SUBTRACT_GREEN,
   COLOR_INDEXING (palette incl. sub-byte pixel packing).
 
-Encoders — five valid modes, all lossless (the decoder never
+Encoders — six valid modes, all lossless (the decoder never
 assumes any of them):
 
 - :func:`encode_webp` (default): optional SUBTRACT_GREEN + literal
@@ -29,12 +29,17 @@ assumes any of them):
 - :func:`encode_webp_cached`: color-cache coding (literals at 9
   bits, cache hits at cache_bits+1) — real roundtrip coverage of
   the cache path;
-- :func:`encode_webp_predicted`: PREDICTOR transform with a fixed
-  left/top mode per block — real roundtrip coverage of the
-  predictor path (all 14 modes stay covered by hand-built streams);
-- :func:`encode_webp_color_transformed`: COLOR transform with a
-  fixed ColorTransformElement — roundtrip coverage of the
-  cross-channel inverse incl. negative int8 multipliers.
+- :func:`encode_webp_predicted`: PREDICTOR transform, any of the 14
+  modes uniformly or ``mode="auto"`` per-block selection — real
+  roundtrip + libwebp coverage of the decoder's ENTIRE predictor
+  inner loop, including genuinely multi-valued mode sub-images;
+- :func:`encode_webp_color_transformed`: COLOR transform, fixed
+  ColorTransformElement or ``auto=True`` per-block CTE selection —
+  roundtrip coverage of the cross-channel inverse incl. negative
+  int8 multipliers and genuinely varying CTE sub-images;
+- :func:`encode_webp_meta`: META PREFIX CODES — content-driven
+  entropy image assigning blocks to per-group prefix codes, the
+  last decoder path that previously had no encoder mode.
 
 The pipeline default for webp payloads (``imagegen.encode_pixels``)
 is PALETTE mode when the image has ≤256 colors (the synthetic thumbs
@@ -719,7 +724,24 @@ def decode_webp_any(data: bytes) -> np.ndarray:
                 return libwebp.decode_rgba(data)[..., :3].copy()
             except ValueError:
                 pass
-        return _decode_webp_inrepo(data, unsup)
+        try:
+            return _decode_webp_inrepo(data, unsup)
+        except UnsupportedCodecError:
+            # animated VP8X (libwebp's simple API has no demuxer and
+            # the chunk walk above finds no top-level codec chunk):
+            # first COMPOSED frame via the in-repo ANIM decoder —
+            # matching the "representative still" convention of
+            # WebPAnimDecoder-less consumers
+            try:
+                from .webpx import decode_webp_frames, webp_features
+
+                if webp_features(data)["has_animation"]:
+                    frames = decode_webp_frames(data)
+                    if frames:
+                        return frames[0][0][..., :3].copy()
+            except ValueError:
+                pass
+            raise unsup
 
 
 def _decode_webp(data: bytes) -> np.ndarray:
@@ -1069,40 +1091,97 @@ def encode_webp_cached(pixels: np.ndarray, *,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
+def _predictor_forward(px: np.ndarray) -> np.ndarray:
+    """Interior-pixel predictions for all 14 modes at once, shape
+    (14, h, w, 4) int32. Because the transform is lossless, the
+    decoder's "reconstructed neighbors" equal the original pixels, so
+    the forward pass vectorizes over the whole frame (the decoder's
+    inverse stays sequential). Neighbor addressing mirrors
+    ``_inverse_predictor``'s linear-memory rule: for the rightmost
+    column, TR is the first pixel of the CURRENT row. Row 0 / column
+    0 / (0,0) are overridden by fixed rules after mode selection, so
+    their values here are don't-cares."""
+    h, w, _ = px.shape
+    L = np.zeros_like(px)
+    L[:, 1:] = px[:, :-1]
+    T = np.zeros_like(px)
+    T[1:] = px[:-1]
+    TL = np.zeros_like(px)
+    TL[1:, 1:] = px[:-1, :-1]
+    TR = np.zeros_like(px)
+    if w > 1:
+        TR[1:, :-1] = px[:-1, 1:]
+    TR[1:, -1] = px[1:, 0]  # linear wrap: first pixel of current row
+    preds = np.empty((14, h, w, 4), dtype=np.int32)
+    preds[0] = np.array([255, 0, 0, 0], dtype=np.int32)
+    preds[1], preds[2], preds[3], preds[4] = L, T, TR, TL
+    preds[5] = _avg2(_avg2(L, TR), T)
+    preds[6] = _avg2(L, TL)
+    preds[7] = _avg2(L, T)
+    preds[8] = _avg2(TL, T)
+    preds[9] = _avg2(T, TR)
+    preds[10] = _avg2(_avg2(L, TL), _avg2(T, TR))
+    est = L + T - TL
+    p_l = np.abs(est - L).sum(axis=-1, keepdims=True)
+    p_t = np.abs(est - T).sum(axis=-1, keepdims=True)
+    preds[11] = np.where(p_l < p_t, L, T)
+    preds[12] = np.clip(est, 0, 255)
+    ave = _avg2(L, T)
+    diff = ave - TL
+    half = np.where(diff >= 0, diff // 2, -((-diff) // 2))
+    preds[13] = np.clip(ave + half, 0, 255)
+    return preds
+
+
+def encode_webp_predicted(pixels: np.ndarray, *, mode: int | str = 2,
                           size_bits: int = 4) -> bytes:
-    """Lossless VP8L using the PREDICTOR transform with one fixed
-    mode for every block — real roundtrip coverage of the decoder's
-    predictor path (its 14-mode inner loop was previously reachable
-    only via hand-built streams). The forward pass mirrors the
-    decoder's edge rules exactly: (0,0) predicts 0xff000000, row 0
-    predicts LEFT, column 0 predicts TOP, interior pixels the chosen
-    mode (supported here: 1=left, 2=top); residual = pixel - pred
-    (mod 256, per channel). Residuals are literal-coded with the
-    dense byte codes."""
-    if mode not in (1, 2):
-        raise ValueError("encoder supports predictor modes 1 (left) "
-                         "and 2 (top); the decoder handles all 14")
+    """Lossless VP8L using the PREDICTOR transform — real roundtrip
+    coverage of the decoder's full 14-mode inner loop (previously
+    only modes 1-2 had an encoder; the rest rode hand-built
+    streams). ``mode``: an int 0..13 applies that mode to every
+    block; ``"auto"`` picks the cheapest mode PER BLOCK (wrap-aware
+    residual magnitude, the literal-coding cost proxy), which also
+    exercises a genuinely multi-valued mode sub-image. The forward
+    pass mirrors the decoder's edge rules exactly: (0,0) predicts
+    0xff000000, row 0 predicts LEFT, column 0 predicts TOP; residual
+    = pixel - pred (mod 256, per channel), literal-coded with dense
+    byte codes."""
+    if mode != "auto" and mode not in range(14):
+        raise ValueError("mode must be 0..13 or 'auto'")
     h, w, _ = pixels.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("VP8L dimensions must be in [1, 16384]")
     px = np.zeros((h, w, 4), dtype=np.int32)
     px[..., 0] = 255
     px[..., 1:4] = pixels
-    res = np.zeros_like(px)
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], dtype=np.int32)
-            elif y == 0:
-                pred = px[y, x - 1]
-            elif x == 0:
-                pred = px[y - 1, x]
-            elif mode == 1:
-                pred = px[y, x - 1]
-            else:
-                pred = px[y - 1, x]
-            res[y, x] = (px[y, x] - pred) & 0xFF
+    bs_w = _subsample(w, size_bits)
+    bs_h = _subsample(h, size_bits)
+    preds = _predictor_forward(px)
+    if mode == "auto":
+        # wrap-aware per-pixel cost, interior pixels only (edges use
+        # fixed rules regardless of the block's mode)
+        r = (px[None] - preds) & 0xFF
+        cost = np.minimum(r, 256 - r).sum(axis=-1).astype(np.int64)
+        cost[:, 0, :] = 0
+        cost[:, :, 0] = 0
+        modes = np.zeros((bs_h, bs_w), dtype=np.int32)
+        for by in range(bs_h):
+            ys = slice(by << size_bits, min((by + 1) << size_bits, h))
+            for bx in range(bs_w):
+                xs = slice(bx << size_bits, min((bx + 1) << size_bits, w))
+                modes[by, bx] = int(
+                    cost[:, ys, xs].sum(axis=(1, 2)).argmin())
+    else:
+        modes = np.full((bs_h, bs_w), int(mode), dtype=np.int32)
+    # assemble the residual frame: per-block mode, then edge overrides
+    block_modes = np.repeat(np.repeat(modes, 1 << size_bits, axis=0),
+                            1 << size_bits, axis=1)[:h, :w]
+    pred = np.take_along_axis(
+        preds, block_modes[None, ..., None].astype(np.intp), axis=0)[0]
+    pred[0, :] = np.concatenate(
+        [np.array([[255, 0, 0, 0]], dtype=np.int32), px[0, :-1]])
+    pred[1:, 0] = px[:-1, 0]
+    res = (px - pred) & 0xFF
     bw = _BitWriter()
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
@@ -1112,18 +1191,17 @@ def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
     bw.write(1, 1)                  # a transform
     bw.write(_PREDICTOR, 2)
     bw.write(size_bits - 2, 3)
-    # block-mode sub-image: every block uses `mode` (green channel)
-    bs_w = _subsample(w, size_bits)
-    bs_h = _subsample(h, size_bits)
+    # block-mode sub-image (green channel carries the mode): a
+    # single-valued grid costs zero bits per block; 'auto' grids get
+    # a real multi-symbol green code
     bw.write(0, 1)                  # sub-image: no cache
-    _write_code_for_values(bw, 256 + 24, [mode])   # green = mode
+    gcodes = _write_code_for_values(bw, 256 + 24, modes.ravel())
     _write_code_for_values(bw, 256, [0])           # red
     _write_code_for_values(bw, 256, [0])           # blue
     _write_code_for_values(bw, 256, [255])         # alpha
     _write_code_for_values(bw, 40, [0])            # distance
-    # all codes are single-symbol (zero bits/pixel): bs_w*bs_h
-    # pixels cost nothing to emit
-    _ = (bs_w, bs_h)
+    for v in modes.ravel():
+        bw.write_code(*gcodes[int(v)])
     bw.write(0, 1)                  # end of transforms
     bw.write(0, 1)                  # no cache
     bw.write(0, 1)                  # no meta
@@ -1150,17 +1228,20 @@ def encode_webp_predicted(pixels: np.ndarray, *, mode: int = 2,
 def encode_webp_color_transformed(
     pixels: np.ndarray, *, green_to_red: int = 16,
     green_to_blue: int = 8, red_to_blue: int = 4,
-    size_bits: int = 4,
+    size_bits: int = 4, auto: bool = False,
 ) -> bytes:
-    """Lossless VP8L using the COLOR transform with one fixed
-    ColorTransformElement for every block — real roundtrip coverage
-    of the decoder's cross-channel inverse (delta(t, c) =
+    """Lossless VP8L using the COLOR transform — real roundtrip
+    coverage of the decoder's cross-channel inverse (delta(t, c) =
     (int8)t * (int8)c >> 5, red updated before feeding red_to_blue).
-    The forward pass is the exact inverse: subtract the deltas in
-    the opposite order (blue first using the ORIGINAL red? no — the
-    decoder adds g2r to red, then r2b uses the UPDATED red, so the
-    forward must subtract r2b using the ORIGINAL red, then g2b, then
-    g2r from red last-to-first)."""
+    The forward pass is the exact inverse: the decoder adds g2r to
+    red, then r2b uses the UPDATED red, so the forward subtracts r2b
+    using the ORIGINAL red, then g2b, then g2r from red.
+
+    Fixed multipliers by default (one ColorTransformElement for every
+    block); ``auto=True`` picks a per-block CTE from a small
+    candidate grid (wrap-aware residual magnitude) — exercising the
+    decoder path where the CTE sub-image genuinely varies across
+    blocks in all three packed channels."""
     h, w, _ = pixels.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("VP8L dimensions must be in [1, 16384]")
@@ -1171,13 +1252,56 @@ def encode_webp_color_transformed(
     g = pixels[..., 1].astype(np.int32)
     b = pixels[..., 2].astype(np.int32)
     gs = _s8(g.astype(np.uint8))
+    rs = _s8(r.astype(np.uint8))
+    bs_w = _subsample(w, size_bits)
+    bs_h = _subsample(h, size_bits)
+
+    def wrapmag(res):
+        m = res & 0xFF
+        return np.minimum(m, 256 - m).astype(np.int64)
+
+    if auto:
+        # candidate multipliers: 0, ±16, ±32 as int8 bit patterns
+        cand = np.array([0, 16, 32, 224, 240], dtype=np.int32)
+        cs = _s8(cand.astype(np.uint8))
+        # g2r is separable (only red residual depends on it)
+        r_res = r[None] - ((cs[:, None, None] * gs[None]) >> 5)
+        r_cost = wrapmag(r_res)
+        # (r2b, g2b) chosen jointly for the blue residual
+        pair_res = (b[None, None]
+                    - ((cs[:, None, None, None] * rs[None, None]) >> 5)
+                    - ((cs[None, :, None, None] * gs[None, None]) >> 5))
+        pair_cost = wrapmag(pair_res)
+        g2r_grid = np.zeros((bs_h, bs_w), dtype=np.int32)
+        r2b_grid = np.zeros((bs_h, bs_w), dtype=np.int32)
+        g2b_grid = np.zeros((bs_h, bs_w), dtype=np.int32)
+        for by in range(bs_h):
+            ys = slice(by << size_bits, min((by + 1) << size_bits, h))
+            for bx in range(bs_w):
+                xs = slice(bx << size_bits, min((bx + 1) << size_bits, w))
+                g2r_grid[by, bx] = cand[
+                    r_cost[:, ys, xs].sum(axis=(1, 2)).argmin()]
+                flat = pair_cost[:, :, ys, xs].sum(axis=(2, 3))
+                ri, gi = np.unravel_index(flat.argmin(), flat.shape)
+                r2b_grid[by, bx] = cand[ri]
+                g2b_grid[by, bx] = cand[gi]
+    else:
+        g2r_grid = np.full((bs_h, bs_w), green_to_red, dtype=np.int32)
+        r2b_grid = np.full((bs_h, bs_w), red_to_blue, dtype=np.int32)
+        g2b_grid = np.full((bs_h, bs_w), green_to_blue, dtype=np.int32)
+
+    def expand(grid):
+        return np.repeat(np.repeat(grid, 1 << size_bits, axis=0),
+                         1 << size_bits, axis=1)[:h, :w]
+
+    g2r_px = _s8(expand(g2r_grid).astype(np.uint8))
+    r2b_px = _s8(expand(r2b_grid).astype(np.uint8))
+    g2b_px = _s8(expand(g2b_grid).astype(np.uint8))
     # forward: blue' = blue - delta(r2b, FINAL red) - delta(g2b, g);
     # FINAL red here is the original red (the decoder reconstructs it
     # before applying r2b), so subtract with the original red first
-    b2 = (b - ((_s8(np.uint8(red_to_blue)) * _s8(r.astype(np.uint8)))
-               >> 5)
-          - ((_s8(np.uint8(green_to_blue)) * gs) >> 5)) & 0xFF
-    r2 = (r - ((_s8(np.uint8(green_to_red)) * gs) >> 5)) & 0xFF
+    b2 = (b - ((r2b_px * rs) >> 5) - ((g2b_px * gs) >> 5)) & 0xFF
+    r2 = (r - ((g2r_px * gs) >> 5)) & 0xFF
     coded = np.stack([r2, g, b2], axis=-1).astype(np.uint8)
     bw = _BitWriter()
     bw.write(0x2F, 8)
@@ -1190,11 +1314,16 @@ def encode_webp_color_transformed(
     bw.write(size_bits - 2, 3)
     # cte sub-image: pixel red=r2b, green=g2b, blue=g2r (RFC packing)
     bw.write(0, 1)                  # sub-image: no cache
-    _write_code_for_values(bw, 256 + 24, [green_to_blue])
-    _write_code_for_values(bw, 256, [red_to_blue])
-    _write_code_for_values(bw, 256, [green_to_red])
+    cte_g = _write_code_for_values(bw, 256 + 24, g2b_grid.ravel())
+    cte_r = _write_code_for_values(bw, 256, r2b_grid.ravel())
+    cte_b = _write_code_for_values(bw, 256, g2r_grid.ravel())
     _write_code_for_values(bw, 256, [255])
     _write_code_for_values(bw, 40, [0])
+    for gv, rv, bv in zip(g2b_grid.ravel(), r2b_grid.ravel(),
+                          g2r_grid.ravel()):
+        bw.write_code(*cte_g[int(gv)])
+        bw.write_code(*cte_r[int(rv)])
+        bw.write_code(*cte_b[int(bv)])
     bw.write(0, 1)                  # end of transforms
     bw.write(0, 1)                  # no cache
     bw.write(0, 1)                  # no meta
@@ -1208,6 +1337,96 @@ def encode_webp_color_transformed(
             bw.write_code(int(coded[y, x, 1]), 8)
             bw.write_code(int(coded[y, x, 0]), 8)
             bw.write_code(int(coded[y, x, 2]), 8)
+    payload = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_webp_meta(pixels: np.ndarray, *,
+                     meta_bits: int = 4) -> bytes:
+    """Lossless VP8L using META PREFIX CODES — an entropy image
+    assigning each ``meta_bits``-sized block to a code group, with a
+    per-group set of prefix codes (RFC 9649 "decoding of meta prefix
+    codes"; group index = RED<<8 | GREEN of the entropy-image
+    pixel). This was the last decoder path with no encoder mode
+    (previously reachable only via hand-built streams).
+
+    Grouping is content-driven and real: blocks with ≤4 distinct
+    colors get a group with small codes, diverse blocks a dense
+    group — on mixed images the two groups genuinely differ, and on
+    uniform images the encoder degrades to a single group (also a
+    valid meta stream: the decoder still walks the entropy image)."""
+    h, w, _ = pixels.shape
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dimensions must be in [1, 16384]")
+    if not 2 <= meta_bits <= 9:
+        raise ValueError("meta_bits must be in [2, 9]")
+    bs_w = _subsample(w, meta_bits)
+    bs_h = _subsample(h, meta_bits)
+    # content-driven grouping, then contiguous relabel (the decoder
+    # reads max_index + 1 code groups, so indices must be dense)
+    raw_group = np.zeros((bs_h, bs_w), dtype=np.int32)
+    for by in range(bs_h):
+        ys = slice(by << meta_bits, min((by + 1) << meta_bits, h))
+        for bx in range(bs_w):
+            xs = slice(bx << meta_bits, min((bx + 1) << meta_bits, w))
+            block = pixels[ys, xs].reshape(-1, 3)
+            distinct = len(np.unique(
+                block[:, 0].astype(np.int64) * 65536
+                + block[:, 1].astype(np.int64) * 256
+                + block[:, 2].astype(np.int64)))
+            raw_group[by, bx] = 0 if distinct <= 4 else 1
+    used = sorted(set(int(v) for v in raw_group.ravel()))
+    relabel = {v: i for i, v in enumerate(used)}
+    group = np.vectorize(relabel.get)(raw_group).astype(np.int32)
+    n_groups = len(used)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)   # alpha hint
+    bw.write(0, 3)   # version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(1, 1)   # meta prefix codes present
+    bw.write(meta_bits - 2, 3)
+    # entropy image: a spatially-coded sub-image (no meta allowed
+    # inside it); group index goes in GREEN (RED<<8 stays 0)
+    bw.write(0, 1)   # sub-image: no cache
+    midx = _write_code_for_values(bw, 256 + 24, group.ravel())
+    _write_code_for_values(bw, 256, [0])     # red
+    _write_code_for_values(bw, 256, [0])     # blue
+    _write_code_for_values(bw, 256, [255])   # alpha
+    _write_code_for_values(bw, 40, [0])      # distance
+    for v in group.ravel():
+        bw.write_code(*midx[int(v)])
+    # per-group prefix codes over exactly that group's pixel values
+    block_of = np.repeat(np.repeat(group, 1 << meta_bits, axis=0),
+                         1 << meta_bits, axis=1)[:h, :w]
+    gmaps = []
+    for gi in range(n_groups):
+        mask = block_of == gi
+        sel = pixels[mask]
+        gmaps.append((
+            _write_code_for_values(bw, 256 + 24, sel[:, 1]),  # green
+            _write_code_for_values(bw, 256, sel[:, 0]),       # red
+            _write_code_for_values(bw, 256, sel[:, 2]),       # blue
+            _write_code_for_values(bw, 256, [255]),           # alpha
+        ))
+        _write_code_for_values(bw, 40, [0])                   # distance
+    for y in range(h):
+        for x in range(w):
+            gc, rc, bc, ac = gmaps[int(block_of[y, x])]
+            r, g, b = (int(pixels[y, x, 0]), int(pixels[y, x, 1]),
+                       int(pixels[y, x, 2]))
+            bw.write_code(*gc[g])
+            bw.write_code(*rc[r])
+            bw.write_code(*bc[b])
+            bw.write_code(*ac[255])
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

@@ -501,6 +501,50 @@ def encode_webp_anim(frames: List[AnimFrame], *,
     return _riff(out)
 
 
+def _iter_anmf(data: bytes):
+    """Yield (info, codec_chunks) per ``ANMF`` chunk: ``info`` is the
+    parsed frame header (x, y, w, h, duration_ms, blend, dispose),
+    ``codec_chunks`` the frame's ``[ALPH] + VP8/VP8L`` payload."""
+    for fourcc, body in _walk_chunks(data, 12, len(data)):
+        if fourcc != b"ANMF":
+            continue
+        if len(body) < 16:
+            raise ValueError("short ANMF header")
+        flags = body[15]
+        info = {"x": _read_u24(body, 0) * 2, "y": _read_u24(body, 3) * 2,
+                "w": _read_u24(body, 6) + 1, "h": _read_u24(body, 9) + 1,
+                "duration_ms": _read_u24(body, 12),
+                "blend": not (flags & 2), "dispose": bool(flags & 1)}
+        yield info, list(_walk_chunks(body, 16, len(body)))
+
+
+def anim_frame_infos(data: bytes) -> List[dict]:
+    """Per-frame ANMF headers (x, y, w, h, duration_ms, blend,
+    dispose) from the container alone — no pixel decode. Static
+    payloads return []."""
+    return [info for info, _ in _iter_anmf(data)]
+
+
+def decode_webp_subframes(data: bytes) -> List[np.ndarray]:
+    """UNCOMPOSED per-frame RGBA: each ANMF's own bitstream decoded
+    at its stored (w, h), no canvas placement / blending. Static
+    payloads return the single frame. The composed-canvas view is
+    :func:`decode_webp_frames`; this raw view is what per-frame
+    fidelity checks compare against reference pixels (a planted
+    mismatch in frame k must flag frame k only, not every composed
+    canvas after it)."""
+    feats = webp_features(data)
+    if not feats["has_animation"]:
+        return [decode_webp_rgba(data)]
+    out = []
+    for info, chunks in _iter_anmf(data):
+        frame = _decode_frame_chunks(chunks)
+        if frame.shape[:2] != (info["h"], info["w"]):
+            raise ValueError("ANMF dims disagree with frame bitstream")
+        out.append(frame)
+    return out
+
+
 def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
     """Non-premultiplied source-over (RFC 9649 blending formula),
     computed in float64 and rounded half-to-even."""
@@ -528,29 +572,20 @@ def decode_webp_frames(data: bytes) -> List[Tuple[np.ndarray, int]]:
     cw, ch = feats["width"], feats["height"]
     canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
     out: List[Tuple[np.ndarray, int]] = []
-    for fourcc, body in _walk_chunks(data, 12, len(data)):
-        if fourcc != b"ANMF":
-            continue
-        if len(body) < 16:
-            raise ValueError("short ANMF header")
-        x = _read_u24(body, 0) * 2
-        y = _read_u24(body, 3) * 2
-        fw = _read_u24(body, 6) + 1
-        fh = _read_u24(body, 9) + 1
-        dur = _read_u24(body, 12)
-        flags = body[15]
+    for info, chunks in _iter_anmf(data):
+        x, y = info["x"], info["y"]
+        fw, fh = info["w"], info["h"]
         if x + fw > cw or y + fh > ch:
             raise ValueError("frame exceeds canvas")
-        frame = _decode_frame_chunks(
-            list(_walk_chunks(body, 16, len(body))))
+        frame = _decode_frame_chunks(chunks)
         if frame.shape[:2] != (fh, fw):
             raise ValueError("ANMF dims disagree with frame bitstream")
         rect = canvas[y:y + fh, x:x + fw]
-        if flags & 2:  # B=1: do not blend
-            canvas[y:y + fh, x:x + fw] = frame
-        else:
+        if info["blend"]:
             canvas[y:y + fh, x:x + fw] = _blend_rgba(rect, frame)
-        out.append((canvas.copy(), dur))
-        if flags & 1:  # D=1: dispose to (transparent) background
+        else:
+            canvas[y:y + fh, x:x + fw] = frame
+        out.append((canvas.copy(), info["duration_ms"]))
+        if info["dispose"]:  # D=1: dispose to (transparent) background
             canvas[y:y + fh, x:x + fw] = 0
     return out

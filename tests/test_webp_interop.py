@@ -80,16 +80,42 @@ def test_cache_mode_decodes_in_libwebp(cache_bits):
         encode_webp_cached(rgb, cache_bits=cache_bits), rgb)
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", list(range(14)) + ["auto"])
 def test_predicted_mode_decodes_in_libwebp(mode):
     rgb = synth_pixels(77, 48, 32)
     _assert_libwebp_reads_ours(
         encode_webp_predicted(rgb, mode=mode), rgb)
 
 
+def test_predicted_auto_multimode_decodes_in_libwebp():
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+    rgb[20:, :] = synth_pixels(5, 40, 20)
+    _assert_libwebp_reads_ours(
+        encode_webp_predicted(rgb, mode="auto", size_bits=3), rgb)
+
+
 def test_color_transformed_mode_decodes_in_libwebp():
     rgb = _rng(5).integers(0, 256, (29, 31, 3), dtype=np.uint8)
     _assert_libwebp_reads_ours(encode_webp_color_transformed(rgb), rgb)
+
+
+def test_meta_prefix_decodes_in_libwebp():
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_meta
+
+    rng = _rng(7)
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rgb[16:, :] = 7
+    _assert_libwebp_reads_ours(encode_webp_meta(rgb, meta_bits=3), rgb)
+
+
+def test_color_transformed_auto_decodes_in_libwebp():
+    rng = _rng(6)
+    rgb = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    rgb[20:, :] = synth_pixels(5, 40, 20)
+    _assert_libwebp_reads_ours(
+        encode_webp_color_transformed(rgb, auto=True, size_bits=3),
+        rgb)
 
 
 def test_lz77_mode_decodes_in_libwebp():

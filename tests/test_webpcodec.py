@@ -583,7 +583,10 @@ def test_hypothesis_roundtrip_all_modes():
         assert np.array_equal(
             decode_webp(encode_webp_cached(px, cache_bits=3)), px)
         assert np.array_equal(
-            decode_webp(encode_webp_predicted(px, mode=2)), px)
+            decode_webp(encode_webp_predicted(px, mode=seed % 14)), px)
+        assert np.array_equal(
+            decode_webp(encode_webp_predicted(
+                px, mode="auto", size_bits=2)), px)
         assert np.array_equal(
             decode_webp(encode_webp_color_transformed(
                 px, green_to_red=seed % 256, green_to_blue=37,
@@ -658,7 +661,7 @@ def test_lz77_encoder_roundtrip_and_compression():
     assert toks[0][0] == "lit" and toks[1] == ("ref", 19, 1)
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", list(range(14)) + ["auto"])
 @pytest.mark.parametrize("dims", [(1, 1), (5, 3), (16, 16), (33, 9)])
 def test_predicted_roundtrip(mode, dims):
     from cerberus_cpp_spark.sources.webpcodec import encode_webp_predicted
@@ -668,6 +671,37 @@ def test_predicted_roundtrip(mode, dims):
         decode_webp(encode_webp_predicted(px, mode=mode)), px)
 
 
+def test_predicted_auto_selects_multiple_modes():
+    # mixed content (noise atop gradient) forces a genuinely
+    # multi-valued mode sub-image; roundtrip pins the multi-symbol
+    # green-code emission path of the transform header
+    from cerberus_cpp_spark.sources.webpcodec import (
+        _predictor_forward,
+        _subsample,
+        encode_webp_predicted,
+    )
+
+    px = synth_noise_pixels(9, 40, 40)
+    px[20:, :] = synth_pixels(5, 40, 20)
+    blob = encode_webp_predicted(px, mode="auto", size_bits=3)
+    assert np.array_equal(decode_webp(blob), px)
+    # reproduce the selection to prove >1 distinct mode was coded
+    full = np.zeros((40, 40, 4), dtype=np.int32)
+    full[..., 0] = 255
+    full[..., 1:4] = px
+    preds = _predictor_forward(full)
+    r = (full[None] - preds) & 0xFF
+    cost = np.minimum(r, 256 - r).sum(axis=-1).astype(np.int64)
+    cost[:, 0, :] = 0
+    cost[:, :, 0] = 0
+    picked = set()
+    for by in range(_subsample(40, 3)):
+        for bx in range(_subsample(40, 3)):
+            sub = cost[:, by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            picked.add(int(sub.sum(axis=(1, 2)).argmin()))
+    assert len(picked) > 1
+
+
 def test_predicted_noise_and_block_sizes():
     from cerberus_cpp_spark.sources.webpcodec import encode_webp_predicted
 
@@ -675,13 +709,15 @@ def test_predicted_noise_and_block_sizes():
     for sb in (2, 3, 5):
         assert np.array_equal(
             decode_webp(encode_webp_predicted(n, size_bits=sb)), n)
-    with pytest.raises(ValueError, match="modes 1"):
-        encode_webp_predicted(n, mode=11)
+    with pytest.raises(ValueError, match="0..13"):
+        encode_webp_predicted(n, mode=14)
 
 
 @pytest.mark.parametrize("params", [
     {},
     {"green_to_red": 200, "green_to_blue": 130, "red_to_blue": 77},
+    {"auto": True},
+    {"auto": True, "size_bits": 2},
 ])
 def test_color_transformed_roundtrip(params):
     from cerberus_cpp_spark.sources.webpcodec import (
@@ -696,6 +732,67 @@ def test_color_transformed_roundtrip(params):
     n = synth_noise_pixels(8, 15, 11)
     assert np.array_equal(
         decode_webp(encode_webp_color_transformed(n, **params)), n)
+
+
+def test_color_transformed_auto_varies_cte():
+    # mixed content → at least two distinct per-block CTEs, pinning
+    # the multi-symbol sub-image emission across all three packed
+    # channels (auto reproduced here via the same candidate logic:
+    # a block of pure noise and a block of smooth gradient disagree
+    # on the best multiplier with overwhelming probability; assert
+    # only that the ROUNDTRIP holds and the payload differs from the
+    # single-CTE encodings, which proves a varying sub-image)
+    from cerberus_cpp_spark.sources.webpcodec import (
+        encode_webp_color_transformed,
+    )
+
+    px = synth_noise_pixels(9, 40, 40)
+    px[20:, :] = synth_pixels(5, 40, 20)
+    auto_blob = encode_webp_color_transformed(px, auto=True,
+                                              size_bits=3)
+    assert np.array_equal(decode_webp(auto_blob), px)
+    fixed = {encode_webp_color_transformed(
+        px, green_to_red=m, green_to_blue=m, red_to_blue=m,
+        size_bits=3) for m in (0, 16, 32, 224, 240)}
+    assert auto_blob not in fixed
+
+
+@pytest.mark.parametrize("meta_bits", [2, 4])
+@pytest.mark.parametrize("dims", [(1, 1), (5, 3), (16, 16), (33, 9)])
+def test_meta_prefix_roundtrip(meta_bits, dims):
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_meta
+
+    px = synth_pixels(31 + dims[0], *dims)
+    assert np.array_equal(
+        decode_webp(encode_webp_meta(px, meta_bits=meta_bits)), px)
+    n = synth_noise_pixels(8, *dims)
+    assert np.array_equal(
+        decode_webp(encode_webp_meta(n, meta_bits=meta_bits)), n)
+
+
+def test_meta_prefix_two_groups_pay():
+    # mixed content (noise atop a flat region): the entropy image
+    # must genuinely select two different code groups, and the flat
+    # group's small codes must beat the single-code literal encoder
+    from cerberus_cpp_spark.sources.webpcodec import (
+        encode_webp,
+        encode_webp_meta,
+    )
+
+    px = synth_noise_pixels(9, 32, 32)
+    px[16:, :] = 7
+    blob = encode_webp_meta(px, meta_bits=3)
+    assert np.array_equal(decode_webp(blob), px)
+    assert len(blob) < len(encode_webp(px))
+
+
+def test_meta_prefix_rejects_bad_bits():
+    from cerberus_cpp_spark.sources.webpcodec import encode_webp_meta
+
+    px = synth_pixels(1, 4, 4)
+    for mb in (1, 10):
+        with pytest.raises(ValueError, match="meta_bits"):
+            encode_webp_meta(px, meta_bits=mb)
 
 
 def test_pipeline_webp_payloads_use_palette():

@@ -241,8 +241,16 @@ def test_anim_blend_formula_cases():
 
 @needs_libwebp
 def test_anim_lossy_frames():
-    # ALPH+VP8 inside ANMF: alpha exact, rgb within lossy tolerance
-    px = rgba(16, 16, 31)
+    # ALPH+VP8 inside ANMF: alpha exact, rgb within lossy tolerance.
+    # RGB must be SMOOTH content: the minimal VP8 encoder's
+    # rate-distortion on white noise is ~12.5 dB (bit-exact vs
+    # libwebp's decode of the same stream — that's the noise floor,
+    # not a codec bug), while gradients clear 39 dB at q_index=10.
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = np.empty((16, 16, 4), dtype=np.uint8)
+    px[..., 0] = (xx * 3 + yy * 5) % 256
+    px[..., 1] = (xx * 2 + yy * 7) % 256
+    px[..., 2] = (xx * 6 + yy * 1) % 256
     px[..., 3] = alpha_plane("binary", 16, 16)
     data = encode_webp_anim([AnimFrame(px, 25, blend=False)],
                             lossy=True, q_index=10)
