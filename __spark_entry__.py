@@ -1128,6 +1128,96 @@ FROM f
 """
 
 
+IMG_ALPHA_N = 2000
+
+
+def q_img_alpha_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-feature census over the EXTENDED WebP still/animated
+    families (round 4): bare opaque VP8L / VP8L-with-alpha /
+    VP8X-wrapped lossless RGBA / VP8X+ALPH+VP8 lossy stills
+    (``animgen.vp8x_still_payload``, ``i % 4``), animated containers
+    at ``i % 20 == 17``, and truncated payloads at ``i % 50 == 33``
+    (container walk raises → counted as ``variant='invalid'``, never
+    job-killing). Each payload's (variant, has_alpha, has_animation)
+    comes from the in-repo header parser (``webpx.webp_features``,
+    libwebp-pinned) and ``decodable`` from a full RGBA decode — so
+    the census is an oracle-counted contract over the feature parser
+    AND every extended decode path at once."""
+    df = spark.range(0, IMG_ALPHA_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def census(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.animgen import (
+            anim_payload,
+            vp8x_still_payload,
+        )
+        from cerberus_cpp_spark.sources.webpx import (
+            decode_webp_rgba_any,
+            webp_features,
+        )
+
+        for pdf in batches:
+            rows = {"variant": [], "has_alpha": [],
+                    "has_animation": [], "decodable": []}
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 50 == 33:
+                    blob = vp8x_still_payload(i)[:-5]
+                elif i % 20 == 17:
+                    blob = anim_payload(i)
+                else:
+                    blob = vp8x_still_payload(i)
+                try:
+                    feats = webp_features(blob)
+                    decode_webp_rgba_any(blob)
+                    rows["variant"].append(feats["variant"].strip())
+                    rows["has_alpha"].append(feats["has_alpha"])
+                    rows["has_animation"].append(feats["has_animation"])
+                    rows["decodable"].append(True)
+                except ValueError:
+                    rows["variant"].append("invalid")
+                    rows["has_alpha"].append(False)
+                    rows["has_animation"].append(False)
+                    rows["decodable"].append(False)
+            yield pd.DataFrame(rows)
+
+    return (
+        df.mapInPandas(census, schema="variant string, "
+                       "has_alpha boolean, has_animation boolean, "
+                       "decodable boolean")
+        .groupBy("variant", "has_alpha", "has_animation", "decodable")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+_IMG_ALPHA_CENSUS_SQL = f"""
+WITH g AS (SELECT range AS i FROM range(0, {IMG_ALPHA_N})),
+t AS (
+  SELECT i,
+    CASE WHEN i % 50 = 33 THEN 'invalid'
+         WHEN i % 20 = 17 THEN 'VP8X'
+         WHEN i % 4 IN (0, 1) THEN 'VP8L'
+         ELSE 'VP8X' END AS variant,
+    CASE WHEN i % 50 = 33 THEN FALSE
+         WHEN i % 20 = 17 THEN TRUE
+         ELSE i % 4 <> 0 END AS has_alpha,
+    (i % 50 <> 33 AND i % 20 = 17) AS has_animation,
+    i % 50 <> 33 AS decodable
+  FROM g
+)
+SELECT variant, has_alpha, has_animation, decodable,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1489,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
+        "img_alpha_census": q_img_alpha_census,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2171,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,
+        "img_alpha_census": _IMG_ALPHA_CENSUS_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

@@ -63,6 +63,13 @@ def frame_spec(i: int, fi: int) -> dict:
     }
 
 
+def _alpha_plane(ps: int, w: int, h: int) -> np.ndarray:
+    xs = np.arange(w, dtype=np.uint32)
+    ys = np.arange(h, dtype=np.uint32)
+    return ((xs[None, :] * 3 + ys[:, None] * 7 + ps // 5)
+            % 256).astype(np.uint8)
+
+
 def frame_rgba(i: int, fi: int, seed: int = 42, *,
                seed_shift: int = 0) -> np.ndarray:
     """Deterministic RGBA frame: the gradient family of
@@ -71,10 +78,28 @@ def frame_rgba(i: int, fi: int, seed: int = 42, *,
     w, h = spec["w"], spec["h"]
     ps = pixel_seed(i * 7 + fi, seed + seed_shift)
     rgb = synth_pixels(ps, w, h)
-    xs = np.arange(w, dtype=np.uint32)
-    ys = np.arange(h, dtype=np.uint32)
-    a = ((xs[None, :] * 3 + ys[:, None] * 7 + ps // 5) % 256)
-    return np.dstack([rgb, a.astype(np.uint8)])
+    return np.dstack([rgb, _alpha_plane(ps, w, h)])
+
+
+def vp8x_still_payload(i: int, seed: int = 42) -> bytes:
+    """Deterministic STILL payload cycling through the container
+    families the alpha census counts (``i % 4``): bare opaque VP8L,
+    bare VP8L with a live alpha channel, VP8X-wrapped lossless RGBA,
+    and VP8X+ALPH+VP8 (lossy RGB, exact alpha). Thumb-sized like the
+    fixture family (8+i%9 × 8+i%7)."""
+    from .webpcodec import encode_webp
+    from .webpx import encode_webp_lossless_rgba, encode_webp_vp8x
+
+    w, h = 8 + i % 9, 8 + i % 7
+    ps = pixel_seed(i, seed)
+    rgb = synth_pixels(ps, w, h)
+    fam = i % 4
+    if fam == 0:
+        return encode_webp(rgb)
+    rgba = np.dstack([rgb, _alpha_plane(ps, w, h)])
+    if fam == 1:
+        return encode_webp_lossless_rgba(rgba)
+    return encode_webp_vp8x(rgba, lossy=(fam == 3))
 
 
 def reference_subframes(i: int, seed: int = 42) -> List[np.ndarray]:

@@ -99,6 +99,34 @@ def test_decode_webp_any_composes_first_frame():
     assert np.array_equal(px, composed)
 
 
+def test_vp8x_still_payload_families():
+    """The alpha-census still families: container variant, alpha
+    flag, and full RGBA decodability per id arithmetic."""
+    from cerberus_cpp_spark.sources.webpx import (
+        decode_webp_rgba_any,
+        webp_features,
+    )
+
+    for i in range(0, 16):
+        blob = animgen.vp8x_still_payload(i)
+        f = webp_features(blob)
+        fam = i % 4
+        assert f["variant"] == ("VP8L" if fam in (0, 1) else "VP8X")
+        assert f["has_alpha"] == (fam != 0)
+        assert not f["has_animation"]
+        px = decode_webp_rgba_any(blob)
+        assert px.shape == (8 + i % 7, 8 + i % 9, 4)
+        if fam != 3:  # lossless families roundtrip exactly
+            from cerberus_cpp_spark.sources.imagegen import (
+                pixel_seed,
+                synth_pixels,
+            )
+
+            ps = pixel_seed(i, 42)
+            assert np.array_equal(
+                px[..., :3], synth_pixels(ps, 8 + i % 9, 8 + i % 7))
+
+
 def test_subframes_static_payload_single_frame():
     from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
 

@@ -318,3 +318,62 @@ def test_hypothesis_alpha_sweep():
         assert np.array_equal(decode_webp_rgba(data), lw)
 
     case()
+
+
+def test_hypothesis_anim_composition_sweep():
+    """Randomized frames/offsets/blend/dispose roundtripped through
+    the real container vs an INDEPENDENT numpy composition (the
+    source-over formula re-derived here, not imported from webpx) —
+    a differential oracle for the ANIM decode path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def compose(canvas, frame, x, y, blend):
+        fh, fw = frame.shape[:2]
+        rect = canvas[y:y + fh, x:x + fw].astype(np.float64)
+        src = frame.astype(np.float64)
+        if not blend:
+            canvas[y:y + fh, x:x + fw] = frame
+            return canvas
+        sa = src[..., 3:] / 255.0
+        da = rect[..., 3:] / 255.0
+        oa = sa + da * (1.0 - sa)
+        rgb = src[..., :3] * sa + rect[..., :3] * da * (1.0 - sa)
+        out = np.zeros_like(rect)
+        nz = oa[..., 0] > 0
+        out[nz, :3] = rgb[nz] / oa[nz]
+        out[..., 3:] = oa * 255.0
+        canvas[y:y + fh, x:x + fw] = np.rint(out).astype(np.uint8)
+        return canvas
+
+    frame_st = st.tuples(
+        st.integers(1, 10), st.integers(1, 10),       # fh, fw
+        st.integers(0, 3), st.integers(0, 3),         # x/2, y/2
+        st.integers(0, 2 ** 16),                      # seed
+        st.booleans(), st.booleans(),                 # blend, dispose
+        st.integers(0, 1000),                         # duration
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(frames=st.lists(frame_st, min_size=1, max_size=5))
+    def case(frames):
+        specs = []
+        for fh, fw, x2, y2, seed, blend, dispose, dur in frames:
+            specs.append(AnimFrame(
+                rgba=rgba(fh, fw, seed), duration_ms=dur,
+                x=2 * x2, y=2 * y2, blend=blend, dispose=dispose))
+        cw = max(f.x + f.rgba.shape[1] for f in specs)
+        ch = max(f.y + f.rgba.shape[0] for f in specs)
+        blob = encode_webp_anim(specs, canvas=(cw, ch))
+        decoded = decode_webp_frames(blob)
+        assert len(decoded) == len(specs)
+        canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        for f, (got, dur) in zip(specs, decoded):
+            canvas = compose(canvas, f.rgba, f.x, f.y, f.blend)
+            assert dur == f.duration_ms
+            assert np.array_equal(got, canvas)
+            if f.dispose:
+                fh, fw = f.rgba.shape[:2]
+                canvas[f.y:f.y + fh, f.x:f.x + fw] = 0
+
+    case()
