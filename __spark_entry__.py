@@ -1218,6 +1218,55 @@ FROM t GROUP BY 1, 2, 3, 4
 """
 
 
+IMG_HEADER_N = 3000
+
+
+def q_img_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY metadata consistency (the 10^12-row first pass:
+    container-header parse, no pixel decode — ``image_header_info``).
+    Fixture: the real-payload frame with w/h rewritten to the actual
+    thumb dims, then three planted families: id%100==0 kind 2 keeps
+    its 'bmp' rows (no payload → undecodable), id%40==21 gets w
+    metadata off by one (dim mismatch caught from the header, and for
+    id%30∈{8,23} rows that means dims verified on LOSSY payloads the
+    decode path can't even open), id%60==35 rewrites fmt to 'png'
+    AFTER payload synthesis (always webp payloads at those ids → fmt
+    mismatch). All violations are id arithmetic for the oracle."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        metadata_consistency_violations,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_HEADER_N, with_bytes=True,
+                             plant_lossy=True)
+    df = (df
+          .withColumn("w", F.expr(
+              "CAST(IF(id % 40 = 21, 9 + id % 9, 8 + id % 9) AS INT)"))
+          .withColumn("h", F.expr("CAST(8 + id % 7 AS INT)"))
+          .withColumn("fmt", F.expr("IF(id % 60 = 35, 'png', fmt)")))
+    return metadata_consistency_violations(df, header_only=True)
+
+
+_IMG_HEADER_SQL = f"""
+WITH g AS (SELECT range AS id FROM range(0, {IMG_HEADER_N})),
+v AS (
+  SELECT printf('img-%012d', id) AS image_id, '^.bytes' AS path,
+         'undecodable payload: no payload' AS message
+  FROM g WHERE id % 100 = 0 AND (id // 100) % 6 = 2
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.fmt',
+         'payload is webp, metadata says png'
+  FROM g WHERE id % 60 = 35 AND NOT (id % 100 = 0 AND (id // 100) % 6 = 2)
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.w',
+         printf('payload width %d != metadata %d',
+                8 + id % 9, 9 + id % 9)
+  FROM g WHERE id % 40 = 21 AND NOT (id % 100 = 0 AND (id // 100) % 6 = 2)
+)
+SELECT image_id, path, message FROM v
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1580,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
         "img_alpha_census": q_img_alpha_census,
+        "img_header_consistency": q_img_header_consistency,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2263,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,
         "img_alpha_census": _IMG_ALPHA_CENSUS_SQL,
+        "img_header_consistency": _IMG_HEADER_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

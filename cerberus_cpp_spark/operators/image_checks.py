@@ -108,13 +108,24 @@ def metadata_consistency_violations(
     *,
     id_col: str = "image_id",
     check_dims: bool = True,
+    header_only: bool = False,
 ) -> DataFrame:
-    """Violation rows where the decoded payload contradicts the
-    metadata columns (fmt mismatch, dimension mismatch, undecodable).
-    One decode pass joined back on id — broadcast-free: the probe
-    output carries the id so this is a co-keyed sort-merge only if
+    """Violation rows where the payload contradicts the metadata
+    columns (fmt mismatch, dimension mismatch, undecodable). One
+    Arrow pass joined back on id — broadcast-free: the probe output
+    carries the id so this is a co-keyed sort-merge only if
     violations are projected with extra source columns; here we keep
-    it join-free by probing WITH the metadata columns inline."""
+    it join-free by probing WITH the metadata columns inline.
+
+    ``header_only=True`` reads (fmt, w, h) from the CONTAINER HEADER
+    (``imagegen.image_header_info``) instead of decoding pixels —
+    the 10^12-row first pass: microseconds/row instead of
+    milliseconds, verifies dims even for codecs with no decoder
+    available (lossy VP8 headers carry real dims, so those rows get
+    checked instead of routed to decode_unsupported), but cannot see
+    pixel-level corruption past the header. Mismatch messages are
+    identical across both modes; only the undecodable family differs
+    (``unreadable header:`` vs decode errors)."""
     src = df.select(
         F.col(id_col).alias("image_id"), "bytes",
         F.col("fmt").alias("meta_fmt"),
@@ -131,6 +142,7 @@ def metadata_consistency_violations(
         from cerberus_cpp_spark.sources.imagegen import (
             UnsupportedCodecError,
             decode_image,
+            image_header_info,
         )
 
         for pdf in batches:
@@ -145,30 +157,40 @@ def metadata_consistency_violations(
                 if blob is None:
                     viol(i, "^.bytes", "undecodable payload: no payload")
                     continue
-                try:
-                    fmt, px = decode_image(bytes(blob))
-                except UnsupportedCodecError as e:
-                    # the payload IS what the metadata says, we just
-                    # can't verify dims — distinct message so consumers
-                    # don't quarantine it as corruption
-                    viol(i, "^.bytes",
-                         f"decode_unsupported: {str(e)[:120]}")
-                    continue
-                except Exception as e:
-                    viol(i, "^.bytes", f"undecodable payload: {str(e)[:120]}")
-                    continue
+                if header_only:
+                    try:
+                        fmt, pw, ph = image_header_info(bytes(blob))
+                    except ValueError as e:
+                        viol(i, "^.bytes",
+                             f"unreadable header: {str(e)[:120]}")
+                        continue
+                else:
+                    try:
+                        fmt, px = decode_image(bytes(blob))
+                        ph, pw = px.shape[0], px.shape[1]
+                    except UnsupportedCodecError as e:
+                        # the payload IS what the metadata says, we
+                        # just can't verify dims — distinct message so
+                        # consumers don't quarantine it as corruption
+                        viol(i, "^.bytes",
+                             f"decode_unsupported: {str(e)[:120]}")
+                        continue
+                    except Exception as e:
+                        viol(i, "^.bytes",
+                             f"undecodable payload: {str(e)[:120]}")
+                        continue
                 meta_fmt = pdf["meta_fmt"].iloc[i]
                 if not pd.isna(meta_fmt) and fmt != meta_fmt:
                     viol(i, "^.fmt",
                          f"payload is {fmt}, metadata says {meta_fmt}")
                 if check_dims:
                     mw, mh = pdf["meta_w"].iloc[i], pdf["meta_h"].iloc[i]
-                    if not pd.isna(mw) and px.shape[1] != int(mw):
+                    if not pd.isna(mw) and pw != int(mw):
                         viol(i, "^.w",
-                             f"payload width {px.shape[1]} != metadata {mw}")
-                    if not pd.isna(mh) and px.shape[0] != int(mh):
+                             f"payload width {pw} != metadata {mw}")
+                    if not pd.isna(mh) and ph != int(mh):
                         viol(i, "^.h",
-                             f"payload height {px.shape[0]} != metadata {mh}")
+                             f"payload height {ph} != metadata {mh}")
             yield pd.DataFrame(
                 {"image_id": ids, "path": paths, "message": msgs}
             )

@@ -180,6 +180,49 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
+def image_header_info(data: bytes) -> tuple[str, int, int]:
+    """(fmt, w, h) from the CONTAINER HEADER alone — no pixel
+    decode. The scale path for metadata consistency: at 10^12 rows a
+    header walk is microseconds/row vs milliseconds for a full
+    decode, and it verifies dimensions even for payloads no decoder
+    is available for (lossy VP8 headers carry real dims). PNG: IHDR;
+    JPEG: marker walk to the first SOF; WebP: the VP8L/VP8/VP8X
+    header parse (``webpx.webp_features``). Raises ValueError on
+    unknown or structurally corrupt containers."""
+    fmt = sniff_format(data)
+    if fmt == "png":
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG header (no IHDR)")
+        w, h = struct.unpack(">II", data[16:24])
+        return fmt, w, h
+    if fmt == "jpeg":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = data[pos + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2  # standalone markers have no length field
+                continue
+            (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                if pos + 9 > len(data):
+                    raise ValueError("truncated JPEG SOF")
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return fmt, w, h
+            pos += 2 + seglen
+        raise ValueError("no SOF marker in JPEG stream")
+    if fmt == "webp":
+        from .webpx import webp_features
+
+        f = webp_features(data)
+        if f["width"] == 0 or f["height"] == 0:
+            raise ValueError("unreadable WebP dimensions")
+        return fmt, f["width"], f["height"]
+    raise ValueError("unknown image container")
+
+
 def decode_image(data: bytes) -> tuple[str, np.ndarray]:
     fmt = sniff_format(data)
     if fmt == "png":

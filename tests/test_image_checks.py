@@ -75,6 +75,68 @@ def test_metadata_consistency(spark, with_bytes) -> None:
     assert len(got) == 3
 
 
+def test_header_info_matches_decode() -> None:
+    """image_header_info agrees with the full decode on (fmt, w, h)
+    for every in-repo format and rejects garbage."""
+    import pytest as _pytest
+
+    from cerberus_cpp_spark.sources.imagegen import (
+        decode_image,
+        encode_image,
+        image_header_info,
+        pixel_seed,
+    )
+
+    for i in range(9):
+        for fmt in ("png", "jpeg", "webp"):
+            blob = encode_image(pixel_seed(i, 42), 8 + i % 9,
+                                8 + i % 7, fmt)
+            hf, hw, hh = image_header_info(blob)
+            df_, px = decode_image(blob)
+            assert (hf, hw, hh) == (df_, px.shape[1], px.shape[0])
+    with _pytest.raises(ValueError):
+        image_header_info(b"not an image at all")
+
+
+def test_header_only_consistency(spark, with_bytes) -> None:
+    """header_only mode: same mismatch verdicts as the decode path,
+    PLUS dims verified on a lossy payload the decoder can't open."""
+    from cerberus_cpp_spark.sources.webpcodec import lossy_vp8_stub
+
+    wrong_dims_stub = lossy_vp8_stub(30, 31)
+
+    @F.udf("binary")
+    def plant(i, b):
+        return bytes(wrong_dims_stub) if i == 13 else             (bytes(b) if b is not None else None)
+
+    df = (
+        with_bytes.withColumn(
+            "i", F.expr("cast(substring(image_id, 5) as long)"))
+        .withColumn("w", F.expr("cast(8 + i % 9 as int)"))
+        .withColumn("h", F.expr("cast(8 + i % 7 as int)"))
+        .withColumn("fmt", F.expr("IF(i = 7, 'webp', fmt)"))
+        .withColumn("bytes", F.expr(
+            "IF(i = 11, substring(bytes, 1, 10), bytes)"))
+        .withColumn("bytes", plant(F.col("i"), F.col("bytes")))
+    )
+    v = metadata_consistency_violations(df, header_only=True).collect()
+    got = {(r["image_id"], r["path"]) for r in v}
+    assert ("img-000000000007", "^.fmt") in got
+    assert ("img-000000000011", "^.bytes") in got  # unreadable header
+    assert ("img-000000000200", "^.bytes") in got  # no payload
+    # the planted lossy VP8 stub at i=13 claims 30x31 in its header
+    # but metadata says 12x8 — the decode path would only emit
+    # decode_unsupported; header mode VERIFIES the dims
+    assert ("img-000000000013", "^.w") in got
+    assert ("img-000000000013", "^.h") in got
+    # ...and its fmt too (metadata says png at i%3==1, payload webp)
+    assert ("img-000000000013", "^.fmt") in got
+    assert len(got) == 6
+    msgs = {r["image_id"]: r["message"] for r in v
+            if r["path"] == "^.bytes" and r["image_id"].endswith("11")}
+    assert msgs["img-000000000011"].startswith("unreadable header")
+
+
 def test_decode_stage_is_narrow(spark, with_bytes) -> None:
     plan = (
         decode_probe(with_bytes)
