@@ -1267,6 +1267,59 @@ SELECT image_id, path, message FROM v
 """
 
 
+def q_img_tiered_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE image validation (the at-scale shape: header-only
+    pass over every row, full decode only on a deterministic sample).
+    Same fixture + plants as img_header_consistency, PLUS a
+    deep-corruption family at id%75==28 (always png rows, always
+    inside the id%25==3 sample): the payload keeps its valid
+    signature+IHDR (header pass sees nothing wrong) but the body is
+    overwritten — only the sampled full decode catches it. Sampled
+    lossy rows (id%30∈{8,23} where id%25==3) must NOT be flagged:
+    decode_unsupported is a missing codec, not corruption."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        tiered_image_check,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_HEADER_N, with_bytes=True,
+                             plant_lossy=True)
+    df = (df
+          .withColumn("w", F.expr(
+              "CAST(IF(id % 40 = 21, 9 + id % 9, 8 + id % 9) AS INT)"))
+          .withColumn("h", F.expr("CAST(8 + id % 7 AS INT)"))
+          .withColumn("fmt", F.expr("IF(id % 60 = 35, 'png', fmt)"))
+          .withColumn("bytes", F.expr(
+              "IF(id % 75 = 28, concat(substring(bytes, 1, 33), "
+              "CAST(repeat(' ', CAST(length(bytes) AS INT) - 33) "
+              "AS BINARY)), bytes)")))
+    return tiered_image_check(df, sample_pred=F.expr("id % 25 = 3"))
+
+
+_IMG_TIERED_SQL = f"""
+WITH g AS (SELECT range AS id FROM range(0, {IMG_HEADER_N})),
+v AS (
+  SELECT printf('img-%012d', id) AS image_id, '^.bytes' AS path,
+         'undecodable payload: no payload' AS message
+  FROM g WHERE id % 100 = 0 AND (id // 100) % 6 = 2
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.fmt',
+         'payload is webp, metadata says png'
+  FROM g WHERE id % 60 = 35
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.w',
+         printf('payload width %d != metadata %d',
+                8 + id % 9, 9 + id % 9)
+  FROM g WHERE id % 40 = 21
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.bytes',
+         'sampled deep-decode failed'
+  FROM g WHERE id % 75 = 28
+)
+SELECT image_id, path, message FROM v
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1630,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_anim_frames": q_img_anim_frames,
         "img_alpha_census": q_img_alpha_census,
         "img_header_consistency": q_img_header_consistency,
+        "img_tiered_check": q_img_tiered_check,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2314,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,
         "img_alpha_census": _IMG_ALPHA_CENSUS_SQL,
         "img_header_consistency": _IMG_HEADER_SQL,
+        "img_tiered_check": _IMG_TIERED_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

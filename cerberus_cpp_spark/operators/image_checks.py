@@ -200,6 +200,44 @@ def metadata_consistency_violations(
     )
 
 
+def tiered_image_check(
+    df: DataFrame,
+    *,
+    sample_pred,
+    id_col: str = "image_id",
+    check_dims: bool = True,
+) -> DataFrame:
+    """Two-phase image validation — the 10^12-row shape:
+
+    - **phase 1** (every row): header-only metadata consistency
+      (``header_only=True`` — µs/row, no pixel decode);
+    - **phase 2** (tiny subset): full pixel decode on the rows
+      selected by ``sample_pred`` (a deterministic Column predicate,
+      e.g. a hash bucket), catching corruption past the header that
+      phase 1 cannot see. Sampled rows that fail the deep decode emit
+      a fixed ``'sampled deep-decode failed'`` violation;
+      ``decode_unsupported`` rows are NOT flagged (phase 1 already
+      validated their headers — a missing codec is not corruption).
+
+    Both phases are narrow Arrow stages; the phase-2 predicate is a
+    plain Column, so it pushes into the source scan (partition/file
+    pruning at scale) instead of re-reading every payload. Output:
+    one (image_id, path, message) violation frame, the union of both
+    phases."""
+    phase1 = metadata_consistency_violations(
+        df, id_col=id_col, check_dims=check_dims, header_only=True)
+    deep = decode_probe(df.where(sample_pred), id_col=id_col)
+    phase2 = (
+        deep.where(~F.col("decode_ok")
+                   & F.col("message").isNotNull()
+                   & ~F.col("message").startswith("decode_unsupported")
+                   & (F.col("message") != "no payload"))
+        .select(F.col("image_id"), F.lit("^.bytes").alias("path"),
+                F.lit("sampled deep-decode failed").alias("message"))
+    )
+    return phase1.unionByName(phase2)
+
+
 def fidelity_check(
     df: DataFrame,
     *,

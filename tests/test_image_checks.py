@@ -137,6 +137,80 @@ def test_header_only_consistency(spark, with_bytes) -> None:
     assert msgs["img-000000000011"].startswith("unreadable header")
 
 
+def test_tiered_check_phases(spark, with_bytes) -> None:
+    """Phase 1 flags header-visible mismatches on ALL rows; phase 2
+    flags body corruption ONLY inside the sample; unsupported codecs
+    in the sample are never flagged as corruption."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        tiered_image_check,
+    )
+    from cerberus_cpp_spark.sources.webpcodec import lossy_vp8_stub
+
+    stub = lossy_vp8_stub(12, 8)  # dims match metadata at i=13
+
+    @F.udf("binary")
+    def plant(i, b):
+        if i is None:     # the NULL-image_id fixture row
+            return bytes(b) if b is not None else None
+        i = int(i)
+        if i == 13:       # in-sample (13 % 13 == 0), unsupported codec
+            return bytes(stub)
+        if b is None:
+            return None
+        # corruption targets must be PNG rows (i % 3 == 1): a valid
+        # signature+IHDR survives the header pass, only a full decode
+        # sees the destroyed body (jpeg corruption would break the
+        # marker walk and be header-visible)
+        if i == 52:       # in-sample (52 % 13 == 0), corrupt body
+            return bytes(b)[:33] + b" " * (len(bytes(b)) - 33)
+        if i == 28:       # OUT of sample, same corruption → invisible
+            return bytes(b)[:33] + b" " * (len(bytes(b)) - 33)
+        return bytes(b)
+
+    df = (
+        with_bytes.withColumn(
+            "i", F.expr("cast(substring(image_id, 5) as long)"))
+        .withColumn("w", F.expr("cast(8 + i % 9 as int)"))
+        .withColumn("h", F.expr("cast(8 + i % 7 as int)"))
+        .withColumn("fmt", F.expr(
+            "IF(i IN (13, 52, 28), 'png', IF(i = 7, 'webp', fmt))"))
+        .withColumn("bytes", plant(F.col("i"), F.col("bytes")))
+    )
+    v = tiered_image_check(df, sample_pred=F.expr("i % 13 = 0"))
+    got = {(r["image_id"], r["path"], r["message"]) for r in v.collect()}
+    # phase 1 (header) families still fire everywhere
+    assert ("img-000000000007", "^.fmt",
+            "payload is png, metadata says webp") in got
+    # i=13: unsupported codec in sample → fmt mismatch from the
+    # header (webp stub vs png metadata) but NO corruption verdict
+    assert ("img-000000000013", "^.fmt",
+            "payload is webp, metadata says png") in got
+    assert ("img-000000000013", "^.bytes",
+            "sampled deep-decode failed") not in got
+    # i=52 (sampled): body corruption caught by phase 2
+    assert ("img-000000000052", "^.bytes",
+            "sampled deep-decode failed") in got
+    # i=28 (not sampled): identical corruption invisible — the
+    # documented tradeoff of the tiered design
+    assert not any(r[0] == "img-000000000028" for r in got)
+
+
+def test_tiered_check_plan(spark, with_bytes) -> None:
+    """Both phases stay narrow and the sample predicate is a plain
+    pushable filter — no Exchange anywhere."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        tiered_image_check,
+    )
+
+    df = with_bytes.withColumn(
+        "i", F.expr("cast(substring(image_id, 5) as long)"))
+    plan = (
+        tiered_image_check(df, sample_pred=F.expr("i % 13 = 0"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_decode_stage_is_narrow(spark, with_bytes) -> None:
     plan = (
         decode_probe(with_bytes)
