@@ -1221,6 +1221,44 @@ FROM t GROUP BY 1, 2, 3, 4
 IMG_HEADER_N = 3000
 
 
+def _img_header_fixture(spark: SparkSession) -> DataFrame:
+    """Shared fixture for img_header_consistency / img_tiered_check:
+    the real-payload frame with w/h rewritten to the true thumb dims,
+    then the header-check plants — id%40==21 w off by one (all odd
+    ids, so never colliding with the even id%100==0 'bmp' family),
+    id%60==35 fmt rewritten to 'png' AFTER payload synthesis (those
+    ids are always webp payloads)."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_HEADER_N, with_bytes=True,
+                             plant_lossy=True)
+    return (df
+            .withColumn("w", F.expr(
+                "CAST(IF(id % 40 = 21, 9 + id % 9, 8 + id % 9) AS INT)"))
+            .withColumn("h", F.expr("CAST(8 + id % 7 AS INT)"))
+            .withColumn("fmt", F.expr("IF(id % 60 = 35, 'png', fmt)")))
+
+
+# the three header-visible violation families (shared by both
+# oracles; expects a CTE `g(id)` in scope). The fmt/w families hit
+# only ODD ids (35 mod 60 / 21 mod 40), the no-payload family only
+# EVEN ids (multiples of 100) — provably disjoint.
+_HEADER_VIOL_FAMILIES = """
+  SELECT printf('img-%012d', id) AS image_id, '^.bytes' AS path,
+         'undecodable payload: no payload' AS message
+  FROM g WHERE id % 100 = 0 AND (id // 100) % 6 = 2
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.fmt',
+         'payload is webp, metadata says png'
+  FROM g WHERE id % 60 = 35
+  UNION ALL
+  SELECT printf('img-%012d', id), '^.w',
+         printf('payload width %d != metadata %d',
+                8 + id % 9, 9 + id % 9)
+  FROM g WHERE id % 40 = 21
+"""
+
+
 def q_img_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEADER-ONLY metadata consistency (the 10^12-row first pass:
     container-header parse, no pixel decode — ``image_header_info``).
@@ -1235,34 +1273,14 @@ def q_img_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerberus_cpp_spark.operators.image_checks import (
         metadata_consistency_violations,
     )
-    from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
-    df = image_caption_frame(spark, IMG_HEADER_N, with_bytes=True,
-                             plant_lossy=True)
-    df = (df
-          .withColumn("w", F.expr(
-              "CAST(IF(id % 40 = 21, 9 + id % 9, 8 + id % 9) AS INT)"))
-          .withColumn("h", F.expr("CAST(8 + id % 7 AS INT)"))
-          .withColumn("fmt", F.expr("IF(id % 60 = 35, 'png', fmt)")))
-    return metadata_consistency_violations(df, header_only=True)
+    return metadata_consistency_violations(
+        _img_header_fixture(spark), header_only=True)
 
 
 _IMG_HEADER_SQL = f"""
 WITH g AS (SELECT range AS id FROM range(0, {IMG_HEADER_N})),
-v AS (
-  SELECT printf('img-%012d', id) AS image_id, '^.bytes' AS path,
-         'undecodable payload: no payload' AS message
-  FROM g WHERE id % 100 = 0 AND (id // 100) % 6 = 2
-  UNION ALL
-  SELECT printf('img-%012d', id), '^.fmt',
-         'payload is webp, metadata says png'
-  FROM g WHERE id % 60 = 35 AND NOT (id % 100 = 0 AND (id // 100) % 6 = 2)
-  UNION ALL
-  SELECT printf('img-%012d', id), '^.w',
-         printf('payload width %d != metadata %d',
-                8 + id % 9, 9 + id % 9)
-  FROM g WHERE id % 40 = 21 AND NOT (id % 100 = 0 AND (id // 100) % 6 = 2)
-)
+v AS ({_HEADER_VIOL_FAMILIES})
 SELECT image_id, path, message FROM v
 """
 
@@ -1280,37 +1298,17 @@ def q_img_tiered_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cerberus_cpp_spark.operators.image_checks import (
         tiered_image_check,
     )
-    from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
-    df = image_caption_frame(spark, IMG_HEADER_N, with_bytes=True,
-                             plant_lossy=True)
-    df = (df
-          .withColumn("w", F.expr(
-              "CAST(IF(id % 40 = 21, 9 + id % 9, 8 + id % 9) AS INT)"))
-          .withColumn("h", F.expr("CAST(8 + id % 7 AS INT)"))
-          .withColumn("fmt", F.expr("IF(id % 60 = 35, 'png', fmt)"))
-          .withColumn("bytes", F.expr(
-              "IF(id % 75 = 28, concat(substring(bytes, 1, 33), "
-              "CAST(repeat(' ', CAST(length(bytes) AS INT) - 33) "
-              "AS BINARY)), bytes)")))
+    df = _img_header_fixture(spark).withColumn("bytes", F.expr(
+        "IF(id % 75 = 28, concat(substring(bytes, 1, 33), "
+        "CAST(repeat(' ', CAST(length(bytes) AS INT) - 33) "
+        "AS BINARY)), bytes)"))
     return tiered_image_check(df, sample_pred=F.expr("id % 25 = 3"))
 
 
 _IMG_TIERED_SQL = f"""
 WITH g AS (SELECT range AS id FROM range(0, {IMG_HEADER_N})),
-v AS (
-  SELECT printf('img-%012d', id) AS image_id, '^.bytes' AS path,
-         'undecodable payload: no payload' AS message
-  FROM g WHERE id % 100 = 0 AND (id // 100) % 6 = 2
-  UNION ALL
-  SELECT printf('img-%012d', id), '^.fmt',
-         'payload is webp, metadata says png'
-  FROM g WHERE id % 60 = 35
-  UNION ALL
-  SELECT printf('img-%012d', id), '^.w',
-         printf('payload width %d != metadata %d',
-                8 + id % 9, 9 + id % 9)
-  FROM g WHERE id % 40 = 21
+v AS ({_HEADER_VIOL_FAMILIES}
   UNION ALL
   SELECT printf('img-%012d', id), '^.bytes',
          'sampled deep-decode failed'

@@ -214,10 +214,12 @@ def tiered_image_check(
     - **phase 2** (tiny subset): full pixel decode on the rows
       selected by ``sample_pred`` (a deterministic Column predicate,
       e.g. a hash bucket), catching corruption past the header that
-      phase 1 cannot see. Sampled rows that fail the deep decode emit
-      a fixed ``'sampled deep-decode failed'`` violation;
-      ``decode_unsupported`` rows are NOT flagged (phase 1 already
-      validated their headers — a missing codec is not corruption).
+      phase 1 cannot see. A sampled row is flagged (fixed
+      ``'sampled deep-decode failed'`` message) only when its HEADER
+      parses but the full decode fails — header failures are already
+      phase 1's violations (no double-reporting), and
+      ``decode_unsupported`` (a missing codec, not corruption) is
+      never flagged.
 
     Both phases are narrow Arrow stages; the phase-2 predicate is a
     plain Column, so it pushes into the source scan (partition/file
@@ -226,12 +228,41 @@ def tiered_image_check(
     phases."""
     phase1 = metadata_consistency_violations(
         df, id_col=id_col, check_dims=check_dims, header_only=True)
-    deep = decode_probe(df.where(sample_pred), id_col=id_col)
+    deep_src = df.where(sample_pred).select(
+        F.col(id_col).alias("image_id"), "bytes")
+    pkg_parent = PKG_PARENT
+
+    def deep_probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+            image_header_info,
+        )
+
+        for pdf in batches:
+            flagged = []
+            for img_id, blob in zip(pdf["image_id"], pdf["bytes"]):
+                if blob is None:
+                    continue  # phase 1's 'no payload' violation
+                blob = bytes(blob)
+                try:
+                    image_header_info(blob)
+                except ValueError:
+                    continue  # header failure = phase 1's violation
+                try:
+                    decode_image(blob)
+                except UnsupportedCodecError:
+                    continue  # missing codec, not corruption
+                except Exception:
+                    flagged.append(img_id)
+            yield pd.DataFrame({"image_id": flagged})
+
     phase2 = (
-        deep.where(~F.col("decode_ok")
-                   & F.col("message").isNotNull()
-                   & ~F.col("message").startswith("decode_unsupported")
-                   & (F.col("message") != "no payload"))
+        deep_src.mapInPandas(deep_probe, schema="image_id string")
         .select(F.col("image_id"), F.lit("^.bytes").alias("path"),
                 F.lit("sampled deep-decode failed").alias("message"))
     )

@@ -300,8 +300,7 @@ def animation_frames(
             UnsupportedCodecError,
         )
         from cerberus_cpp_spark.sources.webpx import (
-            anim_frame_infos,
-            decode_webp_subframes,
+            iter_webp_anim_frames,
             webp_features,
         )
 
@@ -322,18 +321,23 @@ def animation_frames(
                     feats = webp_features(blob)
                     if not feats["has_animation"]:
                         continue
-                    infos = anim_frame_infos(blob)
-                    frames = decode_webp_subframes(blob)
+                    # one fused walk: headers + decoded subframes
+                    pairs = list(iter_webp_anim_frames(blob))
                 except (ValueError, UnsupportedCodecError):
                     continue  # per-clip skip on corruption
                 refs = None
                 if reference == "animgen":
+                    # strict round-trip parse: a foreign id (or one
+                    # that merely ENDS in digits, e.g. 'backup-…-7')
+                    # must yield pixels_ok=NULL (unverifiable), never
+                    # a comparison against the wrong clip's reference
                     try:
                         i = int(str(img_id).rsplit("-", 1)[-1])
-                        refs = reference_subframes(i)
+                        if f"img-{i:012d}" == img_id:
+                            refs = reference_subframes(i)
                     except (ValueError, AttributeError):
-                        refs = []
-                for fi, (info, frame) in enumerate(zip(infos, frames)):
+                        pass
+                for fi, (info, frame) in enumerate(pairs):
                     ok = None
                     if refs is not None:
                         ok = (fi < len(refs)

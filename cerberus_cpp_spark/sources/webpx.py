@@ -468,9 +468,19 @@ def encode_webp_anim(frames: List[AnimFrame], *,
         raise ValueError("animation needs at least one frame")
     cw = ch = 0
     for f in frames:
-        if f.x % 2 or f.y % 2:
-            raise ValueError("frame offsets must be even (stored /2)")
+        if f.x < 0 or f.y < 0 or f.x % 2 or f.y % 2:
+            raise ValueError(
+                "frame offsets must be even and non-negative "
+                "(stored /2 in 24 bits)")
+        if f.x // 2 >= 1 << 24 or f.y // 2 >= 1 << 24:
+            raise ValueError("frame offsets must fit 24 bits halved")
+        if not 0 <= f.duration_ms < 1 << 24:
+            # _u24 would silently drop the high byte otherwise —
+            # keep the module's uniform ValueError contract instead
+            raise ValueError("duration_ms must fit 24 bits")
         fh, fw = f.rgba.shape[:2]
+        if not (1 <= fw <= 1 << 24 and 1 <= fh <= 1 << 24):
+            raise ValueError("frame dims must be in [1, 2^24]")
         cw = max(cw, f.x + fw)
         ch = max(ch, f.y + fh)
     if canvas is not None:
@@ -525,6 +535,18 @@ def anim_frame_infos(data: bytes) -> List[dict]:
     return [info for info, _ in _iter_anmf(data)]
 
 
+def iter_webp_anim_frames(data: bytes):
+    """One container walk yielding (ANMF header info, decoded RAW
+    subframe) pairs — the fused view of :func:`anim_frame_infos` +
+    :func:`decode_webp_subframes` for consumers that need both
+    without re-walking the RIFF tree per accessor."""
+    for info, chunks in _iter_anmf(data):
+        frame = _decode_frame_chunks(chunks)
+        if frame.shape[:2] != (info["h"], info["w"]):
+            raise ValueError("ANMF dims disagree with frame bitstream")
+        yield info, frame
+
+
 def decode_webp_subframes(data: bytes) -> List[np.ndarray]:
     """UNCOMPOSED per-frame RGBA: each ANMF's own bitstream decoded
     at its stored (w, h), no canvas placement / blending. Static
@@ -536,13 +558,7 @@ def decode_webp_subframes(data: bytes) -> List[np.ndarray]:
     feats = webp_features(data)
     if not feats["has_animation"]:
         return [decode_webp_rgba(data)]
-    out = []
-    for info, chunks in _iter_anmf(data):
-        frame = _decode_frame_chunks(chunks)
-        if frame.shape[:2] != (info["h"], info["w"]):
-            raise ValueError("ANMF dims disagree with frame bitstream")
-        out.append(frame)
-    return out
+    return [frame for _, frame in iter_webp_anim_frames(data)]
 
 
 def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:

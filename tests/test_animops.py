@@ -192,6 +192,29 @@ def test_operator_without_reference_nulls(spark):
         if i % animgen.TRUNC_EVERY != animgen.TRUNC_RESIDUE)
 
 
+def test_operator_foreign_id_unverifiable(spark):
+    """A clip whose image_id is not animgen's 'img-%012d' family —
+    including one that merely ENDS in digits — must come back with
+    pixels_ok NULL (unverifiable), never a comparison against the
+    wrong clip's reference."""
+    from cerberus_cpp_spark.operators.multimodal import animation_frames
+
+    blob = animgen.anim_payload(7)
+    df = spark.createDataFrame(
+        [("backup-000000000007", bytearray(blob)),
+         ("weird id", bytearray(blob)),
+         ("img-000000000007", bytearray(blob))],
+        "image_id string, bytes binary")
+    pdf = animation_frames(df, reference="animgen").toPandas()
+    by_id = {k: bool(v) for k, v in
+             pdf.groupby("image_id")["pixels_ok"]
+             .apply(lambda c: c.isna().all()).items()}
+    assert by_id["backup-000000000007"]  # NULL, not compared
+    assert by_id["weird id"]
+    assert not by_id["img-000000000007"]  # real family verifies
+    assert pdf[pdf["image_id"] == "img-000000000007"]["pixels_ok"].all()
+
+
 def test_operator_skips_still_images_and_nulls(spark):
     """Static payloads and NULL bytes emit nothing — the operator is
     the animation leg only."""

@@ -193,6 +193,13 @@ def test_tiered_check_phases(spark, with_bytes) -> None:
     # i=28 (not sampled): identical corruption invisible — the
     # documented tradeoff of the tiered design
     assert not any(r[0] == "img-000000000028" for r in got)
+    # phase 2 never double-reports rows phase 1 already flagged:
+    # every deep-decode verdict must belong to a clean-header row
+    deep = {r[0] for r in got if r[2] == "sampled deep-decode failed"}
+    header_bytes = {r[0] for r in got
+                    if r[1] == "^.bytes"
+                    and r[2] != "sampled deep-decode failed"}
+    assert deep.isdisjoint(header_bytes)
 
 
 def test_tiered_check_plan(spark, with_bytes) -> None:

@@ -269,6 +269,11 @@ def test_anim_rejects_bad_geometry():
     with pytest.raises(ValueError):
         encode_webp_anim([AnimFrame(px, 10, x=1)])  # odd offset
     with pytest.raises(ValueError):
+        encode_webp_anim([AnimFrame(px, 10, x=-2)])  # negative offset
+    with pytest.raises(ValueError):
+        # would silently truncate to 0 in the 24-bit field otherwise
+        encode_webp_anim([AnimFrame(px, duration_ms=1 << 24)])
+    with pytest.raises(ValueError):
         encode_webp_anim([AnimFrame(px, 10)], canvas=(4, 4))
     with pytest.raises(ValueError):
         encode_webp_anim([])
