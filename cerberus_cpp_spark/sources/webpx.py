@@ -102,7 +102,8 @@ def webp_features(data: bytes) -> dict:
     if not sniff_webp(data):
         raise ValueError("not a WebP stream")
     out = {"variant": None, "width": 0, "height": 0,
-           "has_alpha": False, "has_animation": False, "frame_count": 0}
+           "has_alpha": False, "has_animation": False, "frame_count": 0,
+           "has_icc": False, "has_exif": False, "has_xmp": False}
     for fourcc, body in _walk_chunks(data, 12, len(data)):
         if fourcc == b"VP8X" and out["variant"] is None:
             if len(body) < 10:
@@ -111,6 +112,9 @@ def webp_features(data: bytes) -> dict:
             out["variant"] = "VP8X"
             out["has_alpha"] = bool(flags & FLAG_ALPHA)
             out["has_animation"] = bool(flags & FLAG_ANIM)
+            out["has_icc"] = bool(flags & FLAG_ICC)
+            out["has_exif"] = bool(flags & FLAG_EXIF)
+            out["has_xmp"] = bool(flags & FLAG_XMP)
             out["width"] = _read_u24(body, 4) + 1
             out["height"] = _read_u24(body, 7) + 1
         elif fourcc == b"VP8L" and out["variant"] is None:
@@ -410,15 +414,27 @@ def _extract_chunk(data: bytes, fourcc: bytes) -> bytes:
 
 def encode_webp_vp8x(rgba: np.ndarray, *, lossy: bool = True,
                      q_index: int = 20, alpha_compression: int = 1,
-                     alpha_filtering: int = 1) -> bytes:
+                     alpha_filtering: int = 1,
+                     icc: Optional[bytes] = None,
+                     exif: Optional[bytes] = None,
+                     xmp: Optional[bytes] = None) -> bytes:
     """Extended-format WebP from (h, w, 4) RGBA.
 
     ``lossy=True`` → ``VP8X + ALPH + VP8`` (alpha exact, RGB lossy
     via the in-repo RFC 6386 encoder); ``lossy=False`` →
     ``VP8X``-wrapped lossless VP8L carrying its own alpha (the spec
-    forbids ALPH next to VP8L)."""
+    forbids ALPH next to VP8L). Optional metadata payloads mux in
+    RFC 9649 chunk order — ``ICCP`` before the image data, ``EXIF``
+    then ``XMP `` after — with the matching VP8X flags set."""
     rgba = np.asarray(rgba, dtype=np.uint8)
     h, w = rgba.shape[:2]
+    flags = FLAG_ALPHA
+    if icc is not None:
+        flags |= FLAG_ICC
+    if exif is not None:
+        flags |= FLAG_EXIF
+    if xmp is not None:
+        flags |= FLAG_XMP
     if lossy:
         from .vp8enc import encode_webp_vp8
 
@@ -426,13 +442,34 @@ def encode_webp_vp8x(rgba: np.ndarray, *, lossy: bool = True,
                                b"VP8 ")
         alph = encode_alph(rgba[..., 3], compression=alpha_compression,
                            filtering=alpha_filtering)
-        chunks = (_vp8x_chunk(w, h, FLAG_ALPHA)
-                  + _chunk(b"ALPH", alph) + _chunk(b"VP8 ", inner))
+        img = _chunk(b"ALPH", alph) + _chunk(b"VP8 ", inner)
     else:
         inner = _extract_chunk(encode_webp_lossless_rgba(rgba), b"VP8L")
-        chunks = (_vp8x_chunk(w, h, FLAG_ALPHA)
-                  + _chunk(b"VP8L", inner))
+        img = _chunk(b"VP8L", inner)
+    chunks = _vp8x_chunk(w, h, flags)
+    if icc is not None:
+        chunks += _chunk(b"ICCP", icc)
+    chunks += img
+    if exif is not None:
+        chunks += _chunk(b"EXIF", exif)
+    if xmp is not None:
+        chunks += _chunk(b"XMP ", xmp)
     return _riff(chunks)
+
+
+def extract_metadata(data: bytes) -> dict:
+    """Raw metadata chunk payloads from any WebP container:
+    ``{"icc": bytes|None, "exif": bytes|None, "xmp": bytes|None}``.
+    One container walk; no pixel decode."""
+    if not sniff_webp(data):
+        raise ValueError("not a WebP stream")
+    out = {"icc": None, "exif": None, "xmp": None}
+    key = {b"ICCP": "icc", b"EXIF": "exif", b"XMP ": "xmp"}
+    for fourcc, body in _walk_chunks(data, 12, len(data)):
+        k = key.get(fourcc)
+        if k is not None and out[k] is None:
+            out[k] = bytes(body)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -180,6 +180,33 @@ def test_features_match_libwebp():
     assert webp_features(anim)["frame_count"] == 1
 
 
+@needs_libwebp
+@pytest.mark.parametrize("lossy", [False, True])
+def test_metadata_chunks_mux_extract(lossy):
+    """ICCP/EXIF/XMP mux in RFC order with VP8X flags set; libwebp
+    still parses the header and decodes identically with metadata
+    chunks present; extract_metadata returns the raw payloads."""
+    from cerberus_cpp_spark.sources.webpx import extract_metadata
+
+    px = rgba(11, 13, 5)
+    icc, exif, xmp = b"fake-icc" * 4, b"Exif\x00\x00d", b"<x:xmpmeta/>"
+    blob = encode_webp_vp8x(px, lossy=lossy, icc=icc, exif=exif,
+                            xmp=xmp)
+    f = webp_features(blob)
+    assert f["has_icc"] and f["has_exif"] and f["has_xmp"]
+    assert extract_metadata(blob) == {"icc": icc, "exif": exif,
+                                      "xmp": xmp}
+    ours = decode_webp_rgba(blob)
+    assert np.array_equal(libwebp.decode_rgba(blob), ours)
+    if not lossy:
+        assert np.array_equal(ours, px)
+    bare = encode_webp_vp8x(px, lossy=lossy)
+    fb = webp_features(bare)
+    assert not (fb["has_icc"] or fb["has_exif"] or fb["has_xmp"])
+    assert extract_metadata(bare) == {"icc": None, "exif": None,
+                                      "xmp": None}
+
+
 # ---------------------------------------------------------------------------
 # animation mux / demux
 # ---------------------------------------------------------------------------
