@@ -107,6 +107,40 @@ def test_stream_media_decode_equals_batch(spark, tmp_path_factory) -> None:
     assert got == expected and len(got) == 600
 
 
+def test_stream_header_check_equals_batch(spark, tmp_path_factory) -> None:
+    """The header-only consistency pass (round 4) is likewise a
+    stateless narrow Arrow stage — it must run unchanged over a
+    streaming frame and match the batch violations row-for-row (the
+    cheap first-pass filter applies to live ingest too)."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        metadata_consistency_violations,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_hdr"))
+    (image_caption_frame(spark, 600, partitions=4, with_bytes=True)
+     .withColumn("w", F.expr("cast(IF(id % 40 = 21, 9 + id % 9, "
+                             "8 + id % 9) as int)"))
+     .withColumn("h", F.expr("cast(8 + id % 7 as int)"))
+     .drop("id").write.mode("overwrite").parquet(src))
+    batch = spark.read.parquet(src)
+
+    def key(rows):
+        return sorted((r["image_id"] or "", r["path"], r["message"])
+                      for r in rows)
+
+    expected = key(
+        metadata_consistency_violations(batch, header_only=True)
+        .collect())
+    assert expected  # the planted families actually fire
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (metadata_consistency_violations(stream, header_only=True)
+         .writeStream.format("memory").queryName("hdr_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = key(spark.sql("SELECT * FROM hdr_stream").collect())
+    assert got == expected
+
+
 def test_quarantine_stream_matches_batch(spark, tmp_path):
     """Streaming quarantine split == batch quarantine split on the
     same data (clean side normalized, quarantined side original +
