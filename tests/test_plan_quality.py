@@ -220,3 +220,17 @@ def test_once_per_row_is_identity(spark) -> None:
     got = df.select("id", once_per_row(F.col("s")).alias("s")).collect()
     assert sorted((r["id"], r["s"]) for r in got) \
         == [(1, "x"), (2, None), (3, "z")]
+
+
+def test_round4_image_queries_plan_shape(spark) -> None:
+    """The round-4 image contract queries keep the scale shape:
+    the census aggregates ONE narrow Arrow stage (exactly one
+    Exchange, for the final groupBy), and the header-consistency
+    pass is entirely Exchange-free."""
+    import __spark_entry__ as E
+
+    census = E.queries()["img_alpha_census"](spark, "unused")
+    plan = _plan(census)
+    assert plan.count("Exchange") == 1, plan
+    hdr = E.queries()["img_header_consistency"](spark, "unused")
+    assert "Exchange" not in _plan(hdr)
