@@ -98,6 +98,42 @@ def test_header_info_matches_decode() -> None:
         image_header_info(b"not an image at all")
 
 
+def test_hypothesis_header_info_sweep() -> None:
+    """Property: for every in-repo encoder output, the header parse
+    (fmt, w, h) equals the full decode's — across random dims,
+    formats, and pixel content (noise exercises JPEG marker bytes
+    appearing inside entropy-coded data)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_cpp_spark.sources.imagegen import (
+        decode_image,
+        encode_image,
+        image_header_info,
+        synth_noise_pixels,
+        synth_pixels,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 40),
+           seed=st.integers(0, 2 ** 16),
+           fmt=st.sampled_from(["png", "jpeg", "webp"]),
+           noisy=st.booleans())
+    def case(w, h, seed, fmt, noisy):
+        if noisy:
+            px = synth_noise_pixels(seed, w, h)
+        else:
+            px = synth_pixels(seed, w, h)
+        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+
+        blob = encode_pixels(px, fmt)
+        hf, hw, hh = image_header_info(blob)
+        df_, dec = decode_image(blob)
+        assert (hf, hw, hh) == (df_, dec.shape[1], dec.shape[0])
+
+    case()
+
+
 def test_header_only_consistency(spark, with_bytes) -> None:
     """header_only mode: same mismatch verdicts as the decode path,
     PLUS dims verified on a lossy payload the decoder can't open."""
