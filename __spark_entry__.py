@@ -1318,6 +1318,116 @@ SELECT image_id, path, message FROM v
 """
 
 
+IMG_GIF_N = 1500
+
+
+def q_img_gif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF container census (round 4 — the 4th real image codec,
+    ImageIO-interop-pinned bit-exact both directions): deterministic
+    payload families by id — static (plain and interlaced), animated
+    with per-frame offsets/delays, animated with transparency +
+    restore-background disposal, and truncated (parse raises →
+    counted as 'invalid', never job-killing). Each payload is fully
+    frame-decoded and composed in one Arrow stage; counts by
+    (kind, n_frames, decodable) follow from id arithmetic."""
+    df = spark.range(0, IMG_GIF_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def census(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.gifcodec import (
+            GifFrame,
+            decode_gif_frames,
+            encode_gif,
+            encode_gif_anim,
+        )
+        from cerberus_cpp_spark.sources.imagegen import (
+            pixel_seed,
+            synth_pixels,
+        )
+
+        def payload(i: int) -> bytes:
+            fam = i % 4
+            if fam in (0, 2):
+                px = synth_pixels(pixel_seed(i, 42),
+                                  8 + i % 9, 8 + i % 7)
+                blob = encode_gif(px, interlace=(fam == 2))
+            elif fam == 1:
+                frames = []
+                for fi in range(2 + i % 3):
+                    fw, fh = 4 + (i + fi) % 5, 4 + (i + 2 * fi) % 4
+                    frames.append(GifFrame(
+                        synth_pixels(pixel_seed(i * 7 + fi, 42), fw, fh),
+                        delay_cs=2 + (i + fi) % 5,
+                        x=(i + fi) % 3, y=(i + 2 * fi) % 4))
+                blob = encode_gif_anim(frames, canvas=(10, 10))
+            else:
+                base = synth_pixels(pixel_seed(i * 7, 42), 8, 6)
+                patch = synth_pixels(pixel_seed(i * 7 + 1, 42), 4, 3)
+                xs = np.arange(4)[None, :]
+                ys = np.arange(3)[:, None]
+                mask = ((xs + ys + i) % 3 == 0)
+                blob = encode_gif_anim([
+                    GifFrame(base, delay_cs=3),
+                    GifFrame(patch, delay_cs=4, x=2, y=1, disposal=2,
+                             transparent_mask=mask)])
+            if i % 20 == 11:
+                blob = blob[:-5]
+            return blob
+
+        for pdf in batches:
+            rows = {"kind": [], "n_frames": [], "decodable": []}
+            for i in pdf["id"]:
+                i = int(i)
+                try:
+                    frames = decode_gif_frames(payload(i))
+                    rows["kind"].append(
+                        "animated" if len(frames) > 1 else "static")
+                    rows["n_frames"].append(len(frames))
+                    rows["decodable"].append(True)
+                except ValueError:
+                    rows["kind"].append("invalid")
+                    rows["n_frames"].append(0)
+                    rows["decodable"].append(False)
+            out = pd.DataFrame(rows)
+            out["n_frames"] = out["n_frames"].astype("int32")
+            yield out
+
+    return (
+        df.mapInPandas(census, schema="kind string, n_frames int, "
+                       "decodable boolean")
+        .groupBy("kind", "n_frames", "decodable")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+_IMG_GIF_SQL = f"""
+WITH g AS (SELECT range AS i FROM range(0, {IMG_GIF_N})),
+t AS (
+  SELECT i,
+    CASE WHEN i % 20 = 11 THEN 'invalid'
+         WHEN i % 4 IN (1, 3) THEN 'animated'
+         ELSE 'static' END AS kind,
+    CAST(CASE WHEN i % 20 = 11 THEN 0
+              WHEN i % 4 = 1 THEN 2 + i % 3
+              WHEN i % 4 = 3 THEN 2
+              ELSE 1 END AS INT) AS n_frames,
+    i % 20 <> 11 AS decodable
+  FROM g
+)
+SELECT kind, n_frames, decodable, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1, 2, 3
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1682,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_alpha_census": q_img_alpha_census,
         "img_header_consistency": q_img_header_consistency,
         "img_tiered_check": q_img_tiered_check,
+        "img_gif_census": q_img_gif_census,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2367,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "img_alpha_census": _IMG_ALPHA_CENSUS_SQL,
         "img_header_consistency": _IMG_HEADER_SQL,
         "img_tiered_check": _IMG_TIERED_SQL,
+        "img_gif_census": _IMG_GIF_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

@@ -144,6 +144,10 @@ def encode_pixels(pixels: np.ndarray, fmt: str) -> bytes:
             return encode_webp_palette(pixels)
         except ValueError:
             return encode_webp(pixels)
+    if fmt == "gif":
+        from .gifcodec import encode_gif
+
+        return encode_gif(pixels)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -177,6 +181,10 @@ def sniff_format(data: bytes) -> str | None:
         return "jpeg"
     if sniff_webp(data):
         return "webp"
+    from .gifcodec import sniff_gif
+
+    if sniff_gif(data):
+        return "gif"
     return None
 
 
@@ -220,6 +228,11 @@ def image_header_info(data: bytes) -> tuple[str, int, int]:
         if f["width"] == 0 or f["height"] == 0:
             raise ValueError("unreadable WebP dimensions")
         return fmt, f["width"], f["height"]
+    if fmt == "gif":
+        from .gifcodec import gif_header_info
+
+        w, h = gif_header_info(data)
+        return fmt, w, h
     raise ValueError("unknown image container")
 
 
@@ -229,6 +242,10 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(data)
     if fmt == "jpeg":
         return fmt, decode_jpeg(data)
+    if fmt == "gif":
+        from .gifcodec import decode_gif
+
+        return fmt, decode_gif(data)
     if fmt == "webp":
         # VP8L in-repo; lossy VP8/VP8X via the feature-detected
         # system-libwebp fallback (UnsupportedCodecError when absent)
