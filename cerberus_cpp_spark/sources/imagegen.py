@@ -17,7 +17,11 @@ batches, UDF signatures — is real either way):
   feature-detected system libwebp when present
   (``webpcodec.decode_webp_any``); without the shared library they
   raise ``UnsupportedCodecError`` and dataset checks route them to
-  the ``decode_unsupported`` verdict.
+  the ``decode_unsupported`` verdict. Animated VP8X containers
+  compose in-repo (``webpx.py``).
+- ``gif``: a REAL GIF87a/89a codec (``gifcodec.py``: LZW, interlace,
+  animation with disposal/transparency) — bit-exact round-trip,
+  ImageIO-interop-verified both directions.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
