@@ -732,7 +732,7 @@ WITH g AS (
          ELSE CAST(16 + (mix % 1009) % 4080 AS INT) END AS w,
     CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 1 THEN 20000
          ELSE CAST(16 + ((mix // 7) % 1013) % 4080 AS INT) END AS h,
-    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'bmp'
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'heif'
          ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1] END AS fmt,
     CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 3 THEN NULL
          WHEN id % 100 = 0 AND (id // 100) % 6 = 4
@@ -840,17 +840,17 @@ t AS (
   SELECT id,
     CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
          ELSE printf('img-%012d', id) END AS image_id,
-    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'bmp'
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2 THEN 'heif'
          ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1] END AS fmt,
     (id % 100 = 0 AND (id // 100) % 6 IN (3, 4)) AS bad_caption
   FROM g
 )
 SELECT image_id,
-       (image_id IS NOT NULL AND fmt <> 'bmp' AND id % 30 <> 8
+       (image_id IS NOT NULL AND fmt <> 'heif' AND id % 30 <> 8
         AND id % 30 <> 23)
          AS pixels_ok,
        (image_id IS NOT NULL AND NOT bad_caption) AS caption_ok,
-       CASE WHEN fmt = 'bmp' THEN 'undecodable'
+       CASE WHEN fmt = 'heif' THEN 'undecodable'
             WHEN id % 30 = 8 THEN 'decode_unsupported'
             WHEN id % 30 = 23 THEN 'mismatch'
             WHEN image_id IS NULL THEN 'no_reference'
@@ -870,7 +870,7 @@ def q_img_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-counted contract surface: the id%30==23 rows are REAL
     lossy VP8 from the in-repo RFC 6386 encoder (decodable), the
     id%30==8 rows are well-formed-but-undecodable lossy containers,
-    and the seeded 'bmp' violation rows carry no payload. All counts
+    and the seeded 'heif' violation rows carry no payload. All counts
     follow from id arithmetic."""
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
 
@@ -1225,7 +1225,7 @@ def _img_header_fixture(spark: SparkSession) -> DataFrame:
     """Shared fixture for img_header_consistency / img_tiered_check:
     the real-payload frame with w/h rewritten to the true thumb dims,
     then the header-check plants — id%40==21 w off by one (all odd
-    ids, so never colliding with the even id%100==0 'bmp' family),
+    ids, so never colliding with the even id%100==0 'heif' family),
     id%60==35 fmt rewritten to 'png' AFTER payload synthesis (those
     ids are always webp payloads)."""
     from cerberus_cpp_spark.sources.distgen import image_caption_frame
@@ -1264,7 +1264,7 @@ def q_img_header_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     container-header parse, no pixel decode — ``image_header_info``).
     Fixture: the real-payload frame with w/h rewritten to the actual
     thumb dims, then three planted families: id%100==0 kind 2 keeps
-    its 'bmp' rows (no payload → undecodable), id%40==21 gets w
+    its 'heif' rows (no payload → undecodable), id%40==21 gets w
     metadata off by one (dim mismatch caught from the header, and for
     id%30∈{8,23} rows that means dims verified on LOSSY payloads the
     decode path can't even open), id%60==35 rewrites fmt to 'png'

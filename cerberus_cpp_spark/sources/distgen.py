@@ -69,7 +69,7 @@ def image_caption_frame(
             "id", "mix",
             F.expr(f"IF({is_v} AND {kind} = 0, 0, w0)").alias("w"),
             F.expr(f"IF({is_v} AND {kind} = 1, 20000, h0)").alias("h"),
-            F.expr(f"IF({is_v} AND {kind} = 2, 'bmp', fmt0)").alias("fmt"),
+            F.expr(f"IF({is_v} AND {kind} = 2, 'heif', fmt0)").alias("fmt"),
             F.expr(
                 f"CASE WHEN {is_v} AND {kind} = 3 THEN NULL "
                 f"WHEN {is_v} AND {kind} = 4 THEN 'x\x01y' "
@@ -142,7 +142,7 @@ def _attach_bytes(df: DataFrame, seed: int, *,
                         encode_image(pixel_seed(i, seed),
                                      8 + i % 9, 8 + i % 7, fmt)
                     )
-                except ValueError:  # seeded bad fmt ('bmp') → no payload
+                except ValueError:  # seeded bad fmt ('heif') → no payload
                     payload.append(None)
             pdf = pdf.copy()
             pdf["bytes"] = payload

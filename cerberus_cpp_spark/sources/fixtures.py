@@ -230,7 +230,7 @@ def image_caption_rows(
             elif kind == 1:
                 row["h"] = 20000  # max violated
             elif kind == 2:
-                row["fmt"] = "bmp"  # allowed violated
+                row["fmt"] = "heif"  # allowed violated
             elif kind == 3:
                 row["caption"] = None  # explicit null
             elif kind == 4:
@@ -255,7 +255,7 @@ def image_caption_rows(
                 row["bytes"] = encode_image(
                     pixel_seed(i, seed), 8 + i % 9, 8 + i % 7, row["fmt"]
                 )
-            except ValueError:  # seeded bad fmt ('bmp') → no payload
+            except ValueError:  # seeded bad fmt ('heif') → no payload
                 row["bytes"] = None
         else:
             row["bytes"] = None

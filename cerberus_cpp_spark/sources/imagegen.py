@@ -22,6 +22,14 @@ batches, UDF signatures — is real either way):
 - ``gif``: a REAL GIF87a/89a codec (``gifcodec.py``: LZW, interlace,
   animation with disposal/transparency) — bit-exact round-trip,
   ImageIO-interop-verified both directions.
+- ``bmp``: a REAL Windows BMP/DIB codec (``bmpcodec.py``: 1/4/8-bit
+  palette, 16/24/32-bit truecolor, RLE8/RLE4, BITFIELDS,
+  top-down/bottom-up) — bit-exact round-trip,
+  ImageIO-interop-verified both directions.
+- ``tiff``: a REAL baseline TIFF 6.0 codec (``tiffcodec.py``: both
+  byte orders, strips + tiles, none/PackBits/LZW/Deflate
+  compression, gray/RGB/RGBA/palette, horizontal predictor) —
+  bit-exact round-trip, ImageIO-interop-verified both directions.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
@@ -152,6 +160,14 @@ def encode_pixels(pixels: np.ndarray, fmt: str) -> bytes:
         from .gifcodec import encode_gif
 
         return encode_gif(pixels)
+    if fmt == "bmp":
+        from .bmpcodec import encode_bmp
+
+        return encode_bmp(pixels)
+    if fmt == "tiff":
+        from .tiffcodec import encode_tiff
+
+        return encode_tiff(pixels)
     raise ValueError(f"unknown format {fmt!r}")
 
 
@@ -189,6 +205,14 @@ def sniff_format(data: bytes) -> str | None:
 
     if sniff_gif(data):
         return "gif"
+    from .bmpcodec import sniff_bmp
+
+    if sniff_bmp(data):
+        return "bmp"
+    from .tiffcodec import sniff_tiff
+
+    if sniff_tiff(data):
+        return "tiff"
     return None
 
 
@@ -237,6 +261,16 @@ def image_header_info(data: bytes) -> tuple[str, int, int]:
 
         w, h = gif_header_info(data)
         return fmt, w, h
+    if fmt == "bmp":
+        from .bmpcodec import bmp_header_info
+
+        w, h = bmp_header_info(data)
+        return fmt, w, h
+    if fmt == "tiff":
+        from .tiffcodec import tiff_header_info
+
+        w, h = tiff_header_info(data)
+        return fmt, w, h
     raise ValueError("unknown image container")
 
 
@@ -250,6 +284,14 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
         from .gifcodec import decode_gif
 
         return fmt, decode_gif(data)
+    if fmt == "bmp":
+        from .bmpcodec import decode_bmp
+
+        return fmt, decode_bmp(data)
+    if fmt == "tiff":
+        from .tiffcodec import decode_tiff
+
+        return fmt, decode_tiff(data)
     if fmt == "webp":
         # VP8L in-repo; lossy VP8/VP8X via the feature-detected
         # system-libwebp fallback (UnsupportedCodecError when absent)

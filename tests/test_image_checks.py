@@ -27,7 +27,7 @@ def test_decode_probe(spark, with_bytes) -> None:
     rows = {r["image_id"]: r for r in decode_probe(with_bytes).collect()}
     assert len(rows) == 600
     ok = [r for r in rows.values() if r["decode_ok"]]
-    # only the seeded 'bmp' row (i=200) has no payload; the NULL
+    # only the seeded 'heif' row (i=200) has no payload; the NULL
     # image_id row (i=500) still decodes
     assert len(ok) == 599
     r7 = rows["img-000000000007"]

@@ -29,7 +29,7 @@ def with_bytes(spark):
 def test_image_features(spark, with_bytes) -> None:
     rows = {r["image_id"]: r for r in image_features(with_bytes).collect()}
     assert len(rows) == 120
-    # n=120 < first seeded 'bmp' index (200): every payload decodes
+    # n=120 < first seeded 'heif' index (200): every payload decodes
     ok = [r for r in rows.values() if r["mean_r"] is not None]
     assert len(ok) == 120
     r = rows["img-000000000003"]

@@ -41,7 +41,7 @@ def test_full_pipeline_report(spark, table, tmp_path) -> None:
     assert sum(p["violations"] for p in report.partition_verdicts) > 0
     # hot phash (every 50th row) duplicates → uniqueness fires
     assert report.unique_violations >= 1
-    # seeded 'bmp' rows are not in the fmt dimension
+    # seeded 'heif' rows are not in the fmt dimension
     assert report.referential_violations["fmt"] >= 1
     # drift of w vs a near-identical slice: none
     assert report.drift is not None and not report.drift["drifted"]

@@ -22,7 +22,7 @@ N = 5000
 EXPECTED = {
     "^.w": 9,       # w=0 fails exclusive min 0
     "^.h": 9,       # h=20000 fails max 16384
-    "^.fmt": 8,     # "bmp" not allowed
+    "^.fmt": 8,     # "heif" not allowed
     "^.caption": 8 + 8,  # 8 explicit nulls + 8 control-char regex
     "^.image_id": 8,     # nulls fail required
 }
@@ -76,7 +76,7 @@ def test_normalized_drops_nothing_without_purge(result) -> None:
 def test_partition_verdicts(result) -> None:
     rows = {r["fmt"]: r for r in
             result.partition_verdicts("fmt").collect()}
-    assert not rows["bmp"]["passed"]
-    assert rows["bmp"]["rows"] == 8
+    assert not rows["heif"]["passed"]
+    assert rows["heif"]["rows"] == 8
     total = sum(r["violations"] for r in rows.values())
     assert total == sum(EXPECTED.values())
