@@ -1428,6 +1428,127 @@ FROM t GROUP BY 1, 2, 3
 """
 
 
+IMG_BMPTIFF_N = 1600
+
+
+def q_img_bmp_tiff_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP + TIFF container census (round 4 — the 5th and 6th real
+    image codecs, ImageIO-interop-pinned bit-exact both directions):
+    eight deterministic payload families by id — BMP 24-bit
+    bottom-up, BMP RLE8 palette, BMP 32-bit top-down, BMP 4-bit
+    palette, TIFF LZW+predictor, TIFF PackBits palette, TIFF tiled
+    big-endian Deflate, TIFF uncompressed gray — plus an id%20==11
+    truncation plant. Each row is decoded through the sniffing
+    dispatch (``imagegen.decode_image``), compared bit-exactly
+    against the regenerated reference pixels, AND header-parsed
+    (``image_header_info``): truncation kills the decode but never
+    the header walk in these containers, so header_ok stays true on
+    invalid rows — the tiered-validation property the header-only
+    checks rely on. Counts by (fmt, family, decodable, header_ok)
+    follow from id arithmetic."""
+    df = spark.range(0, IMG_BMPTIFF_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def census(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.bmpcodec import encode_bmp
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            image_header_info,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.tiffcodec import encode_tiff
+
+        def make(i: int):
+            w, h = 8 + i % 9, 8 + i % 7
+            fam = i % 8
+            px = synth_pixels(pixel_seed(i, 42), w, h)
+            if fam == 0:
+                return "bmp", px, encode_bmp(px)
+            if fam == 1:
+                return "bmp", px, encode_bmp(px, bpp=8, rle=True)
+            if fam == 2:
+                return "bmp", px, encode_bmp(px, bpp=32, top_down=True)
+            if fam == 3:
+                pal = synth_pixels(pixel_seed(i * 3 + 1, 42),
+                                   4, 4).reshape(16, 3)
+                xs = np.arange(w)[None, :]
+                ys = np.arange(h)[:, None]
+                ref = pal[(xs + ys + i) % 16]
+                return "bmp", ref, encode_bmp(ref, bpp=4)
+            if fam == 4:
+                return "tiff", px, encode_tiff(
+                    px, compression="lzw", predictor=True)
+            if fam == 5:
+                return "tiff", px, encode_tiff(
+                    px, mode="palette", compression="packbits")
+            if fam == 6:
+                return "tiff", px, encode_tiff(
+                    px, tile=16, compression="deflate", byte_order=">")
+            gray = np.repeat(px[:, :, :1], 3, axis=2)
+            return "tiff", gray, encode_tiff(gray, mode="gray")
+
+        for pdf in batches:
+            rows = {"fmt": [], "family": [], "decodable": [],
+                    "header_ok": []}
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 8 + i % 7
+                fmt, ref, blob = make(i)
+                if i % 20 == 11:
+                    blob = blob[:-5]
+                try:
+                    hfmt, hw, hh = image_header_info(blob)
+                    header_ok = (hfmt, hw, hh) == (fmt, w, h)
+                except ValueError:
+                    header_ok = False
+                try:
+                    dfmt, px = decode_image(blob)
+                    decodable = (dfmt == fmt
+                                 and np.array_equal(px, ref))
+                except ValueError:
+                    decodable = False
+                rows["fmt"].append(fmt)
+                rows["family"].append(i % 8)
+                rows["decodable"].append(decodable)
+                rows["header_ok"].append(header_ok)
+            out = pd.DataFrame(rows)
+            out["family"] = out["family"].astype("int32")
+            yield out
+
+    return (
+        df.mapInPandas(census, schema="fmt string, family int, "
+                       "decodable boolean, header_ok boolean")
+        .groupBy("fmt", "family", "decodable", "header_ok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+_IMG_BMPTIFF_SQL = f"""
+WITH g AS (SELECT range AS i FROM range(0, {IMG_BMPTIFF_N})),
+t AS (
+  SELECT i,
+    CASE WHEN i % 8 IN (0, 1, 2, 3) THEN 'bmp' ELSE 'tiff' END AS fmt,
+    CAST(i % 8 AS INT) AS family,
+    i % 20 <> 11 AS decodable,
+    TRUE AS header_ok
+  FROM g
+)
+SELECT fmt, family, decodable, header_ok,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1793,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_header_consistency": q_img_header_consistency,
         "img_tiered_check": q_img_tiered_check,
         "img_gif_census": q_img_gif_census,
+        "img_bmp_tiff_census": q_img_bmp_tiff_census,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2479,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "img_header_consistency": _IMG_HEADER_SQL,
         "img_tiered_check": _IMG_TIERED_SQL,
         "img_gif_census": _IMG_GIF_SQL,
+        "img_bmp_tiff_census": _IMG_BMPTIFF_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

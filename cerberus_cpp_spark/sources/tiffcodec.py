@@ -255,12 +255,27 @@ def _lzw_encode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _none_decode(d: bytes, expect: int) -> bytes:
+    if len(d) < expect:
+        raise ValueError("short uncompressed TIFF chunk")
+    return d[:expect]
+
+
+def _zlib_decode(d: bytes, expect: int) -> bytes:
+    try:
+        out = zlib.decompress(d)
+    except zlib.error as e:  # decode errors surface as ValueError so
+        raise ValueError(f"bad TIFF deflate stream: {e}")  # checks route them
+    if len(out) < expect:
+        raise ValueError("short TIFF deflate stream")
+    return out[:expect]
+
+
 _DECODERS = {
-    1: lambda d, expect: (d + b"\x00" * expect)[:expect] if len(d) < expect
-    else d[:expect],
+    1: _none_decode,
     5: _lzw_decode,
-    8: lambda d, expect: zlib.decompress(d)[:expect],
-    32946: lambda d, expect: zlib.decompress(d)[:expect],
+    8: _zlib_decode,
+    32946: _zlib_decode,
     32773: _packbits_decode,
 }
 
