@@ -10,9 +10,9 @@ memory for MB-scale payloads.
 Reality of this container (per the task brief): no Pillow/libjpeg/
 ffmpeg. Every self-contained public format decodes for REAL with
 in-repo codecs — images (PNG + baseline JPEG + webp VP8L lossless
-+ extended VP8X/ALPH/ANIM + GIF incl. animation,
-``sources.imagegen``/``jpegcodec``/``webpcodec``/``webpx``/
-``gifcodec``), audio (WAV-PCM,
++ extended VP8X/ALPH/ANIM + GIF incl. animation + BMP + baseline
+TIFF, ``sources.imagegen``/``jpegcodec``/``webpcodec``/``webpx``/
+``gifcodec``/``bmpcodec``/``tiffcodec``), audio (WAV-PCM,
 ``sources.wavcodec``), video (AVI-MJPEG, ``sources.avicodec``). Only
 formats that genuinely need external codec libraries (lossy VP8,
 mp3/aac/h264/...) are STUBBED:

@@ -88,7 +88,7 @@ def test_header_info_matches_decode() -> None:
     )
 
     for i in range(9):
-        for fmt in ("png", "jpeg", "webp"):
+        for fmt in ("png", "jpeg", "webp", "gif", "bmp", "tiff"):
             blob = encode_image(pixel_seed(i, 42), 8 + i % 9,
                                 8 + i % 7, fmt)
             hf, hw, hh = image_header_info(blob)
@@ -117,13 +117,16 @@ def test_hypothesis_header_info_sweep() -> None:
     @settings(max_examples=40, deadline=None)
     @given(w=st.integers(1, 40), h=st.integers(1, 40),
            seed=st.integers(0, 2 ** 16),
-           fmt=st.sampled_from(["png", "jpeg", "webp"]),
+           fmt=st.sampled_from(["png", "jpeg", "webp", "gif", "bmp",
+                                "tiff"]),
            noisy=st.booleans())
     def case(w, h, seed, fmt, noisy):
         if noisy:
             px = synth_noise_pixels(seed, w, h)
         else:
             px = synth_pixels(seed, w, h)
+        if fmt == "gif":  # palette-based encoder: cap distinct colors
+            px = (px & 0xC0).astype(px.dtype)
         from cerberus_cpp_spark.sources.imagegen import encode_pixels
 
         blob = encode_pixels(px, fmt)
