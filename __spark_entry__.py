@@ -1549,6 +1549,115 @@ FROM t GROUP BY 1, 2, 3, 4
 """
 
 
+IMG_EXIF_N = 1500
+
+
+def q_img_exif_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-vs-header consistency over four carrier formats (round 4
+    — ``sources/imagemeta.py`` + ``exif_consistency_violations``):
+    every row carries an embedded EXIF block (JPEG APP1, PNG eXIf,
+    TIFF IFD tags, WebP EXIF chunk) with PixelX/YDimension and
+    Orientation; plants by id — i%20==3 dims off by one (violation),
+    i%20==7 orientation 6 with display-swapped dims (ACCEPTED — the
+    orientation-aware rule), i%20==13 swapped dims without a rotating
+    orientation (violation unless the thumb is square), i%20==17
+    orientation 9 outside the EXIF vocabulary (violation). Header +
+    metadata container walks only, no pixel decode — the same
+    10^12-row tier as img_header_consistency. Exact id-arithmetic
+    oracle down to the message strings."""
+    df = spark.range(0, IMG_EXIF_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.tiffcodec import encode_tiff
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        def payload(i: int) -> bytes:
+            w, h = 8 + i % 9, 8 + i % 7
+            px = synth_pixels(pixel_seed(i, 42), w, h)
+            ew, eh, o = w, h, 1
+            if i % 20 == 3:
+                ew = w + 1
+            elif i % 20 == 7:
+                ew, eh, o = h, w, 6
+            elif i % 20 == 13:
+                ew, eh = h, w
+            elif i % 20 == 17:
+                o = 9
+            desc = f"img {i}"
+            fam = i % 4
+            if fam == 2:
+                return encode_tiff(px, meta_tags={
+                    270: desc, 274: o, 40962: ew, 40963: eh})
+            exif = build_exif(description=desc, orientation=o,
+                              pixel_x=ew, pixel_y=eh)
+            if fam == 0:
+                return jpeg_insert_metadata(
+                    encode_pixels(px, "jpeg"), exif=exif)
+            if fam == 1:
+                return png_insert_metadata(
+                    encode_pixels(px, "png"), exif=exif,
+                    text={"Title": desc})
+            rgba = np.dstack(
+                [px, np.full((h, w), 255, np.uint8)])
+            return encode_webp_vp8x(rgba, lossy=False, exif=exif)
+
+        for pdf in batches:
+            out = pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+            yield out
+
+    frame = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_consistency_violations,
+    )
+
+    return exif_consistency_violations(frame)
+
+
+_IMG_EXIF_SQL = f"""
+WITH g AS (SELECT range AS i FROM range(0, {IMG_EXIF_N})),
+d AS (
+  SELECT i, printf('img-%012d', i) AS image_id,
+         8 + i % 9 AS w, 8 + i % 7 AS h
+  FROM g
+)
+SELECT image_id, '^.exif' AS path,
+       printf('exif dims %dx%d disagree with header %dx%d',
+              w + 1, h, w, h) AS message
+  FROM d WHERE i % 20 = 3
+UNION ALL
+SELECT image_id, '^.exif',
+       printf('exif dims %dx%d disagree with header %dx%d',
+              h, w, w, h)
+  FROM d WHERE i % 20 = 13 AND w <> h
+UNION ALL
+SELECT image_id, '^.exif.orientation', 'invalid orientation 9'
+  FROM d WHERE i % 20 = 17
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -1915,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_tiered_check": q_img_tiered_check,
         "img_gif_census": q_img_gif_census,
         "img_bmp_tiff_census": q_img_bmp_tiff_census,
+        "img_exif_consistency": q_img_exif_consistency,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2602,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "img_tiered_check": _IMG_TIERED_SQL,
         "img_gif_census": _IMG_GIF_SQL,
         "img_bmp_tiff_census": _IMG_BMPTIFF_SQL,
+        "img_exif_consistency": _IMG_EXIF_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

@@ -545,3 +545,145 @@ def pixel_phash(df: DataFrame, *, id_col: str = "image_id",
 
     return src.mapInPandas(
         work, schema="image_id string, phash long")
+
+
+METADATA_FIELDS_SCHEMA = (
+    "image_id string, meta_fmt string, orientation int, exif_w int, "
+    "exif_h int, description string, datetime string, has_icc boolean, "
+    "has_xmp boolean, n_text int, comment string, meta_ok boolean, "
+    "message string"
+)
+
+
+def image_metadata_fields(df: DataFrame, *, id_col: str = "image_id",
+                          bytes_col: str = "bytes") -> DataFrame:
+    """Container-metadata extraction (EXIF / textual chunks) as a
+    narrow Arrow pass — NO pixel decode, same µs/row tier as
+    ``image_header_info`` (``sources.imagemeta``: the EXIF block is
+    a TIFF-structured stream parsed with the interop-pinned IFD
+    walker). Unreadable metadata never kills the job: the row gets
+    ``meta_ok=false`` plus the parse message."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagemeta import image_metadata
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "image_id", "meta_fmt", "orientation", "exif_w",
+                "exif_h", "description", "datetime", "has_icc",
+                "has_xmp", "n_text", "comment", "meta_ok", "message")}
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                rows["image_id"].append(rid)
+                try:
+                    if blob is None:
+                        raise ValueError("no payload")
+                    m = image_metadata(bytes(blob))
+                except ValueError as e:
+                    for k in ("meta_fmt", "orientation", "exif_w",
+                              "exif_h", "description", "datetime",
+                              "comment"):
+                        rows[k].append(None)
+                    rows["has_icc"].append(False)
+                    rows["has_xmp"].append(False)
+                    rows["n_text"].append(0)
+                    rows["meta_ok"].append(False)
+                    rows["message"].append(
+                        f"unreadable metadata: {str(e)[:120]}")
+                    continue
+                ex = m["exif"] or {}
+                rows["meta_fmt"].append(m["fmt"])
+                rows["orientation"].append(ex.get("orientation"))
+                rows["exif_w"].append(ex.get("pixel_x"))
+                rows["exif_h"].append(ex.get("pixel_y"))
+                rows["description"].append(ex.get("description"))
+                rows["datetime"].append(ex.get("datetime"))
+                rows["has_icc"].append(bool(m["has_icc"]))
+                rows["has_xmp"].append(bool(m["has_xmp"]))
+                rows["n_text"].append(len(m["text"]))
+                rows["comment"].append(m["comment"])
+                rows["meta_ok"].append(True)
+                rows["message"].append(None)
+            out = pd.DataFrame(rows)
+            for c in ("orientation", "exif_w", "exif_h", "n_text"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(probe, schema=METADATA_FIELDS_SCHEMA)
+
+
+def exif_consistency_violations(
+    df: DataFrame, *, id_col: str = "image_id",
+    allow_orientation_swap: bool = True,
+) -> DataFrame:
+    """EXIF-vs-header consistency: violation rows where the embedded
+    EXIF ``PixelXDimension``/``PixelYDimension`` disagree with the
+    container header's dims, or ``Orientation`` is outside the EXIF
+    1..8 vocabulary. ``allow_orientation_swap`` accepts swapped dims
+    when orientation is 5..8 (writers that store DISPLAY dims after a
+    90° rotation — a real-world camera-pipeline convention, not spec
+    text). Header walk + metadata walk only — never decodes pixels,
+    so this runs in the same 10^12-row tier as ``header_only``
+    metadata consistency. Rows with no EXIF dims are silently fine
+    (EXIF is optional); structurally unreadable metadata is a
+    violation (the container lies about its own structure)."""
+    src = df.select(F.col(id_col).alias("image_id"), "bytes")
+    pkg_parent = PKG_PARENT
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import image_header_info
+        from cerberus_cpp_spark.sources.imagemeta import image_metadata
+
+        for pdf in batches:
+            ids, paths, msgs = [], [], []
+
+            def viol(rid, path, msg):
+                ids.append(rid)
+                paths.append(path)
+                msgs.append(msg)
+
+            for rid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                if blob is None:
+                    viol(rid, "^.bytes",
+                         "undecodable payload: no payload")
+                    continue
+                blob = bytes(blob)
+                try:
+                    _, hw, hh = image_header_info(blob)
+                    m = image_metadata(blob)
+                except ValueError as e:
+                    viol(rid, "^.bytes",
+                         f"unreadable metadata: {str(e)[:120]}")
+                    continue
+                ex = m["exif"]
+                if not ex:
+                    continue
+                o = ex.get("orientation")
+                if o is not None and not 1 <= o <= 8:
+                    viol(rid, "^.exif.orientation",
+                         f"invalid orientation {o}")
+                ew, eh = ex.get("pixel_x"), ex.get("pixel_y")
+                if ew is None or eh is None:
+                    continue
+                if (ew, eh) == (hw, hh):
+                    continue
+                if (allow_orientation_swap and o is not None
+                        and 5 <= o <= 8 and (ew, eh) == (hh, hw)):
+                    continue
+                viol(rid, "^.exif",
+                     f"exif dims {ew}x{eh} disagree with header "
+                     f"{hw}x{hh}")
+            yield pd.DataFrame(
+                {"image_id": ids, "path": paths, "message": msgs})
+
+    return src.mapInPandas(
+        probe, schema="image_id string, path string, message string")

@@ -1,0 +1,392 @@
+"""Container-level image metadata (EXIF, textual chunks) — extract
+AND embed, no pixel decode.
+
+Built from public specifications: the EXIF block is a standalone
+TIFF-structured byte stream (CIPA DC-008 / TIFF 6.0 — parsed with
+the interop-pinned IFD walker in ``tiffcodec``), carried as a JPEG
+``APP1`` segment with the ``Exif\\0\\0`` preamble (JEITA/JPEG), a
+PNG ``eXIf`` chunk (PNG 1.5 extension), TIFF IFD0 tags in place, or
+a WebP ``EXIF`` chunk (RFC 9649). PNG textual metadata: ``tEXt``
+(latin-1), ``zTXt`` (deflated latin-1) and ``iTXt`` (UTF-8) chunks.
+JPEG extras: ``COM`` comments, ``APP1`` XMP
+(``http://ns.adobe.com/xap/1.0/``) and multi-segment ``APP2``
+``ICC_PROFILE`` payloads.
+
+Why the validation engine cares (north_star: constraint validation
+over image+caption tables): EXIF ``PixelXDimension``/
+``PixelYDimension`` and ``Orientation`` are row metadata that must
+agree with the container header — a camera/pipeline bug class the
+header-only tier can catch in microseconds per row without touching
+pixel data. ``operators.image_checks.exif_consistency_violations``
+implements that rule; this module is its parsing layer.
+
+Conformance strategy: the EXIF reader is the SAME IFD walker the
+TIFF codec pins bit-exactly against Java ImageIO
+(``tests/test_tiff_interop.py``); embed→extract roundtrips cover
+every writer here, and the JPEG/PNG insertion paths are additionally
+pinned to keep the host container decodable by the in-repo codecs
+AND by ImageIO (a malformed APP1/chunk would kill the decode).
+
+Formats without a metadata vocabulary in scope: BMP has none; GIF
+comment extensions are read (not written). All functions are plain
+``bytes -> dict`` so Arrow-batched UDFs can map them per row.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .tiffcodec import _read_entries, sniff_tiff
+
+# EXIF / TIFF tag vocabulary used by the consistency checks
+TAG_DESCRIPTION = 270
+TAG_ORIENTATION = 274
+TAG_SOFTWARE = 305
+TAG_DATETIME = 306
+TAG_EXIF_IFD = 34665
+TAG_PIXEL_X = 40962
+TAG_PIXEL_Y = 40963
+
+_ASCII_TAGS = {TAG_DESCRIPTION, TAG_SOFTWARE, TAG_DATETIME}
+
+_EXIF_PREAMBLE = b"Exif\x00\x00"
+_XMP_PREAMBLE = b"http://ns.adobe.com/xap/1.0/\x00"
+_ICC_PREAMBLE = b"ICC_PROFILE\x00"
+
+
+# ---------------------------------------------------------------------------
+# EXIF block (standalone TIFF-structured stream)
+# ---------------------------------------------------------------------------
+
+
+def build_exif(*, description: str | None = None,
+               orientation: int | None = None,
+               software: str | None = None,
+               datetime_str: str | None = None,
+               pixel_x: int | None = None,
+               pixel_y: int | None = None,
+               byte_order: str = "<") -> bytes:
+    """Minimal spec-shaped EXIF block: IFD0 with the descriptive
+    tags, plus an EXIF sub-IFD (tag 34665) holding
+    PixelXDimension/PixelYDimension when given."""
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    bo = byte_order
+
+    def pack_ifd(entries: list[tuple[int, int, bytes, int]],
+                 base: int) -> bytes:
+        """entries: (tag, typ, payload, count); base = absolute
+        offset of this IFD within the final stream."""
+        n = len(entries)
+        head_len = 2 + 12 * n + 4
+        out = struct.pack(bo + "H", n)
+        overflow = b""
+        cursor = base + head_len
+        for tag, typ, payload, count in sorted(entries):
+            out += struct.pack(bo + "HHI", tag, typ, count)
+            if len(payload) <= 4:
+                out += payload.ljust(4, b"\x00")
+            else:
+                out += struct.pack(bo + "I", cursor)
+                overflow += payload
+                cursor += len(payload)
+        out += struct.pack(bo + "I", 0)
+        return out + overflow
+
+    def ascii_entry(tag: int, s: str):
+        b = s.encode("ascii") + b"\x00"
+        return (tag, 2, b, len(b))
+
+    def short_entry(tag: int, v: int):
+        return (tag, 3, struct.pack(bo + "H", v), 1)
+
+    def long_entry(tag: int, v: int):
+        return (tag, 4, struct.pack(bo + "I", v), 1)
+
+    ifd0: list = []
+    if description is not None:
+        ifd0.append(ascii_entry(TAG_DESCRIPTION, description))
+    if orientation is not None:
+        ifd0.append(short_entry(TAG_ORIENTATION, orientation))
+    if software is not None:
+        ifd0.append(ascii_entry(TAG_SOFTWARE, software))
+    if datetime_str is not None:
+        ifd0.append(ascii_entry(TAG_DATETIME, datetime_str))
+
+    sub: list = []
+    if pixel_x is not None:
+        sub.append(long_entry(TAG_PIXEL_X, pixel_x))
+    if pixel_y is not None:
+        sub.append(long_entry(TAG_PIXEL_Y, pixel_y))
+
+    header = (b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a") + \
+        struct.pack(bo + "I", 8)
+    if sub:
+        # IFD0 length depends on its own entry count incl. the
+        # pointer entry — compute with the pointer placeholder first
+        probe = pack_ifd(ifd0 + [long_entry(TAG_EXIF_IFD, 0)], 8)
+        sub_off = 8 + len(probe)
+        ifd0_final = pack_ifd(
+            ifd0 + [long_entry(TAG_EXIF_IFD, sub_off)], 8)
+        assert len(ifd0_final) == len(probe)
+        return header + ifd0_final + pack_ifd(sub, sub_off)
+    return header + pack_ifd(ifd0, 8)
+
+
+def parse_exif(blob: bytes) -> dict:
+    """Normalized fields from an EXIF block (or a whole TIFF file —
+    same structure): description / orientation / software / datetime
+    / pixel_x / pixel_y, absent ones None."""
+    bo, tags = _read_entries(blob)
+    if TAG_EXIF_IFD in tags:
+        try:
+            _, sub = _read_entries(blob, tags[TAG_EXIF_IFD][0])
+            tags = {**tags, **sub}
+        except (ValueError, struct.error):
+            pass  # corrupt sub-IFD: keep IFD0 fields
+
+    def ascii(tag: int) -> str | None:
+        if tag not in tags:
+            return None
+        return bytes(tags[tag]).split(b"\x00")[0].decode(
+            "ascii", "replace")
+
+    def first(tag: int) -> int | None:
+        v = tags.get(tag)
+        return int(v[0]) if v else None
+
+    return {
+        "description": ascii(TAG_DESCRIPTION),
+        "orientation": first(TAG_ORIENTATION),
+        "software": ascii(TAG_SOFTWARE),
+        "datetime": ascii(TAG_DATETIME),
+        "pixel_x": first(TAG_PIXEL_X),
+        "pixel_y": first(TAG_PIXEL_Y),
+    }
+
+
+_EMPTY = {"description": None, "orientation": None, "software": None,
+          "datetime": None, "pixel_x": None, "pixel_y": None}
+
+
+# ---------------------------------------------------------------------------
+# JPEG (APP1 EXIF / APP1 XMP / APP2 ICC / COM)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_insert_metadata(data: bytes, *, exif: bytes | None = None,
+                         xmp: bytes | None = None,
+                         icc: bytes | None = None,
+                         comment: str | None = None) -> bytes:
+    """Insert metadata segments right after SOI (the position every
+    EXIF writer uses). ICC payloads are split into numbered APP2
+    segments per the ICC spec when they exceed one marker."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    segs = b""
+    if exif is not None:
+        body = _EXIF_PREAMBLE + exif
+        segs += b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+    if xmp is not None:
+        body = _XMP_PREAMBLE + xmp
+        segs += b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+    if icc is not None:
+        limit = 65535 - 2 - len(_ICC_PREAMBLE) - 2
+        parts = [icc[i:i + limit] for i in range(0, len(icc), limit)] \
+            or [b""]
+        for i, part in enumerate(parts):
+            body = _ICC_PREAMBLE + bytes((i + 1, len(parts))) + part
+            segs += b"\xFF\xE2" + struct.pack(">H", len(body) + 2) + body
+    if comment is not None:
+        body = comment.encode("latin-1")
+        segs += b"\xFF\xFE" + struct.pack(">H", len(body) + 2) + body
+    return data[:2] + segs + data[2:]
+
+
+def jpeg_metadata(data: bytes) -> dict:
+    """One marker walk → raw metadata payloads:
+    ``{"exif": bytes|None, "xmp": bytes|None, "icc": bytes|None,
+    "comment": str|None}``."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream")
+    out = {"exif": None, "xmp": None, "icc": None, "comment": None}
+    icc_parts: list[tuple[int, bytes]] = []
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / entropy data
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and body.startswith(_EXIF_PREAMBLE) \
+                and out["exif"] is None:
+            out["exif"] = bytes(body[len(_EXIF_PREAMBLE):])
+        elif marker == 0xE1 and body.startswith(_XMP_PREAMBLE) \
+                and out["xmp"] is None:
+            out["xmp"] = bytes(body[len(_XMP_PREAMBLE):])
+        elif marker == 0xE2 and body.startswith(_ICC_PREAMBLE):
+            icc_parts.append((body[len(_ICC_PREAMBLE)],
+                              bytes(body[len(_ICC_PREAMBLE) + 2:])))
+        elif marker == 0xFE and out["comment"] is None:
+            out["comment"] = body.decode("latin-1", "replace")
+        pos += 2 + seglen
+    if icc_parts:
+        out["icc"] = b"".join(p for _, p in sorted(icc_parts))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PNG (eXIf / tEXt / zTXt / iTXt)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_insert_metadata(data: bytes, *, exif: bytes | None = None,
+                        text: dict[str, str] | None = None) -> bytes:
+    """Insert an ``eXIf`` chunk and/or ``tEXt`` chunks right after
+    IHDR (both are allowed anywhere before IDAT)."""
+    from .imagegen import PNG_MAGIC
+
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG stream")
+    ihdr_end = len(PNG_MAGIC) + 12 + struct.unpack(
+        ">I", data[len(PNG_MAGIC):len(PNG_MAGIC) + 4])[0]
+    extra = b""
+    if exif is not None:
+        extra += _png_chunk(b"eXIf", exif)
+    for k, v in (text or {}).items():
+        extra += _png_chunk(
+            b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+    return data[:ihdr_end] + extra + data[ihdr_end:]
+
+
+def png_metadata(data: bytes) -> dict:
+    """One chunk walk → ``{"exif": bytes|None,
+    "text": dict[str, str]}`` (tEXt + zTXt + iTXt merged; iTXt
+    honors its per-chunk compression flag)."""
+    from .imagegen import PNG_MAGIC
+
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG stream")
+    out: dict = {"exif": None, "text": {}}
+    pos = len(PNG_MAGIC)
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"eXIf" and out["exif"] is None:
+            out["exif"] = bytes(payload)
+        elif tag == b"tEXt":
+            k, _, v = payload.partition(b"\x00")
+            out["text"][k.decode("latin-1")] = v.decode("latin-1")
+        elif tag == b"zTXt":
+            k, _, rest = payload.partition(b"\x00")
+            if rest[:1] == b"\x00":
+                out["text"][k.decode("latin-1")] = zlib.decompress(
+                    rest[1:]).decode("latin-1")
+        elif tag == b"iTXt":
+            k, _, rest = payload.partition(b"\x00")
+            comp_flag, comp_method = rest[0], rest[1]
+            rest = rest[2:]
+            _lang, _, rest = rest.partition(b"\x00")
+            _trans, _, txt = rest.partition(b"\x00")
+            if comp_flag and comp_method == 0:
+                txt = zlib.decompress(txt)
+            out["text"][k.decode("latin-1")] = txt.decode(
+                "utf-8", "replace")
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
+# ---------------------------------------------------------------------------
+# GIF (comment extensions — read side)
+# ---------------------------------------------------------------------------
+
+
+def gif_comments(data: bytes) -> list[str]:
+    """Comment-extension payloads (0x21 0xFE sub-blocks) from a GIF
+    stream; structural walk only."""
+    from .gifcodec import _read_color_table, _read_subblocks, sniff_gif
+
+    if not sniff_gif(data):
+        raise ValueError("not a GIF stream")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        _, pos = _read_color_table(data, pos, flags & 0x07)
+    comments: list[str] = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            payload, pos = _read_subblocks(data, pos + 2)
+            if label == 0xFE:
+                comments.append(payload.decode("latin-1", "replace"))
+            continue
+        if b == 0x2C:  # image descriptor: skip header+LCT+LZW blocks
+            lflags = data[pos + 9]
+            pos += 10
+            if lflags & 0x80:
+                _, pos = _read_color_table(data, pos, lflags & 0x07)
+            pos += 1  # LZW min code size
+            _, pos = _read_subblocks(data, pos)
+            continue
+        raise ValueError(f"unknown GIF block 0x{b:02x}")
+    return comments
+
+
+# ---------------------------------------------------------------------------
+# Unified dispatch
+# ---------------------------------------------------------------------------
+
+
+def image_metadata(data: bytes) -> dict:
+    """Normalized metadata for any sniffable payload:
+    ``{"fmt", "exif": {...}|None, "text": dict, "comment",
+    "has_icc", "has_xmp"}`` — EXIF fields parsed, the rest
+    presence/payload level. One container walk, no pixel decode."""
+    from .imagegen import sniff_format
+
+    fmt = sniff_format(data)
+    out = {"fmt": fmt, "exif": None, "text": {}, "comment": None,
+           "has_icc": False, "has_xmp": False}
+    if fmt == "jpeg":
+        m = jpeg_metadata(data)
+        out["exif"] = parse_exif(m["exif"]) if m["exif"] else None
+        out["comment"] = m["comment"]
+        out["has_icc"] = m["icc"] is not None
+        out["has_xmp"] = m["xmp"] is not None
+    elif fmt == "png":
+        m = png_metadata(data)
+        out["exif"] = parse_exif(m["exif"]) if m["exif"] else None
+        out["text"] = m["text"]
+    elif fmt == "tiff":
+        if sniff_tiff(data):
+            out["exif"] = parse_exif(data)
+    elif fmt == "webp":
+        from .webpx import extract_metadata
+
+        m = extract_metadata(data)
+        out["exif"] = parse_exif(m["exif"]) if m["exif"] else None
+        out["has_icc"] = m["icc"] is not None
+        out["has_xmp"] = m["xmp"] is not None
+    elif fmt == "gif":
+        cs = gif_comments(data)
+        out["comment"] = cs[0] if cs else None
+    elif fmt is None:
+        raise ValueError("unrecognized image stream")
+    return out

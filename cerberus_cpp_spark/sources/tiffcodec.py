@@ -49,12 +49,15 @@ def sniff_tiff(data: bytes) -> bool:
         data[:4] == _II or data[:4] == _MM)
 
 
-def _read_entries(data: bytes) -> tuple[str, dict[int, list[int]]]:
-    """Byte-order prefix + tag → value-list for IFD 0."""
+def _read_entries(data: bytes, ifd_off: int | None = None
+                  ) -> tuple[str, dict[int, list[int]]]:
+    """Byte-order prefix + tag → value-list for IFD 0 (or the IFD at
+    an explicit ``ifd_off`` — how EXIF sub-IFDs are walked)."""
     if not sniff_tiff(data):
         raise ValueError("not a TIFF stream")
     bo = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
     if ifd_off + 2 > len(data):
         raise ValueError("truncated TIFF IFD offset")
     (n,) = struct.unpack_from(bo + "H", data, ifd_off)
@@ -418,7 +421,8 @@ def _compress(raw: bytes, comp: str) -> bytes:
 def encode_tiff(rgb: np.ndarray, *, compression: str = "none",
                 predictor: bool = False, byte_order: str = "<",
                 mode: str = "rgb", tile: int | None = None,
-                rows_per_strip: int | None = None) -> bytes:
+                rows_per_strip: int | None = None,
+                meta_tags: dict[int, object] | None = None) -> bytes:
     """Encode RGB uint8 (h, w, 3) as a single-IFD TIFF.
 
     Modes (each plants a distinct decoder path):
@@ -505,8 +509,26 @@ def encode_tiff(rgb: np.ndarray, *, compression: str = "none",
     # --- assemble: header, IFD, values, chunk data -----------------
     entries: list[tuple[int, int, int, list[int]]] = []
 
-    def add(tag: int, typ: int, vals: list[int]):
+    def add(tag: int, typ: int, vals):
         entries.append((tag, typ, len(vals), vals))
+
+    if meta_tags:
+        # descriptive IFD0 tags (ImageDescription / Orientation /
+        # Software / DateTime, ...): str → ASCII (type 2, NUL-
+        # terminated), int → SHORT — the same vocabulary
+        # ``imagemeta.build_exif`` emits for standalone EXIF blocks
+        for tag, val in meta_tags.items():
+            if isinstance(val, str):
+                add(tag, 2, val.encode("ascii") + b"\x00")
+            elif isinstance(val, int):
+                # EXIF pixel-dim tags are LONG; descriptive ints are
+                # SHORT. (Interop note: for single-IFD validation
+                # streams these live at IFD0 level; imagemeta's
+                # reader merges IFD0 and the EXIF sub-IFD, so both
+                # layouts parse.)
+                add(tag, 4 if tag >= 32768 else 3, [val])
+            else:
+                raise ValueError(f"meta tag {tag}: str or int only")
 
     add(256, 4, [w])
     add(257, 4, [h])
@@ -547,8 +569,11 @@ def encode_tiff(rgb: np.ndarray, *, compression: str = "none",
         for tag, typ, count, vals in entries:
             if tag == off_tag:
                 vals = chunk_offsets
-            fmt = {3: "H", 4: "I"}[typ]
-            payload = struct.pack(bo + fmt * count, *vals)
+            if typ == 2:
+                payload = bytes(vals)
+            else:
+                fmt = {3: "H", 4: "I"}[typ]
+                payload = struct.pack(bo + fmt * count, *vals)
             if len(payload) <= 4:
                 out += struct.pack(bo + "HHI", tag, typ, count)
                 out += payload.ljust(4, b"\0")

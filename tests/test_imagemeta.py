@@ -1,0 +1,283 @@
+"""Image-metadata layer (``sources/imagemeta.py``): EXIF block
+build/parse, per-format embed/extract roundtrips, the Spark
+extraction + consistency operators, and an ImageIO pin that
+metadata-bearing JPEG/PNG hosts stay decodable by an independent
+reader."""
+
+import shutil
+import struct
+import subprocess
+import zlib
+
+import numpy as np
+import pytest
+
+from cerberus_cpp_spark.sources import imagemeta as M
+from cerberus_cpp_spark.sources.imagegen import (
+    decode_image,
+    encode_pixels,
+    synth_pixels,
+)
+from cerberus_cpp_spark.sources.tiffcodec import decode_tiff, encode_tiff
+
+PX = synth_pixels(7, 12, 9)
+
+FULL = dict(description="a cat photo", orientation=6,
+            software="camrig", datetime_str="2026:08:18 10:00:00",
+            pixel_x=12, pixel_y=9)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_exif_block_roundtrip(bo):
+    ex = M.build_exif(byte_order=bo, **FULL)
+    assert M.parse_exif(ex) == {
+        "description": "a cat photo", "orientation": 6,
+        "software": "camrig", "datetime": "2026:08:18 10:00:00",
+        "pixel_x": 12, "pixel_y": 9}
+
+
+def test_exif_partial_and_empty():
+    assert M.parse_exif(M.build_exif(orientation=1)) == {
+        "description": None, "orientation": 1, "software": None,
+        "datetime": None, "pixel_x": None, "pixel_y": None}
+    assert M.parse_exif(M.build_exif())["orientation"] is None
+
+
+def test_jpeg_embed_extract_and_decode():
+    jp = encode_pixels(PX, "jpeg")
+    ex = M.build_exif(**FULL)
+    jp2 = M.jpeg_insert_metadata(jp, exif=ex, xmp=b"<xmp/>",
+                                 icc=b"\x00" * 10, comment="hi")
+    m = M.jpeg_metadata(jp2)
+    assert m["exif"] == ex and m["xmp"] == b"<xmp/>"
+    assert m["icc"] == b"\x00" * 10 and m["comment"] == "hi"
+    fmt, dec = decode_image(jp2)
+    assert fmt == "jpeg" and dec.shape == (9, 12, 3)
+    u = M.image_metadata(jp2)
+    assert u["exif"]["orientation"] == 6 and u["has_icc"] and u["has_xmp"]
+
+
+def test_jpeg_multisegment_icc():
+    jp = encode_pixels(PX, "jpeg")
+    icc = bytes(range(256)) * 600  # > one APP2 segment
+    jp2 = M.jpeg_insert_metadata(jp, icc=icc)
+    assert M.jpeg_metadata(jp2)["icc"] == icc
+
+
+def test_png_embed_extract_and_decode():
+    pn = encode_pixels(PX, "png")
+    ex = M.build_exif(**FULL)
+    pn2 = M.png_insert_metadata(pn, exif=ex,
+                                text={"Title": "cat", "Author": "rig"})
+    m = M.png_metadata(pn2)
+    assert m["exif"] == ex
+    assert m["text"] == {"Title": "cat", "Author": "rig"}
+    fmt, dec = decode_image(pn2)
+    assert fmt == "png" and np.array_equal(dec, PX)
+
+
+def test_png_ztxt_itxt_paths():
+    pn = encode_pixels(PX, "png")
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I",
+                              zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr_end = 8 + 12 + 13
+    zt = chunk(b"zTXt", b"Zkey\x00\x00" + zlib.compress(b"zval"))
+    it = chunk(b"iTXt", b"Ikey\x00\x01\x00en\x00\x00"
+               + zlib.compress("ival✓".encode()))
+    it2 = chunk(b"iTXt", b"Jkey\x00\x00\x00\x00\x00plain")
+    pn3 = pn[:ihdr_end] + zt + it + it2 + pn[ihdr_end:]
+    assert M.png_metadata(pn3)["text"] == {
+        "Zkey": "zval", "Ikey": "ival✓", "Jkey": "plain"}
+
+
+def test_tiff_meta_tags():
+    tf = encode_tiff(PX, compression="lzw", meta_tags={
+        270: "a cat photo", 274: 6, 305: "camrig",
+        40962: 12, 40963: 9})
+    assert np.array_equal(decode_tiff(tf), PX)
+    u = M.image_metadata(tf)
+    assert u["exif"]["description"] == "a cat photo"
+    assert u["exif"]["orientation"] == 6
+    assert (u["exif"]["pixel_x"], u["exif"]["pixel_y"]) == (12, 9)
+
+
+def test_webp_exif_chunk():
+    from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+    rgba = np.dstack([PX, np.full(PX.shape[:2], 255, np.uint8)])
+    ex = M.build_exif(orientation=3, pixel_x=12, pixel_y=9)
+    wp = encode_webp_vp8x(rgba, lossy=False, exif=ex, xmp=b"<x/>")
+    u = M.image_metadata(wp)
+    assert u["fmt"] == "webp" and u["exif"]["orientation"] == 3
+    assert u["has_xmp"] and not u["has_icc"]
+
+
+def test_gif_comments():
+    from cerberus_cpp_spark.sources.gifcodec import encode_gif
+
+    g = encode_gif(PX & 0xC0)
+    assert g[-1] == 0x3B
+    gc = g[:-1] + b"\x21\xFE\x05hello\x00\x3B"
+    assert M.gif_comments(gc) == ["hello"]
+    assert M.image_metadata(gc)["comment"] == "hello"
+    fmt, _ = decode_image(gc)  # decoder skips the comment block
+    assert fmt == "gif"
+
+
+def test_formats_without_metadata():
+    bm = encode_pixels(PX, "bmp")
+    u = M.image_metadata(bm)
+    assert u["fmt"] == "bmp" and u["exif"] is None
+    with pytest.raises(ValueError):
+        M.image_metadata(b"garbage not an image")
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def _meta_frame(spark, n=80):
+    from pyspark.sql import functions as F
+
+    from cerberus_cpp_spark.functions.shipping import PKG_PARENT
+
+    pkg_parent = PKG_PARENT
+    df = spark.range(0, n, 1, 4)
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels as ep,
+            pixel_seed,
+            synth_pixels as sp,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+
+        def payload(i):
+            if i % 10 == 9:
+                return None
+            w, h = 8 + i % 9, 8 + i % 7
+            px = sp(pixel_seed(i, 42), w, h)
+            ew = w + 1 if i % 10 == 3 else w
+            o = 9 if i % 10 == 5 else (6 if i % 10 == 7 else 1)
+            ew2, eh = (h, w) if i % 10 == 7 else (ew, h)
+            ex = build_exif(description=f"img {i}", orientation=o,
+                            pixel_x=ew2, pixel_y=eh)
+            if i % 2 == 0:
+                return jpeg_insert_metadata(ep(px, "jpeg"), exif=ex)
+            return png_insert_metadata(ep(px, "png"), exif=ex,
+                                       text={"Title": f"t{i}"})
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):04d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    return df.mapInPandas(gen, schema="image_id string, bytes binary")
+
+
+def test_image_metadata_fields_operator(spark):
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_metadata_fields,
+    )
+
+    rows = {r["image_id"]: r
+            for r in image_metadata_fields(_meta_frame(spark)).collect()}
+    assert len(rows) == 80
+    r2 = rows["img-0002"]
+    assert r2["meta_fmt"] == "jpeg" and r2["orientation"] == 1
+    assert r2["exif_w"] == 8 + 2 % 9 and r2["meta_ok"]
+    r1 = rows["img-0001"]
+    assert r1["meta_fmt"] == "png" and r1["n_text"] == 1
+    r9 = rows["img-0009"]
+    assert not r9["meta_ok"] and "no payload" in r9["message"]
+
+
+def test_exif_consistency_operator(spark):
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_consistency_violations,
+    )
+
+    frame = _meta_frame(spark)
+    got = {(r["image_id"], r["path"])
+           for r in exif_consistency_violations(frame).collect()}
+    # i%10==3 → dims off by one; i%10==5 → invalid orientation;
+    # i%10==7 → swapped dims WITH orientation 6 → accepted;
+    # i%10==9 → no payload
+    for i in range(80):
+        rid = f"img-{i:04d}"
+        if i % 10 == 3:
+            assert (rid, "^.exif") in got
+        elif i % 10 == 5:
+            assert (rid, "^.exif.orientation") in got
+        elif i % 10 == 9:
+            assert (rid, "^.bytes") in got
+        else:
+            assert not any(k[0] == rid for k in got), (rid, got)
+    # strict mode flags the swapped-dims family too (unless square)
+    strict = {(r["image_id"], r["path"]) for r in
+              exif_consistency_violations(
+                  frame, allow_orientation_swap=False).collect()}
+    for i in range(80):
+        if i % 10 == 7 and (8 + i % 9) != (8 + i % 7):
+            assert (f"img-{i:04d}", "^.exif") in strict
+
+
+# ---------------------------------------------------------------------------
+# ImageIO pin: metadata-bearing hosts stay decodable elsewhere
+# ---------------------------------------------------------------------------
+
+JAVA_SRC = r"""
+import javax.imageio.*;
+import java.awt.image.*;
+import java.io.*;
+
+public class MetaRead {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) throw new RuntimeException("unreadable");
+    System.out.println(img.getWidth() + "x" + img.getHeight());
+  }
+}
+"""
+
+
+def test_imageio_reads_metadata_hosts(tmp_path):
+    if shutil.which("javac") is None or shutil.which("java") is None:
+        pytest.skip("no JDK in container")
+    (tmp_path / "MetaRead.java").write_text(JAVA_SRC)
+    r = subprocess.run(["javac", "MetaRead.java"], cwd=tmp_path,
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"javac failed: {r.stderr[:200]}")
+    ex = M.build_exif(**FULL)
+    hosts = {
+        "j.jpg": M.jpeg_insert_metadata(
+            encode_pixels(PX, "jpeg"), exif=ex, xmp=b"<x/>",
+            icc=b"\x01" * 9000, comment="c"),
+        "p.png": M.png_insert_metadata(
+            encode_pixels(PX, "png"), exif=ex, text={"Title": "t"}),
+        "t.tif": encode_tiff(PX, meta_tags={270: "d", 274: 6,
+                                            40962: 12, 40963: 9}),
+    }
+    for name, blob in hosts.items():
+        (tmp_path / name).write_bytes(blob)
+        rr = subprocess.run(["java", "MetaRead", name], cwd=tmp_path,
+                            capture_output=True, text=True, timeout=120)
+        assert rr.returncode == 0, (name, rr.stderr[:400])
+        assert rr.stdout.strip() == "12x9", (name, rr.stdout)
