@@ -234,3 +234,18 @@ def test_round4_image_queries_plan_shape(spark) -> None:
     assert plan.count("Exchange") == 1, plan
     hdr = E.queries()["img_header_consistency"](spark, "unused")
     assert "Exchange" not in _plan(hdr)
+
+
+def test_round4_metadata_queries_plan_shape(spark) -> None:
+    """The late-round-4 codec/metadata contract queries keep the
+    scale shape: the BMP/TIFF census aggregates ONE narrow Arrow
+    stage (exactly one Exchange, for the final groupBy), and the
+    EXIF-consistency pass — generation + metadata walk + violation
+    filter — is entirely Exchange-free."""
+    import __spark_entry__ as E
+
+    census = E.queries()["img_bmp_tiff_census"](spark, "unused")
+    plan = _plan(census)
+    assert plan.count("Exchange") == 1, plan
+    exif = E.queries()["img_exif_consistency"](spark, "unused")
+    assert "Exchange" not in _plan(exif)

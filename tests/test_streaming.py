@@ -180,3 +180,68 @@ def test_quarantine_stream_matches_batch(spark, tmp_path):
     # v=-2 fails exclusive min; v=60 fails exclusive max (60 >= 50)
     assert squar == {2: 1, 3: 1}
     assert len(sc) == 2  # ids 1 and 4 pass, normalized projection
+
+
+def test_stream_exif_consistency_equals_batch(spark,
+                                              tmp_path_factory) -> None:
+    """The EXIF-vs-header consistency pass (round 4) is a stateless
+    narrow Arrow stage — it must run unchanged over a streaming frame
+    and match the batch violations row-for-row."""
+    from cerberus_cpp_spark.functions.shipping import PKG_PARENT
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_consistency_violations,
+    )
+
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+        )
+
+        def payload(i):
+            w, h = 8 + i % 9, 8 + i % 7
+            px = synth_pixels(pixel_seed(i, 42), w, h)
+            ex = build_exif(
+                orientation=1,
+                pixel_x=w + (1 if i % 10 == 3 else 0), pixel_y=h)
+            return jpeg_insert_metadata(
+                encode_pixels(px, "jpeg"), exif=ex)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):04d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    src = str(tmp_path_factory.mktemp("stream_exif"))
+    (spark.range(0, 200, 1, 4)
+     .mapInPandas(gen, schema="image_id string, bytes binary")
+     .write.mode("overwrite").parquet(src))
+    batch = spark.read.parquet(src)
+
+    def key(rows):
+        return sorted((r["image_id"], r["path"], r["message"])
+                      for r in rows)
+
+    expected = key(exif_consistency_violations(batch).collect())
+    assert len(expected) == 20  # the i%10==3 plants fire
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (exif_consistency_violations(stream)
+         .writeStream.format("memory").queryName("exif_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = key(spark.sql("SELECT * FROM exif_stream").collect())
+    assert got == expected
