@@ -185,12 +185,17 @@ def jpeg_insert_metadata(data: bytes, *, exif: bytes | None = None,
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG stream")
     segs = b""
+
+    def app1(body: bytes) -> bytes:
+        if len(body) + 2 > 0xFFFF:  # marker length field is 16-bit
+            raise ValueError("APP1 payload exceeds the 64 KiB "
+                             "JPEG segment limit")
+        return b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+
     if exif is not None:
-        body = _EXIF_PREAMBLE + exif
-        segs += b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+        segs += app1(_EXIF_PREAMBLE + exif)
     if xmp is not None:
-        body = _XMP_PREAMBLE + xmp
-        segs += b"\xFF\xE1" + struct.pack(">H", len(body) + 2) + body
+        segs += app1(_XMP_PREAMBLE + xmp)
     if icc is not None:
         limit = 65535 - 2 - len(_ICC_PREAMBLE) - 2
         parts = [icc[i:i + limit] for i in range(0, len(icc), limit)] \
