@@ -1658,6 +1658,96 @@ SELECT image_id, '^.exif.orientation', 'invalid orientation 9'
 """
 
 
+IMG_ORIENT_N = 1400
+
+
+def q_img_orientation_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-orientation baking (round 4 —
+    ``multimodal.normalize_orientation``): every row carries an EXIF
+    Orientation cycling 1..8 over four carrier formats; the operator
+    decodes only the rotated subset, transforms pixels upright,
+    re-encodes in the row's own format, and rewrites the metadata
+    (orientation→1, pixel dims updated). The contract surface is the
+    per-row outcome (fmt, new dims, fixed flag) — dims swap exactly
+    for orientations 5..8 — with an exact id-arithmetic oracle;
+    pixel-level correctness of all eight transforms is pinned in
+    ``tests/test_orientation.py``."""
+    df = spark.range(0, IMG_ORIENT_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.tiffcodec import encode_tiff
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        def payload(i: int) -> bytes:
+            w, h = 8 + i % 9, 8 + i % 7
+            px = synth_pixels(pixel_seed(i, 42), w, h)
+            o = i % 8 + 1
+            fam = i % 4
+            if fam == 2:
+                return encode_tiff(px, meta_tags={
+                    274: o, 40962: w, 40963: h})
+            exif = build_exif(orientation=o, pixel_x=w, pixel_y=h)
+            if fam == 0:
+                return jpeg_insert_metadata(
+                    encode_pixels(px, "jpeg"), exif=exif)
+            if fam == 1:
+                return png_insert_metadata(
+                    encode_pixels(px, "png"), exif=exif)
+            rgba = np.dstack([px, np.full((h, w), 255, np.uint8)])
+            return encode_webp_vp8x(rgba, lossy=False, exif=exif)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    from cerberus_cpp_spark.operators.multimodal import (
+        normalize_orientation,
+    )
+
+    frame = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return normalize_orientation(frame).select(
+        "image_id", "w", "h", "fmt", "fixed")
+
+
+_IMG_ORIENT_SQL = f"""
+WITH g AS (SELECT range AS i FROM range(0, {IMG_ORIENT_N})),
+d AS (
+  SELECT i, printf('img-%012d', i) AS image_id,
+         8 + i % 9 AS w0, 8 + i % 7 AS h0,
+         i % 8 + 1 AS o,
+         ['jpeg','png','tiff','webp'][CAST(i % 4 AS INT) + 1] AS fmt
+  FROM g
+)
+SELECT image_id,
+       CAST(CASE WHEN o BETWEEN 5 AND 8 THEN h0 ELSE w0 END AS INT) AS w,
+       CAST(CASE WHEN o BETWEEN 5 AND 8 THEN w0 ELSE h0 END AS INT) AS h,
+       fmt, o <> 1 AS fixed
+FROM d
+"""
+
+
 def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two event snapshots (even/odd ids):
     exact-percentile variant so the DuckDB oracle can mirror it; the
@@ -2025,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_gif_census": q_img_gif_census,
         "img_bmp_tiff_census": q_img_bmp_tiff_census,
         "img_exif_consistency": q_img_exif_consistency,
+        "img_orientation_fix": q_img_orientation_fix,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "cat_drift_events": q_cat_drift_events,
@@ -2713,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "img_gif_census": _IMG_GIF_SQL,
         "img_bmp_tiff_census": _IMG_BMPTIFF_SQL,
         "img_exif_consistency": _IMG_EXIF_SQL,
+        "img_orientation_fix": _IMG_ORIENT_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,

@@ -441,3 +441,147 @@ def audio_features(
                " duration_sec double, rms double,"
                " zero_crossings long, sumsq long",
     )
+
+
+NORMALIZE_ORIENT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "fixed boolean, message string"
+)
+
+
+def normalize_orientation(df: DataFrame, *, id_col: str = "image_id",
+                          bytes_col: str = "bytes") -> DataFrame:
+    """Bake EXIF orientation into the pixels: rows whose metadata
+    carries Orientation 2..8 are decoded, transformed upright
+    (``imagemeta.apply_exif_orientation``), re-encoded in their own
+    format, and re-embedded with Orientation reset to 1 and
+    PixelX/YDimension updated (descriptive EXIF fields and PNG text
+    chunks are preserved). Everything else — no EXIF, orientation 1,
+    formats without an orientation vocabulary — passes through
+    byte-identical with ``fixed=false``. Undecodable or unreadable
+    rows also pass through, with the error in ``message`` (never a
+    job kill).
+
+    One Arrow stage; the metadata walk decides cheaply (µs/row)
+    whether the expensive decode+re-encode runs, so at crawl scale
+    the cost is proportional to the ROTATED subset, not the table.
+    JPEG is re-encoded with the in-repo baseline encoder (quality
+    98) — one documented generation loss on exactly the rows that
+    needed fixing, the same tradeoff every EXIF-baking pipeline
+    makes."""
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            encode_pixels,
+            image_header_info,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            apply_exif_orientation,
+            build_exif,
+            image_metadata,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.tiffcodec import encode_tiff
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        def passthrough(rows, rid, blob, msg=None):
+            rows["image_id"].append(rid)
+            rows["bytes"].append(blob)
+            try:
+                _, w, h = image_header_info(bytes(blob)) \
+                    if blob is not None else (None, None, None)
+            except ValueError:
+                w = h = None
+            rows["w"].append(w)
+            rows["h"].append(h)
+            rows["fmt"].append(None)
+            rows["fixed"].append(False)
+            rows["message"].append(msg)
+
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h",
+                                    "fmt", "fixed", "message")}
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    passthrough(rows, rid, None, "no payload")
+                    continue
+                blob = bytes(blob)
+                try:
+                    meta = image_metadata(blob)
+                except ValueError as e:
+                    passthrough(rows, rid, blob,
+                                f"unreadable metadata: {str(e)[:120]}")
+                    continue
+                ex = meta["exif"] or {}
+                o = ex.get("orientation")
+                if o in (None, 1):
+                    passthrough(rows, rid, blob)
+                    rows["fmt"][-1] = meta["fmt"]
+                    continue
+                if not 2 <= o <= 8:
+                    passthrough(rows, rid, blob,
+                                f"invalid orientation {o}")
+                    rows["fmt"][-1] = meta["fmt"]
+                    continue
+                try:
+                    fmt, px = decode_image(blob)
+                except Exception as e:
+                    passthrough(rows, rid, blob,
+                                f"undecodable payload: {str(e)[:120]}")
+                    continue
+                up = apply_exif_orientation(px, o)
+                nh, nw = up.shape[0], up.shape[1]
+                new_exif = build_exif(
+                    description=ex.get("description"), orientation=1,
+                    software=ex.get("software"),
+                    datetime_str=ex.get("datetime"),
+                    pixel_x=nw, pixel_y=nh)
+                if fmt == "jpeg":
+                    out = jpeg_insert_metadata(
+                        encode_pixels(up, "jpeg"), exif=new_exif,
+                        comment=meta["comment"])
+                elif fmt == "png":
+                    out = png_insert_metadata(
+                        encode_pixels(up, "png"), exif=new_exif,
+                        text=meta["text"] or None)
+                elif fmt == "tiff":
+                    tags = {274: 1, 40962: nw, 40963: nh}
+                    if ex.get("description") is not None:
+                        tags[270] = ex["description"]
+                    if ex.get("software") is not None:
+                        tags[305] = ex["software"]
+                    if ex.get("datetime") is not None:
+                        tags[306] = ex["datetime"]
+                    out = encode_tiff(up, meta_tags=tags)
+                elif fmt == "webp":
+                    rgba = np.dstack(
+                        [up, np.full((nh, nw), 255, np.uint8)])
+                    out = encode_webp_vp8x(rgba, lossy=False,
+                                           exif=new_exif)
+                else:  # gif/bmp carry no EXIF: unreachable via o
+                    passthrough(rows, rid, blob,
+                                f"no orientation vocabulary in {fmt}")
+                    continue
+                rows["image_id"].append(rid)
+                rows["bytes"].append(out)
+                rows["w"].append(nw)
+                rows["h"].append(nh)
+                rows["fmt"].append(fmt)
+                rows["fixed"].append(True)
+                rows["message"].append(None)
+            out_pdf = pd.DataFrame(rows)
+            for c in ("w", "h"):
+                out_pdf[c] = out_pdf[c].astype("Int32")
+            yield out_pdf
+
+    return src.mapInPandas(work, schema=NORMALIZE_ORIENT_SCHEMA)

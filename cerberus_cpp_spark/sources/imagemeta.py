@@ -395,3 +395,36 @@ def image_metadata(data: bytes) -> dict:
     elif fmt is None:
         raise ValueError("unrecognized image stream")
     return out
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (tag 274) pixel semantics
+# ---------------------------------------------------------------------------
+
+
+def apply_exif_orientation(px, orientation: int):
+    """Transform STORED pixels to upright display per the EXIF
+    orientation vocabulary (CIPA DC-008 §4.6.4): 1 identity, 2
+    mirror-horizontal, 3 rotate-180, 4 mirror-vertical, 5 transpose,
+    6 rotate-90-CW, 7 transverse, 8 rotate-90-CCW. Returns a fresh
+    contiguous array; orientations 5..8 swap the output dims."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return px
+    if orientation == 2:
+        return np.ascontiguousarray(px[:, ::-1])
+    if orientation == 3:
+        return np.ascontiguousarray(px[::-1, ::-1])
+    if orientation == 4:
+        return np.ascontiguousarray(px[::-1, :])
+    if orientation == 5:
+        return np.ascontiguousarray(np.transpose(px, (1, 0, 2)))
+    if orientation == 6:
+        return np.ascontiguousarray(np.rot90(px, k=3))
+    if orientation == 7:
+        return np.ascontiguousarray(
+            np.transpose(px[::-1, ::-1], (1, 0, 2)))
+    if orientation == 8:
+        return np.ascontiguousarray(np.rot90(px, k=1))
+    raise ValueError(f"invalid EXIF orientation {orientation}")
