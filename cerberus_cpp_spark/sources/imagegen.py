@@ -4,8 +4,11 @@ The container has no Pillow/libjpeg/libwebp, so codecs are
 implemented in-repo (all Spark-side plumbing — binary columns, Arrow
 batches, UDF signatures — is real either way):
 
-- ``png``: a REAL minimal PNG codec (8-bit RGB, filter 0, zlib) —
-  bit-exact round-trip, readable by any external PNG tool.
+- ``png``: a REAL full-spec PNG decoder (``pngcodec.py``: color
+  types 0/2/3/4/6, depths 1-16, filters 0-4, Adam7 interlace, CRC
+  verification — ImageIO-interop bit-exact both directions) with a
+  minimal byte-stable default writer here plus extended encode
+  modes (``pngcodec.encode_png_ex``).
 - ``jpeg``: a REAL baseline JFIF codec (``jpegcodec.py``: numpy
   DCT + standard Annex K quant/Huffman tables; interop-verified
   against Java ImageIO). Default quality 98 → PSNR ≈ 44-55 dB on the
@@ -100,9 +103,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
 def decode_png(data: bytes) -> np.ndarray:
     """Raises ValueError on ANY malformed stream (zlib/struct errors
     are translated — same uniform-exception contract as decode_jpeg,
-    so per-row decode probes can catch one type)."""
+    so per-row decode probes can catch one type). Since round 4 this
+    dispatches to the FULL spec decoder (``pngcodec.decode_png``:
+    all color types, depths 1-16, filters 0-4, Adam7, CRC checks) so
+    foreign writers' adaptive-filtered streams decode too; the
+    legacy minimal reader below remains as a differential twin for
+    the repo's own filter-0 output."""
+    from .pngcodec import decode_png as _full
+
     try:
-        return _decode_png(data)
+        return _full(data)
     except (zlib.error, struct.error, IndexError) as e:
         raise ValueError(f"malformed PNG stream: {e}") from e
 
