@@ -1953,6 +1953,67 @@ FROM c, t
 """
 
 
+PHASH_NEAR_N = 4000
+# planted per-group bit flips: member 1 differs from the anchor by 1
+# bit (block 0), member 2 by 2 bits (blocks 1 and 2), member 3 by 5
+# bits spread over four blocks — so with max_hamming=3 exactly the
+# (0,1)=1, (0,2)=2, (1,2)=3 pairs qualify per group and member 3's
+# pairs (5/6/7 bits) are correctly rejected after blocking recalls
+# them (members share block 3 untouched).
+_PHASH_FLIPS = (0, 1 << 3, (1 << 17) | (1 << 33),
+                (1 << 2) | (1 << 9) | (1 << 18) | (1 << 34) | (1 << 50))
+
+
+def q_img_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate images by perceptual-hash Hamming distance over
+    the input_hint's 64-bit phash column — the multi-index blocking
+    join (dedup.hamming_near_pairs): split each phash into 4 disjoint
+    16-bit blocks; any pair within distance ≤ 3 agrees exactly on ≥ 1
+    block (pigeonhole), so one posexplode + one self-equi-join on
+    (block, bkey) recalls EVERY qualifying pair and a JVM-side
+    bit_count(xor) pass verifies. COMPLETE — unlike LSH there is no
+    recall loss, so a brute-force O(n²) DuckDB oracle must agree
+    exactly. The generator plants 1,000 groups of 4 phashes at known
+    pairwise distances (1/2/3 in, 5/6/7 out); blocking completeness,
+    not the plants, is what guarantees the match (any accidental
+    cross-group pair ≤ 3 would appear on both sides identically)."""
+    from cerberus_cpp_spark.operators import dedup
+
+    flips = ", ".join(f"{v}L" for v in _PHASH_FLIPS)
+    df = spark.range(0, PHASH_NEAR_N, 1, 8).select(
+        F.format_string("img-%012d", F.col("id")).alias("image_id"),
+        F.expr(
+            "(((id DIV 4) * 2654435761L + 99L) & 9223372036854775807L)"
+            f" ^ element_at(array({flips}), cast(id % 4 AS int) + 1)"
+        ).alias("phash"),
+    )
+    pairs = dedup.hamming_near_pairs(
+        df, "phash", id_col="image_id", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _phash_near_dups_sql() -> str:
+    flips = ", ".join(str(v) for v in _PHASH_FLIPS)
+    return f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range // 4) * 2654435761 + 99) & 9223372036854775807
+           AS anchor,
+         [{flips}][(range % 4)::INT + 1] AS flip
+  FROM range(0, {PHASH_NEAR_N})
+), t AS (
+  SELECT printf('img-%012d', id) AS image_id,
+         xor(anchor, flip) AS phash
+  FROM g
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM t a JOIN t b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 _LEDGER_RULES: dict = {
     "event_type": {"type": "string",
                    "allowed": ["click", "view", "purchase"]},
@@ -2118,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_orientation_fix": q_img_orientation_fix,
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
+        "img_phash_near_dups": q_img_phash_near_dups,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -2807,6 +2869,7 @@ def oracle_sql() -> dict[str, str]:
         "img_orientation_fix": _IMG_ORIENT_SQL,
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
+        "img_phash_near_dups": _phash_near_dups_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,

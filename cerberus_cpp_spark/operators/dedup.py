@@ -419,38 +419,113 @@ def simhash_near_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 2,
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of their 16-bit
-    SimHash. Blocking: two 8-bit halves — any pair with distance ≤ 2
-    EITHER agrees on one half or differs ≤ 2 with ≥ 1 per half... to
-    stay COMPLETE for distance ≤ max_hamming with 2 blocks we require
-    max_hamming ≤ 1 per the pigeonhole; for larger distances use 4
-    nibble blocks. Here: 4 blocks of 4 bits → complete for ≤ 3."""
-    blocks = [(b * 4, 0xF << (b * 4)) for b in range(4)]
-    frames = []
-    for shift, mask in blocks:
-        key = F.col("simhash").bitwiseAND(F.lit(mask))
-        banded = sig_df.select(F.col(id_col), F.col("simhash"),
-                               key.alias("bkey"))
-        a = banded.alias("a")
-        b = banded.alias("b")
-        frames.append(
-            a.join(b, on="bkey")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("sig_a"),
-                    F.col("b.simhash").alias("sig_b"))
-        )
-    out = frames[0]
-    for p in frames[1:]:
-        out = out.unionByName(p)
-    hamming = F.bit_count(
-        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    SimHash: the general multi-index join over 4 nibble blocks —
+    complete for distance ≤ 3 by the pigeonhole."""
+    return hamming_near_pairs(
+        sig_df, "simhash", id_col=id_col, max_hamming=max_hamming,
+        n_blocks=4, block_bits=4,
     )
+
+
+def _hamming_blocked(
+    df: DataFrame, hash_col: str, id_col: str,
+    n_blocks: int, block_bits: int,
+) -> DataFrame:
+    """(id, hash, block, bkey): one row per (row, block) via
+    posexplode — all blocks in a single relation so candidate
+    generation is ONE self-join shuffled on (block, bkey), mirroring
+    ``_banded_keys``. ``shiftrightunsigned`` keeps block extraction
+    correct for negative int64 hashes (bit 63 set)."""
+    mask = (1 << block_bits) - 1
+    keys = [
+        F.shiftrightunsigned(F.col(hash_col), b * block_bits)
+        .bitwiseAND(F.lit(mask))
+        for b in range(n_blocks)
+    ]
+    return df.select(
+        F.col(id_col), F.col(hash_col),
+        F.posexplode(F.array(*keys)).alias("block", "bkey"),
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame, hash_col: str, *, id_col: str = "doc_id",
+    max_hamming: int = 3, n_blocks: int = 4, block_bits: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` on an
+    integer hash column (e.g. the input_hint's 64-bit ``phash``) —
+    multi-index blocking (Manku/Jain/Das Sarma, WWW'07 §3): split
+    the hash into ``n_blocks`` disjoint bit blocks; any pair with
+    ≤ ``max_hamming`` differing bits agrees EXACTLY on ≥ 1 block by
+    the pigeonhole whenever ``n_blocks > max_hamming``, so an
+    equi-join per block finds every qualifying pair, then one
+    ``bit_count(xor)`` pass verifies candidates. Returns
+    (id_a, id_b, hamming), complete — no LSH-style recall loss.
+
+    Scale notes: one shuffle for the self-join on (block, bkey) —
+    blocks live in a single posexploded relation, not n_blocks
+    separate joins. On a trillion-row table a 16-bit block has only
+    65k buckets, so real-phash distributions make buckets huge:
+    cap them with ``max_bucket`` (dropped buckets are surfaced by
+    ``oversized_hamming_buckets``, never silent — the same contract
+    as the MinHash LSH path) and/or raise ``block_bits`` with more
+    blocks (8 × 8-bit blocks are complete for distance ≤ 7 and cut
+    per-bucket quadratic cost). AQE skew-join splits residual hot
+    buckets. Verification stays JVM-side (bit_count/xor codegen).
+    """
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"completeness needs n_blocks > max_hamming "
+            f"(pigeonhole): got {n_blocks} blocks for distance "
+            f"{max_hamming}")
+    if n_blocks * block_bits > 64:
+        raise ValueError("n_blocks * block_bits must be ≤ 64")
+    banded = _hamming_blocked(df, hash_col, id_col, n_blocks,
+                              block_bits)
+    if max_bucket is not None:
+        oversized = (
+            banded.groupBy("block", "bkey")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_bucket)
+            .select("block", "bkey")
+        )
+        # anti-join against the OVERSIZED set only (tiny by
+        # construction), same rationale as lsh_candidate_pairs
+        banded = banded.join(
+            F.broadcast(oversized), on=["block", "bkey"],
+            how="left_anti",
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["block", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{hash_col}").alias("sig_a"),
+                F.col(f"b.{hash_col}").alias("sig_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        out.distinct()
-        .withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def oversized_hamming_buckets(
+    df: DataFrame, hash_col: str, *, id_col: str = "doc_id",
+    n_blocks: int = 4, block_bits: int = 16, max_bucket: int = 1000,
+) -> DataFrame:
+    """The (block, bkey, bsz) buckets a ``max_bucket`` cap would drop
+    from ``hamming_near_pairs`` — surfaced so caps are never silent."""
+    return (
+        _hamming_blocked(df, hash_col, id_col, n_blocks, block_bits)
+        .groupBy("block", "bkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket)
     )
 
 

@@ -1,0 +1,130 @@
+"""hamming_near_pairs: the multi-index (pigeonhole-blocked) Hamming
+near-dup join over 64-bit hashes — completeness vs a numpy brute
+force (including negative int64, i.e. bit 63 set), parameter
+validation, and the oversized-bucket cap contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import dedup as DD
+
+
+def _s64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _brute_pairs(ids, hashes, k):
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+            if d <= k:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b, d))
+    return out
+
+
+@pytest.fixture(scope="module")
+def hashed(spark):
+    """200 rows: 50 random int64 anchors (signed — bit 63 exercised)
+    + 3 planted perturbations each at distances 1..3, plus exact
+    dup pairs from anchor reuse."""
+    rng = np.random.default_rng(7)
+    anchors = rng.integers(-(2 ** 63), 2 ** 63, size=50, dtype=np.int64)
+    rows = []
+    for g, a in enumerate(anchors):
+        a = int(a)
+        rows.append((f"r{g:04d}_0", _s64(a)))
+        rows.append((f"r{g:04d}_1", _s64(a ^ (1 << 5))))
+        rows.append((f"r{g:04d}_2", _s64(a ^ (1 << 20) ^ (1 << 63))))
+        rows.append((f"r{g:04d}_3",
+                     _s64(a ^ (1 << 1) ^ (1 << 30) ^ (1 << 47))))
+    return spark.createDataFrame(rows, "image_id string, phash long")
+
+
+def test_complete_vs_brute_force(spark, hashed) -> None:
+    rows = hashed.collect()
+    ids = [r["image_id"] for r in rows]
+    hs = [r["phash"] & ((1 << 64) - 1) for r in rows]
+    for k in (1, 3):
+        want = _brute_pairs(ids, hs, k)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in DD.hamming_near_pairs(
+                hashed, "phash", id_col="image_id", max_hamming=k
+            ).collect()
+        }
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_wider_blocking_still_complete(spark, hashed) -> None:
+    """8×8-bit blocks: complete for k ≤ 7 — catches the distance-5+
+    pairs the 4×16 default can't claim."""
+    rows = hashed.collect()
+    ids = [r["image_id"] for r in rows]
+    hs = [r["phash"] & ((1 << 64) - 1) for r in rows]
+    want = _brute_pairs(ids, hs, 5)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.hamming_near_pairs(
+            hashed, "phash", id_col="image_id", max_hamming=5,
+            n_blocks=8, block_bits=8,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pigeonhole_guard() -> None:
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.hamming_near_pairs(None, "phash", max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="64"):
+        DD.hamming_near_pairs(None, "phash", max_hamming=3,
+                              n_blocks=8, block_bits=16)
+
+
+def test_max_bucket_cap_surfaced(spark) -> None:
+    """A hot value floods every block's bucket; the cap drops those
+    buckets (so the hot clique disappears) and the oversized helper
+    reports exactly the dropped buckets — never silent."""
+    hot = 0x0123456789ABCDEF
+    rows = [(f"h{i:03d}", hot) for i in range(50)]
+    rows += [(f"c{i}", (1 << 40) ^ (i and 1 << 2)) for i in range(2)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    capped = DD.hamming_near_pairs(
+        df, "phash", id_col="image_id", max_hamming=3, max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the cold planted pair survives; the hot clique is capped away
+    assert got == {("c0", "c1")}
+    over = DD.oversized_hamming_buckets(
+        df, "phash", id_col="image_id", max_bucket=10).collect()
+    assert {(r["block"], r["bsz"]) for r in over} == {
+        (b, 50) for b in range(4)}
+    # uncapped: the clique is found in full (50 choose 2 at distance 0)
+    full = DD.hamming_near_pairs(
+        df, "phash", id_col="image_id", max_hamming=3)
+    assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_negative_hash_blocks_unsigned(spark) -> None:
+    """Bit-63 perturbation: shiftrightunsigned must place the sign
+    bit in block 3, not smear it across blocks."""
+    rows = [("a", -(2 ** 63)), ("b", 0), ("c", -(2 ** 63) + (1 << 16))]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in DD.hamming_near_pairs(
+               df, "phash", id_col="image_id", max_hamming=2).collect()}
+    # c = bit63|bit16 → distance 1 from a (bit63), 2 from b (zero)
+    assert got == {("a", "b", 1), ("a", "c", 1), ("b", "c", 2)}
+
+
+def test_single_join_plan(spark, hashed) -> None:
+    """ONE self-equi-join over the posexploded block relation — the
+    plan must not contain n_blocks separate joins or any cartesian."""
+    plan = DD.hamming_near_pairs(
+        hashed, "phash", id_col="image_id", max_hamming=3
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+    assert "Cartesian" not in plan
