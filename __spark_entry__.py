@@ -2014,6 +2014,80 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-level delta between two snapshots of the orders table —
+    the finest face of the north_star's cross-snapshot comparison
+    (schema_drift = column level, tdigest/categorical = distribution
+    level, this = per-key rows): one full-outer sort-merge join on
+    the key, null-safe JVM comparisons, emitting (key, status,
+    changed_cols). Snapshot old drops key%89==7 rows (→ 'added'),
+    snapshot new drops key%97==3 (→ 'removed'), mutates
+    o_orderstatus on key%31==5 and o_totalprice on key%13==0, and
+    NULLs o_orderpriority on key%41==11 (value→NULL must register as
+    changed — the null-safe branch). NULL keys are excluded up front
+    (a row diff needs a key; NULL keys belong to the validation
+    queries); duplicate keys survive with identical full-outer
+    semantics in both engines."""
+    base = _t(spark, sf_dir, "orders").where("o_orderkey IS NOT NULL")
+    old = base.where("o_orderkey % 89 != 7")
+    new = (
+        base.where("o_orderkey % 97 != 3")
+        .withColumn("o_orderstatus", F.expr(
+            "IF(o_orderkey % 31 = 5, 'X', o_orderstatus)"))
+        .withColumn("o_totalprice", F.expr(
+            "IF(o_orderkey % 13 = 0, o_totalprice + 1.5, o_totalprice)"))
+        .withColumn("o_orderpriority", F.expr(
+            "IF(o_orderkey % 41 = 11, NULL, o_orderpriority)"))
+    )
+    return checks.snapshot_row_diff(
+        old, new, "o_orderkey",
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice",
+                      "o_orderpriority"],
+    )
+
+
+_SNAPSHOT_ROW_DIFF_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey IS NOT NULL),
+o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 89 != 7
+),
+n AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 31 = 5 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 41 = 11 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM base WHERE o_orderkey % 97 != 3
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_custkey IS DISTINCT FROM n.o_custkey AS d_cust,
+         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_stat,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS d_price,
+         o.o_orderpriority IS DISTINCT FROM n.o_orderpriority AS d_prio
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN in_old AND in_new THEN nullif(concat_ws(',',
+            CASE WHEN d_cust THEN 'o_custkey' END,
+            CASE WHEN d_stat THEN 'o_orderstatus' END,
+            CASE WHEN d_price THEN 'o_totalprice' END,
+            CASE WHEN d_prio THEN 'o_orderpriority' END), '')
+       END AS changed_cols
+FROM j
+WHERE NOT in_old OR NOT in_new OR d_cust OR d_stat OR d_price OR d_prio
+"""
+
+
 _LEDGER_RULES: dict = {
     "event_type": {"type": "string",
                    "allowed": ["click", "view", "purchase"]},
@@ -2180,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_drift": q_tdigest_drift,
         "hot_keys_phash": q_hot_keys_phash,
         "img_phash_near_dups": q_img_phash_near_dups,
+        "snapshot_row_diff": q_snapshot_row_diff,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -2870,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_drift": _TDIGEST_DRIFT_SQL,
         "hot_keys_phash": _hot_keys_sql(),
         "img_phash_near_dups": _phash_near_dups_sql(),
+        "snapshot_row_diff": _SNAPSHOT_ROW_DIFF_SQL,
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,

@@ -983,3 +983,98 @@ def snapshot_drift_report(
         or any(r["drifted"] for r in report["categorical"].values())
     )
     return report
+
+
+def snapshot_row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level delta between two snapshots of a keyed table — the
+    finest-grained face of the north_star's "compared across
+    snapshots" family (schema_drift = column level, tdigest/
+    categorical drift = distribution level, this = row level).
+
+    ONE full-outer sort-merge join on the key columns (both sides
+    shuffle-partitioned on the same key, so the join co-locates; AQE
+    handles skewed keys); every comparison is a null-safe JVM-side
+    predicate — no UDFs, no driver collect. Emits one row per
+    differing key: the key columns, ``status`` in
+    ('added', 'removed', 'changed'), and ``changed_cols`` — a
+    comma-joined list (in ``compare_cols`` order) of the columns
+    whose values differ, NULL for added/removed rows. Unchanged rows
+    are dropped unless ``include_unchanged`` (they dominate at scale;
+    the filter happens before any further stage).
+
+    ``compare_cols`` defaults to every shared non-key column whose
+    type matches on both sides (type-changed columns belong to
+    ``schema_drift``, not a value diff). Comparison is null-safe
+    (NULL == NULL is "unchanged"), exact for atomics and structural
+    for arrays/structs/maps via Spark's ``<=>``.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if compare_cols is None:
+        ta = {f.name: f.dataType for f in old.schema.fields}
+        tb = {f.name: f.dataType for f in new.schema.fields}
+        compare_cols = [
+            c for c in old.columns
+            if c not in key_list and c in tb and ta[c] == tb[c]
+        ]
+    cmp_list = list(compare_cols)
+    a = old.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_list],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"a_{c}") for c in cmp_list],
+    )
+    b = new.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_list],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"b_{c}") for c in cmp_list],
+    )
+    j = a.join(b, on=[f"k_{c}" for c in key_list], how="full_outer")
+    diffs = [
+        (~F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))).alias(f"d_{c}")
+        for c in cmp_list
+    ]
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    any_diff = None
+    for c in cmp_list:
+        d = F.col(f"d_{c}")
+        any_diff = d if any_diff is None else (any_diff | d)
+    if any_diff is None:
+        any_diff = F.lit(False)
+    changed_cols = F.when(
+        F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(),
+        F.nullif(
+            F.concat_ws(",", *[
+                F.when(F.col(f"d_{c}"), F.lit(c)) for c in cmp_list
+            ]),
+            F.lit(""),
+        ),
+    )
+    out = (
+        j.select("*", *diffs)
+        .select(
+            *[F.col(f"k_{c}").alias(c) for c in key_list],
+            status.alias("status"),
+            changed_cols.alias("changed_cols"),
+            (F.col("_in_old").isNull() | F.col("_in_new").isNull()
+             | any_diff).alias("_differs"),
+        )
+    )
+    if not include_unchanged:
+        out = out.where(F.col("_differs"))
+    else:
+        out = out.withColumn(
+            "status",
+            F.when(~F.col("_differs"), F.lit("unchanged"))
+            .otherwise(F.col("status")),
+        )
+    return out.drop("_differs")
