@@ -2014,6 +2014,55 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+PNG_AUDIT_N = 3000
+
+
+def q_img_png_chunk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level forensic audit of PNG payloads (the check a
+    validation engine owes a 10^12-image table BEFORE any decode):
+    tolerant chunk walk verifying every chunk's CRC-32, continuing
+    past mismatches — zlib happily inflates streams whose container
+    CRC proves a flipped byte. Corruption is planted JVM-SIDE on the
+    real payload bytes (binary substring/concat — no Python in the
+    plant): id%17==9 → last 20 bytes dropped (cuts into IDAT's tail
+    → structural 'malformed'), else id%11==5 → the IEND CRC zeroed
+    (its true value is the constant AE426082, so 'crc_mismatch' on
+    exactly 'IEND'). The minimal writer emits exactly IHDR/IDAT/IEND
+    (pinned in test_pngcodec), so every verdict column is pure id
+    arithmetic for the oracle."""
+    from cerberus_cpp_spark.operators.image_checks import png_chunk_audit
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(
+        spark, PNG_AUDIT_N, violation_every=None, with_bytes=True,
+        partitions=8,
+    ).where("fmt = 'png'")
+    planted = df.withColumn("bytes", F.expr("""
+        CASE WHEN id % 17 = 9
+               THEN substring(bytes, 1, length(bytes) - 20)
+             WHEN id % 11 = 5
+               THEN concat(substring(bytes, 1, length(bytes) - 4),
+                           X'00000000')
+             ELSE bytes END"""))
+    return png_chunk_audit(planted)
+
+
+_PNG_AUDIT_SQL = f"""
+WITH g AS (
+  SELECT range AS id FROM range(0, {PNG_AUDIT_N}) WHERE range % 3 = 1
+)
+SELECT printf('img-%012d', id) AS image_id,
+       CASE WHEN id % 17 = 9 THEN 'malformed'
+            WHEN id % 11 = 5 THEN 'crc_mismatch'
+            ELSE 'ok' END AS verdict,
+       (CASE WHEN id % 17 = 9 THEN NULL ELSE 3 END)::INT AS n_chunks,
+       CASE WHEN id % 17 = 9 THEN NULL
+            WHEN id % 11 = 5 THEN 'IEND' END AS bad_chunks,
+       CASE WHEN id % 17 = 9 THEN 'truncated PNG chunk' END AS message
+FROM g
+"""
+
+
 def q_snapshot_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW-level delta between two snapshots of the orders table —
     the finest face of the north_star's cross-snapshot comparison
@@ -2255,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_phash": q_hot_keys_phash,
         "img_phash_near_dups": q_img_phash_near_dups,
         "snapshot_row_diff": q_snapshot_row_diff,
+        "img_png_chunk_audit": q_img_png_chunk_audit,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -2946,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_keys_phash": _hot_keys_sql(),
         "img_phash_near_dups": _phash_near_dups_sql(),
         "snapshot_row_diff": _SNAPSHOT_ROW_DIFF_SQL,
+        "img_png_chunk_audit": _PNG_AUDIT_SQL,
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,

@@ -78,6 +78,36 @@ def _chunks(data: bytes, *, verify_crc: bool = True):
     raise ValueError("PNG stream missing IEND")
 
 
+def audit_chunks(data: bytes) -> list[tuple[str, int, int, bool]]:
+    """Tolerant forensic chunk walk: (chunk_type, offset, length,
+    crc_ok) for every chunk, CONTINUING past CRC mismatches (the
+    point of an audit is to enumerate all damage, not stop at the
+    first) — zlib often tolerates a flipped byte the CRC catches, so
+    a validation engine must look at the container, not just whether
+    decode happens to succeed. Raises ValueError only on STRUCTURAL
+    damage (no magic, truncated chunk, missing IEND), which callers
+    map to a 'malformed' verdict."""
+    if not sniff_png(data):
+        raise ValueError("not a PNG stream")
+    out = []
+    pos = len(PNG_MAGIC)
+    n = len(data)
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise ValueError("truncated PNG chunk")
+        payload = data[pos + 8:end]
+        (crc,) = struct.unpack_from(">I", data, end)
+        ok = crc == (zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        out.append((tag.decode("latin-1"), pos, length, ok))
+        if tag == b"IEND":
+            return out
+        pos = end + 4
+    raise ValueError("PNG stream missing IEND")
+
+
 def png_header_info(data: bytes) -> tuple[int, int]:
     if not sniff_png(data) or len(data) < 24 \
             or data[12:16] != b"IHDR":

@@ -422,3 +422,35 @@ def test_fidelity_verdicts_partition_the_corpus(spark, with_bytes) -> None:
     assert len(none_row) == 1 and none_row[0]["verdict"] == "no_reference"
     for r in res:
         assert (r["verdict"] == "ok") == bool(r["pixels_ok"])
+
+
+def test_png_chunk_audit_operator(spark) -> None:
+    """Spark-side audit: ok / crc_mismatch (mid-stream, walk
+    continues) / malformed (foreign bytes + truncation) /
+    no_payload routing — all verdicts, never a job kill."""
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.image_checks import png_chunk_audit
+    from cerberus_cpp_spark.sources.imagegen import encode_png
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    good = encode_png(px)
+    mid = bytearray(good)
+    mid[16] ^= 0xFF  # IHDR payload byte → IHDR CRC fails, walk goes on
+    rows = [
+        ("ok", bytes(good)),
+        ("midcrc", bytes(mid)),
+        ("trunc", bytes(good[:-14])),
+        ("foreign", b"GIF89a not a png"),
+        ("nopay", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in png_chunk_audit(df).collect()}
+    assert got["ok"]["verdict"] == "ok" and got["ok"]["n_chunks"] == 3
+    assert got["midcrc"]["verdict"] == "crc_mismatch"
+    assert got["midcrc"]["bad_chunks"] == "IHDR"
+    assert got["midcrc"]["n_chunks"] == 3  # kept walking past the bad CRC
+    assert got["trunc"]["verdict"] == "malformed"
+    assert "truncated" in got["trunc"]["message"]
+    assert got["foreign"]["verdict"] == "malformed"
+    assert got["nopay"]["verdict"] == "no_payload"

@@ -158,3 +158,42 @@ def test_property_roundtrip(w, h, seed, fm, mode, interlace):
                            interlace=interlace)
     assert P.png_header_info(data) == (w, h)
     assert np.array_equal(P.decode_png(data), img)
+
+
+def test_audit_chunks_continues_past_crc_mismatch() -> None:
+    """Mid-stream corruption: the audit reports the bad chunk AND
+    keeps walking (decode-oriented walkers stop; forensics must
+    enumerate all damage)."""
+    import numpy as np
+
+    from cerberus_cpp_spark.sources.imagegen import encode_png
+    from cerberus_cpp_spark.sources.pngcodec import audit_chunks
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    blob = bytearray(encode_png(px))
+    assert [t for t, *_ in audit_chunks(bytes(blob))] == [
+        "IHDR", "IDAT", "IEND"]
+    # flip one byte inside IHDR's payload (offset 8 + 8 = data start)
+    blob[16] ^= 0xFF
+    got = audit_chunks(bytes(blob))
+    assert [(t, ok) for t, _, _, ok in got] == [
+        ("IHDR", False), ("IDAT", True), ("IEND", True)]
+    # offsets and lengths are reported for every chunk
+    assert got[0][1:3] == (8, 13) and got[2][2] == 0
+
+
+def test_audit_chunks_structural_errors() -> None:
+    import numpy as np
+    import pytest
+
+    from cerberus_cpp_spark.sources.imagegen import encode_png
+    from cerberus_cpp_spark.sources.pngcodec import audit_chunks
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = encode_png(px)
+    with pytest.raises(ValueError, match="truncated"):
+        audit_chunks(blob[:-14])
+    with pytest.raises(ValueError, match="not a PNG"):
+        audit_chunks(b"\xff\xd8\xff\xe0 not png")
+    with pytest.raises(ValueError, match="IEND"):
+        audit_chunks(blob[: len(blob) - 12])  # exact IEND removal
