@@ -2137,6 +2137,89 @@ WHERE NOT in_old OR NOT in_new OR d_cust OR d_stat OR d_price OR d_prio
 """
 
 
+def q_incremental_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL validation across snapshots: revalidate ONLY the
+    rows that are added or changed vs the previous snapshot
+    (checks.incremental_validation_targets = snapshot_row_diff delta
+    keys → left-semi join), then run the compiled rule pass on that
+    subset. The unchanged >90% of the table — including its
+    already-known violations — is never re-read by the validator;
+    the planted o_orderstatus='X' mutation (key%31==5) surfaces as a
+    fresh allowed-rule violation while identical pre-existing
+    violations on untouched rows stay out of the delta. Oracle:
+    DuckDB replays the delta-key set (distinct full-outer-diff keys,
+    exactly the semi-join semantics under duplicate keys) and the
+    rule SQL over the mutated new snapshot restricted to it."""
+    base = _t(spark, sf_dir, "orders").where("o_orderkey IS NOT NULL")
+    old = base.where("o_orderkey % 89 != 7")
+    new = (
+        base.where("o_orderkey % 97 != 3")
+        .withColumn("o_orderstatus", F.expr(
+            "IF(o_orderkey % 31 = 5, 'X', o_orderstatus)"))
+        .withColumn("o_totalprice", F.expr(
+            "IF(o_orderkey % 13 = 0, o_totalprice + 1.5, o_totalprice)"))
+        .withColumn("o_orderpriority", F.expr(
+            "IF(o_orderkey % 41 = 11, NULL, o_orderpriority)"))
+    )
+    targets = checks.incremental_validation_targets(
+        old, new, "o_orderkey",
+        compare_cols=["o_custkey", "o_orderstatus", "o_totalprice",
+                      "o_orderpriority"],
+    )
+    tv = TableValidator(ORDERS_RULES, allow_unknown=True)
+    return tv.validate(targets).violations("o_orderkey")
+
+
+_INCR_VALIDATION_SQL = """
+WITH base AS (SELECT * FROM orders WHERE o_orderkey IS NOT NULL),
+o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 89 != 7
+),
+n AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 31 = 5 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 41 = 11 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM base WHERE o_orderkey % 97 != 3
+),
+dk AS (
+  SELECT DISTINCT coalesce(o.o_orderkey, n.o_orderkey) AS k
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+  WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+     OR o.o_custkey IS DISTINCT FROM n.o_custkey
+     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+     OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+),
+t AS (SELECT * FROM n WHERE o_orderkey IN (SELECT k FROM dk))
+SELECT o_orderkey, '^.o_orderkey' AS path,
+       'min-rule violated' AS message
+  FROM t WHERE NOT (o_orderkey > 0)
+UNION ALL
+SELECT o_orderkey, '^.o_custkey', 'required-rule violated: field missing'
+  FROM t WHERE o_custkey IS NULL
+UNION ALL
+SELECT o_orderkey, '^.o_orderstatus', 'value disallowed by allowed-rule'
+  FROM t WHERE o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('O','F','P')
+UNION ALL
+SELECT o_orderkey, '^.o_totalprice', 'min-rule violated'
+  FROM t WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice > 0)
+UNION ALL
+SELECT o_orderkey, '^.o_totalprice', 'max-rule violated'
+  FROM t WHERE o_totalprice IS NOT NULL AND o_totalprice >= 300000
+UNION ALL
+SELECT o_orderkey, '^.o_orderpriority', 'regex-rule violated'
+  FROM t WHERE o_orderpriority IS NOT NULL
+           AND NOT regexp_full_match(o_orderpriority, '[1-3]-[A-Z ]+')
+"""
+
+
 _LEDGER_RULES: dict = {
     "event_type": {"type": "string",
                    "allowed": ["click", "view", "purchase"]},
@@ -2305,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_phash_near_dups": q_img_phash_near_dups,
         "snapshot_row_diff": q_snapshot_row_diff,
         "img_png_chunk_audit": q_img_png_chunk_audit,
+        "incremental_validation": q_incremental_validation,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -2997,6 +3081,7 @@ def oracle_sql() -> dict[str, str]:
         "img_phash_near_dups": _phash_near_dups_sql(),
         "snapshot_row_diff": _SNAPSHOT_ROW_DIFF_SQL,
         "img_png_chunk_audit": _PNG_AUDIT_SQL,
+        "incremental_validation": _INCR_VALIDATION_SQL,
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,

@@ -1078,3 +1078,27 @@ def snapshot_row_diff(
             .otherwise(F.col("status")),
         )
     return out.drop("_differs")
+
+
+def incremental_validation_targets(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str] | str,
+    *,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The rows of ``new`` a revalidation pass actually needs: keys
+    that are ADDED or CHANGED vs ``old`` (north_star's resume logic
+    applied across snapshots — a nightly run over a trillion-row
+    Iceberg table must not revalidate the >99% of rows yesterday's
+    snapshot already proved). One ``snapshot_row_diff`` full-outer
+    join computes the delta key set, then a left-semi join pulls the
+    target rows; removed keys drop out naturally (they have no new
+    row). AQE picks broadcast vs shuffled semi-join from the
+    measured delta size. Validate the result with ``TableValidator``
+    and union the verdicts into the standing ledger."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    delta = snapshot_row_diff(
+        old, new, key_list, compare_cols=compare_cols,
+    ).where(F.col("status") != "removed").select(*key_list)
+    return new.join(delta, on=key_list, how="left_semi")

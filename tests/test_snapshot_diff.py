@@ -78,3 +78,25 @@ def test_array_columns_structural(spark) -> None:
         [(1, [1, 2]), (2, [3, 4])], "k int, a array<int>")
     rows = checks.snapshot_row_diff(old, new, "k").collect()
     assert [(r["k"], r["status"]) for r in rows] == [(2, "changed")]
+
+
+def test_incremental_validation_targets(spark) -> None:
+    old, new = _frames(spark)
+    got = sorted(r["k"] for r in checks.incremental_validation_targets(
+        old, new, "k").collect())
+    # changed (2, 4) + added (6); unchanged (1, 3) and removed (5) out
+    assert got == [2, 4, 6]
+
+
+def test_incremental_targets_duplicate_keys(spark) -> None:
+    """Duplicate keys: if ANY pair under a key differs, EVERY new row
+    of that key is a target (semi-join on the delta KEY set) — the
+    conservative choice for revalidation."""
+    old = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x")], "k int, s string")
+    new = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "x")], "k int, s string")
+    got = sorted((r["k"], r["s"])
+                 for r in checks.incremental_validation_targets(
+                     old, new, "k").collect())
+    assert got == [(1, "a"), (1, "a")]

@@ -245,3 +245,40 @@ def test_stream_exif_consistency_equals_batch(spark,
     q.awaitTermination(120)
     got = key(spark.sql("SELECT * FROM exif_stream").collect())
     assert got == expected
+
+
+def test_stream_png_chunk_audit_equals_batch(spark,
+                                             tmp_path_factory) -> None:
+    """The PNG container forensic audit (round 4) is a stateless
+    narrow Arrow stage — live-ingest payload screening must emit the
+    same verdicts as the batch pass, including planted corruption."""
+    from cerberus_cpp_spark.operators.image_checks import png_chunk_audit
+
+    src = str(tmp_path_factory.mktemp("stream_audit"))
+    (image_caption_frame(spark, 600, partitions=4, with_bytes=True,
+                         violation_every=None)
+     .where("fmt = 'png'")
+     .withColumn("bytes", F.expr(
+         "CASE WHEN id % 17 = 9"
+         "  THEN substring(bytes, 1, length(bytes) - 20) "
+         "WHEN id % 11 = 5"
+         "  THEN concat(substring(bytes, 1, length(bytes) - 4),"
+         "              X'00000000') "
+         "ELSE bytes END"))
+     .drop("id").write.mode("overwrite").parquet(src))
+    batch = spark.read.parquet(src)
+
+    def key(rows):
+        return sorted(
+            (r["image_id"], r["verdict"], r["n_chunks"],
+             r["bad_chunks"], r["message"]) for r in rows)
+
+    expected = key(png_chunk_audit(batch).collect())
+    assert {v for _, v, *_ in expected} == {
+        "ok", "crc_mismatch", "malformed"}
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (png_chunk_audit(stream).writeStream.format("memory")
+         .queryName("audit_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = key(spark.sql("SELECT * FROM audit_stream").collect())
+    assert got == expected
