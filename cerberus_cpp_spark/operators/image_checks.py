@@ -376,6 +376,7 @@ def image_full_check(
     psnr_threshold_db: float = 40.0,
     id_col: str = "image_id",
     check_dims: bool = True,
+    container_audit: bool = False,
 ) -> DataFrame:
     """BOTH image verdict families from ONE decode pass (r3 verdict
     #5: the pipeline previously ran metadata_consistency_violations
@@ -392,7 +393,15 @@ def image_full_check(
     including its 5-state ``verdict``.
 
     The standalone functions remain the contract/violation-row
-    surfaces; this is the pipeline's fused path."""
+    surfaces; this is the pipeline's fused path.
+
+    ``container_audit=True`` appends ``container_ok boolean,
+    container_msg string`` from the tolerant PNG chunk-CRC walk
+    (:func:`png_chunk_audit`) in the SAME pass — the payload bytes
+    are already in the Arrow batch, so the audit costs zero extra
+    byte reads. NULL for non-PNG payloads (JPEG/GIF/WebP containers
+    carry no per-chunk CRCs; their structural damage already
+    surfaces through the decode probe)."""
     src = df.select(
         F.col(id_col).alias("image_id"), "bytes", "caption",
         F.col("fmt").alias("meta_fmt"),
@@ -415,12 +424,19 @@ def image_full_check(
             synth_pixels,
             webp_is_lossless,
         )
+        from cerberus_cpp_spark.sources.pngcodec import (
+            audit_chunks,
+            sniff_png,
+        )
 
         for pdf in batches:
             out = {"image_id": pdf["image_id"],
                    "n_meta_violations": [], "meta_messages": [],
                    "psnr_db": [], "pixels_ok": [], "caption_ok": [],
                    "verdict": []}
+            if container_audit:
+                out["container_ok"] = []
+                out["container_msg"] = []
             for idx, (img_id, blob, cap) in enumerate(zip(
                 pdf["image_id"], pdf["bytes"], pdf["caption"]
             )):
@@ -438,6 +454,23 @@ def image_full_check(
                         unsupported = True
                     except Exception as e:
                         decode_err = str(e)[:120]
+                # -- container family (PNG chunk CRCs; same Arrow
+                #    batch, zero extra byte reads) --
+                if container_audit:
+                    if blob is not None and sniff_png(bytes(blob)):
+                        try:
+                            bad = [t for t, _, _, ok in
+                                   audit_chunks(bytes(blob)) if not ok]
+                            out["container_ok"].append(not bad)
+                            out["container_msg"].append(
+                                "CRC mismatch: " + ",".join(bad)
+                                if bad else None)
+                        except ValueError as e:
+                            out["container_ok"].append(False)
+                            out["container_msg"].append(str(e)[:120])
+                    else:
+                        out["container_ok"].append(None)
+                        out["container_msg"].append(None)
                 # -- metadata family (one decode, same verdicts as
                 #    metadata_consistency_violations) --
                 if decode_err is not None:
@@ -495,12 +528,12 @@ def image_full_check(
                 out["verdict"].append("ok" if ok else "mismatch")
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(
-        work,
-        schema="image_id string, n_meta_violations int, "
-               "meta_messages array<string>, psnr_db double, "
-               "pixels_ok boolean, caption_ok boolean, verdict string",
-    )
+    schema = ("image_id string, n_meta_violations int, "
+              "meta_messages array<string>, psnr_db double, "
+              "pixels_ok boolean, caption_ok boolean, verdict string")
+    if container_audit:
+        schema += ", container_ok boolean, container_msg string"
+    return src.mapInPandas(work, schema=schema)
 
 
 def pixel_phash(df: DataFrame, *, id_col: str = "image_id",

@@ -46,6 +46,7 @@ class PipelineReport:
     drift: Optional[dict]
     image_metadata_violations: Optional[int]
     image_fidelity_failures: Optional[int]
+    container_violations: Optional[int] = None
 
     def passed(self) -> bool:
         checks_ok = (
@@ -54,6 +55,7 @@ class PipelineReport:
             and (self.drift is None or not self.drift["drifted"])
             and not self.image_metadata_violations
             and not self.image_fidelity_failures
+            and not self.container_violations
         )
         rows_ok = all(p["passed"] for p in self.partition_verdicts)
         return checks_ok and rows_ok
@@ -70,6 +72,7 @@ def run_full_validation(
     drift_against: DataFrame | None = None,
     drift_col: str | None = None,
     image_checks: bool = False,
+    png_container_audit: bool = False,
     balance_image_bytes: int | None = None,
     image_total_bytes: int | None = None,
     allow_unknown: bool = True,
@@ -115,7 +118,7 @@ def run_full_validation(
     if drift_against is not None and drift_col:
         drift = checks.quantile_drift(df, drift_against, drift_col)
 
-    img_meta = img_fid = None
+    img_meta = img_fid = container = None
     if image_checks:
         # ONE decode pass for both image verdict families, and ONE
         # action for both counts (r3 verdict #5: two full decodes of
@@ -133,15 +136,24 @@ def run_full_validation(
             img_in = size_balanced(
                 df, "bytes", target_bytes=balance_image_bytes,
                 total_bytes=image_total_bytes)
-        combined = image_full_check(img_in)
-        row = combined.agg(
+        combined = image_full_check(
+            img_in, container_audit=png_container_audit)
+        aggs = [
             F.coalesce(F.sum("n_meta_violations"), F.lit(0))
             .alias("meta"),
             F.coalesce(
                 F.sum((~F.col("pixels_ok") | ~F.col("caption_ok"))
                       .cast("long")), F.lit(0)).alias("fid"),
-        ).collect()[0]
+        ]
+        if png_container_audit:
+            # NULL container_ok = non-PNG payload, not a violation
+            aggs.append(F.coalesce(
+                F.sum((F.col("container_ok") == F.lit(False))
+                      .cast("long")), F.lit(0)).alias("cont"))
+        row = combined.agg(*aggs).collect()[0]
         img_meta, img_fid = int(row["meta"]), int(row["fid"])
+        if png_container_audit:
+            container = int(row["cont"])
 
     return PipelineReport(
         run=run,
@@ -151,4 +163,5 @@ def run_full_validation(
         drift=drift,
         image_metadata_violations=img_meta,
         image_fidelity_failures=img_fid,
+        container_violations=container,
     )

@@ -454,3 +454,32 @@ def test_png_chunk_audit_operator(spark) -> None:
     assert "truncated" in got["trunc"]["message"]
     assert got["foreign"]["verdict"] == "malformed"
     assert got["nopay"]["verdict"] == "no_payload"
+
+
+def test_image_full_check_container_column(spark) -> None:
+    """container_audit=True: PNG rows get a real verdict from the
+    chunk walk; non-PNG rows are NULL (their containers have no
+    CRCs); schema is unchanged when the flag is off."""
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.image_checks import image_full_check
+    from cerberus_cpp_spark.sources.imagegen import encode_pixels
+
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    good = encode_pixels(px, "png")
+    bad = good[:-4] + b"\x00\x00\x00\x00"
+    jpg = encode_pixels(px, "jpeg")
+    df = spark.createDataFrame(
+        [("img-000000000001", good, "c", "png", 7, 5),
+         ("img-000000000002", bad, "c", "png", 7, 5),
+         ("img-000000000003", jpg, "c", "jpeg", 7, 5)],
+        "image_id string, bytes binary, caption string, fmt string,"
+        " w int, h int")
+    out = {r["image_id"][-1]: r
+           for r in image_full_check(df, container_audit=True).collect()}
+    assert out["1"]["container_ok"] is True
+    assert out["2"]["container_ok"] is False
+    assert "IEND" in out["2"]["container_msg"]
+    assert out["3"]["container_ok"] is None
+    cols = image_full_check(df).columns
+    assert "container_ok" not in cols

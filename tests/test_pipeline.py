@@ -62,3 +62,32 @@ def test_pipeline_resume_skips_done(spark, table, tmp_path) -> None:
     assert r2.run["partitions_processed"] == 0
     # verdicts still reported from the ledger
     assert len(r2.partition_verdicts) == 6
+
+
+def test_pipeline_container_audit(spark, tmp_path) -> None:
+    """png_container_audit=True folds the chunk-CRC walk into the
+    SAME decode pass: corrupted PNG containers count as
+    container_violations; non-PNG payloads are NULL (not counted)."""
+    df = (image_caption_frame(spark, 300, partitions=4,
+                              with_bytes=True, violation_every=None)
+          .withColumn("part", F.expr("pmod(id, 3)"))
+          .withColumn("bytes", F.expr(
+              "IF(fmt = 'png' AND id % 30 = 1, "
+              "concat(substring(bytes, 1, length(bytes) - 4),"
+              "       X'00000000'), bytes)"))
+          .drop("id"))
+    report = run_full_validation(
+        df, IMAGE_TABLE_RULES, partition_col="part",
+        ledger_path=str(tmp_path / "ledger"),
+        image_checks=True, png_container_audit=True,
+    )
+    # ids ≡ 1 (mod 30) are png rows (1 % 3 == 1): 10 planted
+    assert report.container_violations == 10
+    assert report.passed() is False
+    # audit off → field None, fidelity unaffected by the CRC flip
+    report2 = run_full_validation(
+        df, IMAGE_TABLE_RULES, partition_col="part",
+        ledger_path=str(tmp_path / "ledger2"),
+        image_checks=True,
+    )
+    assert report2.container_violations is None
