@@ -2137,6 +2137,66 @@ WHERE NOT in_old OR NOT in_new OR d_cust OR d_stat OR d_price OR d_prio
 """
 
 
+CONTAINER_AUDIT_N = 3000
+
+
+def q_img_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-GENERIC container-integrity audit over mixed real
+    payloads (JPEG marker/EOI walk, PNG chunk CRCs, RIFF size/chunk
+    bounds): plants are JVM-side binary edits. id%10==7 drops the
+    last two bytes — three different structural failures, one per
+    format (JPEG loses its EOI, PNG its IEND, RIFF its declared
+    size). id%10==3 zeroes the PNG IEND CRC (caught: crc_mismatch)
+    but only flips a CONTENT byte on JPEG/WebP — which their
+    containers provably cannot catch (no checksums), so those rows
+    stay 'ok': the oracle records exactly which formats' containers
+    protect integrity and which don't. The flipped JPEG byte is the
+    last entropy byte: if its predecessor is 0xFF the original was
+    necessarily a 0x00 stuffing byte (the walk is invariant either
+    way), so the outcome is deterministic."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_container_audit,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(
+        spark, CONTAINER_AUDIT_N, violation_every=None,
+        with_bytes=True, partitions=8)
+    planted = df.withColumn("bytes", F.expr("""
+        CASE WHEN id % 10 = 7
+               THEN substring(bytes, 1, length(bytes) - 2)
+             WHEN id % 10 = 3 AND id % 3 = 1
+               THEN concat(substring(bytes, 1, length(bytes) - 4),
+                           X'00000000')
+             WHEN id % 10 = 3
+               THEN concat(substring(bytes, 1, length(bytes) - 3),
+                           X'00',
+                           substring(bytes, length(bytes) - 1, 2))
+             ELSE bytes END"""))
+    return image_container_audit(planted)
+
+
+_CONTAINER_AUDIT_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ['jpeg', 'png', 'webp'][(range % 3)::INT + 1] AS fmt
+  FROM range(0, {CONTAINER_AUDIT_N})
+)
+SELECT printf('img-%012d', id) AS image_id, fmt,
+       CASE WHEN id % 10 = 7 THEN 'malformed'
+            WHEN id % 10 = 3 AND fmt = 'png' THEN 'crc_mismatch'
+            ELSE 'ok' END AS verdict,
+       CASE WHEN id % 10 = 7 AND fmt = 'jpeg' THEN 'missing EOI'
+            WHEN id % 10 = 7 AND fmt = 'png'
+              THEN 'PNG stream missing IEND'
+            WHEN id % 10 = 7 AND fmt = 'webp' THEN 'truncated RIFF'
+            WHEN id % 10 = 3 AND fmt = 'png'
+              THEN 'CRC mismatch: IEND'
+       END AS detail
+FROM g
+"""
+
+
 def q_incremental_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL validation across snapshots: revalidate ONLY the
     rows that are added or changed vs the previous snapshot
@@ -2389,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_row_diff": q_snapshot_row_diff,
         "img_png_chunk_audit": q_img_png_chunk_audit,
         "incremental_validation": q_incremental_validation,
+        "img_container_audit": q_img_container_audit,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -3082,6 +3143,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_row_diff": _SNAPSHOT_ROW_DIFF_SQL,
         "img_png_chunk_audit": _PNG_AUDIT_SQL,
         "incremental_validation": _INCR_VALIDATION_SQL,
+        "img_container_audit": _CONTAINER_AUDIT_SQL,
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,

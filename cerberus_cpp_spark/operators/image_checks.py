@@ -783,3 +783,44 @@ def png_chunk_audit(df: DataFrame, *, id_col: str = "image_id",
         probe,
         schema="image_id string, verdict string, n_chunks int, "
                "bad_chunks string, message string")
+
+
+def image_container_audit(df: DataFrame, *, id_col: str = "image_id",
+                          bytes_col: str = "bytes") -> DataFrame:
+    """Format-generic container-integrity audit
+    (``sources.containeraudit``): sniff each payload and run the
+    matching structural walk — PNG chunk CRCs, JPEG marker/EOI walk,
+    RIFF size/chunk bounds, GIF block chain + trailer, BMP and TIFF
+    bounds (including strip extents). One narrow Arrow pass, zero
+    pixel decode; decoder tolerance never masks container damage
+    (our JPEG decoder forgives a missing EOI — this check does not).
+    Per row: (image_id, fmt, verdict ∈ ok/crc_mismatch/malformed/
+    unknown_format/no_payload, detail)."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.containeraudit import (
+            audit_container,
+        )
+
+        for pdf in batches:
+            fmts, verdicts, details = [], [], []
+            for blob in pdf[bytes_col]:
+                fmt, verdict, detail = audit_container(
+                    None if blob is None else bytes(blob))
+                fmts.append(fmt)
+                verdicts.append(verdict)
+                details.append(detail)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "fmt": fmts,
+                "verdict": verdicts, "detail": details})
+
+    return src.mapInPandas(
+        probe,
+        schema="image_id string, fmt string, verdict string, "
+               "detail string")
