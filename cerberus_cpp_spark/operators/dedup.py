@@ -427,21 +427,49 @@ def simhash_near_pairs(
     )
 
 
+def _hamming_widths(n_blocks: int, block_bits: int | None) -> list[int]:
+    """Per-block bit widths covering all 64 bits as evenly as
+    possible (explicit ``block_bits`` pins a uniform width)."""
+    if block_bits is not None:
+        return [block_bits] * n_blocks
+    base, extra = divmod(64, n_blocks)
+    return [base + (1 if b < extra else 0) for b in range(n_blocks)]
+
+
 def _hamming_blocked(
     df: DataFrame, hash_col: str, id_col: str,
-    n_blocks: int, block_bits: int,
+    n_blocks: int, block_bits: int | None, combo: int = 1,
 ) -> DataFrame:
-    """(id, hash, block, bkey): one row per (row, block) via
-    posexplode — all blocks in a single relation so candidate
-    generation is ONE self-join shuffled on (block, bkey), mirroring
-    ``_banded_keys``. ``shiftrightunsigned`` keeps block extraction
-    correct for negative int64 hashes (bit 63 set)."""
-    mask = (1 << block_bits) - 1
-    keys = [
-        F.shiftrightunsigned(F.col(hash_col), b * block_bits)
-        .bitwiseAND(F.lit(mask))
+    """(id, hash, block, bkey): one row per (row, block-combination)
+    via posexplode — all combination tables in a single relation so
+    candidate generation is ONE self-join shuffled on (block, bkey),
+    mirroring ``_banded_keys``. ``shiftrightunsigned`` keeps block
+    extraction correct for negative int64 hashes (bit 63 set).
+
+    ``combo`` is the number of blocks concatenated into each key
+    (Manku/Jain/Das Sarma's multi-table design): with m blocks and
+    distance ≤ k, at least m−k blocks are untouched, so every
+    c-combination table with c ≤ m−k recalls every qualifying pair
+    — and a c-block key is c× wider, shrinking bucket sizes (hence
+    the quadratic in-bucket cost) by 2^((c−1)·width) at the price of
+    C(m, c) exploded rows per input row instead of m."""
+    from itertools import combinations
+
+    widths = _hamming_widths(n_blocks, block_bits)
+    offsets = [sum(widths[:b]) for b in range(n_blocks)]
+    blocks = [
+        F.shiftrightunsigned(F.col(hash_col), offsets[b])
+        .bitwiseAND(F.lit((1 << widths[b]) - 1))
         for b in range(n_blocks)
     ]
+    keys = []
+    for comb in combinations(range(n_blocks), combo):
+        key = None
+        for b in comb:
+            part = blocks[b]
+            key = part if key is None else \
+                F.shiftleft(key, widths[b]) + part
+        keys.append(key)
     return df.select(
         F.col(id_col), F.col(hash_col),
         F.posexplode(F.array(*keys)).alias("block", "bkey"),
@@ -450,7 +478,8 @@ def _hamming_blocked(
 
 def hamming_near_pairs(
     df: DataFrame, hash_col: str, *, id_col: str = "doc_id",
-    max_hamming: int = 3, n_blocks: int = 4, block_bits: int = 16,
+    max_hamming: int = 3, n_blocks: int = 4,
+    block_bits: int | None = 16, combo: int = 1,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` on an
@@ -464,25 +493,34 @@ def hamming_near_pairs(
     (id_a, id_b, hamming), complete — no LSH-style recall loss.
 
     Scale notes: one shuffle for the self-join on (block, bkey) —
-    blocks live in a single posexploded relation, not n_blocks
-    separate joins. On a trillion-row table a 16-bit block has only
-    65k buckets, so real-phash distributions make buckets huge:
-    cap them with ``max_bucket`` (dropped buckets are surfaced by
+    all combination tables live in a single posexploded relation,
+    not separate joins — and the Hamming verify runs INSIDE the join
+    projection so failing candidates die in whole-stage codegen
+    without ever being shuffled (the ``distinct`` sees only
+    qualifying triples; this took 10M rows from a >10-minute timeout
+    to 8s, BENCH §28). The asymptotic knob is ``combo`` (blocks per
+    key, Manku et al. WWW'07 §3.1.1): candidate volume is
+    ~C(m,c)·N²/2^(c·width). Single-block 16-bit keys (the default)
+    mean ~4·N²/65536 in-join compares — measured fine through 10M
+    rows, quadratically doomed by ~10^9 — while c=3 over m=6 blocks
+    (20 tables, ~32-bit keys) shrinks buckets by ~2^21 for a 5×
+    wider shuffle: slower at local scales, the only viable shape at
+    crawl scale. Residual hot buckets (low-entropy hash regions —
+    all-dark thumbnails: measured 75% of rows in ONE bucket → one
+    straggler task owning billions of compares) are capped with
+    ``max_bucket`` (dropped buckets are surfaced by
     ``oversized_hamming_buckets``, never silent — the same contract
-    as the MinHash LSH path) and/or raise ``block_bits`` with more
-    blocks (8 × 8-bit blocks are complete for distance ≤ 7 and cut
-    per-bucket quadratic cost). AQE skew-join splits residual hot
-    buckets. Verification stays JVM-side (bit_count/xor codegen).
+    as the MinHash LSH path); AQE skew-join splits the rest.
     """
-    if n_blocks <= max_hamming:
+    if combo < 1 or max_hamming > n_blocks - combo:
         raise ValueError(
-            f"completeness needs n_blocks > max_hamming "
-            f"(pigeonhole): got {n_blocks} blocks for distance "
-            f"{max_hamming}")
-    if n_blocks * block_bits > 64:
+            f"completeness needs max_hamming ≤ n_blocks - combo "
+            f"(pigeonhole): got distance {max_hamming} with "
+            f"{n_blocks} blocks, {combo}-block keys")
+    if block_bits is not None and n_blocks * block_bits > 64:
         raise ValueError("n_blocks * block_bits must be ≤ 64")
     banded = _hamming_blocked(df, hash_col, id_col, n_blocks,
-                              block_bits)
+                              block_bits, combo)
     if max_bucket is not None:
         oversized = (
             banded.groupBy("block", "bkey")
@@ -498,31 +536,33 @@ def hamming_near_pairs(
         )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    # verify INSIDE the join projection, BEFORE the distinct: real
+    # corpora reject most candidates here, so the dedup shuffle
+    # carries only qualifying (id_a, id_b, hamming) triples instead
+    # of every candidate with both 8-byte signatures
+    return (
         a.join(b, on=["block", "bkey"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where((F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               & (hamming <= F.lit(max_hamming)))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"a.{hash_col}").alias("sig_a"),
-                F.col(f"b.{hash_col}").alias("sig_b"))
+                hamming.alias("hamming"))
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
 def oversized_hamming_buckets(
     df: DataFrame, hash_col: str, *, id_col: str = "doc_id",
-    n_blocks: int = 4, block_bits: int = 16, max_bucket: int = 1000,
+    n_blocks: int = 4, block_bits: int | None = 16, combo: int = 1,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """The (block, bkey, bsz) buckets a ``max_bucket`` cap would drop
     from ``hamming_near_pairs`` — surfaced so caps are never silent."""
     return (
-        _hamming_blocked(df, hash_col, id_col, n_blocks, block_bits)
+        _hamming_blocked(df, hash_col, id_col, n_blocks, block_bits,
+                         combo)
         .groupBy("block", "bkey")
         .agg(F.count(F.lit(1)).alias("bsz"))
         .where(F.col("bsz") > max_bucket)

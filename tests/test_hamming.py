@@ -128,3 +128,29 @@ def test_single_join_plan(spark, hashed) -> None:
     )._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 1
     assert "Cartesian" not in plan
+
+
+def test_combination_blocking_complete(spark, hashed) -> None:
+    """Manku-style c-block keys (m=6, c=3 → 20 tables, ~32-bit keys)
+    must return EXACTLY the same pairs as single-block keys — the
+    scale knob changes bucket sizes, never the result."""
+    rows = hashed.collect()
+    ids = [r["image_id"] for r in rows]
+    hs = [r["phash"] & ((1 << 64) - 1) for r in rows]
+    want = _brute_pairs(ids, hs, 3)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.hamming_near_pairs(
+            hashed, "phash", id_col="image_id", max_hamming=3,
+            n_blocks=6, block_bits=None, combo=3,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_combo_pigeonhole_guard() -> None:
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.hamming_near_pairs(None, "phash", max_hamming=3,
+                              n_blocks=6, block_bits=None, combo=4)
