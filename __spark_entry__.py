@@ -1964,6 +1964,33 @@ _PHASH_FLIPS = (0, 1 << 3, (1 << 17) | (1 << 33),
                 (1 << 2) | (1 << 9) | (1 << 18) | (1 << 34) | (1 << 50))
 
 
+def _phash_planted_frame(spark: SparkSession) -> DataFrame:
+    flips = ", ".join(f"{v}L" for v in _PHASH_FLIPS)
+    return spark.range(0, PHASH_NEAR_N, 1, 8).select(
+        F.format_string("img-%012d", F.col("id")).alias("image_id"),
+        F.expr(
+            "(((id DIV 4) * 2654435761L + 99L) & 9223372036854775807L)"
+            f" ^ element_at(array({flips}), cast(id % 4 AS int) + 1)"
+        ).alias("phash"),
+    )
+
+
+def _phash_planted_cte() -> str:
+    flips = ", ".join(str(v) for v in _PHASH_FLIPS)
+    return f"""
+g AS (
+  SELECT range AS id,
+         ((range // 4) * 2654435761 + 99) & 9223372036854775807
+           AS anchor,
+         [{flips}][(range % 4)::INT + 1] AS flip
+  FROM range(0, {PHASH_NEAR_N})
+), t AS (
+  SELECT printf('img-%012d', id) AS image_id,
+         xor(anchor, flip) AS phash
+  FROM g
+)"""
+
+
 def q_img_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate images by perceptual-hash Hamming distance over
     the input_hint's 64-bit phash column — the multi-index blocking
@@ -1979,38 +2006,62 @@ def q_img_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-group pair ≤ 3 would appear on both sides identically)."""
     from cerberus_cpp_spark.operators import dedup
 
-    flips = ", ".join(f"{v}L" for v in _PHASH_FLIPS)
-    df = spark.range(0, PHASH_NEAR_N, 1, 8).select(
-        F.format_string("img-%012d", F.col("id")).alias("image_id"),
-        F.expr(
-            "(((id DIV 4) * 2654435761L + 99L) & 9223372036854775807L)"
-            f" ^ element_at(array({flips}), cast(id % 4 AS int) + 1)"
-        ).alias("phash"),
-    )
     pairs = dedup.hamming_near_pairs(
-        df, "phash", id_col="image_id", max_hamming=3)
+        _phash_planted_frame(spark), "phash", id_col="image_id",
+        max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def _phash_near_dups_sql() -> str:
-    flips = ", ".join(str(v) for v in _PHASH_FLIPS)
     return f"""
-WITH g AS (
-  SELECT range AS id,
-         ((range // 4) * 2654435761 + 99) & 9223372036854775807
-           AS anchor,
-         [{flips}][(range % 4)::INT + 1] AS flip
-  FROM range(0, {PHASH_NEAR_N})
-), t AS (
-  SELECT printf('img-%012d', id) AS image_id,
-         xor(anchor, flip) AS phash
-  FROM g
-)
+WITH {_phash_planted_cte()}
 SELECT a.image_id AS id_a, b.image_id AS id_b,
        bit_count(xor(a.phash, b.phash))::INT AS hamming
 FROM t a JOIN t b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
+def q_img_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE CLUSTERS: the Hamming pair join feeds the
+    connected-components operator (min-label propagation + pointer
+    jumping), so transitively-linked phash variants collapse to one
+    cluster with a canonical survivor — exact dedup policy a training
+    pipeline applies before sampling. Each planted group's members
+    {0,1,2} link pairwise (distances 1/2/3); member 3 sits at ≥5 from
+    all of them and must NOT join the cluster. The oracle replays the
+    brute-force pair set and resolves components with a RECURSIVE
+    reachability walk (same pattern as near_dup_clusters) — it never
+    assumes the plants, so a freak cross-group pair would appear on
+    both sides identically."""
+    from cerberus_cpp_spark.operators import dedup
+
+    pairs = dedup.hamming_near_pairs(
+        _phash_planted_frame(spark), "phash", id_col="image_id",
+        max_hamming=3)
+    return dedup.near_duplicate_clusters(pairs)
+
+
+def _phash_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE {_phash_planted_cte()},
+p AS (
+  SELECT a.image_id AS id_a, b.image_id AS id_b
+  FROM t a JOIN t b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+walk(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) AS keep_id
+FROM walk GROUP BY id
 """
 
 
@@ -2450,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_png_chunk_audit": q_img_png_chunk_audit,
         "incremental_validation": q_incremental_validation,
         "img_container_audit": q_img_container_audit,
+        "img_phash_clusters": q_img_phash_clusters,
         "cat_drift_events": q_cat_drift_events,
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
@@ -3144,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "img_png_chunk_audit": _PNG_AUDIT_SQL,
         "incremental_validation": _INCR_VALIDATION_SQL,
         "img_container_audit": _CONTAINER_AUDIT_SQL,
+        "img_phash_clusters": _phash_clusters_sql(),
         "cat_drift_events": _CAT_DRIFT_SQL,
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
