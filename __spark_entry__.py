@@ -380,6 +380,7 @@ def q_val_defined_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from cerberus_cpp_spark.operators import dedup as _dd
 from cerberus_cpp_spark.operators import similarity as _sim
+from cerberus_cpp_spark.operators import split as _sp
 from cerberus_cpp_spark.operators import text as _tx
 
 
@@ -476,6 +477,47 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived = _docs_chained(spark, sf_dir)
     pairs = _dd.jaccard_pairs(derived, min_jaccard=0.5)
     return _dd.near_duplicate_clusters(pairs)
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (`operators/split.py`):
+    a pure per-key md5-bucket function — narrow, shuffle-free, stable
+    under relayout/appends — whose arithmetic the DuckDB oracle
+    replays bit-for-bit. NULL keys excluded here only because the two
+    engines' NULL-handling parity is pinned separately in
+    tests/test_split.py."""
+    o = _t(spark, sf_dir, "orders").where("o_orderkey IS NOT NULL")
+    return _sp.assign_splits(
+        o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select("o_orderkey", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-40-per-stratum deterministic sample: rows ranked inside
+    each o_orderpriority stratum by (md5 bucket, key). Output columns
+    are a subset of (strata, key), so rank ties among duplicate keys
+    are output-identical — the oracle's row_number choice cannot
+    diverge. The narrow fraction-based path for unbounded strata is
+    covered by tests/test_split.py."""
+    o = _t(spark, sf_dir, "orders").where("o_orderkey IS NOT NULL")
+    return _sp.stratified_exact_sample(
+        o, "o_orderpriority", 40, "o_orderkey", seed=5
+    ).select("o_orderkey", "o_orderpriority")
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe dataset split: Jaccard pairs over the planted
+    transitive-chain corpus → connected components → split keyed on
+    coalesce(cluster_id, doc_id), so a—b—c chains (a,c linked only
+    through b) land in ONE split and eval never sees a train twin.
+    Oracle resolves components with a recursive reachability walk and
+    replays the split arithmetic — it never assumes the plants."""
+    derived = _docs_chained(spark, sf_dir)
+    pairs = _dd.jaccard_pairs(derived, min_jaccard=0.5)
+    clusters = _dd.near_duplicate_clusters(pairs)
+    return _sp.cluster_safe_splits(
+        derived, clusters, {"train": 0.9, "val": 0.1}, seed=13
+    ).select("doc_id", "split_key", "split")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,6 +2505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "near_dups_lsh": q_near_dups_lsh,
         "near_dup_clusters": q_near_dup_clusters,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "cluster_safe_split": q_cluster_safe_split,
         "quarantine_orders": q_quarantine_orders,
         "suggest_orders_rules": q_suggest_orders_rules,
         "suggest_customer_rules": q_suggest_customer_rules,
@@ -2719,11 +2764,13 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
-def _near_dup_clusters_sql() -> str:
-    """DuckDB replay of the clustering pipeline: the SAME planted-chain
-    corpus (identical text construction), complete-Jaccard pairs at
-    0.5, then connected components via a RECURSIVE reachability walk
-    (per-node min reachable id == the operator's min-label result)."""
+def _chain_walk_cte() -> str:
+    """Shared DuckDB CTE chain: the SAME planted-chain corpus as
+    `_docs_chained` (identical text construction), complete-Jaccard
+    pairs at 0.5, symmetric edges, and a RECURSIVE reachability walk
+    whose per-node min reachable id equals the operator's min-label
+    connected-components result. Consumed by both the clustering
+    oracle and the cluster-safe-split oracle."""
     ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
     sb = f"greatest(cast(floor({ntok} / 3) as int), 1)"
     sc = f"greatest({ntok}, 1)"
@@ -2731,8 +2778,7 @@ def _near_dup_clusters_sql() -> str:
              f" FOR i IN range(1, {sb} + 1)], ' ')")
     sfx_c = ("array_to_string([('qc' || doc_id || 'x' || i)"
              f" FOR i IN range(1, {sc} + 1)], ' ')")
-    return f"""
-WITH RECURSIVE chained AS (
+    return f"""chained AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text || ' ' || {sfx_b}
@@ -2774,9 +2820,43 @@ walk(id, r) AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.id
-)
+)"""
+
+
+def _near_dup_clusters_sql() -> str:
+    """DuckDB replay of the clustering pipeline over the shared
+    reachability walk (`_chain_walk_cte`)."""
+    return f"""
+WITH RECURSIVE {_chain_walk_cte()}
 SELECT id AS doc_id, min(r) AS cluster_id, min(r) AS keep_id
 FROM walk GROUP BY id
+"""
+
+
+def _split_bucket_sql(key_sql: str, seed: int) -> str:
+    """The portable md5-bucket arithmetic of `operators/split.py`
+    (first 12 hex chars of md5(key ':' seed) mod 10^6) in DuckDB
+    terms — bit-identical to Spark's conv(substring(md5(..)))."""
+    return (
+        "CAST(concat('0x', substr(md5(concat_ws(':', "
+        f"CAST({key_sql} AS VARCHAR), '{seed}')), 1, 12)) AS BIGINT)"
+        " % 1000000"
+    )
+
+
+def _cluster_safe_split_sql() -> str:
+    """Cluster-safe split oracle: resolve near-dup components with the
+    shared recursive walk, then replay the split arithmetic on
+    coalesce(component min id, doc_id) — every member of a component
+    (including transitively-linked ones) must land in one split."""
+    b = _split_bucket_sql("coalesce(p.cluster_id, c.doc_id)", 13)
+    return f"""
+WITH RECURSIVE {_chain_walk_cte()},
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY id)
+SELECT c.doc_id,
+       coalesce(p.cluster_id, c.doc_id) AS split_key,
+       CASE WHEN {b} < 900000 THEN 'train' ELSE 'val' END AS split
+FROM chained c LEFT JOIN comp p USING (doc_id)
 """
 
 
@@ -3147,6 +3227,24 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _jaccard_sql(),
         "near_dups_lsh": _near_dups_lsh_sql(),
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "dataset_split": f"""
+SELECT o_orderkey,
+       CASE WHEN {_split_bucket_sql('o_orderkey', 7)} < 800000 THEN 'train'
+            WHEN {_split_bucket_sql('o_orderkey', 7)} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM orders WHERE o_orderkey IS NOT NULL
+""",
+        "stratified_sample": f"""
+SELECT o_orderkey, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY {_split_bucket_sql('o_orderkey', 5)}, o_orderkey
+         ) AS rn
+  FROM orders WHERE o_orderkey IS NOT NULL
+) t WHERE rn <= 40
+""",
+        "cluster_safe_split": _cluster_safe_split_sql(),
         "quarantine_orders": _QUARANTINE_SQL,
         "suggest_orders_rules": _suggest_orders_sql(),
         "suggest_customer_rules": _suggest_customer_sql(),

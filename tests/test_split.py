@@ -1,0 +1,220 @@
+"""Deterministic split/sample operators: md5-bucket arithmetic parity
+with DuckDB, layout-invariance, weight accuracy, stratified exact and
+hash paths, cluster-safe assignment, and plan shape (narrow paths add
+zero Exchanges)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import split as sp
+
+
+def _keys(spark, n=4000):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# bucket arithmetic
+# ---------------------------------------------------------------------------
+
+def test_bucket_matches_duckdb(spark) -> None:
+    """The portable arithmetic contract: Spark's conv(md5) bucket and
+    the documented DuckDB CAST('0x..') replay agree bit-for-bit."""
+    got = {
+        r["k"]: r["b"]
+        for r in _keys(spark, 500)
+        .select("k", sp.split_bucket("k", seed=42).alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            """
+            SELECT k,
+                   CAST(concat('0x', substr(
+                        md5(concat_ws(':', CAST(k AS VARCHAR), '42')),
+                        1, 12)) AS BIGINT) % 1000000 AS b
+            FROM range(500) t(k)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bucket_layout_invariant(spark) -> None:
+    df = _keys(spark)
+    a = dict(
+        df.select("k", sp.split_bucket("k").alias("b")).collect()
+    )
+    b = dict(
+        df.repartition(13, "k")
+        .sortWithinPartitions(F.desc("k"))
+        .select("k", sp.split_bucket("k").alias("b"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_null_key_deterministic(spark) -> None:
+    df = spark.createDataFrame([(None,), (None,)], "k string")
+    vals = [
+        r["b"] for r in df.select(sp.split_bucket("k", 7).alias("b")).collect()
+    ]
+    assert vals[0] == vals[1] and vals[0] is not None
+
+
+def test_seed_changes_assignment(spark) -> None:
+    df = _keys(spark, 1000)
+    a = dict(df.select("k", sp.split_bucket("k", 0).alias("b")).collect())
+    b = dict(df.select("k", sp.split_bucket("k", 1).alias("b")).collect())
+    assert sum(1 for k in a if a[k] != b[k]) > 900
+
+
+# ---------------------------------------------------------------------------
+# assign_splits
+# ---------------------------------------------------------------------------
+
+def test_assign_weights(spark) -> None:
+    out = (
+        sp.assign_splits(
+            _keys(spark, 20000), "k",
+            {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3,
+        )
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    # binomial 3-sigma at n=20k: train ±0.0085, val/test ±0.0064
+    assert abs(counts["train"] / 20000 - 0.8) < 0.01
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_assign_unnormalized_and_order(spark) -> None:
+    """Weights normalize; dict order defines ranges, so 8/1/1 equals
+    0.8/0.1/0.1 exactly."""
+    df = _keys(spark, 3000)
+    a = sp.assign_splits(df, "k", {"t": 8, "v": 1, "x": 1}).collect()
+    b = sp.assign_splits(df, "k", {"t": 0.8, "v": 0.1, "x": 0.1}).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_assign_single_split_and_errors(spark) -> None:
+    df = _keys(spark, 10)
+    assert (
+        sp.assign_splits(df, "k", {"all": 1.0})
+        .where("split = 'all'")
+        .count()
+        == 10
+    )
+    with pytest.raises(ValueError):
+        sp._thresholds({})
+    with pytest.raises(ValueError):
+        sp._thresholds({"a": -1.0, "b": 2.0})
+    with pytest.raises(ValueError):
+        sp.hash_sample(df, "k", 1.5)
+
+
+def test_assign_no_exchange(spark, tmp_path) -> None:
+    """The narrow paths stay narrow: assignment and hash sampling over
+    a raw scan add zero Exchanges."""
+    p = str(tmp_path / "t.parquet")
+    _keys(spark, 100).write.parquet(p)
+    df = spark.read.parquet(p)
+    for out in (
+        sp.assign_splits(df, "k", {"a": 0.5, "b": 0.5}),
+        sp.hash_sample(df, "k", 0.25),
+        sp.stratified_hash_sample(
+            df.withColumn("s", F.col("k") % 3), "s", {0: 0.5}, "k"
+        ),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_fraction_and_stability(spark) -> None:
+    df = _keys(spark, 20000)
+    kept = sp.hash_sample(df, "k", 0.2, seed=5)
+    n = kept.count()
+    assert abs(n / 20000 - 0.2) < 0.01
+    # monotone: a smaller fraction is a subset of a larger one
+    small = {r["k"] for r in sp.hash_sample(df, "k", 0.1, seed=5).collect()}
+    big = {r["k"] for r in kept.collect()}
+    assert small <= big
+
+
+def test_stratified_hash_sample(spark) -> None:
+    df = _keys(spark, 9000).withColumn("s", (F.col("k") % 3).cast("int"))
+    out = sp.stratified_hash_sample(
+        df, "s", {0: 0.5, 1: 0.1}, "k", seed=2
+    )
+    counts = {
+        r["s"]: r["count"] for r in out.groupBy("s").count().collect()
+    }
+    assert abs(counts[0] / 3000 - 0.5) < 0.05
+    assert abs(counts[1] / 3000 - 0.1) < 0.03
+    assert 2 not in counts  # default_fraction=0 drops unlisted strata
+    # keep unlisted strata fully when asked
+    full = sp.stratified_hash_sample(
+        df, "s", {0: 0.5}, "k", default_fraction=1.0
+    )
+    assert full.where("s = 2").count() == 3000
+
+
+def test_stratified_exact_sample(spark) -> None:
+    df = _keys(spark, 3000).withColumn("s", (F.col("k") % 4).cast("int"))
+    out = sp.stratified_exact_sample(df, "s", 25, "k", seed=9)
+    counts = {
+        r["s"]: r["count"] for r in out.groupBy("s").count().collect()
+    }
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+    # deterministic under relayout
+    again = sp.stratified_exact_sample(
+        df.repartition(7), "s", 25, "k", seed=9
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # short stratum: returns all of it
+    tiny = df.where("k < 10")
+    assert sp.stratified_exact_sample(tiny, "s", 25, "k").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# cluster-safe splits
+# ---------------------------------------------------------------------------
+
+def test_cluster_safe_splits(spark) -> None:
+    docs = _keys(spark, 200).select(F.col("k").alias("doc_id"))
+    # docs 0..39 clustered in pairs (0,1)->0, (2,3)->2, ...
+    clusters = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 2).alias("cluster_id"),
+    )
+    out = sp.cluster_safe_splits(
+        docs, clusters, {"train": 0.7, "val": 0.3}, seed=11
+    )
+    rows = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == 200
+    for d in range(0, 40, 2):
+        assert rows[d] == rows[d + 1]          # pair shares key+split
+        assert rows[d][0] == d                  # keyed by cluster head
+    # singletons key their own id and match plain assign_splits
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sp.assign_splits(
+            docs, "doc_id", {"train": 0.7, "val": 0.3}, seed=11
+        ).collect()
+    }
+    for d in range(40, 200):
+        assert rows[d] == (d, plain[d])
