@@ -904,6 +904,80 @@ FROM t
 IMG_CODEC_CENSUS_N = 3000
 
 
+IMG_RESIZE_N = 2000
+
+
+def q_img_resize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed resize (decode → nearest-neighbour thumbnail into a
+    12×10 box → re-encode) over real payloads. The oracle is
+    PIXEL-EXACT for bit-exact codecs: nearest-neighbour uses pure
+    integer source-index arithmetic (((2x+1)·w)//(2·out)) and the
+    planted gradient pixels are id-arithmetic, so DuckDB recomputes
+    every lossless row's resized pixel checksum from scratch (a
+    range-join over output coordinates). Lossy sources (jpeg, VP8)
+    get NULL checksums by the operator's own policy; statuses cover
+    no_payload (seeded 'heif' rows) and decode_unsupported (id%30==8
+    lossy stubs). Aspect-ratio math (thumbnail_dims) is integer-only
+    and replayed in SQL."""
+    from cerberus_cpp_spark.operators import image_transform as _it
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_RESIZE_N,
+                             with_bytes=True, plant_lossy=True)
+    return _it.resize_images(df, box=(12, 10), method="nearest").select(
+        "image_id", "out_w", "out_h", "out_fmt", "status", "px_sum"
+    )
+
+
+def _img_resize_census_sql() -> str:
+    # channel value at source pixel (sx, sy): the synth_pixels gradient
+    chans = ("((sx*7 + sy*3 + ps) % 256)"
+             " + ((sx*5 + sy*11 + ps//3) % 256)"
+             " + ((sx*13 + sy*2 + ps//7) % 256)")
+    return f"""
+WITH ids AS (SELECT range AS id FROM range({IMG_RESIZE_N})),
+base AS (
+  SELECT id,
+         (id * 1103515245 + 42*12345 + 12345) % 2147483648 AS ps,
+         8 + id % 9 AS wt, 8 + id % 7 AS ht,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 2 THEN 'heif'
+              ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1]
+         END AS fmt,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 5 THEN NULL
+              ELSE printf('img-%012d', id) END AS image_id
+  FROM ids),
+dims AS (
+  SELECT *,
+         CASE WHEN wt * 10 <= ht * 12
+              THEN greatest(1, (wt * 10) // ht) ELSE 12 END AS ow,
+         CASE WHEN wt * 10 <= ht * 12
+              THEN 10 ELSE greatest(1, (ht * 12) // wt) END AS oh,
+         CASE WHEN fmt = 'heif' THEN 'no_payload'
+              WHEN id % 30 = 8 THEN 'decode_unsupported'
+              ELSE 'ok' END AS status,
+         (fmt = 'png' OR (fmt = 'webp' AND id % 30 NOT IN (8, 23)))
+           AS lossless
+  FROM base),
+psums AS (
+  SELECT d.id,
+         SUM({chans}) AS s
+  FROM dims d,
+       LATERAL (SELECT ((2*tx.x + 1) * d.wt) // (2 * d.ow) AS sx,
+                       ((2*ty.y + 1) * d.ht) // (2 * d.oh) AS sy
+                FROM range(12) tx(x), range(10) ty(y)
+                WHERE tx.x < d.ow AND ty.y < d.oh)
+  WHERE d.status = 'ok' AND d.lossless
+  GROUP BY d.id)
+SELECT d.image_id,
+       CAST(CASE WHEN status = 'ok' THEN ow END AS INT) AS out_w,
+       CAST(CASE WHEN status = 'ok' THEN oh END AS INT) AS out_h,
+       CASE WHEN status = 'ok' THEN fmt END AS out_fmt,
+       status,
+       CAST(p.s AS BIGINT) AS px_sum
+FROM dims d LEFT JOIN psums p USING (id)
+"""
+
+
 def q_img_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec census over the REAL payload bytes (round 4): sniff the
     container codec of every blob (png / jpeg / webp-VP8L /
@@ -2529,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_dups": q_phash_dups,
         "img_fidelity": q_img_fidelity,
         "img_codec_census": q_img_codec_census,
+        "img_resize_census": q_img_resize_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3277,6 +3352,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "phash_dups": _PHASH_DUPS_SQL,
         "img_fidelity": _IMG_FIDELITY_SQL,
         "img_codec_census": _IMG_CODEC_CENSUS_SQL,
+        "img_resize_census": _img_resize_census_sql(),
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

@@ -1,0 +1,205 @@
+"""Distributed image resizing (the transform leg of the multimodal
+pipeline: decode → resize → re-encode in one Arrow pass).
+
+Training pipelines normalize crawled images to model input sizes;
+at 10^12 rows that must be a NARROW stage — one ``mapInPandas`` over
+the payload column, no shuffle, nothing driver-side — with per-row
+failure routing instead of job-killing exceptions (same taxonomy as
+the dataset checks: ok / no_payload / decode_unsupported /
+undecodable; reference analogue: cerberus-cpp collects per-document
+errors rather than throwing, validator.hh:372-390).
+
+Resize math is pure vectorized numpy over the in-repo codecs:
+
+* ``nearest``: source index = ``((2*dst + 1) * src) // (2 * out)`` —
+  pixel-center mapping in EXACT integer arithmetic, so a SQL oracle
+  can replay the resized pixels of losslessly-coded synthetic images
+  bit-for-bit (the img_resize_census contract query does).
+* ``bilinear``: pixel-center sampling with edge clamp, float64
+  accumulation, ``floor(v + 0.5)`` rounding (not banker's — so the
+  arithmetic is portable); analytic pins in tests (identity at same
+  size, exact constants, exact linear-ramp interpolation).
+
+Skew note: payload bytes vary ~10^4× between thumbnails and panoramas;
+feed this operator through ``partitioning.size_balanced`` (the
+north_star's size-based coalesce) when the input layout is
+byte-skewed — the stage itself stays narrow either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.shipping import PKG_PARENT
+
+#: container families whose in-repo decode is bit-exact — the pixel
+#: checksum is only emitted for these (a checksum over lossy-decoded
+#: pixels would not be stable across decoder revisions).
+LOSSLESS_FMTS = frozenset({"png", "gif", "bmp", "tiff"})
+
+
+def nearest_indices(src: int, out: int) -> np.ndarray:
+    """Pixel-center nearest-neighbour source indices, exact ints."""
+    if src < 1 or out < 1:
+        raise ValueError("dimensions must be >= 1")
+    d = np.arange(out, dtype=np.int64)
+    return np.minimum((2 * d + 1) * src // (2 * out), src - 1)
+
+
+def _bilinear_axis(src: int, out: int) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
+    d = np.arange(out, dtype=np.float64)
+    xf = (d + 0.5) * (src / out) - 0.5
+    xf = np.clip(xf, 0.0, src - 1.0)
+    x0 = np.floor(xf).astype(np.int64)
+    x1 = np.minimum(x0 + 1, src - 1)
+    return x0, x1, xf - x0
+
+
+def resize_pixels(px: np.ndarray, out_w: int, out_h: int,
+                  method: str = "bilinear") -> np.ndarray:
+    """Resize an (h, w, 3) uint8 array to (out_h, out_w, 3)."""
+    h, w = px.shape[:2]
+    if method == "nearest":
+        ys = nearest_indices(h, out_h)
+        xs = nearest_indices(w, out_w)
+        return px[np.ix_(ys, xs)]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    y0, y1, ty = _bilinear_axis(h, out_h)
+    x0, x1, tx = _bilinear_axis(w, out_w)
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - tx)[None, :, None] \
+        + p[y0][:, x1] * tx[None, :, None]
+    bot = p[y1][:, x0] * (1 - tx)[None, :, None] \
+        + p[y1][:, x1] * tx[None, :, None]
+    v = top * (1 - ty)[:, None, None] + bot * ty[:, None, None]
+    return np.floor(v + 0.5).clip(0, 255).astype(np.uint8)
+
+
+def thumbnail_dims(w: int, h: int, box_w: int, box_h: int
+                   ) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) into (box_w, box_h) — pure
+    integer arithmetic (cross-multiplied ratio comparison + floor
+    division, never floats) so oracles replay it exactly."""
+    if min(w, h, box_w, box_h) < 1:
+        raise ValueError("dimensions must be >= 1")
+    if w * box_h <= h * box_w:            # height binds
+        return max(1, (w * box_h) // h), box_h
+    return box_w, max(1, (h * box_w) // w)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    size: tuple[int, int] | None = None,
+    box: tuple[int, int] | None = None,
+    method: str = "bilinear",
+    out_fmt: str | None = None,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Decode → resize → re-encode each payload in ONE Arrow stage.
+
+    Exactly one of ``size=(w, h)`` (fixed output) or ``box=(w, h)``
+    (aspect-preserving fit via :func:`thumbnail_dims`). ``out_fmt``
+    re-encodes every decodable row in that format; default keeps the
+    row's sniffed container family (lossy inputs are re-written by
+    the repo's encoder for that family — webp rows come back VP8L).
+
+    Output: ``(image_id, out_bytes, out_w, out_h, out_fmt, status,
+    px_sum)``. ``status`` ∈ ok / no_payload / decode_unsupported /
+    undecodable; non-ok rows carry NULLs. ``px_sum`` (sum of all
+    resized channel bytes) is emitted only when the SOURCE decode is
+    bit-exact (PNG/GIF/BMP/TIFF/VP8L-webp) — a stable integrity
+    checksum; lossy sources get NULL.
+    """
+    if (size is None) == (box is None):
+        raise ValueError("give exactly one of size= or box=")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
+    if size is not None and min(size) < 1:
+        raise ValueError("size dims must be >= 1")
+    if box is not None and min(box) < 1:
+        raise ValueError("box dims must be >= 1")
+
+    src = df.select(F.col(id_col).alias("image_id"),
+                    F.col(bytes_col).alias("bytes"))
+    pkg_parent = PKG_PARENT
+    size_, box_, method_, out_fmt_ = size, box, method, out_fmt
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.operators.image_transform import (
+            LOSSLESS_FMTS,
+            resize_pixels,
+            thumbnail_dims,
+        )
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+            encode_pixels,
+            webp_is_lossless,
+        )
+
+        for pdf in batches:
+            n = len(pdf)
+            out_bytes: list = [None] * n
+            out_w = np.full(n, np.nan)
+            out_h = np.full(n, np.nan)
+            fmts: list = [None] * n
+            status = ["ok"] * n
+            px_sum = np.full(n, np.nan)
+            for i, blob in enumerate(pdf["bytes"]):
+                if blob is None:
+                    status[i] = "no_payload"
+                    continue
+                blob = bytes(blob)
+                try:
+                    fmt, px = decode_image(blob)
+                except UnsupportedCodecError:
+                    status[i] = "decode_unsupported"
+                    continue
+                except ValueError:
+                    status[i] = "undecodable"
+                    continue
+                h, w = px.shape[:2]
+                tw, th = (size_ if size_ is not None
+                          else thumbnail_dims(w, h, *box_))
+                rs = resize_pixels(px, tw, th, method_)
+                fmt_out = out_fmt_ or fmt
+                out_bytes[i] = encode_pixels(rs, fmt_out)
+                out_w[i], out_h[i] = tw, th
+                fmts[i] = fmt_out
+                lossless = fmt in LOSSLESS_FMTS or (
+                    fmt == "webp" and webp_is_lossless(blob))
+                if lossless:
+                    px_sum[i] = float(
+                        np.sum(rs, dtype=np.int64))
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"],
+                "out_bytes": out_bytes,
+                "out_w": pd.array(
+                    [None if np.isnan(v) else int(v) for v in out_w],
+                    dtype="Int32"),
+                "out_h": pd.array(
+                    [None if np.isnan(v) else int(v) for v in out_h],
+                    dtype="Int32"),
+                "out_fmt": fmts,
+                "status": status,
+                "px_sum": pd.array(
+                    [None if np.isnan(v) else int(v) for v in px_sum],
+                    dtype="Int64"),
+            })
+
+    schema = ("image_id string, out_bytes binary, out_w int, "
+              "out_h int, out_fmt string, status string, px_sum bigint")
+    return src.mapInPandas(work, schema=schema)

@@ -1,0 +1,175 @@
+"""resize_pixels / thumbnail_dims analytics and the resize_images
+operator: exact nearest/bilinear semantics, status routing, checksum
+policy, re-encode roundtrip, and plan shape (one narrow Arrow stage)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import image_transform as it
+from cerberus_cpp_spark.sources.imagegen import (
+    decode_image,
+    encode_image,
+    encode_pixels,
+    pixel_seed,
+    synth_pixels,
+)
+
+
+# ---------------------------------------------------------------------------
+# pixel math
+# ---------------------------------------------------------------------------
+
+def test_nearest_indices_exact() -> None:
+    # 2× upscale repeats each source pixel twice
+    assert it.nearest_indices(2, 4).tolist() == [0, 0, 1, 1]
+    # 2× downscale picks centers 1 and 3
+    assert it.nearest_indices(4, 2).tolist() == [1, 3]
+    # identity
+    assert it.nearest_indices(7, 7).tolist() == list(range(7))
+    with pytest.raises(ValueError):
+        it.nearest_indices(0, 4)
+
+
+def test_nearest_resize_exact() -> None:
+    px = synth_pixels(123, 5, 4)
+    out = it.resize_pixels(px, 10, 8, "nearest")
+    xs = it.nearest_indices(5, 10)
+    ys = it.nearest_indices(4, 8)
+    assert np.array_equal(out, px[np.ix_(ys, xs)])
+
+
+def test_bilinear_identity_and_constant() -> None:
+    px = synth_pixels(7, 9, 6)
+    assert np.array_equal(it.resize_pixels(px, 9, 6, "bilinear"), px)
+    const = np.full((5, 8, 3), 77, dtype=np.uint8)
+    assert np.all(it.resize_pixels(const, 13, 3, "bilinear") == 77)
+
+
+def test_bilinear_linear_ramp() -> None:
+    """Bilinear interpolation of a linear ramp reproduces the ramp:
+    out(x) = floor(xf + 0.5) where xf is the source coordinate."""
+    w = 17
+    ramp = np.tile(
+        np.arange(w, dtype=np.uint8)[None, :, None] * 15, (4, 1, 3)
+    )
+    out = it.resize_pixels(ramp, 33, 4, "bilinear")
+    xf = np.clip((np.arange(33) + 0.5) * (w / 33) - 0.5, 0, w - 1)
+    want = np.floor(15 * xf + 0.5).astype(np.uint8)
+    assert np.array_equal(out[0, :, 0], want)
+
+
+def test_resize_rejects_unknown_method() -> None:
+    with pytest.raises(ValueError):
+        it.resize_pixels(np.zeros((2, 2, 3), np.uint8), 4, 4, "bicubic")
+
+
+def test_thumbnail_dims() -> None:
+    assert it.thumbnail_dims(100, 100, 12, 10) == (10, 10)
+    assert it.thumbnail_dims(200, 100, 12, 10) == (12, 6)
+    assert it.thumbnail_dims(100, 200, 12, 10) == (5, 10)
+    # never collapses to zero
+    assert it.thumbnail_dims(1, 1000, 12, 10) == (1, 10)
+    assert it.thumbnail_dims(1000, 1, 12, 10) == (12, 1)
+    with pytest.raises(ValueError):
+        it.thumbnail_dims(0, 5, 12, 10)
+
+
+# ---------------------------------------------------------------------------
+# operator
+# ---------------------------------------------------------------------------
+
+def _frame(spark):
+    rows = [
+        ("png", encode_image(pixel_seed(1), 9, 7, "png")),
+        ("jpeg", encode_image(pixel_seed(2), 10, 8, "jpeg")),
+        ("webp", encode_image(pixel_seed(3), 8, 9, "webp")),
+        ("gif", encode_image(pixel_seed(4), 11, 6, "gif")),
+        ("none", None),
+        ("garbage", b"\x00\x01not an image at all"),
+    ]
+    return spark.createDataFrame(
+        [(f"id-{fmt}", blob) for fmt, blob in rows],
+        "image_id string, bytes binary",
+    )
+
+
+def test_resize_images_statuses_and_checksums(spark) -> None:
+    out = {
+        r["image_id"]: r
+        for r in it.resize_images(
+            _frame(spark), size=(6, 5), method="nearest"
+        ).collect()
+    }
+    assert out["id-none"]["status"] == "no_payload"
+    assert out["id-garbage"]["status"] == "undecodable"
+    for fmt in ("png", "jpeg", "webp", "gif"):
+        r = out[f"id-{fmt}"]
+        assert r["status"] == "ok"
+        assert (r["out_w"], r["out_h"], r["out_fmt"]) == (6, 5, fmt)
+        assert r["out_bytes"] is not None
+    # checksum only for bit-exact sources
+    assert out["id-jpeg"]["px_sum"] is None
+    for fmt in ("png", "webp", "gif"):
+        assert out[f"id-{fmt}"]["px_sum"] is not None
+    # non-ok rows carry NULLs
+    assert out["id-none"]["out_bytes"] is None
+    assert out["id-garbage"]["out_w"] is None
+
+
+def test_resize_images_roundtrip_exact(spark) -> None:
+    """Lossless re-encode of the resized pixels decodes back to
+    exactly resize_pixels(decode(src)) — and px_sum matches."""
+    src_px = synth_pixels(pixel_seed(1), 9, 7)
+    want = it.resize_pixels(src_px, 6, 5, "nearest")
+    row = (
+        it.resize_images(_frame(spark), size=(6, 5), method="nearest")
+        .where("image_id = 'id-png'")
+        .collect()[0]
+    )
+    _, got = decode_image(bytes(row["out_bytes"]))
+    assert np.array_equal(got, want)
+    assert row["px_sum"] == int(np.sum(want, dtype=np.int64))
+
+
+def test_resize_images_box_and_out_fmt(spark) -> None:
+    out = {
+        r["image_id"]: r
+        for r in it.resize_images(
+            _frame(spark), box=(12, 10), method="bilinear",
+            out_fmt="png",
+        ).collect()
+    }
+    # 9×7 → height binds at 10? 9*10=90 <= 7*12=84 is False → width
+    assert (out["id-png"]["out_w"], out["id-png"]["out_h"]) == (
+        it.thumbnail_dims(9, 7, 12, 10)
+    )
+    for fmt in ("png", "jpeg", "webp", "gif"):
+        assert out[f"id-{fmt}"]["out_fmt"] == "png"
+    # jpeg re-encoded losslessly still gets NO checksum (source lossy)
+    assert out["id-jpeg"]["px_sum"] is None
+
+
+def test_resize_images_arg_validation(spark) -> None:
+    df = _frame(spark)
+    with pytest.raises(ValueError):
+        it.resize_images(df, size=(4, 4), box=(4, 4))
+    with pytest.raises(ValueError):
+        it.resize_images(df)
+    with pytest.raises(ValueError):
+        it.resize_images(df, size=(0, 4))
+    with pytest.raises(ValueError):
+        it.resize_images(df, size=(4, 4), method="lanczos")
+
+
+def test_resize_images_narrow_plan(spark, tmp_path) -> None:
+    p = str(tmp_path / "imgs.parquet")
+    _frame(spark).write.parquet(p)
+    out = it.resize_images(
+        spark.read.parquet(p), size=(6, 5), method="nearest"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
