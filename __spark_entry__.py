@@ -978,6 +978,87 @@ FROM dims d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_QUALITY_N = 2000
+
+
+def q_img_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality profiling (blur / blank / grayscale detection for
+    training-data filtering): every metric is integer-exact (scaled
+    ITU-R 601 luma sums, interior 4-neighbour |Laplacian| energy,
+    exact distinct-color count), so the DuckDB oracle recomputes each
+    decoded pixel AND each Laplacian tap from the planted gradient
+    arithmetic via lateral range-joins — full per-pixel verification
+    of the decode+metrics path, not just plumbing. Restricted to
+    bit-exact rows (png + the payload-less 'heif' plants) because
+    lossy decode output is not SQL-predictable; lossy-row routing is
+    covered by img_resize_census/img_codec_census."""
+    from cerberus_cpp_spark.operators import image_transform as _it
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_QUALITY_N, with_bytes=True)
+    return _it.image_quality_profile(df.where("fmt IN ('png','heif')"))
+
+
+def _img_quality_profile_sql() -> str:
+    def ch(cx: int, cy: int, s: str, x: str = "tx.x",
+           y: str = "ty.y") -> str:
+        return f"(({cx}*{x} + {cy}*{y} + {s}) % 256)"
+
+    def lap(cx: int, cy: int, s: str) -> str:
+        return (f"ABS(4*{ch(cx, cy, s)}"
+                f" - {ch(cx, cy, s, x='(tx.x-1)')}"
+                f" - {ch(cx, cy, s, x='(tx.x+1)')}"
+                f" - {ch(cx, cy, s, y='(ty.y-1)')}"
+                f" - {ch(cx, cy, s, y='(ty.y+1)')})")
+
+    r, g, b = ch(7, 3, "ps"), ch(5, 11, "(ps//3)"), ch(13, 2, "(ps//7)")
+    laps = f"{lap(7, 3, 'ps')} + {lap(5, 11, '(ps//3)')}" \
+           f" + {lap(13, 2, '(ps//7)')}"
+    return f"""
+WITH ids AS (SELECT range AS id FROM range({IMG_QUALITY_N})),
+base AS (
+  SELECT id,
+         (id * 1103515245 + 42*12345 + 12345) % 2147483648 AS ps,
+         8 + id % 9 AS wt, 8 + id % 7 AS ht,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 2 THEN 'heif'
+              ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1]
+         END AS fmt,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 5 THEN NULL
+              ELSE printf('img-%012d', id) END AS image_id
+  FROM ids),
+sel AS (SELECT * FROM base WHERE fmt IN ('png', 'heif')),
+pix AS (
+  SELECT s.id, {r} AS r, {g} AS g, {b} AS b
+  FROM sel s, range(16) tx(x), range(14) ty(y)
+  WHERE s.fmt = 'png' AND tx.x < s.wt AND ty.y < s.ht),
+agg AS (
+  SELECT id, SUM(299*r + 587*g + 114*b) AS lsum,
+         MIN(299*r + 587*g + 114*b) AS lmin,
+         MAX(299*r + 587*g + 114*b) AS lmax,
+         COUNT(DISTINCT r*65536 + g*256 + b) AS nd,
+         BOOL_AND(r = g AND g = b) AS gray
+  FROM pix GROUP BY id),
+lp AS (
+  SELECT s.id, SUM({laps}) AS lap
+  FROM sel s, range(16) tx(x), range(14) ty(y)
+  WHERE s.fmt = 'png'
+    AND tx.x >= 1 AND tx.x <= s.wt - 2
+    AND ty.y >= 1 AND ty.y <= s.ht - 2
+  GROUP BY s.id)
+SELECT s.image_id,
+       CASE WHEN s.fmt = 'heif' THEN 'no_payload' ELSE 'ok' END AS status,
+       CAST(CASE WHEN s.fmt = 'png' THEN s.wt END AS INT) AS w,
+       CAST(CASE WHEN s.fmt = 'png' THEN s.ht END AS INT) AS h,
+       CAST(a.lsum AS BIGINT) AS luma1000_sum,
+       CAST(a.lmin AS BIGINT) AS luma1000_min,
+       CAST(a.lmax AS BIGINT) AS luma1000_max,
+       CAST(l.lap AS BIGINT) AS lap_abs_sum,
+       CAST(a.nd AS BIGINT) AS n_distinct_rgb,
+       a.gray AS is_grayscale
+FROM sel s LEFT JOIN agg a USING (id) LEFT JOIN lp l USING (id)
+"""
+
+
 def q_img_codec_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec census over the REAL payload bytes (round 4): sniff the
     container codec of every blob (png / jpeg / webp-VP8L /
@@ -2604,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_fidelity": q_img_fidelity,
         "img_codec_census": q_img_codec_census,
         "img_resize_census": q_img_resize_census,
+        "img_quality_profile": q_img_quality_profile,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3353,6 +3435,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_fidelity": _IMG_FIDELITY_SQL,
         "img_codec_census": _IMG_CODEC_CENSUS_SQL,
         "img_resize_census": _img_resize_census_sql(),
+        "img_quality_profile": _img_quality_profile_sql(),
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

@@ -203,3 +203,117 @@ def resize_images(
     schema = ("image_id string, out_bytes binary, out_w int, "
               "out_h int, out_fmt string, status string, px_sum bigint")
     return src.mapInPandas(work, schema=schema)
+
+
+def quality_metrics(px: np.ndarray) -> dict:
+    """Integer-exact quality metrics for one (h, w, 3) uint8 image.
+
+    Every metric is pure integer arithmetic (no floats, no
+    transcendentals) so SQL oracles replay them bit-for-bit:
+
+    * ``luma1000_*``: ITU-R 601 luma scaled ×1000
+      (299·R + 587·G + 114·B) — sum / min / max over pixels.
+    * ``lap_abs_sum``: Σ over interior pixels and channels of
+      ``|4p − left − right − up − down|`` — the classic
+      Laplacian-energy sharpness proxy (blurred/blank images score
+      low; used to filter low-quality training images). 0 when there
+      is no interior (w < 3 or h < 3).
+    * ``n_distinct_rgb``: exact distinct color count (1 ⇒ a flat /
+      blank image).
+    * ``is_grayscale``: all pixels have R == G == B.
+    """
+    p = px.astype(np.int64)
+    r, g, b = p[..., 0], p[..., 1], p[..., 2]
+    luma = 299 * r + 587 * g + 114 * b
+    if px.shape[0] >= 3 and px.shape[1] >= 3:
+        c = p[1:-1, 1:-1]
+        lap = (4 * c - p[1:-1, :-2] - p[1:-1, 2:]
+               - p[:-2, 1:-1] - p[2:, 1:-1])
+        lap_abs = int(np.abs(lap).sum())
+    else:
+        lap_abs = 0
+    flat = px.reshape(-1, 3)
+    return {
+        "w": int(px.shape[1]),
+        "h": int(px.shape[0]),
+        "luma1000_sum": int(luma.sum()),
+        "luma1000_min": int(luma.min()),
+        "luma1000_max": int(luma.max()),
+        "lap_abs_sum": lap_abs,
+        "n_distinct_rgb": int(len(np.unique(flat, axis=0))),
+        "is_grayscale": bool(np.all((r == g) & (g == b))),
+    }
+
+
+_QUALITY_COLS = ("w", "h", "luma1000_sum", "luma1000_min",
+                 "luma1000_max", "lap_abs_sum", "n_distinct_rgb",
+                 "is_grayscale")
+
+
+def image_quality_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-image quality metrics in ONE narrow Arrow stage.
+
+    Decodes each payload once and emits :func:`quality_metrics` plus
+    the usual failure routing (``status`` ∈ ok / no_payload /
+    decode_unsupported / undecodable, metric columns NULL on non-ok).
+    Downstream filters (``lap_abs_sum < τ`` for blur,
+    ``n_distinct_rgb = 1`` for blanks, ``is_grayscale``) are plain
+    pushdown-friendly predicates over the result. No shuffle; at
+    byte-skewed layouts feed through ``partitioning.size_balanced``.
+    """
+    src = df.select(F.col(id_col).alias("image_id"),
+                    F.col(bytes_col).alias("bytes"))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.operators.image_transform import (
+            _QUALITY_COLS,
+            quality_metrics,
+        )
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+        )
+
+        for pdf in batches:
+            n = len(pdf)
+            status = ["ok"] * n
+            vals: dict[str, list] = {c: [None] * n for c in _QUALITY_COLS}
+            for i, blob in enumerate(pdf["bytes"]):
+                if blob is None:
+                    status[i] = "no_payload"
+                    continue
+                try:
+                    _, px = decode_image(bytes(blob))
+                except UnsupportedCodecError:
+                    status[i] = "decode_unsupported"
+                    continue
+                except ValueError:
+                    status[i] = "undecodable"
+                    continue
+                m = quality_metrics(px)
+                for c in _QUALITY_COLS:
+                    vals[c][i] = m[c]
+            out = {"image_id": pdf["image_id"], "status": status}
+            for c in _QUALITY_COLS[:2]:
+                out[c] = pd.array(vals[c], dtype="Int32")
+            for c in _QUALITY_COLS[2:-1]:
+                out[c] = pd.array(vals[c], dtype="Int64")
+            out["is_grayscale"] = pd.array(
+                vals["is_grayscale"], dtype="boolean")
+            yield pd.DataFrame(out)
+
+    schema = ("image_id string, status string, w int, h int, "
+              "luma1000_sum bigint, luma1000_min bigint, "
+              "luma1000_max bigint, lap_abs_sum bigint, "
+              "n_distinct_rgb bigint, is_grayscale boolean")
+    return src.mapInPandas(work, schema=schema)

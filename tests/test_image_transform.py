@@ -173,3 +173,82 @@ def test_resize_images_narrow_plan(spark, tmp_path) -> None:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# quality profile
+# ---------------------------------------------------------------------------
+
+def test_quality_metrics_constant_gray() -> None:
+    px = np.full((6, 5, 3), 80, dtype=np.uint8)
+    m = it.quality_metrics(px)
+    assert m == {
+        "w": 5, "h": 6,
+        "luma1000_sum": 1000 * 80 * 30,   # 299+587+114 = 1000
+        "luma1000_min": 80000, "luma1000_max": 80000,
+        "lap_abs_sum": 0, "n_distinct_rgb": 1, "is_grayscale": True,
+    }
+
+
+def test_quality_metrics_checkerboard() -> None:
+    """2-color checkerboard: every interior Laplacian tap is ±4·255
+    per channel (4·c − 4 neighbours of the opposite color)."""
+    y, x = np.mgrid[0:5, 0:7]
+    board = (((x + y) % 2) * 255).astype(np.uint8)
+    px = np.stack([board] * 3, axis=-1)
+    m = it.quality_metrics(px)
+    interior = (5 - 2) * (7 - 2)
+    assert m["lap_abs_sum"] == interior * 3 * 4 * 255
+    assert m["n_distinct_rgb"] == 2
+    assert m["is_grayscale"] is True
+    assert m["luma1000_min"] == 0 and m["luma1000_max"] == 255000
+
+
+def test_quality_metrics_color_and_tiny() -> None:
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (10, 20, 30)
+    m = it.quality_metrics(px)
+    assert m["lap_abs_sum"] == 0          # no interior
+    assert m["is_grayscale"] is False
+    assert m["n_distinct_rgb"] == 2
+    assert m["luma1000_sum"] == 299 * 10 + 587 * 20 + 114 * 30
+
+
+def test_quality_metrics_blur_lowers_sharpness() -> None:
+    """Downscale-then-upscale (a cheap blur) must score lower
+    Laplacian energy than the original on a noisy image."""
+    from cerberus_cpp_spark.sources.imagegen import synth_noise_pixels
+
+    px = synth_noise_pixels(5, 16, 16)
+    blurred = it.resize_pixels(
+        it.resize_pixels(px, 4, 4, "bilinear"), 16, 16, "bilinear"
+    )
+    assert (
+        it.quality_metrics(blurred)["lap_abs_sum"]
+        < it.quality_metrics(px)["lap_abs_sum"] / 2
+    )
+
+
+def test_image_quality_profile_operator(spark, tmp_path) -> None:
+    rows = {
+        r["image_id"]: r
+        for r in it.image_quality_profile(_frame(spark)).collect()
+    }
+    assert rows["id-none"]["status"] == "no_payload"
+    assert rows["id-garbage"]["status"] == "undecodable"
+    assert rows["id-none"]["luma1000_sum"] is None
+    # decoded png row matches the direct computation exactly
+    src_px = synth_pixels(pixel_seed(1), 9, 7)
+    want = it.quality_metrics(src_px)
+    got = rows["id-png"]
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # narrow plan
+    p = str(tmp_path / "q.parquet")
+    _frame(spark).write.parquet(p)
+    plan = (
+        it.image_quality_profile(spark.read.parquet(p))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
