@@ -282,3 +282,53 @@ def test_stream_png_chunk_audit_equals_batch(spark,
     q.awaitTermination(120)
     got = key(spark.sql("SELECT * FROM audit_stream").collect())
     assert got == expected
+
+
+def test_stream_resize_and_quality_equal_batch(spark,
+                                               tmp_path_factory) -> None:
+    """resize_images and image_quality_profile (round 4) are stateless
+    narrow Arrow stages — both must run unchanged over a streaming
+    frame and match the batch pass row-for-row (thumbnailing and
+    quality filtering apply to live ingest too)."""
+    from cerberus_cpp_spark.operators.image_transform import (
+        image_quality_profile,
+        resize_images,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_resize"))
+    image_caption_frame(spark, 400, partitions=4, with_bytes=True) \
+        .drop("id").write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    def rkey(rows):
+        return sorted(
+            (r["image_id"] or "", r["status"], r["out_w"], r["out_h"],
+             r["out_fmt"], r["px_sum"],
+             None if r["out_bytes"] is None else bytes(r["out_bytes"]))
+            for r in rows
+        )
+
+    def qkey(rows):
+        return sorted(
+            (r["image_id"] or "", r["status"], r["lap_abs_sum"],
+             r["luma1000_sum"], r["n_distinct_rgb"])
+            for r in rows
+        )
+
+    want_r = rkey(resize_images(batch, box=(12, 10),
+                                method="nearest").collect())
+    want_q = qkey(image_quality_profile(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q1 = (resize_images(stream, box=(12, 10), method="nearest")
+          .writeStream.format("memory").queryName("resize_stream")
+          .trigger(availableNow=True).start())
+    q2 = (image_quality_profile(stream)
+          .writeStream.format("memory").queryName("quality_stream")
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    assert rkey(spark.sql("SELECT * FROM resize_stream").collect()) \
+        == want_r
+    assert qkey(spark.sql("SELECT * FROM quality_stream").collect()) \
+        == want_q
+    assert len(want_r) == 400 and len(want_q) == 400
