@@ -218,3 +218,32 @@ def test_cluster_safe_splits(spark) -> None:
     }
     for d in range(40, 200):
         assert rows[d] == (d, plain[d])
+
+
+# ---------------------------------------------------------------------------
+# k-fold
+# ---------------------------------------------------------------------------
+
+def test_kfold_matches_duckdb_and_balances(spark) -> None:
+    df = _keys(spark, 5000)
+    got = {
+        r["k"]: r["fold"]
+        for r in sp.kfold_assign(df, "k", 5, seed=3).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            """
+            SELECT k, CAST(CAST(concat('0x', substr(
+                     md5(concat_ws(':', CAST(k AS VARCHAR), '3')),
+                     1, 12)) AS BIGINT) % 5 AS INT) AS fold
+            FROM range(5000) t(k)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    counts = [list(got.values()).count(f) for f in range(5)]
+    assert sum(counts) == 5000
+    assert all(abs(c - 1000) < 120 for c in counts)  # ~3 sigma
+    with pytest.raises(ValueError):
+        sp.kfold_assign(df, "k", 1)
