@@ -377,6 +377,7 @@ def image_full_check(
     id_col: str = "image_id",
     check_dims: bool = True,
     container_audit: bool = False,
+    quality: bool = False,
 ) -> DataFrame:
     """BOTH image verdict families from ONE decode pass (r3 verdict
     #5: the pipeline previously ran metadata_consistency_violations
@@ -401,7 +402,16 @@ def image_full_check(
     are already in the Arrow batch, so the audit costs zero extra
     byte reads. NULL for non-PNG payloads (JPEG/GIF/WebP containers
     carry no per-chunk CRCs; their structural damage already
-    surfaces through the decode probe)."""
+    surfaces through the decode probe).
+
+    ``quality=True`` appends the training-data quality family from
+    the SAME decoded pixels (zero extra decodes):
+    ``lap_abs_sum`` (interior |Laplacian| sharpness energy),
+    ``n_distinct_rgb`` (1 ⇒ blank), ``is_grayscale``,
+    ``luma1000_min``/``luma1000_max`` (exposure range) — exactly
+    :func:`~cerberus_cpp_spark.operators.image_transform.quality_metrics`
+    (equality pinned in tests); NULL when the payload did not
+    decode."""
     src = df.select(
         F.col(id_col).alias("image_id"), "bytes", "caption",
         F.col("fmt").alias("meta_fmt"),
@@ -428,6 +438,12 @@ def image_full_check(
             audit_chunks,
             sniff_png,
         )
+        if quality:
+            from cerberus_cpp_spark.operators.image_transform import (
+                quality_metrics,
+            )
+        _q_cols = ("lap_abs_sum", "n_distinct_rgb", "is_grayscale",
+                   "luma1000_min", "luma1000_max")
 
         for pdf in batches:
             out = {"image_id": pdf["image_id"],
@@ -437,6 +453,9 @@ def image_full_check(
             if container_audit:
                 out["container_ok"] = []
                 out["container_msg"] = []
+            if quality:
+                for c in _q_cols:
+                    out[c] = []
             for idx, (img_id, blob, cap) in enumerate(zip(
                 pdf["image_id"], pdf["bytes"], pdf["caption"]
             )):
@@ -454,6 +473,12 @@ def image_full_check(
                         unsupported = True
                     except Exception as e:
                         decode_err = str(e)[:120]
+                # -- quality family (same decoded pixels, zero extra
+                #    decodes) --
+                if quality:
+                    m = quality_metrics(px) if px is not None else None
+                    for c in _q_cols:
+                        out[c].append(None if m is None else m[c])
                 # -- container family (PNG chunk CRCs; same Arrow
                 #    batch, zero extra byte reads) --
                 if container_audit:
@@ -526,6 +551,14 @@ def image_full_check(
                 )
                 out["pixels_ok"].append(bool(ok))
                 out["verdict"].append("ok" if ok else "mismatch")
+            if quality:
+                # nullable Int64, not float64-with-NaN: a float
+                # round-trip silently rounds int64 values past 2^53
+                for c in _q_cols:
+                    out[c] = pd.array(
+                        out[c],
+                        dtype="boolean" if c == "is_grayscale"
+                        else "Int64")
             yield pd.DataFrame(out)
 
     schema = ("image_id string, n_meta_violations int, "
@@ -533,6 +566,10 @@ def image_full_check(
               "pixels_ok boolean, caption_ok boolean, verdict string")
     if container_audit:
         schema += ", container_ok boolean, container_msg string"
+    if quality:
+        schema += (", lap_abs_sum bigint, n_distinct_rgb bigint, "
+                   "is_grayscale boolean, luma1000_min bigint, "
+                   "luma1000_max bigint")
     return src.mapInPandas(work, schema=schema)
 
 

@@ -47,6 +47,8 @@ class PipelineReport:
     image_metadata_violations: Optional[int]
     image_fidelity_failures: Optional[int]
     container_violations: Optional[int] = None
+    blurry_images: Optional[int] = None
+    blank_images: Optional[int] = None
 
     def passed(self) -> bool:
         checks_ok = (
@@ -56,6 +58,8 @@ class PipelineReport:
             and not self.image_metadata_violations
             and not self.image_fidelity_failures
             and not self.container_violations
+            and not self.blurry_images
+            and not self.blank_images
         )
         rows_ok = all(p["passed"] for p in self.partition_verdicts)
         return checks_ok and rows_ok
@@ -73,6 +77,8 @@ def run_full_validation(
     drift_col: str | None = None,
     image_checks: bool = False,
     png_container_audit: bool = False,
+    blur_threshold: int | None = None,
+    count_blank_images: bool = False,
     balance_image_bytes: int | None = None,
     image_total_bytes: int | None = None,
     allow_unknown: bool = True,
@@ -118,7 +124,8 @@ def run_full_validation(
     if drift_against is not None and drift_col:
         drift = checks.quantile_drift(df, drift_against, drift_col)
 
-    img_meta = img_fid = container = None
+    img_meta = img_fid = container = blurry = blank = None
+    want_quality = blur_threshold is not None or count_blank_images
     if image_checks:
         # ONE decode pass for both image verdict families, and ONE
         # action for both counts (r3 verdict #5: two full decodes of
@@ -137,7 +144,8 @@ def run_full_validation(
                 df, "bytes", target_bytes=balance_image_bytes,
                 total_bytes=image_total_bytes)
         combined = image_full_check(
-            img_in, container_audit=png_container_audit)
+            img_in, container_audit=png_container_audit,
+            quality=want_quality)
         aggs = [
             F.coalesce(F.sum("n_meta_violations"), F.lit(0))
             .alias("meta"),
@@ -150,10 +158,25 @@ def run_full_validation(
             aggs.append(F.coalesce(
                 F.sum((F.col("container_ok") == F.lit(False))
                       .cast("long")), F.lit(0)).alias("cont"))
+        if blur_threshold is not None:
+            # same decode pass, same single action: quality columns
+            # ride the fused stage (NULL = undecodable, counted by
+            # the metadata family, not here)
+            aggs.append(F.coalesce(
+                F.sum((F.col("lap_abs_sum") < F.lit(int(blur_threshold)))
+                      .cast("long")), F.lit(0)).alias("blur"))
+        if count_blank_images:
+            aggs.append(F.coalesce(
+                F.sum((F.col("n_distinct_rgb") == F.lit(1))
+                      .cast("long")), F.lit(0)).alias("blank"))
         row = combined.agg(*aggs).collect()[0]
         img_meta, img_fid = int(row["meta"]), int(row["fid"])
         if png_container_audit:
             container = int(row["cont"])
+        if blur_threshold is not None:
+            blurry = int(row["blur"])
+        if count_blank_images:
+            blank = int(row["blank"])
 
     return PipelineReport(
         run=run,
@@ -164,4 +187,6 @@ def run_full_validation(
         image_metadata_violations=img_meta,
         image_fidelity_failures=img_fid,
         container_violations=container,
+        blurry_images=blurry,
+        blank_images=blank,
     )
