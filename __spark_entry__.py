@@ -978,6 +978,79 @@ FROM dims d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_AUGMENT_N = 2000
+
+
+def q_img_augment_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation chain (center-crop 10×8 → mirror →
+    90° clockwise) over real payloads. The oracle replays the FULL
+    coordinate algebra per pixel: output (xr, yr) maps to source
+    (x0 + cw−1−yr, y0 + ch−1−xr), and the POSITION-weighted luma
+    checksum (pos_sum) is sensitive to any flip/rotation/crop
+    misalignment — a plain pixel sum would pass even if the flip or
+    rotation were wrong, since those merely permute pixels."""
+    from cerberus_cpp_spark.operators import image_transform as _it
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_AUGMENT_N,
+                             with_bytes=True, plant_lossy=True)
+    return _it.augment_images(
+        df, crop=("center", 10, 8), flip_h=True, rot90=90
+    ).select("image_id", "out_w", "out_h", "out_fmt", "status",
+             "px_sum", "pos_sum")
+
+
+def _img_augment_census_sql() -> str:
+    # source coordinate of output pixel (xr, yr) after
+    # crop(center 10x8) -> flip_h -> rot90(cw):
+    #   sx = x0 + cw-1-yr,  sy = y0 + ch-1-xr
+    sx, sy = "(x0 + cw - 1 - t.yr)", "(y0 + ch - 1 - t.xr)"
+    r = f"((7*{sx} + 3*{sy} + ps) % 256)"
+    g = f"((5*{sx} + 11*{sy} + (ps//3)) % 256)"
+    b = f"((13*{sx} + 2*{sy} + (ps//7)) % 256)"
+    return f"""
+WITH ids AS (SELECT range AS id FROM range({IMG_AUGMENT_N})),
+base AS (
+  SELECT id,
+         (id * 1103515245 + 42*12345 + 12345) % 2147483648 AS ps,
+         8 + id % 9 AS wt, 8 + id % 7 AS ht,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 2 THEN 'heif'
+              ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1]
+         END AS fmt,
+         CASE WHEN id % 100 = 0 AND ((id // 100) % 6) = 5 THEN NULL
+              ELSE printf('img-%012d', id) END AS image_id
+  FROM ids),
+dims AS (
+  SELECT *, least(10, wt) AS cw, 8 AS ch,
+         (wt - least(10, wt)) // 2 AS x0, (ht - 8) // 2 AS y0,
+         CASE WHEN fmt = 'heif' THEN 'no_payload'
+              WHEN id % 30 = 8 THEN 'decode_unsupported'
+              ELSE 'ok' END AS status,
+         (fmt = 'png' OR (fmt = 'webp' AND id % 30 NOT IN (8, 23)))
+           AS lossless
+  FROM base),
+sums AS (
+  SELECT d.id,
+         SUM({r} + {g} + {b}) AS psum,
+         SUM((t.yr * d.ch + t.xr)
+             * (299*{r} + 587*{g} + 114*{b})) AS wsum
+  FROM dims d,
+       LATERAL (SELECT tx.x AS xr, ty.y AS yr
+                FROM range(8) tx(x), range(10) ty(y)
+                WHERE ty.y < d.cw) t
+  WHERE d.status = 'ok' AND d.lossless
+  GROUP BY d.id)
+SELECT d.image_id,
+       CAST(CASE WHEN status = 'ok' THEN ch END AS INT) AS out_w,
+       CAST(CASE WHEN status = 'ok' THEN cw END AS INT) AS out_h,
+       CASE WHEN status = 'ok' THEN fmt END AS out_fmt,
+       status,
+       CAST(s.psum AS BIGINT) AS px_sum,
+       CAST(s.wsum AS BIGINT) AS pos_sum
+FROM dims d LEFT JOIN sums s USING (id)
+"""
+
+
 IMG_QUALITY_N = 2000
 
 
@@ -2686,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_codec_census": q_img_codec_census,
         "img_resize_census": q_img_resize_census,
         "img_quality_profile": q_img_quality_profile,
+        "img_augment_census": q_img_augment_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3436,6 +3510,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_codec_census": _IMG_CODEC_CENSUS_SQL,
         "img_resize_census": _img_resize_census_sql(),
         "img_quality_profile": _img_quality_profile_sql(),
+        "img_augment_census": _img_augment_census_sql(),
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

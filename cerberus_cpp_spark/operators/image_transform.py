@@ -205,6 +205,144 @@ def resize_images(
     return src.mapInPandas(work, schema=schema)
 
 
+def transform_pixels(
+    px: np.ndarray,
+    *,
+    crop: tuple | None = None,
+    flip_h: bool = False,
+    flip_v: bool = False,
+    rot90: int = 0,
+) -> np.ndarray:
+    """Deterministic augmentation chain: crop → flip_h → flip_v →
+    rotate. ``crop`` is ``("center", w, h)`` (dims clamped to the
+    image, integer-centered: x0 = (W−w)//2) or explicit
+    ``(x, y, w, h)`` (must lie inside the image). ``rot90`` is
+    DEGREES CLOCKWISE ∈ {0, 90, 180, 270}. All coordinate math is
+    integer-exact, so oracles replay the full chain per pixel."""
+    if crop is not None:
+        h, w = px.shape[:2]
+        if crop[0] == "center":
+            cw, ch = min(int(crop[1]), w), min(int(crop[2]), h)
+            x0, y0 = (w - cw) // 2, (h - ch) // 2
+        else:
+            x0, y0, cw, ch = (int(v) for v in crop)
+            if x0 < 0 or y0 < 0 or cw < 1 or ch < 1 \
+                    or x0 + cw > w or y0 + ch > h:
+                raise ValueError(f"crop {crop!r} outside {w}x{h} image")
+        px = px[y0:y0 + ch, x0:x0 + cw]
+    if flip_h:
+        px = px[:, ::-1]
+    if flip_v:
+        px = px[::-1]
+    if rot90 % 90 != 0:
+        raise ValueError("rot90 must be a multiple of 90 degrees")
+    k = (rot90 // 90) % 4
+    if k:
+        px = np.rot90(px, k=-k)   # numpy rotates CCW; we define CW
+    return np.ascontiguousarray(px)
+
+
+def position_weighted_luma(px: np.ndarray) -> int:
+    """Σ over output pixels of (y·W + x) · (299R + 587G + 114B) —
+    a POSITION-SENSITIVE integer checksum: any flip, rotation, or
+    crop misalignment changes it (a plain pixel sum would not, since
+    flips and rotations permute pixels)."""
+    p = px.astype(np.int64)
+    luma = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    h, w = luma.shape
+    pos = (np.arange(h, dtype=np.int64)[:, None] * w
+           + np.arange(w, dtype=np.int64)[None, :])
+    return int((pos * luma).sum())
+
+
+def augment_images(
+    df: DataFrame,
+    *,
+    crop: tuple | None = None,
+    flip_h: bool = False,
+    flip_v: bool = False,
+    rot90: int = 0,
+    out_fmt: str | None = None,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Decode → :func:`transform_pixels` → re-encode in ONE narrow
+    Arrow stage (same harness and failure taxonomy as
+    :func:`resize_images`). Output adds ``pos_sum`` — the
+    position-weighted luma checksum — next to the plain ``px_sum``;
+    both NULL for lossy sources (not bit-stable across decoders)."""
+    if rot90 % 90 != 0 or rot90 % 360 not in (0, 90, 180, 270):
+        raise ValueError("rot90 must be 0/90/180/270")
+    src = df.select(F.col(id_col).alias("image_id"),
+                    F.col(bytes_col).alias("bytes"))
+    pkg_parent = PKG_PARENT
+    crop_, fh, fv, rot, out_fmt_ = crop, flip_h, flip_v, rot90, out_fmt
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.operators.image_transform import (
+            LOSSLESS_FMTS,
+            position_weighted_luma,
+            transform_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+            encode_pixels,
+            webp_is_lossless,
+        )
+
+        for pdf in batches:
+            n = len(pdf)
+            out_bytes: list = [None] * n
+            dims: list = [(None, None)] * n
+            fmts: list = [None] * n
+            status = ["ok"] * n
+            px_sum: list = [None] * n
+            pos_sum: list = [None] * n
+            for i, blob in enumerate(pdf["bytes"]):
+                if blob is None:
+                    status[i] = "no_payload"
+                    continue
+                blob = bytes(blob)
+                try:
+                    fmt, px = decode_image(blob)
+                except UnsupportedCodecError:
+                    status[i] = "decode_unsupported"
+                    continue
+                except ValueError:
+                    status[i] = "undecodable"
+                    continue
+                tp = transform_pixels(px, crop=crop_, flip_h=fh,
+                                      flip_v=fv, rot90=rot)
+                fmt_out = out_fmt_ or fmt
+                out_bytes[i] = encode_pixels(tp, fmt_out)
+                dims[i] = (tp.shape[1], tp.shape[0])
+                fmts[i] = fmt_out
+                if fmt in LOSSLESS_FMTS or (
+                        fmt == "webp" and webp_is_lossless(blob)):
+                    px_sum[i] = int(np.sum(tp, dtype=np.int64))
+                    pos_sum[i] = position_weighted_luma(tp)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"],
+                "out_bytes": out_bytes,
+                "out_w": pd.array([d[0] for d in dims], dtype="Int32"),
+                "out_h": pd.array([d[1] for d in dims], dtype="Int32"),
+                "out_fmt": fmts,
+                "status": status,
+                "px_sum": pd.array(px_sum, dtype="Int64"),
+                "pos_sum": pd.array(pos_sum, dtype="Int64"),
+            })
+
+    schema = ("image_id string, out_bytes binary, out_w int, "
+              "out_h int, out_fmt string, status string, "
+              "px_sum bigint, pos_sum bigint")
+    return src.mapInPandas(work, schema=schema)
+
+
 def quality_metrics(px: np.ndarray) -> dict:
     """Integer-exact quality metrics for one (h, w, 3) uint8 image.
 

@@ -252,3 +252,93 @@ def test_image_quality_profile_operator(spark, tmp_path) -> None:
     )
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# augmentation
+# ---------------------------------------------------------------------------
+
+def test_transform_pixels_primitives() -> None:
+    px = synth_pixels(11, 7, 5)
+    assert np.array_equal(
+        it.transform_pixels(px, flip_h=True), px[:, ::-1])
+    assert np.array_equal(
+        it.transform_pixels(px, flip_v=True), px[::-1])
+    # 90° clockwise: top row becomes right column
+    r = it.transform_pixels(px, rot90=90)
+    assert r.shape == (7, 5, 3)
+    assert np.array_equal(r[:, -1], px[0])
+    # 180 == flip both; 270 == inverse of 90
+    assert np.array_equal(
+        it.transform_pixels(px, rot90=180), px[::-1, ::-1])
+    assert np.array_equal(
+        it.transform_pixels(it.transform_pixels(px, rot90=90),
+                            rot90=270), px)
+
+
+def test_transform_pixels_crop() -> None:
+    px = synth_pixels(3, 10, 8)
+    c = it.transform_pixels(px, crop=("center", 4, 6))
+    assert np.array_equal(c, px[1:7, 3:7])
+    e = it.transform_pixels(px, crop=(2, 1, 5, 3))
+    assert np.array_equal(e, px[1:4, 2:7])
+    # center crop clamps to the image
+    assert it.transform_pixels(px, crop=("center", 99, 99)).shape \
+        == px.shape
+    with pytest.raises(ValueError):
+        it.transform_pixels(px, crop=(8, 0, 5, 3))
+    with pytest.raises(ValueError):
+        it.transform_pixels(px, rot90=45)
+
+
+def test_transform_chain_order() -> None:
+    """crop → flip_h → rot90(cw): pinned against the explicit
+    composition (the contract oracle replays this algebra)."""
+    px = synth_pixels(9, 13, 11)
+    got = it.transform_pixels(
+        px, crop=("center", 10, 8), flip_h=True, rot90=90)
+    want = np.rot90(px[1:9, 1:11][:, ::-1], k=-1)
+    assert np.array_equal(got, want)
+
+
+def test_position_weighted_luma_sensitivity() -> None:
+    px = synth_pixels(21, 6, 4)
+    base = it.position_weighted_luma(px)
+    assert it.position_weighted_luma(px[:, ::-1]) != base
+    assert it.position_weighted_luma(np.rot90(px)) != base
+    # plain sum is NOT sensitive — that's why pos_sum exists
+    assert px.sum() == px[:, ::-1].sum()
+
+
+def test_augment_images_operator(spark, tmp_path) -> None:
+    out = {
+        r["image_id"]: r
+        for r in it.augment_images(
+            _frame(spark), crop=("center", 6, 5), flip_h=True,
+            rot90=90,
+        ).collect()
+    }
+    assert out["id-none"]["status"] == "no_payload"
+    assert out["id-garbage"]["status"] == "undecodable"
+    # png row: exact equality with the local chain
+    src_px = synth_pixels(pixel_seed(1), 9, 7)
+    want = it.transform_pixels(src_px, crop=("center", 6, 5),
+                               flip_h=True, rot90=90)
+    r = out["id-png"]
+    assert (r["out_w"], r["out_h"]) == (want.shape[1], want.shape[0])
+    _, got = decode_image(bytes(r["out_bytes"]))
+    assert np.array_equal(got, want)
+    assert r["px_sum"] == int(want.sum())
+    assert r["pos_sum"] == it.position_weighted_luma(want)
+    assert out["id-jpeg"]["pos_sum"] is None
+    with pytest.raises(ValueError):
+        it.augment_images(_frame(spark), rot90=30)
+    # narrow plan
+    p = str(tmp_path / "aug.parquet")
+    _frame(spark).write.parquet(p)
+    plan = (
+        it.augment_images(spark.read.parquet(p), flip_h=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
