@@ -978,6 +978,58 @@ FROM dims d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_CONFLICT_N = 3000
+
+
+def q_img_caption_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal conflict detection over the input_hint table in ONE
+    melted scan (`checks.cross_modal_conflicts`): phash values with
+    conflicting captions (the hot-phash plant: one perceptual hash,
+    many captions) and captions stamped on many image_ids (a planted
+    boilerplate-caption family id%40==7 plus the seeded control-char
+    caption violations, which genuinely repeat). The oracle replays
+    the full frame generation and the melt+distinct aggregation."""
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, IMG_CONFLICT_N).withColumn(
+        "caption",
+        F.expr("IF(id % 40 = 7, format_string('dup caption %d',"
+               " cast(id % 5 as int)), caption)"),
+    )
+    return checks.cross_modal_conflicts(df.drop("id"))
+
+
+_IMG_CAPTION_CONFLICTS_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {IMG_CONFLICT_N})
+), t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 50 = 0 THEN 6510615555426900570
+         ELSE mix END AS phash,
+    CASE WHEN id % 40 = 7 THEN printf('dup caption %d', id % 5)
+         WHEN id % 100 = 0 AND (id // 100) % 6 = 3 THEN NULL
+         WHEN id % 100 = 0 AND (id // 100) % 6 = 4
+           THEN 'x' || chr(1) || 'y'
+         ELSE printf('caption %d about image number %d',
+                     id % 997, id) END AS caption
+  FROM g
+), m AS (
+  SELECT 'phash~caption' AS kind, CAST(phash AS VARCHAR) AS key,
+         caption AS other FROM t
+  UNION ALL
+  SELECT 'caption~image_id', caption, image_id FROM t
+)
+SELECT kind, key, COUNT(*) AS n_rows,
+       COUNT(DISTINCT other) AS n_distinct_other
+FROM m WHERE key IS NOT NULL AND other IS NOT NULL
+GROUP BY kind, key HAVING COUNT(DISTINCT other) >= 2
+"""
+
+
 IMG_AUGMENT_N = 2000
 
 
@@ -2760,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_resize_census": q_img_resize_census,
         "img_quality_profile": q_img_quality_profile,
         "img_augment_census": q_img_augment_census,
+        "img_caption_conflicts": q_img_caption_conflicts,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3511,6 +3564,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_resize_census": _img_resize_census_sql(),
         "img_quality_profile": _img_quality_profile_sql(),
         "img_augment_census": _img_augment_census_sql(),
+        "img_caption_conflicts": _IMG_CAPTION_CONFLICTS_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

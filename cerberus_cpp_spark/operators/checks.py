@@ -1102,3 +1102,58 @@ def incremental_validation_targets(
         old, new, key_list, compare_cols=compare_cols,
     ).where(F.col("status") != "removed").select(*key_list)
     return new.join(delta, on=key_list, how="left_semi")
+
+
+def cross_modal_conflicts(
+    df: DataFrame,
+    pairs: "Sequence[tuple[str, str]]" = (
+        ("phash", "caption"),
+        ("caption", "image_id"),
+    ),
+    *,
+    min_distinct: int = 2,
+) -> DataFrame:
+    """Cross-modal consistency over an image+caption table: for each
+    (group_key, other) pair, find group_key values whose rows carry
+    ≥ ``min_distinct`` DISTINCT ``other`` values. The defaults detect
+    the two training-data poisons of the input_hint table: the same
+    image (phash) published under conflicting captions, and the same
+    caption stamped onto many images (boilerplate/alt-text spam).
+
+    ONE scan for every pair: ``stack()`` melts each row into
+    (kind, key, other) triples JVM-side (the
+    ``categorical_drift_multi`` design), one hash aggregate computes
+    ``n_rows`` + exact ``n_distinct_other`` per (kind, key), and the
+    ``min_distinct`` filter runs on the already-reduced frame.
+    Returns (kind, key, n_rows, n_distinct_other), kind =
+    ``'<group_key>~<other>'``. NULL keys and NULL others are excluded
+    (a NULL caption is the nullable-rule's business, not a conflict).
+
+    Scale: one explode×len(pairs) + one shuffle on (kind, key).
+    The hot-key caveat of any key-grouped aggregate applies — a
+    viral image shared 10^6 times is a hot phash; partial aggregation
+    absorbs most of it (count-distinct partials are per-key sets, so
+    a truly pathological key should be pre-screened with
+    ``heavy_hitters`` and handled separately)."""
+    pair_list = list(pairs)
+    if not pair_list:
+        raise ValueError("pairs must be non-empty")
+    if min_distinct < 2:
+        raise ValueError("min_distinct must be >= 2")
+    melt = "stack({}, {}) as (kind, key, other)".format(
+        len(pair_list),
+        ", ".join(
+            f"'{k}~{o}', cast(`{k}` as string), cast(`{o}` as string)"
+            for k, o in pair_list
+        ),
+    )
+    return (
+        df.select(F.expr(melt))
+        .where(F.col("key").isNotNull() & F.col("other").isNotNull())
+        .groupBy("kind", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("other").alias("n_distinct_other"),
+        )
+        .where(F.col("n_distinct_other") >= F.lit(int(min_distinct)))
+    )

@@ -61,3 +61,40 @@ def test_quantile_drift_sketch_detects_shift(spark, orders) -> None:
     res = checks.quantile_drift(orders, shifted, "o_totalprice",
                                 rel_tolerance=0.1)
     assert res["drifted"] and res["max_rel_gap"] > 0.4
+
+
+def test_cross_modal_conflicts(spark) -> None:
+    """One melted scan finds both conflict families; thresholds and
+    NULL exclusion pinned; single-aggregation plan (≤2 Exchanges:
+    partial-distinct + final)."""
+    import pytest
+
+    from cerberus_cpp_spark.operators.checks import cross_modal_conflicts
+
+    df = spark.createDataFrame(
+        [
+            # phash 1 carries two captions; caption "c" sits on 3 ids
+            ("i1", 1, "a"), ("i2", 1, "b"),
+            ("i3", 2, "c"), ("i4", 2, "c"),   # same caption = no conflict
+            ("i5", 3, "c"), ("i6", 4, "c"),
+            ("i7", None, "d"), ("i8", 5, None),   # NULLs excluded
+        ],
+        "image_id string, phash int, caption string",
+    )
+    rows = {(r["kind"], r["key"]): (r["n_rows"], r["n_distinct_other"])
+            for r in cross_modal_conflicts(df).collect()}
+    assert rows == {
+        ("phash~caption", "1"): (2, 2),
+        ("caption~image_id", "c"): (4, 4),
+    }
+    # min_distinct raises the bar
+    rows3 = {r["key"]
+             for r in cross_modal_conflicts(df, min_distinct=3).collect()}
+    assert rows3 == {"c"}
+    with pytest.raises(ValueError):
+        cross_modal_conflicts(df, pairs=[])
+    with pytest.raises(ValueError):
+        cross_modal_conflicts(df, min_distinct=1)
+    plan = (cross_modal_conflicts(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 2, plan
