@@ -520,6 +520,30 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split_key", "split")
 
 
+def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways over the documents table: alnum word
+    tokens and the BPE-ish pre-tokenizer (GPT-2-shaped regex, the
+    brief's LLM-cost proxy). The oracle runs the IDENTICAL pattern
+    string through DuckDB's RE2 — lookahead-free by design so both
+    engines match byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        _tx.token_count("text"),
+        _tx.bpe_token_count("text"),
+    )
+
+
+def _token_stats_docs_sql() -> str:
+    pat = _tx.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash(_t(spark, sf_dir, "documents"))
 
@@ -2793,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_customer_rules": q_suggest_customer_rules,
         "suggest_robust_bounds": q_suggest_robust_bounds,
         "simhash": q_simhash,
+        "token_stats_docs": q_token_stats_docs,
         "rolling_fingerprint": q_rolling_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -3534,6 +3559,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "suggest_customer_rules": _suggest_customer_sql(),
         "suggest_robust_bounds": _suggest_robust_sql(),
         "simhash": _simhash_sql(),
+        "token_stats_docs": _token_stats_docs_sql(),
         "rolling_fingerprint": _ROLLING_FP_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "ann_topk_lsh": _ANN_TOPK_SQL,

@@ -42,6 +42,34 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col)).alias("n_tokens")
 
 
+#: GPT-2-style pre-tokenizer shape (the brief's "BPE-ish regex"):
+#: common contractions, space-prefixed letter runs, digit runs, and
+#: punctuation runs. The upstream pattern's trailing lookahead
+#: (`\s+(?!\S)`) is dropped — RE2 (DuckDB) has no lookahead, and
+#: whitespace runs fall out naturally as unmatched gaps — so the SAME
+#: pattern string runs on Java regex and RE2 with identical output
+#: (cross-engine parity pinned in tests on contractions, Unicode
+#: letters, digit runs, and punctuation clusters).
+BPE_ISH_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_ish_tokens(col: str = "text") -> Column:
+    """BPE-ish pre-tokens (may carry one leading space, like GPT-2
+    byte-pair merges see them). JVM regexp — codegen-friendly, no
+    Python. The Column API is used because the pattern's apostrophe
+    cannot live inside an `expr()` SQL literal."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """LLM-ish token count: a far better cost/length proxy for
+    training-data budgeting than whitespace words (punctuation and
+    contractions count, long words still count once per run)."""
+    return F.size(bpe_ish_tokens(col)).alias("n_bpe_tokens")
+
+
 def _feature_map(col: str) -> dict[str, Column]:
     stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
     n_tok = F.size(tokens(col))

@@ -456,3 +456,32 @@ def test_suggest_rules_skips_high_cardinality_and_dates(spark):
     assert "allowed" not in rules["uid"]          # 500 distinct
     assert "type" not in rules["ts"]              # reference omits
     assert rules["ts"] == {"required": True}
+
+
+def test_bpe_ish_tokens_cross_engine_parity(spark) -> None:
+    """The BPE-ish pre-tokenizer pattern (round 4) runs byte-identical
+    on Java regex and DuckDB RE2 — contractions, Unicode letters,
+    digit runs, punctuation clusters, and multi-space gaps."""
+    import duckdb
+
+    from cerberus_cpp_spark.operators import text as tx
+
+    cases = [
+        "Hello, world! It's 2026...",
+        "  döner   kebab 42x",
+        "a'b'll c''d",
+        "№5 ¿qué? 3.14",
+        "", "   ", "don't we've I'm you're he'd",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    got = {r["t"]: list(r["toks"]) for r in df.select(
+        "t", tx.bpe_ish_tokens("t").alias("toks")).collect()}
+    con = duckdb.connect()
+    for t in cases:
+        want = con.execute(
+            "SELECT regexp_extract_all(?, ?)",
+            [t, tx.BPE_ISH_PATTERN]).fetchone()[0]
+        assert got[t] == want, (t, got[t], want)
+    assert got["don't we've I'm you're he'd"] == [
+        "don", "'t", " we", "'ve", " I", "'m", " you", "'re",
+        " he", "'d"]
