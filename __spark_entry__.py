@@ -1002,6 +1002,126 @@ FROM dims d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_HEIF_N = 1200
+
+
+def q_img_heif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIC/AVIF census (round 4): real HEVC- and AV1-coded payloads
+    from the system-libheif binding (`sources/libheif.py`; the
+    container SHIPS libheif 1.15.1 — noted in BASELINE.md) decoded
+    through the sniffing dispatch, with the pure-python ISO-BMFF
+    header walk (pitm→ipma→ispe, no codec) cross-checked against
+    decoded dims per row. px_sum is emitted for the LOSSLESS family
+    only — lossless-decoded pixels equal the planted gradient exactly
+    even though the emitted bitstream may vary across encoder builds,
+    so the oracle predicts it; lossy fidelity is pinned in
+    tests/test_heif.py (444-chroma ≥ 40 dB). Truncation plants route
+    to undecodable, payload-less rows to no_payload."""
+    num_parts = 8
+    df = spark.range(0, IMG_HEIF_N, 1, num_parts)
+    pkg_parent = PKG_PARENT
+
+    def census(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            decode_image,
+            image_header_info,
+            pixel_seed,
+            sniff_format,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.libheif import encode_heif
+
+        for pdf in batches:
+            n = len(pdf)
+            fmt: list = [None] * n
+            status = ["ok"] * n
+            dw: list = [None] * n
+            dh: list = [None] * n
+            hok: list = [None] * n
+            psum: list = [None] * n
+            for j, i in enumerate(pdf["id"]):
+                i = int(i)
+                if i % 25 == 0:
+                    status[j] = "no_payload"
+                    continue
+                px = synth_pixels(pixel_seed(i, 42), 8 + i % 9,
+                                  8 + i % 7)
+                if i % 20 == 13:
+                    blob = encode_heif(px, "avif", quality=95)[:60]
+                else:
+                    codec = ("heic", "avif")[i % 2]
+                    blob = encode_heif(px, codec, quality=95,
+                                       lossless=(i % 5 == 2))
+                fmt[j] = sniff_format(blob)
+                try:
+                    dec_fmt, dec = decode_image(blob)
+                except ValueError:
+                    status[j] = "undecodable"
+                    continue
+                dh[j], dw[j] = dec.shape[0], dec.shape[1]
+                try:
+                    _, hw, hh = image_header_info(blob)
+                    hok[j] = (hw == dw[j] and hh == dh[j])
+                except ValueError:
+                    hok[j] = False
+                if i % 5 == 2:
+                    psum[j] = int(dec.sum(dtype="int64"))
+            yield pd.DataFrame({
+                "image_id": ["img-%012d" % int(i) for i in pdf["id"]],
+                "fmt": fmt, "status": status,
+                "dec_w": pd.array(dw, dtype="Int32"),
+                "dec_h": pd.array(dh, dtype="Int32"),
+                "header_ok": pd.array(hok, dtype="boolean"),
+                "px_sum": pd.array(psum, dtype="Int64"),
+            })
+
+    return df.mapInPandas(
+        census,
+        schema=("image_id string, fmt string, status string, "
+                "dec_w int, dec_h int, header_ok boolean, "
+                "px_sum bigint"),
+    )
+
+
+_IMG_HEIF_CENSUS_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({IMG_HEIF_N})),
+base AS (
+  SELECT id,
+         (id * 1103515245 + 42*12345 + 12345) % 2147483648 AS ps,
+         8 + id % 9 AS wt, 8 + id % 7 AS ht,
+         CASE WHEN id % 25 = 0 THEN 'no_payload'
+              WHEN id % 20 = 13 THEN 'undecodable'
+              ELSE 'ok' END AS status,
+         CASE WHEN id % 25 = 0 THEN NULL
+              WHEN id % 20 = 13 THEN 'avif'
+              ELSE ['heic','avif'][CAST(id % 2 AS INT) + 1]
+         END AS fmt
+  FROM ids),
+psums AS (
+  SELECT d.id,
+         SUM(((7*tx.x + 3*ty.y + ps) % 256)
+           + ((5*tx.x + 11*ty.y + ps//3) % 256)
+           + ((13*tx.x + 2*ty.y + ps//7) % 256)) AS s
+  FROM base d, range(16) tx(x), range(14) ty(y)
+  WHERE tx.x < d.wt AND ty.y < d.ht
+    AND d.status = 'ok' AND d.id % 5 = 2
+  GROUP BY d.id)
+SELECT printf('img-%012d', d.id) AS image_id,
+       d.fmt, d.status,
+       CAST(CASE WHEN status = 'ok' THEN wt END AS INT) AS dec_w,
+       CAST(CASE WHEN status = 'ok' THEN ht END AS INT) AS dec_h,
+       CASE WHEN status = 'ok' THEN TRUE END AS header_ok,
+       CAST(p.s AS BIGINT) AS px_sum
+FROM base d LEFT JOIN psums p USING (id)
+"""
+
+
 IMG_CONFLICT_N = 3000
 
 
@@ -2838,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_quality_profile": q_img_quality_profile,
         "img_augment_census": q_img_augment_census,
         "img_caption_conflicts": q_img_caption_conflicts,
+        "img_heif_census": q_img_heif_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3591,6 +3712,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_quality_profile": _img_quality_profile_sql(),
         "img_augment_census": _img_augment_census_sql(),
         "img_caption_conflicts": _IMG_CAPTION_CONFLICTS_SQL,
+        "img_heif_census": _IMG_HEIF_CENSUS_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

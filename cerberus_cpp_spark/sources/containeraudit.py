@@ -268,6 +268,16 @@ def audit_container(
             audit_bmp(data)
         elif fmt == "tiff":
             audit_tiff(data)
+        elif fmt in ("heic", "avif"):
+            # ISO-BMFF box-bounds walk (pure python, no codec). Like
+            # JPEG/WebP — and unlike PNG — the container carries no
+            # payload checksums: a flipped mdat byte is provably
+            # invisible at this layer.
+            from .isobmff import audit_isobmff
+
+            ok, msg, _ = audit_isobmff(data)
+            if not ok:
+                return fmt, "malformed", msg
         return fmt, "ok", None
     except ValueError as e:
         return fmt, "malformed", str(e)[:120]

@@ -223,6 +223,11 @@ def sniff_format(data: bytes) -> str | None:
 
     if sniff_tiff(data):
         return "tiff"
+    from .isobmff import sniff_isobmff
+
+    bmff = sniff_isobmff(data)   # 'heic' / 'avif' from ftyp brands
+    if bmff is not None:
+        return bmff
     return None
 
 
@@ -281,6 +286,12 @@ def image_header_info(data: bytes) -> tuple[str, int, int]:
 
         w, h = tiff_header_info(data)
         return fmt, w, h
+    if fmt in ("heic", "avif"):
+        # pure-python ISO-BMFF walk (pitm→ipma→ispe): dims verify
+        # even where pixel decode would need the system libheif
+        from .isobmff import heif_header_info
+
+        return heif_header_info(data)
     raise ValueError("unknown image container")
 
 
@@ -306,6 +317,13 @@ def decode_image(data: bytes) -> tuple[str, np.ndarray]:
         # VP8L in-repo; lossy VP8/VP8X via the feature-detected
         # system-libwebp fallback (UnsupportedCodecError when absent)
         return fmt, decode_webp_any(data)
+    if fmt in ("heic", "avif"):
+        # HEVC/AV1 decode via the feature-detected system libheif
+        # (UnsupportedCodecError when absent — dataset checks route
+        # those rows to decode_unsupported, never a job kill)
+        from .libheif import decode_heif
+
+        return fmt, decode_heif(data)
     raise ValueError("unrecognized image stream")
 
 
