@@ -392,6 +392,15 @@ def image_metadata(data: bytes) -> dict:
     elif fmt == "gif":
         cs = gif_comments(data)
         out["comment"] = cs[0] if cs else None
+    elif fmt in ("heic", "avif"):
+        # libheif walks the item table (no pixel decode); when the
+        # library is absent the EXIF field stays None — header dims
+        # and the structural audit remain available via isobmff.py
+        from .libheif import heif_available, heif_metadata
+
+        if heif_available():
+            m = heif_metadata(data)
+            out["exif"] = parse_exif(m["exif"]) if m["exif"] else None
     elif fmt is None:
         raise ValueError("unrecognized image stream")
     return out

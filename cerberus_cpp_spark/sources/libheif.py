@@ -90,6 +90,16 @@ _SIGS = [
     ("heif_image_handle_get_height", C.c_int, [C.c_void_p]),
     ("heif_image_get_plane_readonly", C.POINTER(C.c_uint8),
      [C.c_void_p, C.c_int, C.POINTER(C.c_int)]),
+    ("heif_context_add_exif_metadata", _HeifError,
+     [C.c_void_p, C.c_void_p, C.c_void_p, C.c_int]),
+    ("heif_image_handle_get_number_of_metadata_blocks", C.c_int,
+     [C.c_void_p, C.c_char_p]),
+    ("heif_image_handle_get_list_of_metadata_block_IDs", C.c_int,
+     [C.c_void_p, C.c_char_p, C.POINTER(C.c_uint32), C.c_int]),
+    ("heif_image_handle_get_metadata_size", C.c_size_t,
+     [C.c_void_p, C.c_uint32]),
+    ("heif_image_handle_get_metadata", _HeifError,
+     [C.c_void_p, C.c_uint32, C.c_void_p]),
 ]
 
 
@@ -162,9 +172,54 @@ def decode_heif(data: bytes) -> np.ndarray:
         lib.heif_context_free(ctx)
 
 
+def heif_metadata(data: bytes) -> dict:
+    """Metadata blocks of the primary item: ``{"exif": bytes|None}``
+    — the stored block carries a 4-byte offset to the TIFF header
+    (HEIF spec) which is stripped here, so the result feeds
+    ``imagemeta.parse_exif`` directly. Container parse only, no pixel
+    decode (but the box walk itself is libheif's, so the library is
+    required; header dims do NOT need it — ``isobmff.py``)."""
+    if _LIB is None:
+        raise UnsupportedCodecError(
+            "heif metadata extraction needs the system libheif (absent)")
+    lib = _LIB
+    ctx = lib.heif_context_alloc()
+    try:
+        buf = C.create_string_buffer(data, len(data))
+        _ck(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(data), None), "read")
+        handle = C.c_void_p()
+        _ck(lib.heif_context_get_primary_image_handle(
+            ctx, C.byref(handle)), "primary handle")
+        try:
+            n = lib.heif_image_handle_get_number_of_metadata_blocks(
+                handle, b"Exif")
+            exif = None
+            if n > 0:
+                ids = (C.c_uint32 * n)()
+                lib.heif_image_handle_get_list_of_metadata_block_IDs(
+                    handle, b"Exif", ids, n)
+                size = lib.heif_image_handle_get_metadata_size(
+                    handle, ids[0])
+                out = C.create_string_buffer(int(size))
+                _ck(lib.heif_image_handle_get_metadata(
+                    handle, ids[0], out), "get_metadata")
+                raw = out.raw
+                if len(raw) >= 4:
+                    off = int.from_bytes(raw[:4], "big")
+                    if 4 + off <= len(raw):
+                        exif = raw[4 + off:]
+            return {"exif": exif}
+        finally:
+            lib.heif_image_handle_release(handle)
+    finally:
+        lib.heif_context_free(ctx)
+
+
 def encode_heif(px: np.ndarray, codec: str = "heic", *,
                 quality: int = 90, lossless: bool = False,
-                chroma444: bool = True) -> bytes:
+                chroma444: bool = True,
+                exif: bytes | None = None) -> bytes:
     """Encode (h, w, 3) uint8 RGB as HEIC or AVIF. ``lossless=True``
     forces chroma 4:4:4 + the identity matrix (bit-exact roundtrip,
     pinned); lossy keeps 4:4:4 by default so the 40 dB fidelity gate
@@ -209,6 +264,10 @@ def encode_heif(px: np.ndarray, codec: str = "heic", *,
         handle = C.c_void_p()
         _ck(lib.heif_context_encode_image(
             ctx, img, enc, None, C.byref(handle)), "encode")
+        if exif is not None:
+            ebuf = C.create_string_buffer(exif, len(exif))
+            _ck(lib.heif_context_add_exif_metadata(
+                ctx, handle, ebuf, len(exif)), "add_exif")
         lib.heif_image_handle_release(handle)
         fd, path = tempfile.mkstemp(suffix=".heif")
         os.close(fd)

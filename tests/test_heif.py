@@ -187,3 +187,28 @@ def test_absent_library_routes_unsupported(monkeypatch) -> None:
 @heif_only
 def test_version_reported() -> None:
     assert libheif.heif_version().startswith("1.")
+
+
+@heif_only
+@pytest.mark.parametrize("codec", ["heic", "avif"])
+def test_exif_roundtrip_through_heif(codec) -> None:
+    """EXIF embeds via heif_context_add_exif_metadata and comes back
+    through the unified image_metadata dispatch (the stored block's
+    4-byte TIFF-header offset is stripped per the HEIF spec)."""
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        image_metadata,
+    )
+
+    px = synth_pixels(3, 20, 16)
+    exif = build_exif(description="heif exif roundtrip", orientation=6)
+    pay = libheif.encode_heif(px, codec, quality=90, exif=exif)
+    md = image_metadata(pay)
+    assert md["fmt"] == codec
+    assert md["exif"]["description"] == "heif exif roundtrip"
+    assert md["exif"]["orientation"] == 6
+    # without exif: None, and decode is unaffected by the exif item
+    assert image_metadata(
+        libheif.encode_heif(px, codec, quality=90))["exif"] is None
+    fmt, got = decode_image(pay)
+    assert got.shape == (16, 20, 3)
