@@ -13,9 +13,11 @@ in-repo codecs — images (PNG + baseline JPEG + webp VP8L lossless
 + extended VP8X/ALPH/ANIM + GIF incl. animation + BMP + baseline
 TIFF, ``sources.imagegen``/``jpegcodec``/``webpcodec``/``webpx``/
 ``gifcodec``/``bmpcodec``/``tiffcodec``), audio (WAV-PCM,
-``sources.wavcodec``), video (AVI-MJPEG, ``sources.avicodec``). Only
-formats that genuinely need external codec libraries (lossy VP8,
-mp3/aac/h264/...) are STUBBED:
+``sources.wavcodec``), video (AVI-MJPEG, ``sources.avicodec``).
+Lossy VP8 decodes in-repo (``vp8codec``), and HEIC/AVIF decode+encode
+through the feature-detected system libheif (``sources.libheif``,
+round 4). Only formats that genuinely need ABSENT external codec
+libraries (mp3/aac/h264/...) are STUBBED:
 ``NotImplementedError`` by default, or a clearly-marked
 deterministic fake (``stub_strategy="fake"``) that exercises the
 full Spark plumbing (schema, batching, UDF signature) without

@@ -1,8 +1,10 @@
 """Deterministic in-process image synthesis + codecs.
 
-The container has no Pillow/libjpeg/libwebp, so codecs are
-implemented in-repo (all Spark-side plumbing — binary columns, Arrow
-batches, UDF signatures — is real either way):
+The container has no Pillow, so codecs are implemented in-repo (all
+Spark-side plumbing — binary columns, Arrow batches, UDF signatures —
+is real either way); the system libwebp/libheif shared libraries ARE
+present and are bound feature-detected where an in-repo codec would
+mean reimplementing HEVC/AV1:
 
 - ``png``: a REAL full-spec PNG decoder (``pngcodec.py``: color
   types 0/2/3/4/6, depths 1-16, filters 0-4, Adam7 interlace, CRC
@@ -33,6 +35,15 @@ batches, UDF signatures — is real either way):
   byte orders, strips + tiles, none/PackBits/LZW/Deflate
   compression, gray/RGB/RGBA/palette, horizontal predictor) —
   bit-exact round-trip, ImageIO-interop-verified both directions.
+- ``heic``/``avif``: decode AND encode through the feature-detected
+  system libheif (``libheif.py``; this container ships 1.15.1 with
+  HEVC + AV1 codecs) — ``UnsupportedCodecError`` → the
+  ``decode_unsupported`` verdict when absent. Container-level
+  parsing (ftyp sniff, pitm→ipma→ispe header dims, box-bounds
+  audit) is pure python (``isobmff.py``) and never needs the
+  library. Note: the metadata token ``'heif'`` in the synthetic
+  fixtures remains the seeded INVALID format (allowed-rule plant);
+  real payloads are branded ``'heic'``/``'avif'``.
 
 Pixel content is a seeded gradient so any (row, seed) pair
 regenerates the identical reference image anywhere in the cluster —
