@@ -342,3 +342,78 @@ def test_augment_images_operator(spark, tmp_path) -> None:
     )
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# property sweeps
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        sw=st.integers(1, 24), sh=st.integers(1, 20),
+        ow=st.integers(1, 30), oh=st.integers(1, 26),
+        seed=st.integers(0, 2**31 - 1),
+        method=st.sampled_from(["nearest", "bilinear"]),
+    )
+    def test_resize_properties(sw, sh, ow, oh, seed, method) -> None:
+        from cerberus_cpp_spark.sources.imagegen import (
+            synth_noise_pixels,
+        )
+
+        px = synth_noise_pixels(seed, sw, sh)
+        out = it.resize_pixels(px, ow, oh, method)
+        assert out.shape == (oh, ow, 3) and out.dtype == np.uint8
+        if method == "nearest":
+            # every output pixel is SOME source pixel
+            src = {tuple(p) for p in px.reshape(-1, 3)}
+            assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+        else:
+            # bilinear stays inside the source value range per channel
+            for c in range(3):
+                assert out[..., c].min() >= px[..., c].min()
+                assert out[..., c].max() <= px[..., c].max()
+        # same-size resize is the identity for both methods
+        assert np.array_equal(it.resize_pixels(px, sw, sh, method), px)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        sw=st.integers(2, 20), sh=st.integers(2, 18),
+        seed=st.integers(0, 2**31 - 1),
+        fh=st.booleans(), fv=st.booleans(),
+        rot=st.sampled_from([0, 90, 180, 270]),
+    )
+    def test_transform_involutions(sw, sh, seed, fh, fv, rot) -> None:
+        from cerberus_cpp_spark.sources.imagegen import (
+            synth_noise_pixels,
+        )
+
+        px = synth_noise_pixels(seed, sw, sh)
+        out = it.transform_pixels(px, flip_h=fh, flip_v=fv, rot90=rot)
+        # undo in reverse order: rotate back, then unflip
+        back = it.transform_pixels(out, rot90=(360 - rot) % 360)
+        back = it.transform_pixels(back, flip_h=fh, flip_v=fv)
+        assert np.array_equal(back, px)
+        # pixel multiset is preserved (pure permutation)
+        assert sorted(map(tuple, out.reshape(-1, 3))) \
+            == sorted(map(tuple, px.reshape(-1, 3)))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sw=st.integers(1, 20), sh=st.integers(1, 18),
+        bw=st.integers(1, 16), bh=st.integers(1, 16),
+    )
+    def test_thumbnail_dims_properties(sw, sh, bw, bh) -> None:
+        ow, oh = it.thumbnail_dims(sw, sh, bw, bh)
+        assert 1 <= ow <= bw and 1 <= oh <= bh
+        # at least one side fills the box unless clamped at 1
+        assert ow == bw or oh == bh
