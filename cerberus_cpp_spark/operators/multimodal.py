@@ -101,47 +101,21 @@ def resize_images(df: DataFrame, *, width: int, height: int,
                   id_col: str = "image_id",
                   bytes_col: str = "bytes",
                   out_fmt: str = "png") -> DataFrame:
-    """Nearest-neighbor resize, re-encoded with the repo codec.
-    Output: (image_id, bytes, w, h, fmt). Undecodable → NULL bytes."""
-    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
-    pkg_parent = PKG_PARENT
+    """Legacy convenience wrapper (round 1) — delegates to the full
+    engine in ``operators/image_transform.py`` (pixel-center nearest,
+    per-row failure routing, checksum policy) and keeps this module's
+    original output schema. Prefer ``image_transform.resize_images``
+    (methods, aspect-preserving boxes, status taxonomy) directly."""
+    from .image_transform import resize_images as _resize
 
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import sys
-
-        if pkg_parent not in sys.path:
-            sys.path.insert(0, pkg_parent)
-        import numpy as np
-
-        from cerberus_cpp_spark.sources.imagegen import (
-            decode_image,
-            encode_pixels,
-        )
-
-        for pdf in batches:
-            payloads = []
-            for blob in pdf[bytes_col]:
-                if blob is None:
-                    payloads.append(None)
-                    continue
-                try:
-                    _, px = decode_image(bytes(blob))
-                except Exception:
-                    payloads.append(None)
-                    continue
-                ys = (np.arange(height) * px.shape[0] // height)
-                xs = (np.arange(width) * px.shape[1] // width)
-                resized = px[ys][:, xs]
-                payloads.append(encode_pixels(resized, out_fmt))
-            yield pd.DataFrame({
-                "image_id": pdf["image_id"],
-                "bytes": payloads,
-                "w": width, "h": height, "fmt": out_fmt,
-            })
-
-    return src.mapInPandas(
-        work,
-        schema="image_id string, bytes binary, w int, h int, fmt string",
+    out = _resize(df, size=(width, height), method="nearest",
+                  out_fmt=out_fmt, id_col=id_col, bytes_col=bytes_col)
+    return out.select(
+        "image_id",
+        F.col("out_bytes").alias("bytes"),
+        F.lit(int(width)).alias("w"),
+        F.lit(int(height)).alias("h"),
+        F.lit(out_fmt).alias("fmt"),
     )
 
 
@@ -587,3 +561,71 @@ def normalize_orientation(df: DataFrame, *, id_col: str = "image_id",
             yield out_pdf
 
     return src.mapInPandas(work, schema=NORMALIZE_ORIENT_SCHEMA)
+
+
+def heif_burst_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Multi-image HEIF (burst / photo-stack) validation: one output
+    row per TOP-LEVEL item with its index, decoded dims, and a
+    decoded-pixel checksum (stable across runs only for
+    lossless-coded items — the caller owns that contract; the
+    img_heif_burst query plants lossless AVIF stacks so its oracle
+    predicts every checksum). Completes the multi-frame container
+    family next to GIF animation, ANIM-WebP, and AVI sampling.
+
+    Same per-clip failure policy as ``animation_frames``: a corrupt
+    or truncated container drops ITS rows only, never the job; an
+    absent system libheif drops every clip (decode_unsupported is a
+    library property here, not a row property — route payloads
+    through ``image_checks`` first if that distinction matters).
+    One Arrow-batched ``mapInPandas`` stage, narrow, no shuffle.
+    """
+    src = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.libheif import (
+            decode_heif_all,
+            heif_available,
+        )
+
+        for pdf in batches:
+            rows = {"image_id": [], "frame_idx": [], "w": [], "h": [],
+                    "px_sum": []}
+            if heif_available():
+                for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                    if blob is None:
+                        continue
+                    try:
+                        frames = decode_heif_all(bytes(blob))
+                    except ValueError:
+                        continue    # corrupt clip: drop its rows only
+                    for k, px in enumerate(frames):
+                        rows["image_id"].append(rid)
+                        rows["frame_idx"].append(k)
+                        rows["h"].append(px.shape[0])
+                        rows["w"].append(px.shape[1])
+                        rows["px_sum"].append(
+                            int(np.sum(px, dtype=np.int64)))
+            out = pd.DataFrame(rows)
+            for c, t in (("frame_idx", "Int32"), ("w", "Int32"),
+                         ("h", "Int32"), ("px_sum", "Int64")):
+                out[c] = out[c].astype(t) if len(out) else \
+                    pd.array([], dtype=t)
+            yield out
+
+    return src.mapInPandas(
+        work,
+        schema=("image_id string, frame_idx int, w int, h int, "
+                "px_sum bigint"),
+    )

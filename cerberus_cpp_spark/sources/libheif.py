@@ -90,6 +90,12 @@ _SIGS = [
     ("heif_image_handle_get_height", C.c_int, [C.c_void_p]),
     ("heif_image_get_plane_readonly", C.POINTER(C.c_uint8),
      [C.c_void_p, C.c_int, C.POINTER(C.c_int)]),
+    ("heif_context_get_number_of_top_level_images", C.c_int,
+     [C.c_void_p]),
+    ("heif_context_get_list_of_top_level_image_IDs", C.c_int,
+     [C.c_void_p, C.POINTER(C.c_uint32), C.c_int]),
+    ("heif_context_get_image_handle", _HeifError,
+     [C.c_void_p, C.c_uint32, C.POINTER(C.c_void_p)]),
     ("heif_context_add_exif_metadata", _HeifError,
      [C.c_void_p, C.c_void_p, C.c_void_p, C.c_int]),
     ("heif_image_handle_get_number_of_metadata_blocks", C.c_int,
@@ -150,22 +156,7 @@ def decode_heif(data: bytes) -> np.ndarray:
         _ck(lib.heif_context_get_primary_image_handle(
             ctx, C.byref(handle)), "primary handle")
         try:
-            w = lib.heif_image_handle_get_width(handle)
-            h = lib.heif_image_handle_get_height(handle)
-            img = C.c_void_p()
-            _ck(lib.heif_decode_image(handle, C.byref(img), _RGB,
-                                      _ILV, None), "decode")
-            try:
-                stride = C.c_int()
-                p = lib.heif_image_get_plane_readonly(
-                    img, _CHAN, C.byref(stride))
-                if not p:
-                    raise ValueError("libheif: no interleaved plane")
-                arr = np.ctypeslib.as_array(
-                    p, shape=(h, stride.value))[:, :w * 3]
-                return arr.reshape(h, w, 3).copy()
-            finally:
-                lib.heif_image_release(img)
+            return _decode_handle(lib, handle)
         finally:
             lib.heif_image_handle_release(handle)
     finally:
@@ -216,6 +207,57 @@ def heif_metadata(data: bytes) -> dict:
         lib.heif_context_free(ctx)
 
 
+def _make_image(lib, px: np.ndarray, lossless: bool):
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8 RGB")
+    h, w = px.shape[:2]
+    img = C.c_void_p()
+    _ck(lib.heif_image_create(w, h, _RGB, _ILV, C.byref(img)),
+        "image_create")
+    _ck(lib.heif_image_add_plane(img, _CHAN, w, h, 8), "add_plane")
+    stride = C.c_int()
+    p = lib.heif_image_get_plane(img, _CHAN, C.byref(stride))
+    np.ctypeslib.as_array(
+        p, shape=(h, stride.value))[:, :w * 3] = px.reshape(h, w * 3)
+    if lossless:
+        # identity (GBR) matrix, full range: without it the RGB→YUV
+        # matrix quantizes even at lossless settings
+        nclx = _Nclx(1, 2, 2, 0, 1)
+        _ck(lib.heif_image_set_nclx_color_profile(
+            img, C.byref(nclx)), "nclx")
+    return img
+
+
+def _make_encoder(lib, ctx, codec: str, quality: int, lossless: bool,
+                  chroma444: bool):
+    if codec not in _COMP:
+        raise ValueError(f"codec must be heic or avif, got {codec!r}")
+    enc = C.c_void_p()
+    _ck(lib.heif_context_get_encoder_for_format(
+        ctx, _COMP[codec], C.byref(enc)), "get_encoder")
+    if chroma444 or lossless:
+        _ck(lib.heif_encoder_set_parameter_string(
+            enc, b"chroma", b"444"), "chroma=444")
+    if lossless:
+        _ck(lib.heif_encoder_set_lossless(enc, 1), "lossless")
+        _ck(lib.heif_encoder_set_lossy_quality(enc, 100), "quality")
+    else:
+        _ck(lib.heif_encoder_set_lossy_quality(
+            enc, int(quality)), "quality")
+    return enc
+
+
+def _write_ctx(lib, ctx) -> bytes:
+    fd, path = tempfile.mkstemp(suffix=".heif")
+    os.close(fd)
+    try:
+        _ck(lib.heif_context_write_to_file(ctx, path.encode()), "write")
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
 def encode_heif(px: np.ndarray, codec: str = "heic", *,
                 quality: int = 90, lossless: bool = False,
                 chroma444: bool = True,
@@ -227,40 +269,13 @@ def encode_heif(px: np.ndarray, codec: str = "heic", *,
     if _LIB is None:
         raise UnsupportedCodecError(
             "heif/avif encode needs the system libheif (absent)")
-    if codec not in _COMP:
-        raise ValueError(f"codec must be heic or avif, got {codec!r}")
-    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
-        raise ValueError("expected (h, w, 3) uint8 RGB")
     lib = _LIB
-    h, w = px.shape[:2]
     ctx = lib.heif_context_alloc()
-    img = C.c_void_p()
-    enc = C.c_void_p()
+    img = enc = None
     try:
-        _ck(lib.heif_image_create(w, h, _RGB, _ILV, C.byref(img)),
-            "image_create")
-        _ck(lib.heif_image_add_plane(img, _CHAN, w, h, 8), "add_plane")
-        stride = C.c_int()
-        p = lib.heif_image_get_plane(img, _CHAN, C.byref(stride))
-        np.ctypeslib.as_array(
-            p, shape=(h, stride.value))[:, :w * 3] = px.reshape(h, w * 3)
-        if lossless:
-            # identity (GBR) matrix, full range: without it the RGB→YUV
-            # matrix quantizes even at lossless settings
-            nclx = _Nclx(1, 2, 2, 0, 1)
-            _ck(lib.heif_image_set_nclx_color_profile(
-                img, C.byref(nclx)), "nclx")
-        _ck(lib.heif_context_get_encoder_for_format(
-            ctx, _COMP[codec], C.byref(enc)), "get_encoder")
-        if chroma444 or lossless:
-            _ck(lib.heif_encoder_set_parameter_string(
-                enc, b"chroma", b"444"), "chroma=444")
-        if lossless:
-            _ck(lib.heif_encoder_set_lossless(enc, 1), "lossless")
-            _ck(lib.heif_encoder_set_lossy_quality(enc, 100), "quality")
-        else:
-            _ck(lib.heif_encoder_set_lossy_quality(
-                enc, int(quality)), "quality")
+        img = _make_image(lib, px, lossless)
+        enc = _make_encoder(lib, ctx, codec, quality, lossless,
+                            chroma444)
         handle = C.c_void_p()
         _ck(lib.heif_context_encode_image(
             ctx, img, enc, None, C.byref(handle)), "encode")
@@ -269,18 +284,105 @@ def encode_heif(px: np.ndarray, codec: str = "heic", *,
             _ck(lib.heif_context_add_exif_metadata(
                 ctx, handle, ebuf, len(exif)), "add_exif")
         lib.heif_image_handle_release(handle)
-        fd, path = tempfile.mkstemp(suffix=".heif")
-        os.close(fd)
-        try:
-            _ck(lib.heif_context_write_to_file(ctx, path.encode()),
-                "write")
-            with open(path, "rb") as f:
-                return f.read()
-        finally:
-            os.unlink(path)
+        return _write_ctx(lib, ctx)
     finally:
         if enc:
             lib.heif_encoder_release(enc)
         if img:
             lib.heif_image_release(img)
+        lib.heif_context_free(ctx)
+
+
+def encode_heif_burst(frames: list, codec: str = "avif", *,
+                      quality: int = 90, lossless: bool = False,
+                      chroma444: bool = True) -> bytes:
+    """Multi-image HEIF (a burst / photo stack): every frame becomes
+    a top-level item in ONE container; the first is the primary."""
+    if _LIB is None:
+        raise UnsupportedCodecError(
+            "heif/avif encode needs the system libheif (absent)")
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    lib = _LIB
+    ctx = lib.heif_context_alloc()
+    try:
+        for px in frames:
+            img = _make_image(lib, px, lossless)
+            enc = _make_encoder(lib, ctx, codec, quality, lossless,
+                                chroma444)
+            try:
+                handle = C.c_void_p()
+                _ck(lib.heif_context_encode_image(
+                    ctx, img, enc, None, C.byref(handle)), "encode")
+                lib.heif_image_handle_release(handle)
+            finally:
+                lib.heif_encoder_release(enc)
+                lib.heif_image_release(img)
+        return _write_ctx(lib, ctx)
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def _decode_handle(lib, handle) -> np.ndarray:
+    w = lib.heif_image_handle_get_width(handle)
+    h = lib.heif_image_handle_get_height(handle)
+    img = C.c_void_p()
+    _ck(lib.heif_decode_image(handle, C.byref(img), _RGB, _ILV, None),
+        "decode")
+    try:
+        stride = C.c_int()
+        p = lib.heif_image_get_plane_readonly(img, _CHAN,
+                                              C.byref(stride))
+        if not p:
+            raise ValueError("libheif: no interleaved plane")
+        arr = np.ctypeslib.as_array(p, shape=(h, stride.value))[:, :w * 3]
+        return arr.reshape(h, w, 3).copy()
+    finally:
+        lib.heif_image_release(img)
+
+
+def decode_heif_all(data: bytes) -> list:
+    """Every top-level image of the container (burst/stack semantics:
+    GIF frames and ANIM-WebP get per-frame validation, HEIF stacks
+    get the same treatment here), in item-id order; index 0..n-1."""
+    if _LIB is None:
+        raise UnsupportedCodecError(
+            "heif/avif decode needs the system libheif (absent)")
+    lib = _LIB
+    ctx = lib.heif_context_alloc()
+    try:
+        buf = C.create_string_buffer(data, len(data))
+        _ck(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(data), None), "read")
+        n = lib.heif_context_get_number_of_top_level_images(ctx)
+        ids = (C.c_uint32 * max(n, 1))()
+        lib.heif_context_get_list_of_top_level_image_IDs(ctx, ids, n)
+        out = []
+        for i in range(n):
+            handle = C.c_void_p()
+            _ck(lib.heif_context_get_image_handle(
+                ctx, ids[i], C.byref(handle)), "item handle")
+            try:
+                out.append(_decode_handle(lib, handle))
+            finally:
+                lib.heif_image_handle_release(handle)
+        return out
+    finally:
+        lib.heif_context_free(ctx)
+
+
+def heif_image_count(data: bytes) -> int:
+    """Number of top-level images (1 for ordinary photos, >1 for
+    bursts/stacks). Container parse only."""
+    if _LIB is None:
+        raise UnsupportedCodecError(
+            "heif/avif parse needs the system libheif (absent)")
+    lib = _LIB
+    ctx = lib.heif_context_alloc()
+    try:
+        buf = C.create_string_buffer(data, len(data))
+        _ck(lib.heif_context_read_from_memory_without_copy(
+            ctx, buf, len(data), None), "read")
+        return int(lib.heif_context_get_number_of_top_level_images(ctx))
+    finally:
         lib.heif_context_free(ctx)
