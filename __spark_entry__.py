@@ -1122,6 +1122,79 @@ FROM base d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_BURST_N = 300
+
+
+def q_img_heif_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-image HEIF (burst/stack) validation: lossless AVIF stacks
+    of 1-3 frames per clip through `multimodal.heif_burst_frames`.
+    Lossless decode is deterministic, so the oracle predicts every
+    frame's dims AND pixel checksum from the gradient arithmetic;
+    truncated clips (id%20==7) must drop their OWN rows only."""
+    from cerberus_cpp_spark.operators.multimodal import heif_burst_frames
+
+    num_parts = 8
+    df = spark.range(0, IMG_BURST_N, 1, num_parts)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.libheif import encode_heif_burst
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [
+                    synth_pixels(pixel_seed(i * 10 + k, 42),
+                                 8 + (i + k) % 9, 8 + (i + k) % 7)
+                    for k in range(1 + i % 3)
+                ]
+                blob = encode_heif_burst(frames, "avif", lossless=True)
+                payloads.append(blob[:50] if i % 20 == 7 else blob)
+            yield pd.DataFrame({
+                "image_id": ["img-%012d" % int(i) for i in pdf["id"]],
+                "bytes": payloads,
+            })
+
+    clips = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return heif_burst_frames(clips)
+
+
+_IMG_HEIF_BURST_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({IMG_BURST_N})),
+frames AS (
+  SELECT id, fk.k AS frame_idx,
+         ((id*10 + fk.k) * 1103515245 + 42*12345 + 12345)
+           % 2147483648 AS ps,
+         8 + (id + fk.k) % 9 AS wt, 8 + (id + fk.k) % 7 AS ht
+  FROM ids, range(3) fk(k)
+  WHERE fk.k < 1 + id % 3 AND id % 20 <> 7),
+sums AS (
+  SELECT f.id, f.frame_idx, f.wt, f.ht,
+         SUM(((7*tx.x + 3*ty.y + ps) % 256)
+           + ((5*tx.x + 11*ty.y + ps//3) % 256)
+           + ((13*tx.x + 2*ty.y + ps//7) % 256)) AS s
+  FROM frames f, range(16) tx(x), range(14) ty(y)
+  WHERE tx.x < f.wt AND ty.y < f.ht
+  GROUP BY f.id, f.frame_idx, f.wt, f.ht)
+SELECT printf('img-%012d', id) AS image_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(wt AS INT) AS w, CAST(ht AS INT) AS h,
+       CAST(s AS BIGINT) AS px_sum
+FROM sums
+"""
+
+
 IMG_CONFLICT_N = 3000
 
 
@@ -2959,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_augment_census": q_img_augment_census,
         "img_caption_conflicts": q_img_caption_conflicts,
         "img_heif_census": q_img_heif_census,
+        "img_heif_burst": q_img_heif_burst,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3713,6 +3787,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_augment_census": _img_augment_census_sql(),
         "img_caption_conflicts": _IMG_CAPTION_CONFLICTS_SQL,
         "img_heif_census": _IMG_HEIF_CENSUS_SQL,
+        "img_heif_burst": _IMG_HEIF_BURST_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,
