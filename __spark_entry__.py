@@ -1122,6 +1122,103 @@ FROM base d LEFT JOIN psums p USING (id)
 """
 
 
+IMG_DRIFT_N = 800
+
+
+def q_img_content_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image CONTENT drift between two corpus snapshots (round 4):
+    decode each snapshot once into integer-exact quality metrics and
+    compare exact per-metric quantile vectors in one tagged aggregate
+    (`image_checks.image_content_drift_frame`). The snapshots share
+    ids/dims but use different pixel seeds, so the sharpness and luma
+    populations genuinely differ; the oracle recomputes BOTH
+    snapshots' per-image metrics pixel-by-pixel (two seeds of the
+    gradient arithmetic) and replays quantile_cont + the rel-gap
+    formula bit-for-bit. Restricted to png rows (bit-exact decode)."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_content_drift_frame,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    a = image_caption_frame(spark, IMG_DRIFT_N, seed=42,
+                            with_bytes=True).where("fmt = 'png'")
+    b = image_caption_frame(spark, IMG_DRIFT_N, seed=99,
+                            with_bytes=True).where("fmt = 'png'")
+    # tolerance 0.03 sits inside the two seeds' measured gap spread
+    # (max ~0.065), so BOTH drifted branches are exercised
+    return image_content_drift_frame(a, b, rel_tolerance=0.03)
+
+
+def _img_content_drift_sql() -> str:
+    def ch(cx: int, cy: int, s: str, x: str = "tx.x",
+           y: str = "ty.y") -> str:
+        return f"(({cx}*{x} + {cy}*{y} + {s}) % 256)"
+
+    def lap(cx: int, cy: int, s: str) -> str:
+        return (f"ABS(4*{ch(cx, cy, s)}"
+                f" - {ch(cx, cy, s, x='(tx.x-1)')}"
+                f" - {ch(cx, cy, s, x='(tx.x+1)')}"
+                f" - {ch(cx, cy, s, y='(ty.y-1)')}"
+                f" - {ch(cx, cy, s, y='(ty.y+1)')})")
+
+    def pop(tag: int, seed: int) -> str:
+        luma = (f"299*{ch(7, 3, 'ps')} + 587*{ch(5, 11, '(ps//3)')}"
+                f" + 114*{ch(13, 2, '(ps//7)')}")
+        laps = (f"{lap(7, 3, 'ps')} + {lap(5, 11, '(ps//3)')}"
+                f" + {lap(13, 2, '(ps//7)')}")
+        return f"""
+  SELECT 'luma1000_sum' AS metric, {tag} AS side,
+         CAST(SUM({luma}) AS DOUBLE) AS v
+  FROM (SELECT id, (id * 1103515245 + {seed}*12345 + 12345)
+                     % 2147483648 AS ps,
+               8 + id % 9 AS wt, 8 + id % 7 AS ht
+        FROM range({IMG_DRIFT_N}) t(id)
+        WHERE id % 3 = 1 AND NOT
+              (id % 100 = 0 AND ((id // 100) % 6) = 2)) d,
+       range(16) tx(x), range(14) ty(y)
+  WHERE tx.x < d.wt AND ty.y < d.ht
+  GROUP BY d.id
+  UNION ALL
+  SELECT 'lap_abs_sum', {tag}, CAST(SUM({laps}) AS DOUBLE)
+  FROM (SELECT id, (id * 1103515245 + {seed}*12345 + 12345)
+                     % 2147483648 AS ps,
+               8 + id % 9 AS wt, 8 + id % 7 AS ht
+        FROM range({IMG_DRIFT_N}) t(id)
+        WHERE id % 3 = 1 AND NOT
+              (id % 100 = 0 AND ((id // 100) % 6) = 2)) d,
+       range(16) tx(x), range(14) ty(y)
+  WHERE tx.x >= 1 AND tx.x <= d.wt - 2
+    AND ty.y >= 1 AND ty.y <= d.ht - 2
+  GROUP BY d.id"""
+
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    plist = ", ".join(str(p) for p in probs)
+    pr = " UNION ALL ".join(
+        f"SELECT {i + 1} AS i, {p}::DOUBLE AS prob"
+        for i, p in enumerate(probs)
+    )
+    return f"""
+WITH m AS ({pop(0, 42)}
+  UNION ALL{pop(1, 99)}
+),
+q AS (
+  SELECT metric,
+         quantile_cont(CASE WHEN side = 0 THEN v END,
+                       [{plist}]) AS qa,
+         quantile_cont(CASE WHEN side = 1 THEN v END,
+                       [{plist}]) AS qb
+  FROM m GROUP BY metric),
+pr AS ({pr})
+SELECT q.metric, pr.prob, qa[pr.i] AS q_a, qb[pr.i] AS q_b,
+       abs(qa[pr.i] - qb[pr.i])
+         / greatest(abs(qa[pr.i]), abs(qb[pr.i]), 1e-12) AS rel_gap,
+       (abs(qa[pr.i] - qb[pr.i])
+         / greatest(abs(qa[pr.i]), abs(qb[pr.i]), 1e-12)) > 0.03
+         AS drifted
+FROM q, pr
+"""
+
+
 IMG_BURST_N = 300
 
 
@@ -3033,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_caption_conflicts": q_img_caption_conflicts,
         "img_heif_census": q_img_heif_census,
         "img_heif_burst": q_img_heif_burst,
+        "img_content_drift": q_img_content_drift,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3788,6 +3886,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_caption_conflicts": _IMG_CAPTION_CONFLICTS_SQL,
         "img_heif_census": _IMG_HEIF_CENSUS_SQL,
         "img_heif_burst": _IMG_HEIF_BURST_SQL,
+        "img_content_drift": _img_content_drift_sql(),
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

@@ -483,3 +483,62 @@ def test_image_full_check_container_column(spark) -> None:
     assert out["3"]["container_ok"] is None
     cols = image_full_check(df).columns
     assert "container_ok" not in cols
+
+
+def test_image_content_drift(spark) -> None:
+    """Decode-once tagged aggregate: identical snapshots show zero
+    gap; a planted blur/brightness shift (constant bright images
+    replacing half of snapshot B) drifts lap/luma quantiles. The
+    t-digest path agrees with the exact path in the exact regime."""
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_content_drift,
+        image_content_drift_frame,
+    )
+    from cerberus_cpp_spark.sources.imagegen import (
+        encode_image,
+        encode_pixels,
+        pixel_seed,
+    )
+
+    rows_a = [
+        (f"a-{i}", encode_image(pixel_seed(i), 9 + i % 5, 8 + i % 4,
+                                "png"))
+        for i in range(40)
+    ]
+    blank = encode_pixels(
+        np.full((8, 9, 3), 250, dtype=np.uint8), "png")
+    rows_b = [
+        (f"b-{i}", blank if i % 2 == 0 else rows_a[i][1])
+        for i in range(40)
+    ]
+    a = spark.createDataFrame(rows_a, "image_id string, bytes binary")
+    b = spark.createDataFrame(rows_b, "image_id string, bytes binary")
+
+    # identical snapshots: every gap exactly zero
+    same = image_content_drift_frame(a, a).collect()
+    assert same and all(
+        r["rel_gap"] == 0.0 and not r["drifted"] for r in same)
+
+    shifted = image_content_drift_frame(a, b).collect()
+    by = {}
+    for r in shifted:
+        by.setdefault(r["metric"], []).append(r)
+    # half of B is flat: lap median collapses to 0 → gap 1.0
+    lap_med = [r for r in by["lap_abs_sum"] if r["prob"] == 0.5][0]
+    assert lap_med["q_b"] == 0.0 and lap_med["drifted"]
+    # brightness: low luma quantiles jump up
+    luma_lo = [r for r in by["luma1000_sum"] if r["prob"] == 0.1][0]
+    assert luma_lo["q_b"] > luma_lo["q_a"]
+
+    # t-digest path agrees in the exact regime (40 values < capacity)
+    dig = image_content_drift(a, b)
+    assert dig["lap_abs_sum"]["drifted"]
+    exact_gap = max(r["rel_gap"] for r in by["lap_abs_sum"])
+    assert abs(dig["lap_abs_sum"]["max_rel_gap"] - exact_gap) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        image_content_drift_frame(a, b, metrics=("nope",))
