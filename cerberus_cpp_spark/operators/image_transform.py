@@ -262,21 +262,30 @@ def augment_images(
     flip_h: bool = False,
     flip_v: bool = False,
     rot90: int = 0,
+    resize_to: tuple[int, int] | None = None,
+    resize_method: str = "bilinear",
     out_fmt: str | None = None,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Decode → :func:`transform_pixels` → re-encode in ONE narrow
-    Arrow stage (same harness and failure taxonomy as
-    :func:`resize_images`). Output adds ``pos_sum`` — the
+    """Decode → :func:`transform_pixels` → optional
+    :func:`resize_pixels` → re-encode in ONE narrow Arrow stage (same
+    harness and failure taxonomy as :func:`resize_images`; the
+    ``resize_to=`` step means crop-then-normalize pipelines pay ONE
+    decode, not two chained operators). Output adds ``pos_sum`` — the
     position-weighted luma checksum — next to the plain ``px_sum``;
     both NULL for lossy sources (not bit-stable across decoders)."""
     if rot90 % 90 != 0 or rot90 % 360 not in (0, 90, 180, 270):
         raise ValueError("rot90 must be 0/90/180/270")
+    if resize_method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {resize_method!r}")
+    if resize_to is not None and min(resize_to) < 1:
+        raise ValueError("resize_to dims must be >= 1")
     src = df.select(F.col(id_col).alias("image_id"),
                     F.col(bytes_col).alias("bytes"))
     pkg_parent = PKG_PARENT
     crop_, fh, fv, rot, out_fmt_ = crop, flip_h, flip_v, rot90, out_fmt
+    rs_to, rs_m = resize_to, resize_method
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import sys
@@ -286,6 +295,7 @@ def augment_images(
         from cerberus_cpp_spark.operators.image_transform import (
             LOSSLESS_FMTS,
             position_weighted_luma,
+            resize_pixels,
             transform_pixels,
         )
         from cerberus_cpp_spark.sources.imagegen import (
@@ -318,6 +328,8 @@ def augment_images(
                     continue
                 tp = transform_pixels(px, crop=crop_, flip_h=fh,
                                       flip_v=fv, rot90=rot)
+                if rs_to is not None:
+                    tp = resize_pixels(tp, rs_to[0], rs_to[1], rs_m)
                 fmt_out = out_fmt_ or fmt
                 out_bytes[i] = encode_pixels(tp, fmt_out)
                 dims[i] = (tp.shape[1], tp.shape[0])

@@ -417,3 +417,32 @@ if _HYP:
         assert 1 <= ow <= bw and 1 <= oh <= bh
         # at least one side fills the box unless clamped at 1
         assert ow == bw or oh == bh
+
+
+def test_augment_with_fused_resize(spark) -> None:
+    """crop→flip→rot→resize in ONE decode: equals the local chain
+    exactly for a lossless row, including both checksums."""
+    src_px = synth_pixels(pixel_seed(1), 9, 7)
+    want = it.resize_pixels(
+        it.transform_pixels(src_px, crop=("center", 6, 5),
+                            flip_h=True),
+        8, 8, "nearest")
+    row = (
+        it.augment_images(_frame(spark), crop=("center", 6, 5),
+                          flip_h=True, resize_to=(8, 8),
+                          resize_method="nearest")
+        .where("image_id = 'id-png'")
+        .collect()[0]
+    )
+    assert (row["out_w"], row["out_h"]) == (8, 8)
+    _, got = decode_image(bytes(row["out_bytes"]))
+    assert np.array_equal(got, want)
+    assert row["px_sum"] == int(want.sum())
+    assert row["pos_sum"] == it.position_weighted_luma(want)
+    import pytest
+
+    with pytest.raises(ValueError):
+        it.augment_images(_frame(spark), resize_to=(0, 8))
+    with pytest.raises(ValueError):
+        it.augment_images(_frame(spark), resize_to=(8, 8),
+                          resize_method="area")
