@@ -35,6 +35,7 @@ docstring and a size note say so rather than hiding it.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -63,13 +64,14 @@ def _thresholds(weights: Mapping[str, float]) -> list[tuple[str, int]]:
     if not weights:
         raise ValueError("weights must be a non-empty mapping")
     total = float(sum(weights.values()))
-    if total <= 0:
-        raise ValueError("weights must sum to a positive value")
+    if not math.isfinite(total) or total <= 0:
+        raise ValueError("weights must sum to a positive finite value")
     out: list[tuple[str, int]] = []
     cum = 0.0
     for name, w in weights.items():
-        if w < 0:
-            raise ValueError(f"negative weight for split {name!r}")
+        if not (w >= 0):   # rejects negatives AND NaN
+            raise ValueError(
+                f"weight for split {name!r} must be >= 0, got {w!r}")
         cum += w / total
         out.append((name, int(round(cum * SCALE))))
     # float round-off must never leave buckets unassigned
