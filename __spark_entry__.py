@@ -1122,6 +1122,148 @@ FROM base d LEFT JOIN psums p USING (id)
 """
 
 
+AUDIO_HDR_N = 2000
+_MP3_BR = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+           256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def q_audio_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-level audio validation with ZERO sample decode
+    (`multimodal.audio_header_info` over `sources/mpegaudio.py` +
+    `wavcodec.wav_header_info`): MPEG1-Layer-III frame chains (CBR
+    and alternating-bitrate VBR, optional ID3v2/ID3v1 tags, planted
+    final-frame truncation) and WAV headers. Every field — frame
+    counts, integer durations, bitrate extrema, tag flags, even the
+    truncation MESSAGE text — follows from ISO 11172-3 frame
+    arithmetic the oracle replays exactly. The honest boundary for
+    the stubbed compressed-audio family: validate and measure the
+    structure a transcode pipeline needs before spending a decoder."""
+    from cerberus_cpp_spark.operators.multimodal import audio_header_info
+
+    num_parts = 8
+    df = spark.range(0, AUDIO_HDR_N, 1, num_parts)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.mpegaudio import (
+            build_frame,
+            build_id3v2,
+        )
+        from cerberus_cpp_spark.sources.wavcodec import (
+            encode_wav,
+            synth_pcm,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 25 == 0:
+                    payloads.append(None)
+                    continue
+                if i % 5 == 0:
+                    payloads.append(encode_wav(
+                        synth_pcm(i, 800 + (i % 7) * 160),
+                        sample_rate=16000))
+                    continue
+                rate = _MP3_RATES[i % 3]
+                b1 = _MP3_BR[i % 14]
+                b2 = _MP3_BR[(i + 3) % 14]
+                vbr = i % 2 == 1
+                n = 2 + i % 5
+                trunc = i % 20 == 13
+                frames = b"".join(
+                    build_frame(
+                        bitrate_kbps=(b2 if vbr and k % 2 == 1 else b1),
+                        sample_rate=rate, mono=(i % 4 == 1))
+                    for k in range(n))
+                pay = frames
+                if not trunc and i % 7 == 3:
+                    pay = build_id3v2(24 + i % 5) + pay
+                if not trunc and i % 11 == 5:
+                    pay = pay + b"TAG" + b"\x00" * 125
+                if trunc:
+                    pay = pay[:-10]
+                payloads.append(pay)
+            yield pd.DataFrame({
+                "clip_id": ["clip-%08d" % int(i) for i in pdf["id"]],
+                "bytes": payloads,
+            })
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return audio_header_info(clips)
+
+
+def _audio_header_census_sql() -> str:
+    br = "[" + ", ".join(str(b) for b in _MP3_BR) + "]"
+    rates = "[" + ", ".join(str(r) for r in _MP3_RATES) + "]"
+    return f"""
+WITH ids AS (SELECT range AS id FROM range({AUDIO_HDR_N})),
+base AS (
+  SELECT id,
+         {rates}[CAST(id % 3 AS INT) + 1] AS rate,
+         {br}[CAST(id % 14 AS INT) + 1] AS b1,
+         {br}[CAST((id + 3) % 14 AS INT) + 1] AS b2,
+         id % 2 = 1 AS vbr,
+         2 + id % 5 AS n,
+         id % 20 = 13 AS trunc,
+         id % 4 = 1 AS mono
+  FROM ids),
+mp AS (
+  SELECT *,
+         -- last frame's bitrate decides the truncation arithmetic
+         CASE WHEN vbr AND (n - 1) % 2 = 1 THEN b2 ELSE b1 END AS blast,
+         144000 * (CASE WHEN vbr AND (n - 1) % 2 = 1
+                        THEN b2 ELSE b1 END) // rate AS fblast
+  FROM base)
+SELECT printf('clip-%08d', id) AS clip_id,
+       CASE WHEN id % 25 = 0 THEN NULL
+            WHEN id % 5 = 0 THEN 'wav' ELSE 'mpeg' END AS fmt,
+       CASE WHEN id % 25 = 0 THEN FALSE
+            WHEN id % 5 = 0 THEN TRUE
+            ELSE NOT trunc END AS ok,
+       CASE WHEN id % 25 = 0 THEN 'no payload'
+            WHEN id % 5 = 0 THEN NULL
+            WHEN trunc THEN printf(
+              'frame %d truncated (%d of %d bytes)',
+              n - 1, fblast - 10, fblast)
+            ELSE NULL END AS message,
+       CAST(CASE WHEN id % 25 = 0 THEN NULL
+            WHEN id % 5 = 0 THEN 16000 ELSE rate END AS INT)
+         AS sample_rate,
+       CAST(CASE WHEN id % 25 = 0 THEN NULL
+            WHEN id % 5 = 0 THEN 1
+            WHEN mono THEN 1 ELSE 2 END AS INT) AS channels,
+       CAST(CASE WHEN id % 25 = 0 THEN NULL
+            WHEN id % 5 = 0
+              THEN (800 + (id % 7) * 160) * 1000 // 16000
+            WHEN trunc THEN NULL
+            ELSE n * 1152 * 1000 // rate END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN id % 25 = 0 OR id % 5 = 0 THEN NULL
+            WHEN trunc THEN n - 1 ELSE n END AS INT) AS n_frames,
+       CAST(CASE WHEN id % 25 = 0 OR id % 5 = 0 OR trunc THEN NULL
+            WHEN vbr THEN least(b1, b2) ELSE b1 END AS INT)
+         AS bitrate_kbps_min,
+       CAST(CASE WHEN id % 25 = 0 OR id % 5 = 0 OR trunc THEN NULL
+            WHEN vbr THEN greatest(b1, b2) ELSE b1 END AS INT)
+         AS bitrate_kbps_max,
+       CASE WHEN id % 25 = 0 OR id % 5 = 0 OR trunc THEN NULL
+            ELSE NOT vbr END AS cbr,
+       CASE WHEN id % 25 = 0 OR id % 5 = 0 THEN NULL
+            ELSE (NOT trunc AND id % 7 = 3) END AS id3v2,
+       CASE WHEN id % 25 = 0 OR id % 5 = 0 THEN NULL
+            ELSE (NOT trunc AND id % 11 = 5) END AS id3v1
+FROM mp
+"""
+
+
 IMG_DRIFT_N = 800
 
 
@@ -3131,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_heif_census": q_img_heif_census,
         "img_heif_burst": q_img_heif_burst,
         "img_content_drift": q_img_content_drift,
+        "audio_header_census": q_audio_header_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -3887,6 +4030,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_heif_census": _IMG_HEIF_CENSUS_SQL,
         "img_heif_burst": _IMG_HEIF_BURST_SQL,
         "img_content_drift": _img_content_drift_sql(),
+        "audio_header_census": _audio_header_census_sql(),
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,

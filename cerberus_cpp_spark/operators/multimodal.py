@@ -629,3 +629,101 @@ def heif_burst_frames(
         schema=("image_id string, frame_idx int, w int, h int, "
                 "px_sum bigint"),
     )
+
+
+AUDIO_HEADER_SCHEMA = (
+    "clip_id string, fmt string, ok boolean, message string, "
+    "sample_rate int, channels int, duration_ms bigint, "
+    "n_frames int, bitrate_kbps_min int, bitrate_kbps_max int, "
+    "cbr boolean, id3v2 boolean, id3v1 boolean"
+)
+
+
+def audio_header_info(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """STRUCTURE-level audio validation with zero sample decode — the
+    audio analogue of ``image_checks``' header-only pass, and the
+    honest middle ground for the stubbed compressed family: MPEG
+    audio (MP3) payloads get a full ISO 11172-3 frame-chain walk
+    (``sources/mpegaudio.py``: per-frame header arithmetic, exact
+    integer duration, truncation / mid-stream-parameter detection,
+    CBR/VBR classification, ID3 accounting); WAV payloads get the
+    fmt/data chunk walk (``wavcodec.wav_header_info``). Sample decode
+    for compressed audio remains a stub — this surface validates and
+    measures what a transcode pipeline needs to know BEFORE spending
+    a decoder on the clip. One narrow Arrow stage.
+
+    ``fmt``: 'wav' / 'mpeg' / NULL (unrecognized or no payload);
+    ``ok`` False carries a structural ``message``. MPEG-only columns
+    are NULL for wav rows and vice versa (cbr/id3/bitrates)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.mpegaudio import (
+            audit_mpeg_audio,
+            sniff_mpeg_audio,
+        )
+        from cerberus_cpp_spark.sources.wavcodec import (
+            sniff_wav,
+            wav_header_info,
+        )
+
+        cols = ("fmt", "ok", "message", "sample_rate", "channels",
+                "duration_ms", "n_frames", "bitrate_kbps_min",
+                "bitrate_kbps_max", "cbr", "id3v2", "id3v1")
+
+        for pdf in batches:
+            out: dict = {"clip_id": pdf["clip_id"],
+                         **{c: [] for c in cols}}
+
+            def put(**kw):
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for blob in pdf[bytes_col]:
+                if blob is None:
+                    put(message="no payload", ok=False)
+                    continue
+                blob = bytes(blob)
+                if sniff_wav(blob):
+                    try:
+                        h = wav_header_info(blob)
+                        put(fmt="wav", ok=True,
+                            sample_rate=h["sample_rate"],
+                            channels=h["channels"],
+                            duration_ms=h["duration_ms"])
+                    except ValueError as e:
+                        put(fmt="wav", ok=False, message=str(e)[:160])
+                elif sniff_mpeg_audio(blob):
+                    a = audit_mpeg_audio(blob)
+                    put(fmt="mpeg", ok=a["ok"], message=a["message"],
+                        sample_rate=a["sample_rate"],
+                        channels=a["channels"],
+                        duration_ms=a["duration_ms"],
+                        n_frames=a["n_frames"] or None,
+                        bitrate_kbps_min=a["bitrate_kbps_min"],
+                        bitrate_kbps_max=a["bitrate_kbps_max"],
+                        cbr=a["cbr"], id3v2=a["id3v2"],
+                        id3v1=a["id3v1"])
+                else:
+                    put(ok=False, message="unrecognized audio stream")
+            res = pd.DataFrame(out)
+            for c, t in (("sample_rate", "Int32"), ("channels", "Int32"),
+                         ("duration_ms", "Int64"), ("n_frames", "Int32"),
+                         ("bitrate_kbps_min", "Int32"),
+                         ("bitrate_kbps_max", "Int32"),
+                         ("cbr", "boolean"), ("ok", "boolean"),
+                         ("id3v2", "boolean"), ("id3v1", "boolean")):
+                res[c] = pd.array(res[c], dtype=t)
+            yield res
+
+    return src.mapInPandas(work, schema=AUDIO_HEADER_SCHEMA)

@@ -95,6 +95,40 @@ def sniff_wav(data: bytes) -> bool:
             and data[:4] == b"RIFF" and data[8:12] == b"WAVE")
 
 
+def wav_header_info(data: bytes) -> dict:
+    """Structure-level WAV info WITHOUT touching samples (the audio
+    analogue of ``imagegen.image_header_info``): chunk walk to the
+    fmt + data chunks only. Integer-exact duration:
+    ``n_samples * 1000 // rate``. ValueError on structural damage."""
+    if not sniff_wav(data):
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = data_size = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError(f"chunk {tag!r} overruns the payload")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", data[pos + 8:pos + 24])
+        elif tag == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, nch, rate, _, _, bits = fmt
+    if nch < 1 or rate < 1 or bits not in (8, 16):
+        raise ValueError("invalid fmt fields")
+    n_samples = data_size // (max(bits // 8, 1) * nch)
+    return {
+        "pcm": audio_format == 1, "channels": nch,
+        "sample_rate": rate, "bits": bits, "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+    }
+
+
 def synth_pcm(clip_seed: int, n_samples: int) -> np.ndarray:
     """Deterministic integer test waveform: sum of two sawtooth waves
     whose periods derive from the seed. Pure integer arithmetic (no

@@ -1,0 +1,127 @@
+"""MPEG-audio structural layer: frame-header arithmetic, chain-walk
+audit (truncation / parameter-change / ID3 accounting / CBR-VBR),
+WAV header info, and the audio_header_info operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cerberus_cpp_spark.sources import mpegaudio as ma
+from cerberus_cpp_spark.sources.wavcodec import (
+    encode_wav,
+    synth_pcm,
+    wav_header_info,
+)
+
+
+def test_frame_header_arithmetic() -> None:
+    f = ma.build_frame(bitrate_kbps=128, sample_rate=44100)
+    h = ma.parse_frame_header(f)
+    assert h["version"] == "1" and h["layer"] == 3
+    assert h["bitrate_kbps"] == 128 and h["sample_rate"] == 44100
+    assert h["frame_bytes"] == 144000 * 128 // 44100 == 417
+    assert len(f) == 417 and h["samples"] == 1152
+    assert h["channels"] == 2 and not h["padding"]
+    hp = ma.parse_frame_header(
+        ma.build_frame(bitrate_kbps=128, sample_rate=44100,
+                       padding=True, mono=True))
+    assert hp["frame_bytes"] == 418 and hp["channels"] == 1
+    with pytest.raises(ValueError):
+        ma.parse_frame_header(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        ma.build_frame(bitrate_kbps=123, sample_rate=44100)
+
+
+def test_audit_cbr_vbr_id3_and_duration() -> None:
+    frames = [ma.build_frame(bitrate_kbps=128, sample_rate=48000)
+              for _ in range(5)]
+    pay = ma.build_id3v2(40) + b"".join(frames) \
+        + b"TAG" + b"\x00" * 125
+    a = ma.audit_mpeg_audio(pay)
+    assert a["ok"] and a["n_frames"] == 5
+    assert a["id3v2"] and a["id3v1"] and a["cbr"]
+    assert a["duration_ms"] == 5 * 1152 * 1000 // 48000 == 120
+    assert a["bitrate_kbps_min"] == a["bitrate_kbps_max"] == 128
+    # VBR: alternate bitrates
+    vbr = b"".join(
+        ma.build_frame(bitrate_kbps=(128 if i % 2 else 192),
+                       sample_rate=44100)
+        for i in range(4))
+    av = ma.audit_mpeg_audio(vbr)
+    assert av["ok"] and not av["cbr"]
+    assert (av["bitrate_kbps_min"], av["bitrate_kbps_max"]) == (128, 192)
+
+
+def test_audit_damage_classes() -> None:
+    f = ma.build_frame(bitrate_kbps=96, sample_rate=32000)
+    # truncated final frame
+    a = ma.audit_mpeg_audio(f + f[:-10])
+    assert not a["ok"] and "truncated" in a["message"]
+    assert a["n_frames"] == 1
+    # mid-stream sample-rate change
+    g = ma.build_frame(bitrate_kbps=96, sample_rate=44100)
+    a2 = ma.audit_mpeg_audio(f + g)
+    assert not a2["ok"] and "parameters change" in a2["message"]
+    # garbage / empty
+    assert not ma.audit_mpeg_audio(b"not audio at all")["ok"]
+    assert not ma.audit_mpeg_audio(ma.build_id3v2(8))["ok"]
+    # trailing garbage after the last frame = bad sync
+    a3 = ma.audit_mpeg_audio(f + b"\x12\x34\x56\x78\x9a")
+    assert not a3["ok"]
+
+
+def test_sniff() -> None:
+    f = ma.build_frame(bitrate_kbps=64, sample_rate=44100)
+    assert ma.sniff_mpeg_audio(f)
+    assert ma.sniff_mpeg_audio(ma.build_id3v2(16) + f)
+    assert not ma.sniff_mpeg_audio(b"RIFFxxxxWAVE")
+    assert not ma.sniff_mpeg_audio(None)
+
+
+def test_wav_header_info_matches_decode() -> None:
+    pcm = synth_pcm(7, 4800)
+    pay = encode_wav(pcm, sample_rate=16000)
+    h = wav_header_info(pay)
+    assert h["pcm"] and h["sample_rate"] == 16000
+    assert h["n_samples"] == 4800
+    assert h["duration_ms"] == 4800 * 1000 // 16000 == 300
+    with pytest.raises(ValueError):
+        wav_header_info(pay[:20])
+    with pytest.raises(ValueError):
+        wav_header_info(b"nope")
+
+
+def test_audio_header_info_operator(spark, tmp_path) -> None:
+    from cerberus_cpp_spark.operators.multimodal import audio_header_info
+
+    mp3 = ma.build_id3v2(24) + b"".join(
+        ma.build_frame(bitrate_kbps=160, sample_rate=44100)
+        for _ in range(3))
+    rows = [
+        ("wav", encode_wav(synth_pcm(1, 1600), sample_rate=16000)),
+        ("mpeg", mp3),
+        ("mpeg-bad", mp3[:-20]),
+        ("none", None),
+        ("garbage", b"\x01\x02\x03\x04\x05\x06\x07\x08"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in audio_header_info(df).collect()}
+    assert out["wav"]["ok"] and out["wav"]["fmt"] == "wav"
+    assert out["wav"]["duration_ms"] == 100
+    assert out["wav"]["cbr"] is None          # mpeg-only column
+    m = out["mpeg"]
+    assert m["ok"] and m["fmt"] == "mpeg" and m["n_frames"] == 3
+    assert m["id3v2"] and not m["id3v1"] and m["cbr"]
+    assert m["duration_ms"] == 3 * 1152 * 1000 // 44100
+    assert out["mpeg-bad"]["ok"] is False
+    assert "truncated" in out["mpeg-bad"]["message"]
+    assert out["none"]["ok"] is False and out["none"]["fmt"] is None
+    assert out["garbage"]["message"] == "unrecognized audio stream"
+    # narrow plan
+    p = str(tmp_path / "clips.parquet")
+    df.write.parquet(p)
+    plan = (audio_header_info(spark.read.parquet(p))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
