@@ -1264,6 +1264,105 @@ FROM mp
 """
 
 
+VIDEO_HDR_N = 900
+
+
+def q_video_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-level video validation with ZERO macroblock decode
+    (`multimodal.video_header_info`): H.264 Annex-B streams get a NAL
+    walk + Exp-Golomb SPS decode — REAL display dims including the
+    conformance cropping window, profile/level, slice/IDR counts —
+    and AVI-MJPEG containers get the RIFF demux header. Every field
+    follows from spec arithmetic the oracle replays exactly
+    (width = mb_w·16 − crop_r·2, etc.); planted damage (an appended
+    empty NAL) must produce the exact structural message. The honest
+    boundary for the stubbed h264 family, mirroring
+    audio_header_census."""
+    from cerberus_cpp_spark.operators.multimodal import video_header_info
+
+    num_parts = 8
+    df = spark.range(0, VIDEO_HDR_N, 1, num_parts)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.avicodec import synth_clip
+        from cerberus_cpp_spark.sources.h264 import build_stream
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 25 == 0:
+                    payloads.append(None)
+                    continue
+                if i % 5 in (0, 1):
+                    payloads.append(synth_clip(
+                        i, 2 + i % 3, w=8 + 8 * (i % 2), h=16,
+                        fps=5 + i % 6))
+                    continue
+                pay = build_stream(
+                    mb_w=2 + i % 6, mb_h=2 + i % 4,
+                    crop_r=i % 2, crop_b=i % 3,
+                    n_slices=1 + i % 5,
+                    profile=100 if i % 7 == 2 else 66)
+                if i % 20 == 13:
+                    pay += b"\x00\x00\x01"   # empty NAL → damaged
+                payloads.append(pay)
+            yield pd.DataFrame({
+                "clip_id": ["clip-%08d" % int(i) for i in pdf["id"]],
+                "bytes": payloads,
+            })
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return video_header_info(clips)
+
+
+_VIDEO_HEADER_CENSUS_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({VIDEO_HDR_N})),
+base AS (
+  SELECT id,
+         id % 25 = 0 AS np,
+         id % 25 <> 0 AND id % 5 IN (0, 1) AS avi,
+         id % 20 = 13 AS damaged,
+         2 + id % 6 AS mbw, 2 + id % 4 AS mbh,
+         id % 2 AS cr, id % 3 AS cb,
+         1 + id % 5 AS nsl
+  FROM ids)
+SELECT printf('clip-%08d', id) AS clip_id,
+       CASE WHEN np THEN NULL
+            WHEN avi THEN 'avi' ELSE 'h264' END AS fmt,
+       CASE WHEN np THEN FALSE
+            WHEN avi THEN TRUE ELSE NOT damaged END AS ok,
+       CASE WHEN np THEN 'no payload'
+            WHEN NOT avi AND damaged THEN 'empty NAL unit'
+            ELSE NULL END AS message,
+       CAST(CASE WHEN np OR (NOT avi AND damaged) THEN NULL
+            WHEN avi THEN 8 + 8 * (id % 2)
+            ELSE mbw * 16 - cr * 2 END AS INT) AS width,
+       CAST(CASE WHEN np OR (NOT avi AND damaged) THEN NULL
+            WHEN avi THEN 16
+            ELSE mbh * 16 - cb * 2 END AS INT) AS height,
+       CAST(CASE WHEN np OR (NOT avi AND damaged) THEN NULL
+            WHEN avi THEN 2 + id % 3 ELSE nsl END AS INT) AS n_frames,
+       CAST(CASE WHEN np OR avi OR damaged THEN NULL
+            ELSE 1 END AS INT) AS n_idr,
+       CAST(CASE WHEN np OR avi OR damaged THEN NULL
+            WHEN id % 7 = 2 THEN 100 ELSE 66 END AS INT)
+         AS profile_idc,
+       CAST(CASE WHEN np OR avi OR damaged THEN NULL
+            ELSE 30 END AS INT) AS level_idc,
+       CAST(CASE WHEN np OR NOT avi THEN NULL
+            ELSE 5 + id % 6 END AS DOUBLE) AS fps
+FROM base
+"""
+
+
 IMG_DRIFT_N = 800
 
 
@@ -3274,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_heif_burst": q_img_heif_burst,
         "img_content_drift": q_img_content_drift,
         "audio_header_census": q_audio_header_census,
+        "video_header_census": q_video_header_census,
         "audio_pcm_stats": q_audio_pcm_stats,
         "video_frames": q_video_frames,
         "img_anim_frames": q_img_anim_frames,
@@ -4031,6 +4131,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_heif_burst": _IMG_HEIF_BURST_SQL,
         "img_content_drift": _img_content_drift_sql(),
         "audio_header_census": _audio_header_census_sql(),
+        "video_header_census": _VIDEO_HEADER_CENSUS_SQL,
         "audio_pcm_stats": _AUDIO_STATS_SQL,
         "video_frames": _VIDEO_FRAMES_SQL,
         "img_anim_frames": _IMG_ANIM_FRAMES_SQL,
