@@ -16,8 +16,12 @@ TIFF, ``sources.imagegen``/``jpegcodec``/``webpcodec``/``webpx``/
 ``sources.wavcodec``), video (AVI-MJPEG, ``sources.avicodec``).
 Lossy VP8 decodes in-repo (``vp8codec``), and HEIC/AVIF decode+encode
 through the feature-detected system libheif (``sources.libheif``,
-round 4). Only formats that genuinely need ABSENT external codec
-libraries (mp3/aac/h264/...) are STUBBED:
+round 4). The stubbed compressed families (mp3/aac, h264) get full
+STRUCTURAL validation instead of fake decode: ``audio_header_info``
+(ISO 11172-3 frame-chain walk + WAV header, ``sources/mpegaudio.py``)
+and ``video_header_info`` (Annex-B NAL walk + Exp-Golomb SPS dims,
+``sources/h264.py``) validate and measure with zero sample decode.
+Only SAMPLE decode for those families is STUBBED:
 ``NotImplementedError`` by default, or a clearly-marked
 deterministic fake (``stub_strategy="fake"``) that exercises the
 full Spark plumbing (schema, batching, UDF signature) without

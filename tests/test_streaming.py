@@ -332,3 +332,52 @@ def test_stream_resize_and_quality_equal_batch(spark,
     assert qkey(spark.sql("SELECT * FROM quality_stream").collect()) \
         == want_q
     assert len(want_r) == 400 and len(want_q) == 400
+
+
+def test_stream_av_header_info_equals_batch(spark,
+                                            tmp_path_factory) -> None:
+    """audio_header_info / video_header_info (round 4) are stateless
+    narrow Arrow stages — both run unchanged over streaming frames
+    (structural validation applies to live ingest too)."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        audio_header_info,
+        video_header_info,
+    )
+    from cerberus_cpp_spark.sources import h264
+    from cerberus_cpp_spark.sources.avicodec import synth_clip
+    from cerberus_cpp_spark.sources.mpegaudio import build_frame
+    from cerberus_cpp_spark.sources.wavcodec import encode_wav, synth_pcm
+
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            blob = encode_wav(synth_pcm(i, 800), sample_rate=16000)
+        elif i % 3 == 1:
+            blob = b"".join(
+                build_frame(bitrate_kbps=128, sample_rate=44100)
+                for _ in range(2 + i % 3))
+        else:
+            blob = (synth_clip(i, 2) if i % 2 == 0 else
+                    h264.build_stream(mb_w=2 + i % 4, mb_h=2,
+                                      n_slices=1 + i % 3))
+        rows.append((f"c-{i}", blob))
+    src = str(tmp_path_factory.mktemp("stream_av"))
+    spark.createDataFrame(rows, "clip_id string, bytes binary") \
+        .repartition(4).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    def key(rs):
+        return sorted(tuple(r) for r in rs)
+
+    want_a = key(audio_header_info(batch).collect())
+    want_v = key(video_header_info(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    qa = (audio_header_info(stream).writeStream.format("memory")
+          .queryName("a_hdr").trigger(availableNow=True).start())
+    qv = (video_header_info(stream).writeStream.format("memory")
+          .queryName("v_hdr").trigger(availableNow=True).start())
+    qa.awaitTermination(120)
+    qv.awaitTermination(120)
+    assert key(spark.sql("SELECT * FROM a_hdr").collect()) == want_a
+    assert key(spark.sql("SELECT * FROM v_hdr").collect()) == want_v
+    assert len(want_a) == len(want_v) == 60
