@@ -3314,6 +3314,33 @@ def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audit_sampled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-budgeted validation AUDIT (plans/audit.py): run the
+    compiled rule plan over a deterministic 25% md5-hash sample of
+    orders AND part, and emit per violation path a Wilson 95%
+    confidence interval on the violation ROW rate plus a three-way
+    verdict against a 5% budget. The economic point at 10^12 rows:
+    decide ship/no-ship per rule from ~1% of the data, escalating
+    only 'inconclusive' paths to an exact pass. One source scan per
+    table (marker explode → one hash aggregate; denominator recovered
+    from the same aggregate via a single-partition window over the
+    O(rules)-sized frame). The interval arithmetic is ONE SQL string
+    evaluated by both engines, so the oracle matches bit-for-bit.
+    Reference analogue: cerberus-cpp validates every document
+    (validator.hh:239-258); the audit is the dataset-level,
+    scan-budgeted generalization with quantified uncertainty."""
+    from cerberus_cpp_spark.plans.audit import sampled_audit
+
+    frames = []
+    for tbl, rules, key in (("orders", ORDERS_RULES, "o_orderkey"),
+                            ("part", PART_RULES, "p_partkey")):
+        tv = TableValidator(rules, allow_unknown=True)
+        a = sampled_audit(tv, _t(spark, sf_dir, tbl), key,
+                          fraction=0.25, seed=11, budget=0.05)
+        frames.append(a.select(F.lit(tbl).alias("tbl"), "*"))
+    return frames[0].unionByName(frames[1])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -3397,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_validation_ledger": q_full_validation_ledger,
         "ann_topk_ivf": q_ann_topk_ivf,
         "phash_pixel_dups": q_phash_pixel_dups,
+        "audit_sampled_rules": q_audit_sampled_rules,
     }
 
 
@@ -3687,6 +3715,82 @@ def _split_bucket_sql(key_sql: str, seed: int) -> str:
         f"CAST({key_sql} AS VARCHAR), '{seed}')), 1, 12)) AS BIGINT)"
         " % 1000000"
     )
+
+
+def _audit_sampled_sql() -> str:
+    """Oracle for audit_sampled_rules: replay the md5-bucket sample
+    membership, the per-path violating-ROW counts, and the Wilson
+    interval + verdict arithmetic — the interval SQL fragments are
+    imported from plans/audit.py VERBATIM, so both engines parse the
+    identical expression tree (shared f64 ops + correctly-rounded
+    sqrt ⇒ bit-exact, not tolerance-based)."""
+    from cerberus_cpp_spark.plans.audit import (
+        Z_95,
+        verdict_sql,
+        wilson_sql,
+    )
+
+    lo, hi = wilson_sql("violating_rows", "sampled_rows", Z_95)
+    rate = "(CAST(violating_rows AS DOUBLE) / CAST(sampled_rows AS DOUBLE))"
+    verdict = verdict_sql(lo, hi, 0.05)
+
+    o_paths = {
+        "^.o_orderkey": ("(o_orderkey IS NULL OR (o_orderkey IS NOT NULL"
+                         " AND NOT (o_orderkey > 0)))"),
+        "^.o_custkey": "(o_custkey IS NULL)",
+        "^.o_orderstatus": ("(o_orderstatus IS NOT NULL"
+                            " AND o_orderstatus NOT IN ('O','F','P'))"),
+        "^.o_totalprice": ("(o_totalprice IS NOT NULL AND"
+                           " (NOT (o_totalprice > 0)"
+                           " OR o_totalprice >= 300000))"),
+        "^.o_orderpriority": (
+            "(o_orderpriority IS NOT NULL AND NOT"
+            " regexp_full_match(o_orderpriority, '[1-3]-[A-Z ]+'))"),
+    }
+    p_paths = {
+        "^.p_partkey": ("(p_partkey IS NULL OR (p_partkey IS NOT NULL"
+                        " AND NOT (p_partkey > 0)))"),
+        "^.p_size": ("(p_size IS NOT NULL AND"
+                     " (NOT (p_size > 0) OR p_size >= 50))"),
+        "^.p_retailprice": ("(p_retailprice IS NOT NULL"
+                            " AND NOT (p_retailprice > 0))"),
+        "^.p_brand": ("(p_brand IS NOT NULL AND NOT"
+                      " regexp_full_match(p_brand, 'Brand#[0-9]+'))"),
+    }
+
+    def per_table(tbl: str, key: str, paths: dict) -> str:
+        pred = f"{_split_bucket_sql(key, 11)} < 250000"
+        any_pred = " OR ".join(paths.values())
+        rows = ",\n      ".join(
+            f'count(*) FILTER (WHERE {p}) AS "k{i}"'
+            for i, p in enumerate(paths.values())
+        )
+        unions = "\n      UNION ALL ".join(
+            f"""SELECT '{tbl}' AS tbl, '{path}' AS path,"""
+            f""" "k{i}" AS violating_rows, n AS sampled_rows FROM agg_{tbl}"""
+            for i, path in enumerate(paths)
+        )
+        return f"""
+    agg_{tbl} AS (
+      SELECT count(*) AS n,
+      count(*) FILTER (WHERE {any_pred}) AS k_any,
+      {rows}
+      FROM {tbl} WHERE {pred}
+    ),
+    paths_{tbl} AS (
+      {unions}
+      UNION ALL SELECT '{tbl}', '__table__', k_any, n FROM agg_{tbl}
+    )"""
+
+    return f"""
+    WITH {per_table('orders', 'o_orderkey', o_paths)},
+    {per_table('part', 'p_partkey', p_paths)},
+    allp AS (SELECT * FROM paths_orders UNION ALL SELECT * FROM paths_part)
+    SELECT tbl, path, sampled_rows, violating_rows,
+           {rate} AS rate, {lo} AS rate_lo, {hi} AS rate_hi,
+           {verdict} AS verdict
+    FROM allp WHERE violating_rows > 0
+    """
 
 
 def _cluster_safe_split_sql() -> str:
@@ -4155,6 +4259,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
+        "audit_sampled_rules": _audit_sampled_sql(),
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,
