@@ -3341,6 +3341,29 @@ def q_audit_sampled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames[0].unionByName(frames[1])
 
 
+def q_audit_escalated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit → escalate → exact loop end-to-end: sample orders at
+    25% with a 40% budget chosen so the hot paths land INSIDE the
+    interval (inconclusive at both sf0.001 and sf0.01), collect the
+    O(rules)-sized escalation worklist, and settle it with ONE exact
+    full-table pass (plans/audit.py exact_rates). The oracle derives
+    the same worklist from the same Wilson verdict SQL and replays the
+    exact counts — so the query proves the two-phase economics, not
+    just each phase in isolation."""
+    from cerberus_cpp_spark.plans.audit import (
+        escalation_filter,
+        exact_rates,
+        sampled_audit,
+    )
+
+    tv = TableValidator(ORDERS_RULES, allow_unknown=True)
+    orders = _t(spark, sf_dir, "orders")
+    audit = sampled_audit(tv, orders, "o_orderkey",
+                          fraction=0.25, seed=11, budget=0.40)
+    worklist = escalation_filter(audit)
+    return exact_rates(tv, orders, worklist, budget=0.40)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -3425,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
+        "audit_escalated_exact": q_audit_escalated_exact,
     }
 
 
@@ -3717,6 +3741,34 @@ def _split_bucket_sql(key_sql: str, seed: int) -> str:
     )
 
 
+# per violation path, the DuckDB row-level predicate — shared by the
+# sampled-audit and escalation oracles so both replay the identical
+# rule semantics (exclusive min/max, NULL-skipping, full-match regex)
+_AUDIT_ORDERS_PATHS = {
+    "^.o_orderkey": ("(o_orderkey IS NULL OR (o_orderkey IS NOT NULL"
+                     " AND NOT (o_orderkey > 0)))"),
+    "^.o_custkey": "(o_custkey IS NULL)",
+    "^.o_orderstatus": ("(o_orderstatus IS NOT NULL"
+                        " AND o_orderstatus NOT IN ('O','F','P'))"),
+    "^.o_totalprice": ("(o_totalprice IS NOT NULL AND"
+                       " (NOT (o_totalprice > 0)"
+                       " OR o_totalprice >= 300000))"),
+    "^.o_orderpriority": (
+        "(o_orderpriority IS NOT NULL AND NOT"
+        " regexp_full_match(o_orderpriority, '[1-3]-[A-Z ]+'))"),
+}
+_AUDIT_PART_PATHS = {
+    "^.p_partkey": ("(p_partkey IS NULL OR (p_partkey IS NOT NULL"
+                    " AND NOT (p_partkey > 0)))"),
+    "^.p_size": ("(p_size IS NOT NULL AND"
+                 " (NOT (p_size > 0) OR p_size >= 50))"),
+    "^.p_retailprice": ("(p_retailprice IS NOT NULL"
+                        " AND NOT (p_retailprice > 0))"),
+    "^.p_brand": ("(p_brand IS NOT NULL AND NOT"
+                  " regexp_full_match(p_brand, 'Brand#[0-9]+'))"),
+}
+
+
 def _audit_sampled_sql() -> str:
     """Oracle for audit_sampled_rules: replay the md5-bucket sample
     membership, the per-path violating-ROW counts, and the Wilson
@@ -3726,37 +3778,17 @@ def _audit_sampled_sql() -> str:
     sqrt ⇒ bit-exact, not tolerance-based)."""
     from cerberus_cpp_spark.plans.audit import (
         Z_95,
+        rate_sql,
         verdict_sql,
         wilson_sql,
     )
 
     lo, hi = wilson_sql("violating_rows", "sampled_rows", Z_95)
-    rate = "(CAST(violating_rows AS DOUBLE) / CAST(sampled_rows AS DOUBLE))"
+    rate = rate_sql("violating_rows", "sampled_rows")
     verdict = verdict_sql(lo, hi, 0.05)
 
-    o_paths = {
-        "^.o_orderkey": ("(o_orderkey IS NULL OR (o_orderkey IS NOT NULL"
-                         " AND NOT (o_orderkey > 0)))"),
-        "^.o_custkey": "(o_custkey IS NULL)",
-        "^.o_orderstatus": ("(o_orderstatus IS NOT NULL"
-                            " AND o_orderstatus NOT IN ('O','F','P'))"),
-        "^.o_totalprice": ("(o_totalprice IS NOT NULL AND"
-                           " (NOT (o_totalprice > 0)"
-                           " OR o_totalprice >= 300000))"),
-        "^.o_orderpriority": (
-            "(o_orderpriority IS NOT NULL AND NOT"
-            " regexp_full_match(o_orderpriority, '[1-3]-[A-Z ]+'))"),
-    }
-    p_paths = {
-        "^.p_partkey": ("(p_partkey IS NULL OR (p_partkey IS NOT NULL"
-                        " AND NOT (p_partkey > 0)))"),
-        "^.p_size": ("(p_size IS NOT NULL AND"
-                     " (NOT (p_size > 0) OR p_size >= 50))"),
-        "^.p_retailprice": ("(p_retailprice IS NOT NULL"
-                            " AND NOT (p_retailprice > 0))"),
-        "^.p_brand": ("(p_brand IS NOT NULL AND NOT"
-                      " regexp_full_match(p_brand, 'Brand#[0-9]+'))"),
-    }
+    o_paths = _AUDIT_ORDERS_PATHS
+    p_paths = _AUDIT_PART_PATHS
 
     def per_table(tbl: str, key: str, paths: dict) -> str:
         pred = f"{_split_bucket_sql(key, 11)} < 250000"
@@ -3790,6 +3822,62 @@ def _audit_sampled_sql() -> str:
            {rate} AS rate, {lo} AS rate_lo, {hi} AS rate_hi,
            {verdict} AS verdict
     FROM allp WHERE violating_rows > 0
+    """
+
+
+def _audit_escalated_sql() -> str:
+    """Oracle for audit_escalated_exact: recompute the sampled audit
+    over orders at budget 0.40, derive the 'inconclusive' worklist
+    with the SAME Wilson verdict SQL, then replay the full-table
+    EXACT counts and two-way verdicts for exactly those paths."""
+    from cerberus_cpp_spark.plans.audit import (
+        Z_95,
+        exact_verdict_sql,
+        rate_sql,
+        verdict_sql,
+        wilson_sql,
+    )
+
+    lo, hi = wilson_sql("violating_rows", "sampled_rows", Z_95)
+    s_verdict = verdict_sql(lo, hi, 0.40)
+    e_rate = rate_sql("violating_rows", "total_rows")
+    e_verdict = exact_verdict_sql(e_rate, 0.40)
+    pred = f"{_split_bucket_sql('o_orderkey', 11)} < 250000"
+    paths = _AUDIT_ORDERS_PATHS
+
+    s_counts = ",\n      ".join(
+        f'count(*) FILTER (WHERE {p}) AS "sk{i}"'
+        for i, p in enumerate(paths.values()))
+    f_counts = ",\n      ".join(
+        f'count(*) FILTER (WHERE {p}) AS "fk{i}"'
+        for i, p in enumerate(paths.values()))
+    s_unions = "\n      UNION ALL ".join(
+        f"""SELECT '{path}' AS path, "sk{i}" AS violating_rows,"""
+        f""" sn AS sampled_rows FROM s_agg"""
+        for i, path in enumerate(paths))
+    f_unions = "\n      UNION ALL ".join(
+        f"""SELECT '{path}' AS path, "fk{i}" AS violating_rows,"""
+        f""" fn AS total_rows FROM f_agg"""
+        for i, path in enumerate(paths))
+
+    return f"""
+    WITH s_agg AS (
+      SELECT count(*) AS sn, {s_counts}
+      FROM orders WHERE {pred}
+    ),
+    f_agg AS (
+      SELECT count(*) AS fn, {f_counts}
+      FROM orders
+    ),
+    s_paths AS ({s_unions}),
+    worklist AS (
+      SELECT path FROM s_paths
+      WHERE violating_rows > 0 AND {s_verdict} = 'inconclusive'
+    ),
+    f_paths AS ({f_unions})
+    SELECT f.path, f.total_rows, f.violating_rows,
+           {e_rate} AS rate, {e_verdict} AS verdict
+    FROM f_paths f JOIN worklist USING (path)
     """
 
 
@@ -4260,6 +4348,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivf": _ANN_IVF_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
+        "audit_escalated_exact": _audit_escalated_sql(),
         "rules_list_docs": """
             WITH w AS (
               SELECT doc_id,

@@ -170,7 +170,7 @@ def sampled_audit(
     )
 
     lo, hi = wilson_sql("violating_rows", "sampled_rows", z)
-    rate = "(CAST(violating_rows AS DOUBLE) / CAST(sampled_rows AS DOUBLE))"
+    rate = rate_sql("violating_rows", "sampled_rows")
     return (
         counts.where(F.col("path") != _N_MARK)
         .select(
@@ -182,6 +182,100 @@ def sampled_audit(
             F.expr(hi).alias("rate_hi"),
             F.expr(verdict_sql(lo, hi, budget)).alias("verdict"),
         )
+    )
+
+
+def rate_sql(k: str, n: str) -> str:
+    """Division guarded for ``n = 0`` (ANSI mode throws on 0/0; an
+    empty table yields a NULL rate, identical in both engines)."""
+    return (f"(CASE WHEN {n} = 0 THEN NULL"
+            f" ELSE CAST({k} AS DOUBLE) / CAST({n} AS DOUBLE) END)")
+
+
+def exact_verdict_sql(rate: str, budget: float) -> str:
+    """Two-way budget verdict for an EXACT rate (no interval, so
+    'inconclusive' cannot occur) — shared by both engines verbatim."""
+    b = repr(float(budget))
+    return (f"CASE WHEN {rate} > {b} THEN 'exceeds_budget' "
+            f"ELSE 'within_budget' END")
+
+
+_EXACT_SCHEMA = ("path string, total_rows bigint, violating_rows bigint, "
+                 "rate double, verdict string")
+
+
+def exact_rates(
+    validator: TableValidator,
+    df: DataFrame,
+    paths: list[str],
+    *,
+    budget: float = 0.0,
+) -> DataFrame:
+    """EXACT violating-row rates for the given violation ``paths``
+    over the FULL table — the escalation pass that settles what the
+    sampled audit left ``inconclusive``.
+
+    Returns ``(path, total_rows, violating_rows, rate, verdict)``
+    with a two-way verdict (exact rate vs budget, no interval).
+    Paths with zero violating rows ARE emitted (rate 0.0,
+    ``within_budget``) — the escalation caller needs the explicit
+    all-clear, unlike the audit where absence means unobserved.
+
+    Same one-scan shape as :func:`sampled_audit`: the fused
+    validation projection, a marker explode restricted to the
+    requested paths, one hash aggregate, and a single-partition
+    window over the O(paths)-row frame for the denominator.
+    """
+    spark = df.sparkSession
+    if not paths:
+        return spark.createDataFrame([], _EXACT_SCHEMA)
+    if _N_MARK in paths:
+        raise ValueError(f"{_N_MARK!r} is a reserved marker")
+
+    annotated = validator.validate(df).annotated
+    wanted = F.array(*[F.lit(p) for p in sorted(set(paths))])
+    observed = F.array_intersect(
+        F.array_distinct(
+            F.transform(F.col("violations"), lambda v: v["path"])),
+        wanted,
+    )
+    markers = F.concat(F.array(F.lit(_N_MARK)), observed)
+
+    counts = (
+        annotated.select(F.explode(markers).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("violating_rows"))
+    )
+    # re-attach zero-count paths: a tiny literal frame (O(paths)),
+    # joined AFTER the aggregate — never touches the data scan. The
+    # ``__n__`` marker rides through the SAME join (a second filtered
+    # branch of ``counts`` would re-execute the whole scan: Spark
+    # does not guarantee ReusedExchange across branches).
+    requested = spark.createDataFrame(
+        [(p,) for p in sorted(set(paths)) + [_N_MARK]], "path string")
+    everything = Window.partitionBy(F.lit(0))
+    full = (
+        requested
+        .join(F.broadcast(counts), "path", "left")
+        .select(
+            "path",
+            F.coalesce(F.col("violating_rows"),
+                       F.lit(0).cast("bigint")).alias("violating_rows"),
+        )
+        .withColumn(
+            "total_rows",
+            F.max(F.when(F.col("path") == _N_MARK,
+                         F.col("violating_rows"))).over(everything),
+        )
+        .where(F.col("path") != _N_MARK)
+    )
+    rate = rate_sql("violating_rows", "total_rows")
+    return full.select(
+        "path",
+        "total_rows",
+        "violating_rows",
+        F.expr(rate).alias("rate"),
+        F.expr(exact_verdict_sql(rate, budget)).alias("verdict"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from cerberus_cpp_spark.plans.audit import (
     Z_95,
     escalation_filter,
+    exact_rates,
     sample_predicate,
     sampled_audit,
     verdict_sql,
@@ -158,6 +159,71 @@ def test_single_source_scan_plan(spark, tmp_path) -> None:
     # one data-scale shuffle (the path aggregate); the second
     # exchange is the single-partition window over O(rules) rows
     assert len(re.findall(r"\bExchange\b", plan)) <= 2
+
+
+def test_exact_rates_settles_escalation(spark) -> None:
+    tv = TableValidator(RULES, allow_unknown=True)
+    df = _frame(spark)  # v: 100/400 = .25, s: 8/400 = .02
+    exact = exact_rates(tv, df, ["^.v", "^.s"], budget=0.05)
+    by = {r["path"]: r for r in exact.collect()}
+    assert set(by) == {"^.v", "^.s"}
+    assert by["^.v"]["total_rows"] == 400
+    assert by["^.v"]["violating_rows"] == 100
+    assert by["^.v"]["rate"] == 0.25
+    assert by["^.v"]["verdict"] == "exceeds_budget"
+    assert by["^.s"]["verdict"] == "within_budget"
+
+
+def test_exact_rates_zero_count_paths_emitted(spark) -> None:
+    # unlike the audit (absence == unobserved), the escalation pass
+    # must emit the explicit all-clear for every requested path
+    tv = TableValidator(RULES, allow_unknown=True)
+    clean = spark.createDataFrame(
+        [(i, i + 1, "abcdef") for i in range(50)],
+        "id bigint, v bigint, s string")
+    exact = exact_rates(tv, clean, ["^.v", "^.s"], budget=0.1)
+    by = {r["path"]: r for r in exact.collect()}
+    assert set(by) == {"^.v", "^.s"}
+    for r in by.values():
+        assert r["total_rows"] == 50
+        assert r["violating_rows"] == 0
+        assert r["rate"] == 0.0
+        assert r["verdict"] == "within_budget"
+
+
+def test_exact_rates_edges(spark) -> None:
+    tv = TableValidator(RULES, allow_unknown=True)
+    assert exact_rates(tv, _frame(spark), []).count() == 0
+    with pytest.raises(ValueError):
+        exact_rates(tv, _frame(spark), ["__n__"])
+    # empty table: counts are 0; the 0/0 rate is not a crash
+    empty = exact_rates(tv, _frame(spark).where("id < 0"), ["^.v"])
+    row = empty.collect()[0]
+    assert row["total_rows"] == 0 and row["violating_rows"] == 0
+
+
+def test_exact_rates_single_scan_plan(spark, tmp_path) -> None:
+    path = str(tmp_path / "exact_plan")
+    _frame(spark).write.mode("overwrite").parquet(path)
+    tv = TableValidator(RULES, allow_unknown=True)
+    exact = exact_rates(tv, spark.read.parquet(path), ["^.v", "^.s"])
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
+def test_audit_escalate_exact_loop(spark) -> None:
+    # budget inside the sampled interval → inconclusive → escalated →
+    # settled exactly; the exact verdict is stable where the sampled
+    # one was not
+    tv = TableValidator(RULES, allow_unknown=True)
+    df = _frame(spark, n=2000)  # v rate exactly .25
+    audit = sampled_audit(tv, df, "id", fraction=0.05, budget=0.25)
+    worklist = escalation_filter(audit)
+    exact = exact_rates(tv, df, worklist, budget=0.25)
+    for r in exact.collect():
+        if r["path"] == "^.v":
+            assert r["rate"] == 0.25
+            assert r["verdict"] == "within_budget"  # exact: .25 > .25 false
 
 
 def test_verdict_sql_budget_edges(spark) -> None:
