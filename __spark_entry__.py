@@ -625,6 +625,38 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the COMPRESSED-domain scale path
+    (the third next to LSH and IVF): the corpus is encoded to m=8
+    uint8 codes per vector (32× smaller than float32 at dim 64; at
+    10^12 vectors the only frame a per-query-batch scan can afford
+    to read), searched via ADC lookup tables, and the top candidates
+    exact-cosine rescored. PLANTED-TRUTH oracle: each query has an
+    IDENTICAL twin (vec_id + 1e6) in the corpus; identical vectors
+    encode to identical codes, so the twin carries the query's own
+    maximal ADC score into the rescore set, where exact cosine makes
+    it provably rank 1 at cosine 1.0. Recall-vs-rescore_n on
+    non-planted data: tests/test_pq.py + BENCH.md §5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = _sim.pq_encode(corpus, books)
+    return _sim.pq_topk(codes, books, queries, k=1,
+                        corpus=corpus, rescore_n=32) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_PQ_SQL = """
+SELECT vec_id AS query_id,
+       vec_id + 1000000 AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -3446,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_band_drift": q_phash_band_drift,
         "full_validation_ledger": q_full_validation_ledger,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4346,6 +4379,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "phash_band_drift": _phash_band_drift_sql(),
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
+        "ann_topk_pq": _ANN_PQ_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

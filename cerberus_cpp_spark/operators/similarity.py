@@ -14,6 +14,13 @@
   only. Approximate (recall measured in tests vs the exact baseline).
 - :func:`embedding_near_duplicates` — near-dup pairs by cosine ≥
   threshold among bucket-colliding pairs.
+- :func:`ivf_index` / :func:`ivf_topk` / :func:`tune_nprobe` — IVF
+  coarse quantizer: bounded driver-side k-means training, one narrow
+  assignment pass, probe-list search, measured-recall autotune.
+- :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` — product
+  quantization: vectors compressed to m uint8 codes (32× at the
+  defaults), ADC lookup-table scan over the code column only, exact
+  cosine rescore of the top candidates.
 """
 
 from __future__ import annotations
@@ -366,30 +373,19 @@ def _assign_lists(df: DataFrame, centroids: np.ndarray, *,
     return src.mapInPandas(work, schema=out_schema)
 
 
-def ivf_index(
+def _bounded_sample_matrix(
     corpus: DataFrame,
     *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_lists: int = 16,
-    train_rows: int = 20_000,
-    iters: int = 10,
-    seed: int = 11,
-    sample_mod: int | None = None,
-) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer — the second scale path for ANN next to
-    the LSH route (the task brief names both): spherical k-means
-    centroids trained driver-side on a bounded deterministic sample,
-    then ONE narrow assignment pass over the corpus.
-
-    Returns ``(assigned, centroids)``: the corpus with an extra
-    ``list_id`` column (partition-pruning-friendly at rest — write
-    bucketed/partitioned by it at scale) and the (n_lists, dim)
-    centroid matrix. ``sample_mod`` skips the sizing count for giant
-    corpora (keep every row with xxhash64(id) % sample_mod == 0).
-    Deterministic for a fixed seed (k-means++ under a seeded RNG;
-    note that BLAS ulp differences across heterogeneous hardware can
-    flip assignments of near-boundary vectors)."""
+    id_col: str,
+    vec_col: str,
+    train_rows: int,
+    sample_mod: int | None,
+) -> np.ndarray:
+    """Bounded DETERMINISTIC training sample as an (n, dim) float64
+    matrix — shared by the IVF coarse quantizer and the PQ codebook
+    trainer so both sample identically. Never a full scan: sizing via
+    a ≤8-partition ``runJob`` probe, membership a pure function of
+    the id hash, and the collect hard-bounded by ``limit``."""
     if sample_mod is None:
         # size the sample WITHOUT a full count job (round-2 verdict:
         # the default paid one extra full scan at 100 TB): count rows
@@ -427,12 +423,41 @@ def ivf_index(
         .limit(train_rows)
         .collect()
     )
-    if len(sample) < n_lists:
+    return np.asarray([np.asarray(r[vec_col], dtype=np.float64)
+                       for r in sample])
+
+
+def ivf_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    train_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 11,
+    sample_mod: int | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer — the second scale path for ANN next to
+    the LSH route (the task brief names both): spherical k-means
+    centroids trained driver-side on a bounded deterministic sample,
+    then ONE narrow assignment pass over the corpus.
+
+    Returns ``(assigned, centroids)``: the corpus with an extra
+    ``list_id`` column (partition-pruning-friendly at rest — write
+    bucketed/partitioned by it at scale) and the (n_lists, dim)
+    centroid matrix. ``sample_mod`` skips the sizing count for giant
+    corpora (keep every row with xxhash64(id) % sample_mod == 0).
+    Deterministic for a fixed seed (k-means++ under a seeded RNG;
+    note that BLAS ulp differences across heterogeneous hardware can
+    flip assignments of near-boundary vectors)."""
+    mat = _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
+    if len(mat) < n_lists:
         raise ValueError(
-            f"IVF training sample ({len(sample)}) smaller than "
+            f"IVF training sample ({len(mat)}) smaller than "
             f"n_lists ({n_lists}); lower n_lists or sample_mod")
-    mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
-                      for r in sample])
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                       1e-12)
     rng = np.random.RandomState(seed)
@@ -497,6 +522,275 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"),
                 "rank", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    train_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 11,
+    sample_mod: int | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks — the compressed-domain ANN
+    path next to LSH (:func:`ann_topk_lsh`) and IVF
+    (:func:`ivf_index`): at 10^12 vectors the raw float32 corpus is
+    ~0.25 PB at dim 64, while ``m`` uint8 codes per vector are
+    dim·4/m× smaller (32× at the defaults), small enough to rescan
+    per query batch.
+
+    Splits each (unit-normalized) vector into ``m`` contiguous
+    subspaces and trains an independent ``n_codes``-entry Euclidean
+    k-means codebook per subspace (k-means++ seeding, Lloyd
+    iterations) on the SAME bounded deterministic driver-side sample
+    the IVF trainer uses (``_bounded_sample_matrix`` — sizing via a
+    ≤8-partition probe, membership a pure function of the id hash,
+    hard-bounded collect). Returns an (m, n_codes, dim/m) float64
+    codebook tensor — a few hundred KB, travels in task closures.
+
+    Deterministic for a fixed seed. Reference parity anchor: the
+    brief's embedding-similarity leg (SURVEY.md §2 LLM-pipeline ops);
+    the ADC search design follows Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search" (TPAMI 2011, public).
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if not 2 <= n_codes <= 256:
+        raise ValueError("n_codes must be in [2, 256] (uint8 codes)")
+    mat = _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
+    if len(mat) < n_codes:
+        raise ValueError(
+            f"PQ training sample ({len(mat)}) smaller than n_codes "
+            f"({n_codes}); lower n_codes or sample_mod")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) not divisible by m ({m})")
+    dsub = dim // m
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                      1e-12)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for sub in range(m):
+        part = mat[:, sub * dsub:(sub + 1) * dsub]
+        rng = np.random.RandomState(seed + 7919 * sub)
+        cents = [part[rng.randint(len(part))]]
+        for _ in range(n_codes - 1):
+            d2 = np.min(
+                [((part - c) ** 2).sum(axis=1) for c in cents],
+                axis=0)
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            cents.append(part[rng.choice(len(part), p=probs)])
+        cents = np.asarray(cents)
+        for _ in range(iters):
+            # (n, n_codes) squared distances via the expansion trick
+            d2 = ((part ** 2).sum(axis=1, keepdims=True)
+                  - 2.0 * part @ cents.T
+                  + (cents ** 2).sum(axis=1))
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                members = part[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "code",
+) -> DataFrame:
+    """(``id_col``, ``out_col``): each vector compressed to ``m``
+    uint8 codes packed into one BinaryType value (nearest codebook
+    entry per subspace, Euclidean, on the unit-normalized vector).
+    ONE narrow Arrow stage — no shuffle; identical vectors get
+    identical codes (the planted-oracle invariant). At rest, write
+    the code column next to the id and drop the float vectors: the
+    32× smaller frame is what the per-query-batch ADC scan reads."""
+    m, n_codes, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks)
+    id_dtype = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_dtype, True),
+        T.StructField(out_col, T.BinaryType(), True),
+    ])
+    src = df.select(id_col, vec_col)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        b2 = (books ** 2).sum(axis=2)  # (m, n_codes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for sub in range(m):
+                part = mat[:, sub * dsub:(sub + 1) * dsub]
+                d2 = b2[sub] - 2.0 * part @ books[sub].T
+                codes[:, sub] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                out_col: [c.tobytes() for c in codes],
+            })
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus: DataFrame | None = None,
+    rescore_n: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation over PQ codes:
+    per query, inner-product lookup tables against the codebooks
+    (LUT[sub][code] = <q_sub, codebook[sub][code]>) turn scoring one
+    compressed vector into ``m`` table lookups — the full scan reads
+    only the 32×-smaller code column, never the floats.
+
+    Shape: queries (≪ corpus, same contract as :func:`cosine_topk`)
+    are collected once (size-GUARDED at ``max_queries``) to build the
+    LUT tensor, which travels in the task closure; ONE narrow pass
+    over ``codes`` keeps a per-partition top-``rescore_n`` per query
+    (only partitions × queries × rescore_n rows ever shuffle); a
+    window takes the global ADC top-``rescore_n``.
+
+    With ``corpus`` given, those candidates are exact-cosine rescored
+    (broadcast join — the candidate set is ≤ |queries|·rescore_n
+    rows, bounded by the CALLER's query batch, not by the data, so
+    the hint cannot OOM at crawl scale the way a data-dependent
+    broadcast could) and the output matches :func:`cosine_topk`:
+    (query_id, neighbor_id, rank, cosine). Without ``corpus`` the
+    raw ADC ranking is returned as (query_id, neighbor_id, rank,
+    adc). Self-matches excluded in both modes."""
+    m, n_codes, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks)
+    if rescore_n < k:
+        raise ValueError("rescore_n must be >= k")
+    q_rows = queries.select(id_col, vec_col) \
+        .limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk builds one LUT per query driver-side and is "
+            f"bounded at {max_queries} queries; got more. Batch the "
+            f"query load or raise max_queries explicitly.")
+    if not q_rows:
+        spark = codes.sparkSession
+        empty = T.StructType([
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", codes.schema[id_col].dataType),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine" if corpus is not None else "adc",
+                          T.DoubleType()),
+        ])
+        return spark.createDataFrame([], empty)
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in q_rows])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                        1e-12)
+    # LUT[q, sub, code] = <q_sub, books[sub, code]>
+    lut = np.einsum("qsd,scd->qsc",
+                    q_mat.reshape(len(q_mat), m, dsub), books)
+    n_keep = int(rescore_n)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_mat = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            scores = np.zeros((len(q_ids), len(pdf)))
+            for sub in range(m):
+                scores += lut[:, sub, codes_mat[:, sub]]
+            nids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                s = scores[qi]
+                take = min(n_keep, len(s))
+                top = np.argpartition(-s, take - 1)[:take]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": nids[top],
+                    "adc": s[top],
+                }))
+            batch = pd.concat(frames, ignore_index=True)
+            batch = batch[batch["neighbor_id"] != batch["query_id"]]
+            acc.append(batch)
+        if not acc:
+            return
+        all_rows = pd.concat(acc, ignore_index=True)
+        # per-partition prune BEFORE the shuffle: deterministic
+        # (adc desc, neighbor_id asc) head per query
+        all_rows = all_rows.sort_values(
+            ["query_id", "adc", "neighbor_id"],
+            ascending=[True, False, True])
+        yield all_rows.groupby("query_id", sort=False) \
+            .head(n_keep).reset_index(drop=True)
+
+    qid_dtype = queries.schema[id_col].dataType
+    nid_dtype = codes.schema[id_col].dataType
+    part_schema = T.StructType([
+        T.StructField("query_id", qid_dtype, True),
+        T.StructField("neighbor_id", nid_dtype, True),
+        T.StructField("adc", T.DoubleType(), True),
+    ])
+    partial = codes.select(id_col, code_col).mapInPandas(
+        work, schema=part_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    cand = (
+        partial.withColumn("rank", F.row_number().over(w_adc))
+        .where(F.col("rank") <= n_keep)
+    )
+    if corpus is None:
+        return cand.where(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "rank",
+            F.round(F.col("adc"), 6).alias("adc"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    rescored = (
+        c.join(F.broadcast(cand.select("query_id", "neighbor_id")),
+               on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .withColumn("cosine", F.expr(_cosine_expr("cvec", "qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(F.col("cosine"), 6).alias("cosine"))
     )
 
 

@@ -1,0 +1,154 @@
+"""Product-quantization ANN (operators/similarity.py pq_*).
+
+The compressed-domain third ANN path (next to LSH and IVF): codebook
+training is deterministic and guarded, identical vectors encode to
+identical codes (the planted-oracle invariant), ADC + exact rescore
+recovers planted twins at rank 1 with cosine exactly 1.0, recall on
+NON-planted random embeddings is measured against the exact baseline,
+and the scan stage is one narrow Arrow pass whose plan never reads
+the float vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_cpp_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return SIM.pq_train(emb, m=8, n_codes=64, seed=11)
+
+
+def test_pq_train_shape_and_determinism(emb, books) -> None:
+    assert books.shape == (8, 64, 8)
+    again = SIM.pq_train(emb, m=8, n_codes=64, seed=11)
+    assert np.array_equal(books, again)
+    other = SIM.pq_train(emb, m=8, n_codes=64, seed=12)
+    assert not np.array_equal(books, other)
+
+
+def test_pq_train_guards(emb) -> None:
+    with pytest.raises(ValueError, match="divisible"):
+        SIM.pq_train(emb, m=7, n_codes=16)
+    with pytest.raises(ValueError, match="smaller than n_codes"):
+        SIM.pq_train(emb.limit(10), n_codes=64)
+    with pytest.raises(ValueError, match="n_codes"):
+        SIM.pq_train(emb, n_codes=257)
+
+
+def test_pq_encode_codes_and_twins(spark, emb, books) -> None:
+    codes = SIM.pq_encode(emb, books)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r["code"]) == 8 for r in rows)
+    # identical vector under a new id → identical code bytes
+    twin = emb.where("vec_id = 3").select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding")
+    both = {r["vec_id"]: bytes(r["code"])
+            for r in SIM.pq_encode(
+                emb.select("vec_id", "embedding").unionByName(twin),
+                books).collect()}
+    assert both[3] == both[9003]
+
+
+def test_pq_encode_narrow_plan(spark, emb, books, tmp_path) -> None:
+    """The encode stage is ONE MapInPandas with no Exchange, and the
+    ADC scan stage reads ONLY the (id, code) columns — the parquet
+    scan of the code frame must not touch the embedding column."""
+    path = str(tmp_path / "emb")
+    emb.write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+    codes = SIM.pq_encode(src, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    # persist codes, then score: the scan must prune to id+code
+    cpath = str(tmp_path / "codes")
+    codes.write.mode("overwrite").parquet(cpath)
+    stored = spark.read.parquet(cpath)
+    qs = emb.where("vec_id < 3")
+    adc = SIM.pq_topk(stored, books, qs, k=3, rescore_n=8)
+    aplan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in aplan.split("FileScan")[1][:400]
+
+
+def test_pq_topk_planted_twin_rank1(spark, emb, books) -> None:
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    pbooks = SIM.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = SIM.pq_encode(corpus, pbooks)
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    top1 = SIM.pq_topk(codes, pbooks, qs, k=1,
+                       corpus=corpus, rescore_n=16).collect()
+    assert len(top1) == 5
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] + 5000
+        assert r["cosine"] == 1.0
+
+
+def test_pq_adc_only_mode(spark, emb, books) -> None:
+    codes = SIM.pq_encode(emb, books)
+    qs = emb.where("vec_id < 3")
+    adc = SIM.pq_topk(codes, books, qs, k=3, rescore_n=8)
+    rows = adc.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        adcs = [r["adc"] for r in rs]
+        assert adcs == sorted(adcs, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_pq_recall_vs_exact(spark, emb, books) -> None:
+    """Measured recall on random 64-dim embeddings (worst case —
+    near-orthogonal neighbors). With rescore_n ≫ k the ADC top set
+    need only CONTAIN the true neighbors; rescoring fixes the order.
+    Floor pinned so codebook/scoring regressions surface."""
+    codes = SIM.pq_encode(emb, books)
+    qs = emb.where("vec_id < 20")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, qs, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in SIM.pq_topk(codes, books, qs, k=5,
+                                corpus=emb, rescore_n=64).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_pq_topk_guards_and_edges(spark, emb, books) -> None:
+    codes = SIM.pq_encode(emb, books)
+    with pytest.raises(ValueError, match="rescore_n"):
+        SIM.pq_topk(codes, books, emb.limit(1), k=5, rescore_n=2)
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.pq_topk(codes, books, emb, k=1, max_queries=10)
+    none = SIM.pq_topk(codes, books, emb.where("vec_id < 0"), k=3)
+    assert none.count() == 0
+    assert none.columns == ["query_id", "neighbor_id", "rank", "adc"]
+
+
+def test_pq_string_ids(spark, emb, books) -> None:
+    """Code frames keep the caller's id dtype end-to-end."""
+    semb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+        "embedding")
+    codes = SIM.pq_encode(semb, books)
+    assert dict(codes.dtypes)["vec_id"] == "string"
+    qs = semb.where("vec_id in ('doc-0', 'doc-1')")
+    rows = SIM.pq_topk(codes, books, qs, k=3,
+                       corpus=semb, rescore_n=8).collect()
+    assert rows and all(r["query_id"].startswith("doc-") for r in rows)
