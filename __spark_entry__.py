@@ -657,6 +657,32 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVFADC composition (coarse-quantizer list pruning ×
+    PQ codes — FAISS's trillion-scale design): nprobe=1 scans ONLY
+    each query's nearest inverted list, and within it only the
+    8-byte code column. PLANTED-TRUTH oracle inherited from BOTH
+    parents: the identical twin (vec_id + 1e6) lands in the query's
+    first probe (shared assignment math) carrying the query's own
+    code, so the exact rescore provably ranks it 1 at cosine 1.0.
+    Lossless-when-unpruned and probe-bounding pins:
+    tests/test_pq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    assigned, cents = _sim.ivf_index(corpus, n_lists=16, seed=11)
+    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = _sim.pq_encode(assigned, books, keep_cols=("list_id",))
+    return _sim.ivf_pq_topk(codes, cents, books, queries, k=1,
+                            nprobe=1, corpus=corpus, rescore_n=16) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_IVFPQ_SQL = _ANN_PQ_SQL
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -3479,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_validation_ledger": q_full_validation_ledger,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4380,6 +4407,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "full_validation_ledger": _FULL_VALIDATION_LEDGER_SQL,
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_pq": _ANN_PQ_SQL,
+        "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

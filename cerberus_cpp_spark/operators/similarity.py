@@ -608,22 +608,28 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "code",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(``id_col``, ``out_col``): each vector compressed to ``m``
-    uint8 codes packed into one BinaryType value (nearest codebook
-    entry per subspace, Euclidean, on the unit-normalized vector).
-    ONE narrow Arrow stage — no shuffle; identical vectors get
-    identical codes (the planted-oracle invariant). At rest, write
-    the code column next to the id and drop the float vectors: the
-    32× smaller frame is what the per-query-batch ADC scan reads."""
+    """(``id_col``, *``keep_cols``, ``out_col``): each vector
+    compressed to ``m`` uint8 codes packed into one BinaryType value
+    (nearest codebook entry per subspace, Euclidean, on the
+    unit-normalized vector). ONE narrow Arrow stage — no shuffle;
+    identical vectors get identical codes (the planted-oracle
+    invariant). At rest, write the code column next to the id and
+    drop the float vectors: the 32× smaller frame is what the
+    per-query-batch ADC scan reads. ``keep_cols`` passes extra
+    columns through unchanged — e.g. the IVF ``list_id``, so the
+    code table can be written partitioned/bucketed by list and
+    :func:`ivf_pq_topk`'s probe filter prunes at the source."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
-    id_dtype = df.schema[id_col].dataType
-    out_schema = T.StructType([
-        T.StructField(id_col, id_dtype, True),
-        T.StructField(out_col, T.BinaryType(), True),
-    ])
-    src = df.select(id_col, vec_col)
+    keep = [c for c in keep_cols if c not in (id_col, vec_col)]
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType, True)]
+        + [T.StructField(c, df.schema[c].dataType, True) for c in keep]
+        + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+    src = df.select(id_col, *keep, vec_col)
 
     def work(batches):
         import numpy as np
@@ -643,10 +649,11 @@ def pq_encode(
                 part = mat[:, sub * dsub:(sub + 1) * dsub]
                 d2 = b2[sub] - 2.0 * part @ books[sub].T
                 codes[:, sub] = d2.argmin(axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col],
-                out_col: [c.tobytes() for c in codes],
-            })
+            out = {id_col: pdf[id_col]}
+            for c in keep:
+                out[c] = pdf[c]
+            out[out_col] = [c.tobytes() for c in codes]
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(work, schema=out_schema)
 
@@ -706,15 +713,50 @@ def pq_topk(
                           T.DoubleType()),
         ])
         return spark.createDataFrame([], empty)
+    q_ids, lut = _query_luts(q_rows, codebooks,
+                             id_col=id_col, vec_col=vec_col)
+    partial = _adc_partial_topn(
+        codes, q_ids, lut, int(rescore_n),
+        queries_schema=queries.schema,
+        id_col=id_col, code_col=code_col)
+    return _finish_topk(partial, int(rescore_n), k,
+                        corpus=corpus, queries=queries,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def _query_luts(q_rows, codebooks: np.ndarray, *,
+                id_col: str, vec_col: str):
+    """ADC lookup tables: LUT[q, sub, code] = <q_sub, books[sub,
+    code]> over the unit-normalized query vectors."""
+    m, n_codes, dsub = codebooks.shape
     q_ids = [r[id_col] for r in q_rows]
     q_mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
                         for r in q_rows])
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
                         1e-12)
-    # LUT[q, sub, code] = <q_sub, books[sub, code]>
     lut = np.einsum("qsd,scd->qsc",
-                    q_mat.reshape(len(q_mat), m, dsub), books)
-    n_keep = int(rescore_n)
+                    q_mat.reshape(len(q_mat), m, dsub),
+                    np.ascontiguousarray(codebooks))
+    return q_ids, lut
+
+
+def _adc_partial_topn(
+    codes: DataFrame,
+    q_ids: list,
+    lut: np.ndarray,
+    n_keep: int,
+    *,
+    queries_schema: T.StructType,
+    id_col: str,
+    code_col: str,
+    list_col: str | None = None,
+    probe_sets: list | None = None,
+) -> DataFrame:
+    """Per-partition ADC top-``n_keep`` per query over the code
+    column — the only rows that ever shuffle (partitions × |queries|
+    × n_keep). With ``list_col``/``probe_sets`` (aligned with
+    ``q_ids``), each query scores ONLY rows in its probed IVF lists."""
+    m = lut.shape[1]
 
     def work(batches):
         import numpy as np
@@ -727,20 +769,31 @@ def pq_topk(
             codes_mat = np.frombuffer(
                 b"".join(pdf[code_col]), dtype=np.uint8
             ).reshape(len(pdf), m)
-            scores = np.zeros((len(q_ids), len(pdf)))
-            for sub in range(m):
-                scores += lut[:, sub, codes_mat[:, sub]]
             nids = pdf[id_col].to_numpy()
+            lists = (pdf[list_col].to_numpy()
+                     if list_col is not None else None)
             frames = []
             for qi, qid in enumerate(q_ids):
-                s = scores[qi]
+                if probe_sets is not None:
+                    mask = np.isin(lists,
+                                   np.fromiter(probe_sets[qi], int))
+                    if not mask.any():
+                        continue
+                    sub_codes, sub_nids = codes_mat[mask], nids[mask]
+                else:
+                    sub_codes, sub_nids = codes_mat, nids
+                s = np.zeros(len(sub_codes))
+                for sub in range(m):
+                    s += lut[qi, sub, sub_codes[:, sub]]
                 take = min(n_keep, len(s))
                 top = np.argpartition(-s, take - 1)[:take]
                 frames.append(pd.DataFrame({
                     "query_id": qid,
-                    "neighbor_id": nids[top],
+                    "neighbor_id": sub_nids[top],
                     "adc": s[top],
                 }))
+            if not frames:
+                continue
             batch = pd.concat(frames, ignore_index=True)
             batch = batch[batch["neighbor_id"] != batch["query_id"]]
             acc.append(batch)
@@ -755,15 +808,29 @@ def pq_topk(
         yield all_rows.groupby("query_id", sort=False) \
             .head(n_keep).reset_index(drop=True)
 
-    qid_dtype = queries.schema[id_col].dataType
-    nid_dtype = codes.schema[id_col].dataType
     part_schema = T.StructType([
-        T.StructField("query_id", qid_dtype, True),
-        T.StructField("neighbor_id", nid_dtype, True),
+        T.StructField("query_id", queries_schema[id_col].dataType,
+                      True),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType,
+                      True),
         T.StructField("adc", T.DoubleType(), True),
     ])
-    partial = codes.select(id_col, code_col).mapInPandas(
-        work, schema=part_schema)
+    cols = [id_col, code_col] + ([list_col] if list_col else [])
+    return codes.select(*cols).mapInPandas(work, schema=part_schema)
+
+
+def _finish_topk(
+    partial: DataFrame,
+    n_keep: int,
+    k: int,
+    *,
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Global ADC top-``n_keep`` window, then (with ``corpus``) the
+    exact-cosine rescore of the caller-bounded candidate set."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc())
     cand = (
@@ -792,6 +859,127 @@ def pq_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def ivf_pq_topk(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    corpus: DataFrame | None = None,
+    rescore_n: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    list_col: str = "list_id",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF × PQ — the full trillion-scale composition (FAISS's
+    IVFADC, Jégou et al. 2011): the coarse quantizer prunes the scan
+    to each query's ``nprobe`` inverted lists, and within those lists
+    only the 32×-smaller PQ codes are read and ADC-scored.
+
+    ``codes`` is the corpus encoded with BOTH structures:
+    ``pq_encode(assigned, books, keep_cols=("list_id",))`` over the
+    frame :func:`ivf_index` returns — write it partitioned/bucketed
+    by ``list_id`` at rest and the probe filter prunes at the source.
+    Probe lists are computed with the SAME normalized-matmul +
+    stable-argsort math as :func:`_assign_lists`, so an identical
+    twin's list is always the query's first probe and (with
+    ``corpus`` rescoring) top-1 is provably the twin — the planted
+    contract-oracle invariant, inherited from both parents.
+
+    Output matches :func:`pq_topk`: (query_id, neighbor_id, rank,
+    cosine) with ``corpus``, else the raw ADC ranking."""
+    if rescore_n < k:
+        raise ValueError("rescore_n must be >= k")
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    q_rows = queries.select(id_col, vec_col) \
+        .limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk builds one LUT per query driver-side and "
+            f"is bounded at {max_queries} queries; got more. Batch "
+            f"the query load or raise max_queries explicitly.")
+    if not q_rows:
+        spark = codes.sparkSession
+        empty = T.StructType([
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", codes.schema[id_col].dataType),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine" if corpus is not None else "adc",
+                          T.DoubleType()),
+        ])
+        return spark.createDataFrame([], empty)
+    q_ids, lut = _query_luts(q_rows, codebooks,
+                             id_col=id_col, vec_col=vec_col)
+    # probe lists driver-side with _assign_lists' exact math
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    q_mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
+                        for r in q_rows])
+    norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (q_mat / norms) @ cn.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probe_sets = [set(int(j) for j in row) for row in order]
+    partial = _adc_partial_topn(
+        codes, q_ids, lut, int(rescore_n),
+        queries_schema=queries.schema,
+        id_col=id_col, code_col=code_col,
+        list_col=list_col, probe_sets=probe_sets)
+    return _finish_topk(partial, int(rescore_n), k,
+                        corpus=corpus, queries=queries,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def tune_rescore_n(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    sample_queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    target_recall: float = 0.9,
+    k: int = 5,
+    start: int = 16,
+    max_rescore: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> tuple[int, float]:
+    """Pick the smallest ``rescore_n`` whose measured recall@k on a
+    held-out query sample meets ``target_recall``; returns
+    ``(rescore_n, measured_recall)`` — the PQ twin of
+    :func:`tune_nprobe`. Ground truth = exact :func:`cosine_topk`
+    over ``corpus``, so recall is measured, not modeled; candidate
+    counts double per level and the search stops at ``max_rescore``
+    (unlike nprobe, ADC has no lossless terminal — quantization can
+    rank a true neighbor below rescore_n at ANY budget — so the cap
+    returns the best measured level with its honest recall)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, sample_queries, k,
+                             id_col=id_col, vec_col=vec_col).collect()
+    }
+    if not truth:
+        return max(start, k), 1.0
+    n = max(int(start), k)
+    while True:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(codes, codebooks, sample_queries, k,
+                             corpus=corpus, rescore_n=n,
+                             id_col=id_col, vec_col=vec_col,
+                             code_col=code_col).collect()
+        }
+        recall = len(got & truth) / len(truth)
+        if recall >= target_recall or n >= max_rescore:
+            return n, recall
+        n = min(n * 2, max_rescore)
 
 
 def tune_nprobe(

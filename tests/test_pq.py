@@ -141,6 +141,85 @@ def test_pq_topk_guards_and_edges(spark, emb, books) -> None:
     assert none.columns == ["query_id", "neighbor_id", "rank", "adc"]
 
 
+def test_pq_encode_keep_cols(spark, emb, books) -> None:
+    """keep_cols passes the IVF list_id through so the code table
+    can be written partitioned by list at rest."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    codes = SIM.pq_encode(assigned, books, keep_cols=("list_id",))
+    assert codes.columns == ["vec_id", "list_id", "code"]
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["list_id"] < 8 and len(r["code"]) == 8
+               for r in rows)
+
+
+def test_ivf_pq_planted_twin_rank1(spark, emb) -> None:
+    """The full IVFADC composition inherits BOTH planted invariants:
+    the twin's list is the query's first probe (shared assignment
+    math) and identical vectors share codes, so even nprobe=1 with a
+    small rescore recovers the twin at rank 1, cosine exactly 1.0."""
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    assigned, cents = SIM.ivf_index(corpus, n_lists=8, seed=11)
+    books = SIM.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = SIM.pq_encode(assigned, books, keep_cols=("list_id",))
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    top1 = SIM.ivf_pq_topk(codes, cents, books, qs, k=1, nprobe=1,
+                           corpus=corpus, rescore_n=16).collect()
+    assert len(top1) == 5
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] + 5000
+        assert r["cosine"] == 1.0
+
+
+def test_ivf_pq_all_lists_equals_pq(spark, emb, books) -> None:
+    """nprobe = n_lists scans every list: IVFADC must return exactly
+    the plain-PQ result (the pruning is lossless when nothing is
+    pruned)."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    codes = SIM.pq_encode(assigned, books, keep_cols=("list_id",))
+    qs = emb.where("vec_id < 10")
+    full = SIM.ivf_pq_topk(codes, cents, books, qs, k=3, nprobe=8,
+                           corpus=emb, rescore_n=32)
+    plain = SIM.pq_topk(codes.drop("list_id"), books, qs, k=3,
+                        corpus=emb, rescore_n=32)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_pq_probe_prunes_scan(spark, emb, books) -> None:
+    """With nprobe=1 each query scores only its probed list — the
+    candidate pool per query is bounded by that list's size."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    codes = SIM.pq_encode(assigned, books, keep_cols=("list_id",))
+    sizes = {r["list_id"]: r["n"] for r in
+             assigned.groupBy("list_id").count()
+             .withColumnRenamed("count", "n").collect()}
+    qs = emb.where("vec_id < 5")
+    adc = SIM.ivf_pq_topk(codes, cents, books, qs, k=500, nprobe=1,
+                          rescore_n=500)
+    per_q = {r["query_id"]: 0 for r in adc.collect()}
+    for r in adc.collect():
+        per_q[r["query_id"]] += 1
+    assert all(n <= max(sizes.values()) for n in per_q.values())
+
+
+def test_tune_rescore_n(spark, emb, books) -> None:
+    codes = SIM.pq_encode(emb, books)
+    qs = emb.where("vec_id < 10")
+    n, recall = SIM.tune_rescore_n(
+        codes, books, qs, emb, target_recall=0.5, k=5, start=8)
+    assert recall >= 0.5 and n >= 8
+    # unreachable target: terminates at the cap with honest recall
+    n2, r2 = SIM.tune_rescore_n(
+        codes, books, qs, emb, target_recall=1.0, k=5,
+        start=8, max_rescore=16)
+    assert n2 == 16 and 0.0 <= r2 <= 1.0
+    with pytest.raises(ValueError, match="target_recall"):
+        SIM.tune_rescore_n(codes, books, qs, emb, target_recall=1.5)
+
+
 def test_pq_string_ids(spark, emb, books) -> None:
     """Code frames keep the caller's id dtype end-to-end."""
     semb = emb.select(

@@ -381,3 +381,30 @@ def test_stream_av_header_info_equals_batch(spark,
     assert key(spark.sql("SELECT * FROM a_hdr").collect()) == want_a
     assert key(spark.sql("SELECT * FROM v_hdr").collect()) == want_v
     assert len(want_a) == len(want_v) == 60
+
+
+def test_stream_pq_encode_equals_batch(spark, tmp_path_factory) -> None:
+    """pq_encode is a stateless narrow Arrow stage — PQ compression
+    runs unchanged over a streaming frame (encode embeddings to codes
+    on live ingest, append to the code table) and matches the batch
+    pass byte-for-byte."""
+    from cerberus_cpp_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_pq"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    books = pq_train(batch, m=8, n_codes=32, seed=11)
+    want = sorted((r["vec_id"], bytes(r["code"]))
+                  for r in pq_encode(batch, books).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (pq_encode(stream, books)
+         .writeStream.format("memory").queryName("pq_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["vec_id"], bytes(r["code"]))
+                 for r in spark.sql("SELECT * FROM pq_stream").collect())
+    assert got == want and len(got) == batch.count()
