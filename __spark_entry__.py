@@ -2693,6 +2693,63 @@ def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.exact_quantile_drift_frame(a, b, "value")
 
 
+def q_emb_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per DIMENSION (round 4): snapshot B is
+    snapshot A re-embedded with a planted projection change (dims
+    0-7 scaled ×1.6 — the shape of a model-checkpoint or
+    normalization swap), and `checks.embedding_dim_drift_frame`
+    melts both sides into ONE tagged aggregate of exact per-dim
+    quantile vectors. Tolerance 0.1 sits under the scaled dims'
+    exact 0.375 rel gap and above the unscaled dims' 0.0, so both
+    drifted branches are exercised. The oracle replays the melt
+    (generate_subscripts + unnest), the planted scale, and the
+    quantile_cont + rel-gap arithmetic bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings") \
+        .where("embedding IS NOT NULL")
+    a = emb.select("embedding")
+    b = emb.select(F.expr(
+        "transform(embedding, (x, i) -> CASE WHEN i < 8 THEN"
+        " cast(x as double) * 1.6D ELSE cast(x as double) END)"
+    ).alias("embedding"))
+    return checks.embedding_dim_drift_frame(a, b, rel_tolerance=0.1)
+
+
+def _emb_dim_drift_sql() -> str:
+    probs = (0.1, 0.25, 0.5, 0.75, 0.9)
+    plist = ", ".join(str(p) for p in probs)
+    pr = " UNION ALL ".join(
+        f"SELECT {i + 1} AS i, {p}::DOUBLE AS prob"
+        for i, p in enumerate(probs)
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         0 AS side, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+  UNION ALL
+  SELECT dim, 1,
+         CASE WHEN dim < 8 THEN v * 1.6 ELSE v END
+  FROM (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER)
+                 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE embedding IS NOT NULL)
+),
+q AS (
+  SELECT dim,
+         quantile_cont(CASE WHEN side = 0 THEN v END, [{plist}]) AS qa,
+         quantile_cont(CASE WHEN side = 1 THEN v END, [{plist}]) AS qb
+  FROM m GROUP BY dim),
+pr AS ({pr})
+SELECT q.dim, pr.prob, qa[pr.i] AS q_a, qb[pr.i] AS q_b,
+       abs(qa[pr.i] - qb[pr.i])
+         / greatest(abs(qa[pr.i]), abs(qb[pr.i]), 1e-12) AS rel_gap,
+       (abs(qa[pr.i] - qb[pr.i])
+         / greatest(abs(qa[pr.i]), abs(qb[pr.i]), 1e-12)) > 0.1
+         AS drifted
+FROM q, pr
+"""
+
+
 _TDIGEST_PROBS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
@@ -3506,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "emb_dim_drift": q_emb_dim_drift,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4408,6 +4466,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_pq": _ANN_PQ_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
+        "emb_dim_drift": _emb_dim_drift_sql(),
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

@@ -1157,3 +1157,103 @@ def cross_modal_conflicts(
         )
         .where(F.col("n_distinct_other") >= F.lit(int(min_distinct)))
     )
+
+
+def embedding_dim_drift_frame(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    rel_tolerance: float = 0.1,
+) -> DataFrame:
+    """Embedding-space drift between two snapshots, per DIMENSION:
+    melt each vector with ``posexplode`` and compare EXACT per-dim
+    quantile vectors in one tagged aggregate — catches what no
+    metadata column can see: a re-embedding batch from a different
+    model checkpoint, a normalization change (all dims shrink
+    together), or a projection swap (a few dims move). The embedding
+    twin of :func:`exact_quantile_drift_frame` / the image family's
+    ``image_content_drift_frame`` (same rel-gap formula).
+
+    Output: (dim, prob, q_a, q_b, rel_gap, drifted) with 0-based
+    dims. ONE source scan per snapshot, values shuffled once into
+    the per-dim aggregate. Exact percentiles — right for oracle
+    checking and small/medium scale; at 100 TB use
+    :func:`embedding_dim_drift` (t-digest, centroid-only shuffle)."""
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(F.expr(
+                f"transform({vec_col}, x -> cast(x as double))"
+            )).alias("dim", "v"), F.lit(tag).alias("side"))
+        )
+
+    plit = F.array(*[F.lit(float(p)) for p in probs])
+    both = side(df_a, 0).unionByName(side(df_b, 1))
+    agg = both.groupBy("dim").agg(
+        F.percentile(F.when(F.col("side") == 0, F.col("v")), plit)
+        .alias("qa"),
+        F.percentile(F.when(F.col("side") == 1, F.col("v")), plit)
+        .alias("qb"),
+    )
+    gap = F.abs(F.col("q_a") - F.col("q_b")) / F.greatest(
+        F.abs(F.col("q_a")), F.abs(F.col("q_b")), F.lit(1e-12)
+    )
+    return (
+        agg.select(
+            "dim",
+            F.posexplode(F.arrays_zip(F.col("qa"), F.col("qb")))
+            .alias("i", "q"),
+        )
+        .select(
+            "dim",
+            F.element_at(plit, F.col("i") + 1).alias("prob"),
+            F.col("q.qa").alias("q_a"), F.col("q.qb").alias("q_b"),
+        )
+        .select(
+            "dim", "prob", "q_a", "q_b", gap.alias("rel_gap"),
+            (gap > rel_tolerance).alias("drifted"),
+        )
+    )
+
+
+def embedding_dim_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    rel_tolerance: float = 0.1,
+    compression: int = 100,
+) -> dict:
+    """The 100 TB path for :func:`embedding_dim_drift_frame`: the
+    ``dim`` vector components project to columns and ALL of them feed
+    :func:`tdigests_of` in ONE scan per snapshot (shuffle payload =
+    n_partitions × dim × ~2·compression doubles — never the values).
+    ``dim`` is the caller-known embedding width (no peek job).
+    Returns {dim_index: {"probs", "q_a", "q_b", "max_rel_gap",
+    "drifted"}}."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    cols = [f"__d{i}" for i in range(dim)]
+    digs = []
+    for df in (df_a, df_b):
+        proj = df.where(F.col(vec_col).isNotNull()).select(
+            *[F.element_at(F.col(vec_col), i + 1).cast("double")
+              .alias(c) for i, c in enumerate(cols)])
+        digs.append(tdigests_of(proj, cols, compression=compression))
+    out = {}
+    for i, c in enumerate(cols):
+        qa = [digs[0][c].quantile(p) for p in probs]
+        qb = [digs[1][c].quantile(p) for p in probs]
+        gaps = [abs(x - y) / max(abs(x), abs(y), 1e-12)
+                for x, y in zip(qa, qb)]
+        out[i] = {
+            "probs": list(probs), "q_a": qa, "q_b": qb,
+            "max_rel_gap": max(gaps),
+            "drifted": max(gaps) > rel_tolerance,
+        }
+    return out

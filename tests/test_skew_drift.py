@@ -399,3 +399,62 @@ def test_snapshot_drift_report_skips_schema_mismatch(spark) -> None:
     # type change is reported, the numeric compare is skipped not crashed
     assert rep["schema"]["changed"] == {"v": ("double", "string")}
     assert rep["numeric"] == {} and rep["drifted"] is True
+
+
+def _vec_frame(spark, scale: tuple = (), n: int = 200):
+    """n deterministic 4-dim vectors; dims in ``scale`` multiplied."""
+    rows = []
+    for i in range(n):
+        v = [((i * 37 + d * 13) % 101 - 50) / 25.0 for d in range(4)]
+        for d in scale:
+            v[d] *= 2.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_embedding_dim_drift_frame(spark) -> None:
+    """Scaled dims drift (rel gap exactly 0.5 for a ×2 scale — the
+    quantile commutes with a positive scale), unscaled dims don't."""
+    a = _vec_frame(spark)
+    b = _vec_frame(spark, scale=(1, 3))
+    out = checks.embedding_dim_drift_frame(a, b, rel_tolerance=0.1)
+    rows = out.collect()
+    assert len(rows) == 4 * 5  # dims × probs
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+    for d in (0, 2):
+        assert all(not r["drifted"] and r["rel_gap"] == 0.0
+                   for r in by_dim[d])
+    for d in (1, 3):
+        # the planted median is exactly 0 (scale-invariant); every
+        # other quantile shows the exact 0.5 rel gap of a ×2 scale
+        for r in by_dim[d]:
+            if r["prob"] == 0.5:
+                continue
+            assert r["drifted"]
+            assert abs(r["rel_gap"] - 0.5) < 1e-9
+            assert abs(r["q_b"] - 2.0 * r["q_a"]) < 1e-9
+
+
+def test_embedding_dim_drift_frame_null_vectors_skipped(spark) -> None:
+    a = _vec_frame(spark)
+    withnull = a.unionByName(spark.createDataFrame(
+        [(9999, None)], a.schema))
+    out = checks.embedding_dim_drift_frame(withnull, a)
+    assert not any(r["drifted"] for r in out.collect())
+
+
+def test_embedding_dim_drift_tdigest_twin(spark) -> None:
+    """The t-digest scale path agrees with the exact frame on which
+    dims drifted (values approximate, verdicts equal at this gap)."""
+    a = _vec_frame(spark)
+    b = _vec_frame(spark, scale=(0,))
+    exact = checks.embedding_dim_drift_frame(a, b, rel_tolerance=0.1)
+    want: dict = {}
+    for r in exact.collect():
+        want[r["dim"]] = want.get(r["dim"], False) or r["drifted"]
+    approx = checks.embedding_dim_drift(a, b, 4, rel_tolerance=0.1)
+    assert {d: v["drifted"] for d, v in approx.items()} == want
+    with pytest.raises(ValueError, match="dim"):
+        checks.embedding_dim_drift(a, b, 0)
