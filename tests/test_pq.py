@@ -231,3 +231,41 @@ def test_pq_string_ids(spark, emb, books) -> None:
     rows = SIM.pq_topk(codes, books, qs, k=3,
                        corpus=semb, rescore_n=8).collect()
     assert rows and all(r["query_id"].startswith("doc-") for r in rows)
+
+
+def test_pq_adc_error_bound_property(books) -> None:
+    """ADC is exact up to quantization: for ANY query q and vector x,
+    |<q_norm, reconstruct(code(x))> - <q_norm, x_norm>| is bounded
+    per-subspace by Cauchy-Schwarz: Σ_sub ‖q_sub‖·‖x_sub - c_sub‖.
+    Pure numpy — pins the scoring algebra independent of Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    m, n_codes, dsub = books.shape
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def check(seed: int) -> None:
+        rng = np.random.RandomState(seed)
+        q = rng.standard_normal(m * dsub)
+        x = rng.standard_normal(m * dsub)
+        q /= np.linalg.norm(q)
+        x /= np.linalg.norm(x)
+        code = np.empty(m, dtype=np.uint8)
+        recon = np.empty_like(x)
+        bound = 0.0
+        for sub in range(m):
+            xs = x[sub * dsub:(sub + 1) * dsub]
+            qs = q[sub * dsub:(sub + 1) * dsub]
+            d2 = ((books[sub] - xs) ** 2).sum(axis=1)
+            code[sub] = d2.argmin()
+            recon[sub * dsub:(sub + 1) * dsub] = books[sub][code[sub]]
+            bound += np.linalg.norm(qs) * np.sqrt(d2.min())
+        # the LUT-sum IS <q, recon> (same decomposition)
+        lut_sum = sum(
+            q[s * dsub:(s + 1) * dsub] @ books[s][code[s]]
+            for s in range(m))
+        assert abs(lut_sum - q @ recon) < 1e-9
+        assert abs(lut_sum - q @ x) <= bound + 1e-9
+
+    check()
