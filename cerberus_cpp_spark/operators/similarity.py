@@ -609,6 +609,7 @@ def pq_encode(
     vec_col: str = "embedding",
     out_col: str = "code",
     keep_cols: tuple = (),
+    with_error: bool = False,
 ) -> DataFrame:
     """(``id_col``, *``keep_cols``, ``out_col``): each vector
     compressed to ``m`` uint8 codes packed into one BinaryType value
@@ -620,7 +621,18 @@ def pq_encode(
     per-query-batch ADC scan reads. ``keep_cols`` passes extra
     columns through unchanged — e.g. the IVF ``list_id``, so the
     code table can be written partitioned/bucketed by list and
-    :func:`ivf_pq_topk`'s probe filter prunes at the source."""
+    :func:`ivf_pq_topk`'s probe filter prunes at the source.
+
+    ``with_error=True`` appends ``pq_err`` — the squared L2 distance
+    between the normalized vector and its reconstruction, from
+    distances the encoder already computed (same single pass). This
+    is the CODEBOOK-STALENESS signal: as the live distribution
+    drifts away from the training sample, quantization error climbs
+    and ADC ranking quality decays silently — monitor pq_err
+    quantiles on fresh batches against the training-time baseline
+    (``checks.tdigest_of``/``tdigests_of``) and retrain when they
+    drift, the index-maintenance twin of
+    ``checks.embedding_dim_drift`` (which watches the INPUT side)."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
     keep = [c for c in keep_cols if c not in (id_col, vec_col)]
@@ -628,6 +640,8 @@ def pq_encode(
         [T.StructField(id_col, df.schema[id_col].dataType, True)]
         + [T.StructField(c, df.schema[c].dataType, True) for c in keep]
         + [T.StructField(out_col, T.BinaryType(), True)]
+        + ([T.StructField("pq_err", T.DoubleType(), True)]
+           if with_error else [])
     )
     src = df.select(id_col, *keep, vec_col)
 
@@ -645,14 +659,23 @@ def pq_encode(
             norms[norms == 0] = 1.0
             mat = mat / norms
             codes = np.empty((len(mat), m), dtype=np.uint8)
+            err = np.zeros(len(mat)) if with_error else None
             for sub in range(m):
                 part = mat[:, sub * dsub:(sub + 1) * dsub]
                 d2 = b2[sub] - 2.0 * part @ books[sub].T
                 codes[:, sub] = d2.argmin(axis=1)
+                if with_error:
+                    # full ||x_sub - c||²: re-add the ||x_sub||² term
+                    # the argmin could drop (constant per row), clip
+                    # the float cancellation noise at 0
+                    err += np.maximum(
+                        d2.min(axis=1) + (part ** 2).sum(axis=1), 0.0)
             out = {id_col: pdf[id_col]}
             for c in keep:
                 out[c] = pdf[c]
             out[out_col] = [c.tobytes() for c in codes]
+            if with_error:
+                out["pq_err"] = err
             yield pd.DataFrame(out)
 
     return src.mapInPandas(work, schema=out_schema)

@@ -269,3 +269,44 @@ def test_pq_adc_error_bound_property(books) -> None:
         assert abs(lut_sum - q @ x) <= bound + 1e-9
 
     check()
+
+
+def test_pq_encode_with_error_staleness_signal(spark, emb, books) -> None:
+    """pq_err is the codebook-staleness monitor: (a) it matches a
+    numpy recomputation exactly in shape and closely in value, (b)
+    codebook-representable vectors have ~zero error, (c) a drifted
+    batch (vectors scaled per-dim — a distribution the sample never
+    saw) has strictly higher median error than the training data."""
+    rows = SIM.pq_encode(emb, books, with_error=True).collect()
+    assert all(r["pq_err"] >= 0.0 for r in rows)
+    # (a) spot-recompute one row
+    r0 = [r for r in rows if r["vec_id"] == 0][0]
+    base = {r["vec_id"]: list(r["embedding"])
+            for r in emb.select("vec_id", "embedding").collect()}
+    x = np.asarray(base[0], dtype=np.float64)
+    x /= np.linalg.norm(x)
+    want = 0.0
+    for sub in range(8):
+        xs = x[sub * 8:(sub + 1) * 8]
+        want += ((books[sub] - xs) ** 2).sum(axis=1).min()
+    assert abs(r0["pq_err"] - want) < 1e-9
+    # (b) vectors BUILT from codebook entries reconstruct ~exactly
+    synth = np.concatenate([books[s][s % books.shape[1]]
+                            for s in range(8)])
+    synth_df = spark.createDataFrame(
+        [(1, [float(v) for v in synth])],
+        "vec_id long, embedding array<double>")
+    e = SIM.pq_encode(synth_df, books, with_error=True).collect()[0]
+    # the synth vector is unit-normalized before encoding, which
+    # moves every subvector off its entry (the concat's norm is not
+    # 1) — but it stays several times closer than real vectors get
+    assert e["pq_err"] < np.median([r["pq_err"] for r in rows]) / 5
+    # (c) drifted batch: median error strictly above training data
+    drifted = emb.select("vec_id", F.expr(
+        "transform(embedding, (x, i) -> cast(x as double) *"
+        " CASE WHEN i % 2 = 0 THEN 3.0D ELSE 0.25D END)"
+    ).alias("embedding"))
+    derr = [r["pq_err"] for r in
+            SIM.pq_encode(drifted, books, with_error=True).collect()]
+    terr = [r["pq_err"] for r in rows]
+    assert np.median(derr) > np.median(terr)
