@@ -924,6 +924,7 @@ def snapshot_drift_report(
     *,
     categorical: list[str] | None = None,
     numeric: list[str] | None = None,
+    embedding: dict[str, int] | None = None,
     probs=(0.1, 0.25, 0.5, 0.75, 0.9),
     rel_tolerance: float = 0.05,
     l_inf_tolerance: float = 0.05,
@@ -935,22 +936,29 @@ def snapshot_drift_report(
     t-digest quantile drift for ALL numeric columns (ONE scan per
     snapshot via ``tdigests_of``) + frequency drift for ALL
     categorical columns (ONE melted tagged scan via
-    ``categorical_drift_multi``) — a fixed FOUR source scans total,
-    independent of column counts. Numeric columns that changed type
-    or exist on one side only are reported under ``schema`` and
-    skipped, not crashed on.
+    ``categorical_drift_multi``) + per-dimension drift for ALL
+    embedding columns (``embedding`` maps column → declared width;
+    every dimension of every vector column projects into ONE more
+    ``tdigests_of`` scan per snapshot — the
+    :func:`embedding_dim_drift` semantics, batched) — a fixed SIX
+    source scans total (four without embeddings), independent of
+    column counts. Columns that changed type or exist on one side
+    only are reported under ``schema`` and skipped, not crashed on.
 
     Returns ``{"schema": ..., "numeric": {col: quantile report},
-    "categorical": {col: histogram report}, "drifted": bool}``."""
+    "categorical": {col: histogram report}, "embedding": {col:
+    per-dim summary}, "drifted": bool}``."""
     categorical = list(categorical or [])
     numeric = list(numeric or [])
+    embedding = dict(embedding or {})
     sd = schema_drift(a, b)
     usable = [
         c for c in numeric
         if c not in sd["removed"] and c not in sd["added"]
         and c not in sd["changed"]
     ]
-    report: dict = {"schema": sd, "numeric": {}, "categorical": {}}
+    report: dict = {"schema": sd, "numeric": {}, "categorical": {},
+                    "embedding": {}}
     if usable:
         da = tdigests_of(a, usable, compression=compression)
         db = tdigests_of(b, usable, compression=compression)
@@ -977,10 +985,49 @@ def snapshot_drift_report(
                 "categories": len(sub),
                 "drifted": l_inf > l_inf_tolerance,
             }
+    emb_usable = {
+        c: int(d) for c, d in embedding.items()
+        if c not in sd["removed"] and c not in sd["added"]
+        and c not in sd["changed"]
+    }
+    if emb_usable:
+        names: list[tuple[str, int, str]] = []
+        for c, d in emb_usable.items():
+            if d < 1:
+                raise ValueError(f"embedding dim for {c!r} must be >= 1")
+            names.extend((c, i, f"{c}__d{i}") for i in range(d))
+        exprs = [
+            F.element_at(F.col(c), i + 1).cast("double").alias(n)
+            for c, i, n in names
+        ]
+        da = tdigests_of(a.select(*exprs), [n for _, _, n in names],
+                         compression=compression)
+        db = tdigests_of(b.select(*exprs), [n for _, _, n in names],
+                         compression=compression)
+        for c, d in emb_usable.items():
+            drifted_dims, max_gap = [], 0.0
+            for i in range(d):
+                n = f"{c}__d{i}"
+                qa = [da[n].quantile(p) for p in probs]
+                qb = [db[n].quantile(p) for p in probs]
+                gap = max(
+                    abs(x - y) / max(abs(x), abs(y), 1e-12)
+                    for x, y in zip(qa, qb)
+                )
+                max_gap = max(max_gap, gap)
+                if gap > rel_tolerance:
+                    drifted_dims.append(i)
+            report["embedding"][c] = {
+                "dims": d,
+                "drifted_dims": drifted_dims,
+                "max_rel_gap": max_gap,
+                "drifted": bool(drifted_dims),
+            }
     report["drifted"] = bool(
         sd["added"] or sd["removed"] or sd["changed"]
         or any(r["drifted"] for r in report["numeric"].values())
         or any(r["drifted"] for r in report["categorical"].values())
+        or any(r["drifted"] for r in report["embedding"].values())
     )
     return report
 

@@ -458,3 +458,31 @@ def test_embedding_dim_drift_tdigest_twin(spark) -> None:
     assert {d: v["drifted"] for d, v in approx.items()} == want
     with pytest.raises(ValueError, match="dim"):
         checks.embedding_dim_drift(a, b, 0)
+
+
+def test_snapshot_drift_report_embedding(spark) -> None:
+    """Embedding columns fold into the unified report: per-dim drift
+    via ONE extra melted t-digest scan per snapshot, drifted dims
+    listed, schema-mismatched embedding columns skipped."""
+    a = _vec_frame(spark).withColumn("x", F.col("id") % 10)
+    b = _vec_frame(spark, scale=(2,)).withColumn("x", F.col("id") % 10)
+    rep = checks.snapshot_drift_report(
+        a, b, numeric=["x"], embedding={"embedding": 4},
+        rel_tolerance=0.1)
+    er = rep["embedding"]["embedding"]
+    assert er["dims"] == 4
+    assert er["drifted_dims"] == [2]
+    assert er["drifted"] and rep["drifted"]
+    assert not rep["numeric"]["x"]["drifted"]
+    # identical snapshots: nothing drifts
+    rep2 = checks.snapshot_drift_report(
+        a, a, embedding={"embedding": 4})
+    assert not rep2["drifted"]
+    assert rep2["embedding"]["embedding"]["drifted_dims"] == []
+    # type-changed embedding column is skipped, reported in schema
+    c = a.withColumn("embedding", F.lit("oops"))
+    rep3 = checks.snapshot_drift_report(a, c, embedding={"embedding": 4})
+    assert "embedding" not in rep3["embedding"]
+    assert rep3["schema"]["changed"] and rep3["drifted"]
+    with pytest.raises(ValueError, match=">= 1"):
+        checks.snapshot_drift_report(a, b, embedding={"embedding": 0})
