@@ -544,6 +544,63 @@ FROM documents
 """
 
 
+# doc_id >= 0, so `%` has identical semantics in Spark SQL and
+# DuckDB (pmod does not exist in DuckDB)
+_PII_PLANT = """concat(text, CASE doc_id % 4
+  WHEN 0 THEN concat(' contact user', doc_id,
+                     '@example.com for details')
+  WHEN 1 THEN ' ssn is 123-45-6789 ok'
+  WHEN 2 THEN concat(' from 10.0.', doc_id % 256,
+                     '.7 at 555-867-5309')
+  ELSE '' END)"""
+
+
+def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training (text.redact_pii): plant an
+    email / SSN / (ipv4 + phone) tail on 3 of every 4 documents by
+    id arithmetic, redact with the fixed-order lookahead-free
+    pattern set, and emit per-kind pre-redaction counts plus the
+    length AND md5 of the redacted text — so the oracle (DuckDB RE2
+    replaying the IDENTICAL pattern strings and replacement order)
+    verifies the full redacted byte stream, not just counts. The
+    cross-engine portability contract is the one BPE_ISH_PATTERN
+    established: fixed-shape patterns, no alternation, no lookahead."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select("doc_id", F.expr(_PII_PLANT).alias("text"))
+    red = _tx.redact_pii(planted, "text")
+    return red.select(
+        "doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_ssn",
+        "n_pii_phone",
+        F.length("text").alias("red_len"),
+        F.md5("text").alias("red_md5"),
+    )
+
+
+def _pii_redact_sql() -> str:
+    from cerberus_cpp_spark.operators.text import PII_PATTERNS
+
+    kinds = ("email", "ipv4", "ssn", "phone")
+    counts = ",\n       ".join(
+        "len(regexp_extract_all(text, '{p}')) AS n_pii_{k}".format(
+            p=PII_PATTERNS[k].replace("'", "''"), k=k)
+        for k in kinds)
+    red = "text"
+    for k in kinds:
+        red = ("regexp_replace({r}, '{p}', '[PII-{k}]', 'g')"
+               .format(r=red, p=PII_PATTERNS[k].replace("'", "''"),
+                       k=k))
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_PII_PLANT} AS text FROM documents
+)
+SELECT doc_id,
+       {counts},
+       length({red}) AS red_len,
+       md5({red}) AS red_md5
+FROM planted
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash(_t(spark, sf_dir, "documents"))
 
@@ -3564,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "emb_dim_drift": q_emb_dim_drift,
+        "pii_redact_docs": q_pii_redact_docs,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4467,6 +4525,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_pq": _ANN_PQ_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
         "emb_dim_drift": _emb_dim_drift_sql(),
+        "pii_redact_docs": _pii_redact_sql(),
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

@@ -221,3 +221,60 @@ def text_profile(df: DataFrame, id_col: str = "doc_id",
         lang_guess(text_col),
         fingerprint_md5(text_col),
     )
+
+
+# PII patterns for training-data hygiene. Deliberately LOOKAHEAD-FREE
+# and fixed-shape (no alternation whose leftmost-first vs
+# leftmost-longest semantics could diverge): the identical pattern
+# string must produce the identical match set on Java regex (Spark)
+# and RE2 (DuckDB), the same cross-engine contract BPE_ISH_PATTERN
+# established. Order matters and is FIXED: email first (it contains
+# digit runs a later pattern could nibble), then ipv4, ssn, phone.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # separator-shaped phone (US-style): fixed groups, no ambiguity
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    kinds: tuple = ("email", "ipv4", "ssn", "phone"),
+    token: str = "[PII-{kind}]",
+    count: bool = True,
+) -> DataFrame:
+    """Scrub PII from a text column before training: sequential
+    ``regexp_replace`` per kind (JVM-side, whole-stage codegen — a
+    narrow projection, no Python, no shuffle), replacing each match
+    with ``token`` (``{kind}`` interpolated). With ``count=True``
+    a ``n_pii_<kind>`` column records how many matches each row had
+    BEFORE redaction (``regexp_count`` on the original text — audit
+    trail + filter predicate: ``where("n_pii_email > 0")``).
+
+    Pattern order is fixed (email → ipv4 → ssn → phone) and counting
+    happens against the ORIGINAL text for every kind, so counts are
+    order-independent; replacement is sequential, so a byte can only
+    be redacted once. Patterns are lookahead-free fixed-shape Java/
+    RE2-portable — the contract oracle replays the IDENTICAL strings
+    through DuckDB and compares the redacted text by hash."""
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}; "
+                         f"available: {sorted(PII_PATTERNS)}")
+    out = F.col(text_col)
+    for k in kinds:
+        out = F.regexp_replace(
+            out, PII_PATTERNS[k], token.format(kind=k))
+    cols = [c for c in df.columns if c != text_col]
+    proj = [*cols, out.alias(text_col)]
+    if count:
+        proj += [
+            F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+            .alias(f"n_pii_{k}")
+            for k in kinds
+        ]
+    return df.select(*proj)

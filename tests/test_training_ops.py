@@ -247,3 +247,58 @@ def test_banding_for_threshold() -> None:
     p_sel = 1 - (1 - 0.9 ** r) ** b
     p_below = 1 - (1 - 0.6 ** r) ** b
     assert p_sel > 0.4 and p_below < 0.1
+
+
+def test_redact_pii(spark) -> None:
+    from cerberus_cpp_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@ex-1.co.uk or x@y.io today"),
+            (1, "ssn 123-45-6789 ip 192.168.0.1 tel 555-867-5309"),
+            (2, "no pii here, just 1234 and a-b-c"),
+            (3, "version 1.2.3.4 is an ip-shaped string"),
+        ],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert rows[0]["text"] == \
+        "mail me at [PII-email] or [PII-email] today"
+    assert rows[0]["n_pii_email"] == 2
+    assert rows[1]["text"] == \
+        "ssn [PII-ssn] ip [PII-ipv4] tel [PII-phone]"
+    assert (rows[1]["n_pii_ssn"], rows[1]["n_pii_ipv4"],
+            rows[1]["n_pii_phone"]) == (1, 1, 1)
+    assert rows[2]["text"] == "no pii here, just 1234 and a-b-c"
+    assert all(rows[2][f"n_pii_{k}"] == 0
+               for k in ("email", "ipv4", "ssn", "phone"))
+    # 1.2.3.4 IS ipv4-shaped: redacted (documented: shape, not
+    # semantics — a validity check would need per-octet <= 255)
+    assert rows[3]["text"] == "version [PII-ipv4] is an ip-shaped string"
+
+
+def test_redact_pii_options_and_guards(spark) -> None:
+    from cerberus_cpp_spark.operators.text import redact_pii
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, "x@y.io and 1.2.3.4")], "doc_id long, text string")
+    only_email = redact_pii(df, "text", kinds=("email",),
+                            token="<{kind}>").collect()[0]
+    assert only_email["text"] == "<email> and 1.2.3.4"
+    assert "n_pii_ipv4" not in only_email.asDict()
+    no_count = redact_pii(df, "text", count=False)
+    assert no_count.columns == ["doc_id", "text"]
+    with _pytest.raises(ValueError, match="unknown PII kinds"):
+        redact_pii(df, "text", kinds=("email", "dna"))
+
+
+def test_redact_pii_plan_is_narrow(spark, tmp_path) -> None:
+    from cerberus_cpp_spark.operators.text import redact_pii
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"u{i}@ex.com") for i in range(32)],
+        "doc_id long, text string").write.mode("overwrite").parquet(p)
+    out = redact_pii(spark.read.parquet(p), "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("FileScan") == 1
