@@ -601,6 +601,161 @@ FROM planted
 """
 
 
+IMG_STRIP_N = 250
+
+
+def q_img_strip_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata stripping — the privacy twin of
+    pii_redact_docs (image_checks.strip_image_metadata over
+    sources/imagemeta.strip_metadata): plant EXIF+comment JPEGs,
+    eXIf+tEXt PNGs, EXIF+ICC VP8X WebPs, clean PNGs, and TIFFs
+    (refused — structural EXIF) by id arithmetic, strip, then VERIFY
+    per row that decoded pixels are bit-identical and the metadata
+    walk comes back empty. The oracle predicts status, removed-kind
+    set, bytes-saved sign, pixel equality, and metadata-gone purely
+    from id arithmetic — the strip is proven lossless-on-pixels and
+    complete-on-metadata for every row, not sampled."""
+    # 8 partitions: 32 python-worker spin-ups on tiny generated
+    # frames cost seconds (HANDOFF trap)
+    df = spark.range(0, IMG_STRIP_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append(i)
+                if i % 50 == 49:
+                    blobs.append(None)
+                    continue
+                px = synth_pixels(pixel_seed(i, 42),
+                                  8 + i % 9, 8 + i % 7)
+                kind = i % 5
+                exif = build_exif(description=f"cam-{i}",
+                                  orientation=1)
+                if kind == 0:
+                    blobs.append(jpeg_insert_metadata(
+                        encode_pixels(px, "jpeg"), exif=exif,
+                        comment=f"shot {i}"))
+                elif kind == 1:
+                    blobs.append(png_insert_metadata(
+                        encode_pixels(px, "png"), exif=exif,
+                        text={"Author": f"a{i}"}))
+                elif kind == 2:
+                    rgba = np.dstack([px, np.full(
+                        px.shape[:2], 255, np.uint8)])
+                    blobs.append(encode_webp_vp8x(
+                        rgba, lossy=False, exif=exif,
+                        icc=b"P" * (32 + i % 16)))
+                elif kind == 3:
+                    blobs.append(encode_pixels(px, "png"))
+                else:
+                    blobs.append(encode_pixels(px, "tiff"))
+            yield pd.DataFrame({"img_id": ids, "bytes": blobs})
+
+    corpus = df.mapInPandas(gen, schema="img_id long, bytes binary")
+    from cerberus_cpp_spark.operators.image_checks import (
+        strip_image_metadata,
+    )
+
+    stripped = strip_image_metadata(
+        corpus, id_col="img_id", keep_original=True)
+
+    def verify(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+        from cerberus_cpp_spark.sources.imagemeta import image_metadata
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "img_id", "status", "removed", "saved_pos",
+                "pixel_equal", "meta_gone")}
+            for _, r in pdf.iterrows():
+                rows["img_id"].append(r["image_id"])
+                rows["status"].append(r["status"])
+                rows["removed"].append(r["removed"])
+                if r["status"] == "no_payload":
+                    rows["saved_pos"].append(None)
+                    rows["pixel_equal"].append(None)
+                    rows["meta_gone"].append(None)
+                    continue
+                orig, strp = bytes(r["original"]), bytes(r["stripped"])
+                if r["status"] == "unsupported":
+                    rows["saved_pos"].append(None)
+                    rows["pixel_equal"].append(orig == strp)
+                    rows["meta_gone"].append(False)
+                    continue
+                rows["saved_pos"].append(bool(r["bytes_saved"] > 0))
+                _, p1 = decode_image(orig)
+                _, p2 = decode_image(strp)
+                rows["pixel_equal"].append(
+                    bool(np.array_equal(p1, p2)))
+                m = image_metadata(strp)
+                rows["meta_gone"].append(bool(
+                    m["exif"] is None and not m["text"]
+                    and m["comment"] is None and not m["has_icc"]
+                    and not m["has_xmp"]))
+            out = pd.DataFrame(rows)
+            for c in ("saved_pos", "pixel_equal", "meta_gone"):
+                out[c] = out[c].astype("boolean")
+            yield out
+
+    return stripped.mapInPandas(
+        verify,
+        schema="img_id long, status string, removed string, "
+               "saved_pos boolean, pixel_equal boolean, "
+               "meta_gone boolean")
+
+
+_IMG_STRIP_SQL = f"""
+SELECT t.id AS img_id,
+  CASE WHEN t.id % 50 = 49 THEN 'no_payload'
+       WHEN t.id % 5 = 4 THEN 'unsupported'
+       ELSE 'ok' END AS status,
+  CASE WHEN t.id % 50 = 49 OR t.id % 5 = 4 THEN NULL
+       WHEN t.id % 5 = 0 THEN 'comment,exif'
+       WHEN t.id % 5 = 1 THEN 'exif,text'
+       WHEN t.id % 5 = 2 THEN 'exif,icc'
+       ELSE '' END AS removed,
+  CASE WHEN t.id % 50 = 49 OR t.id % 5 = 4 THEN NULL
+       ELSE t.id % 5 <> 3 END AS saved_pos,
+  CASE WHEN t.id % 50 = 49 THEN NULL
+       ELSE TRUE END AS pixel_equal,
+  CASE WHEN t.id % 50 = 49 THEN NULL
+       WHEN t.id % 5 = 4 THEN FALSE
+       ELSE TRUE END AS meta_gone
+FROM range({IMG_STRIP_N}) t(id)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash(_t(spark, sf_dir, "documents"))
 
@@ -3622,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "emb_dim_drift": q_emb_dim_drift,
         "pii_redact_docs": q_pii_redact_docs,
+        "img_strip_metadata": q_img_strip_metadata,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4526,6 +4682,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
         "emb_dim_drift": _emb_dim_drift_sql(),
         "pii_redact_docs": _pii_redact_sql(),
+        "img_strip_metadata": _IMG_STRIP_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

@@ -35,6 +35,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.shipping import PKG_PARENT
 
@@ -968,3 +969,83 @@ def image_content_drift(
             "drifted": max(gaps) > rel_tolerance,
         }
     return out
+
+
+def strip_image_metadata(df: DataFrame, *, id_col: str = "image_id",
+                         bytes_col: str = "bytes",
+                         keep_original: bool = False) -> DataFrame:
+    """Privacy hygiene for image corpora: remove EXIF (GPS, device
+    serials, timestamps), XMP, ICC, comments, and textual chunks
+    from every payload WITHOUT touching the entropy-coded pixel data
+    (``sources/imagemeta.strip_metadata`` — the image-side twin of
+    ``text.redact_pii``). One narrow Arrow pass. Per row:
+
+    - ``status``: 'ok' | 'unsupported' (TIFF/HEIC: metadata is
+      structural, refuse rather than half-strip — original bytes
+      pass through in ``stripped``) | 'malformed' | 'no_payload'
+    - ``stripped``: the cleaned payload ('ok'), the ORIGINAL payload
+      ('unsupported' — callers quarantine or route by status),
+      NULL otherwise
+    - ``removed``: comma-joined kinds removed, in sorted order
+      ('' when the container was already clean)
+    - ``bytes_saved``: size delta (0 when clean)
+
+    ``keep_original=True`` additionally passes the source payload
+    through as ``original`` (for fidelity pins at test scale; at
+    10^12 rows keep it off — the whole point is writing the SMALLER
+    frame)."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("stripped", T.BinaryType()),
+        ("removed", T.StringType()),
+        ("bytes_saved", T.LongType()),
+    ]
+    if keep_original:
+        fields.append(("original", T.BinaryType()))
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagemeta import strip_metadata
+
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                rows["image_id"].append(rid)
+                if keep_original:
+                    rows["original"].append(
+                        None if blob is None else bytes(blob))
+                if blob is None:
+                    rows["status"].append("no_payload")
+                    rows["stripped"].append(None)
+                    rows["removed"].append(None)
+                    rows["bytes_saved"].append(None)
+                    continue
+                blob = bytes(blob)
+                try:
+                    stripped, removed = strip_metadata(blob)
+                except ValueError as e:
+                    unsupported = "unsupported for format" in str(e)
+                    rows["status"].append(
+                        "unsupported" if unsupported else "malformed")
+                    rows["stripped"].append(
+                        blob if unsupported else None)
+                    rows["removed"].append(None)
+                    rows["bytes_saved"].append(None)
+                    continue
+                rows["status"].append("ok")
+                rows["stripped"].append(stripped)
+                rows["removed"].append(",".join(removed))
+                rows["bytes_saved"].append(len(blob) - len(stripped))
+            out = pd.DataFrame(rows)
+            out["bytes_saved"] = out["bytes_saved"].astype("Int64")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)

@@ -281,3 +281,123 @@ def test_imageio_reads_metadata_hosts(tmp_path):
                             capture_output=True, text=True, timeout=120)
         assert rr.returncode == 0, (name, rr.stderr[:400])
         assert rr.stdout.strip() == "12x9", (name, rr.stdout)
+
+
+def _px(i: int = 3, w: int = 16, h: int = 12):
+    from cerberus_cpp_spark.sources.imagegen import pixel_seed
+
+    return synth_pixels(pixel_seed(i, 42), w, h)
+
+
+def test_strip_jpeg_full_kinds():
+    raw = encode_pixels(_px(), "jpeg")
+    tagged = M.jpeg_insert_metadata(
+        raw, exif=M.build_exif(description="d", orientation=3),
+        xmp=b"<x/>", icc=b"I" * 70000, comment="c")
+    stripped, removed = M.strip_metadata(tagged)
+    assert removed == ["comment", "exif", "icc", "xmp"]
+    m = M.image_metadata(stripped)
+    assert m["exif"] is None and m["comment"] is None
+    assert not m["has_icc"] and not m["has_xmp"]
+    _, p1 = decode_image(tagged)
+    _, p2 = decode_image(stripped)
+    assert np.array_equal(p1, p2)
+    # idempotent + clean container byte-identical
+    again, r2 = M.strip_metadata(stripped)
+    assert again == stripped and r2 == []
+    assert M.strip_metadata(raw) == (raw, [])
+
+
+def test_strip_png_chunks():
+    raw = encode_pixels(_px(), "png")
+    tagged = M.png_insert_metadata(
+        raw, exif=M.build_exif(orientation=1), text={"Author": "a"})
+    stripped, removed = M.strip_metadata(tagged)
+    assert removed == ["exif", "text"]
+    m = M.image_metadata(stripped)
+    assert m["exif"] is None and not m["text"]
+    _, p1 = decode_image(tagged)
+    _, p2 = decode_image(stripped)
+    assert np.array_equal(p1, p2)
+
+
+def test_strip_webp_vp8x_flags_cleared():
+    from cerberus_cpp_spark.sources.webpx import (
+        decode_webp_rgba_any,
+        encode_webp_vp8x,
+        webp_features,
+    )
+
+    px = _px()
+    rgba = np.dstack([px, np.full(px.shape[:2], 255, np.uint8)])
+    wp = encode_webp_vp8x(rgba, lossy=False,
+                          exif=M.build_exif(orientation=1),
+                          icc=b"P" * 64, xmp=b"<x/>")
+    stripped, removed = M.strip_metadata(wp)
+    assert removed == ["exif", "icc", "xmp"]
+    f = webp_features(stripped)
+    assert not f["has_exif"] and not f["has_icc"] and not f["has_xmp"]
+    assert np.array_equal(decode_webp_rgba_any(wp),
+                          decode_webp_rgba_any(stripped))
+    # simple (non-VP8X) container: byte-identical, nothing to strip
+    simple = encode_pixels(px, "webp")
+    assert M.strip_metadata(simple) == (simple, [])
+
+
+def test_strip_gif_comment_and_animation_safe():
+    from cerberus_cpp_spark.sources.gifcodec import (
+        GifFrame,
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    g = encode_gif_anim([GifFrame(rgb=_px(i, 8, 6), delay_cs=10)
+                         for i in range(3)])
+    flags = g[10]
+    gct = (3 * (2 << (flags & 7))) if flags & 0x80 else 0
+    he = 13 + gct
+    tagged = g[:he] + b"\x21\xFE\x05hello\x00" + g[he:]
+    stripped, removed = M.strip_metadata(tagged)
+    assert removed == ["comment"] and stripped == g
+    a = decode_gif_frames(tagged)
+    b = decode_gif_frames(stripped)
+    assert len(a) == len(b) == 3
+    assert all(np.array_equal(x[0], y[0]) for x, y in zip(a, b))
+
+
+def test_strip_refuses_structural_formats():
+    with pytest.raises(ValueError, match="unsupported for format"):
+        M.strip_metadata(encode_pixels(_px(), "tiff"))
+    with pytest.raises(ValueError, match="unsupported for format"):
+        M.strip_metadata(encode_pixels(_px(), "bmp"))
+
+
+def test_strip_image_metadata_operator(spark):
+    from cerberus_cpp_spark.operators.image_checks import (
+        strip_image_metadata,
+    )
+
+    raw = encode_pixels(_px(), "jpeg")
+    tagged = M.jpeg_insert_metadata(
+        raw, exif=M.build_exif(orientation=1), comment="c")
+    tif = encode_pixels(_px(), "tiff")
+    df = spark.createDataFrame(
+        [(0, bytearray(tagged)), (1, bytearray(raw)),
+         (2, bytearray(tif)), (3, None), (4, bytearray(b"garbage"))],
+        "image_id long, bytes binary")
+    rows = {r["image_id"]: r for r in
+            strip_image_metadata(df).collect()}
+    assert rows[0]["status"] == "ok"
+    assert rows[0]["removed"] == "comment,exif"
+    assert rows[0]["bytes_saved"] > 0
+    assert rows[1]["status"] == "ok" and rows[1]["removed"] == ""
+    assert bytes(rows[1]["stripped"]) == raw
+    assert rows[2]["status"] == "unsupported"
+    assert bytes(rows[2]["stripped"]) == tif
+    assert rows[3]["status"] == "no_payload"
+    assert rows[4]["status"] == "malformed"
+    assert rows[4]["stripped"] is None
+    # keep_original passthrough
+    both = strip_image_metadata(df.where("image_id = 0"),
+                                keep_original=True).collect()[0]
+    assert bytes(both["original"]) == tagged
