@@ -601,6 +601,56 @@ FROM planted
 """
 
 
+# repetition plant: %3==0 gets 1-4 copies of a repeated line, %3==1
+# gets a duplicated paragraph; `%` safe (doc_id >= 0, both engines)
+_REP_PLANT = """CASE doc_id % 3
+  WHEN 0 THEN concat(text, repeat(concat(chr(10), 'repeat me'),
+                                  1 + doc_id % 4))
+  WHEN 1 THEN concat(text, chr(10), chr(10), 'para dup',
+                     chr(10), chr(10), 'para dup')
+  ELSE text END"""
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (text.repetition_features)
+    over the documents table with planted repeated lines and
+    duplicated paragraphs by id arithmetic — the boilerplate /
+    template-page detector length and stopword ratios cannot see.
+    The oracle rebuilds the IDENTICAL array pipeline (split → trim →
+    filter → distinct → top-share fold) in DuckDB list functions."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select("doc_id", F.expr(_REP_PLANT).alias("text"))
+    return planted.select("doc_id", *_tx.repetition_features("text"))
+
+
+def _repetition_sql() -> str:
+    l = ("list_filter(list_transform(string_split(text, chr(10)),"
+         " x -> trim(x)), x -> x <> '')[1:10000]")
+    p = ("list_filter(list_transform(regexp_split_to_array(text,"
+         " '\\n{2,}'), x -> trim(x)), x -> x <> '')")
+
+    def dup(a: str) -> str:
+        return (f"CASE WHEN len({a}) > 0 THEN"
+                f" CAST(len({a}) - len(list_distinct({a})) AS DOUBLE)"
+                f" / len({a}) ELSE 0.0 END")
+
+    top = (f"CASE WHEN len({l}) > 0 THEN CAST(list_max("
+           f"list_transform(list_distinct({l}), x ->"
+           f" len(list_filter({l}, y -> y = x)))) AS DOUBLE)"
+           f" / len({l}) ELSE 0.0 END")
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_REP_PLANT} AS text FROM documents
+)
+SELECT doc_id,
+       len({l}) AS n_lines,
+       {dup(l)} AS dup_line_ratio,
+       {top} AS top_line_share,
+       {dup(p)} AS dup_para_ratio
+FROM planted
+"""
+
+
 IMG_STRIP_N = 250
 
 
@@ -3778,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dim_drift": q_emb_dim_drift,
         "pii_redact_docs": q_pii_redact_docs,
         "img_strip_metadata": q_img_strip_metadata,
+        "repetition_docs": q_repetition_docs,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4683,6 +4734,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "emb_dim_drift": _emb_dim_drift_sql(),
         "pii_redact_docs": _pii_redact_sql(),
         "img_strip_metadata": _IMG_STRIP_SQL,
+        "repetition_docs": _repetition_sql(),
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

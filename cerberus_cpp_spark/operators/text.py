@@ -278,3 +278,47 @@ def redact_pii(
             for k in kinds
         ]
     return df.select(*proj)
+
+
+def repetition_features(
+    col: str = "text",
+    *,
+    max_lines: int = 10_000,
+) -> list[Column]:
+    """Gopher-style repetition signals — the "repetition removal"
+    quality family (Rae et al. 2021, public) next to
+    :func:`quality_features`: boilerplate-heavy and
+    template-generated crawl pages repeat whole lines/paragraphs,
+    which length or stopword ratios never see.
+
+    - ``n_lines``: non-empty trimmed lines (capped at ``max_lines``
+      — the cap bounds the O(distinct × lines) top-share fold on
+      pathological documents; pick it above your P100 line count)
+    - ``dup_line_ratio``: 1 − distinct/total over lines (0 when ≤1)
+    - ``top_line_share``: the most frequent line's share of lines
+    - ``dup_para_ratio``: same dedup ratio over ``\\n{2,}``-split
+      paragraphs
+
+    All JVM array expressions (split/trim/filter/array_distinct +
+    one aggregate fold) — no Python, no shuffle; the HOF lambdas are
+    CodegenFallback (documented tradeoff, same as the reference's
+    per-element rules) but stay a narrow projection. The identical
+    construction replays in DuckDB list functions for the oracle."""
+    lines = (f"slice(filter(transform(split({col}, '\\n'),"
+             f" x -> trim(x)), x -> x != ''), 1, {int(max_lines)})")
+    paras = (f"filter(transform(split({col}, '\\n{{2,}}'),"
+             f" x -> trim(x)), x -> x != '')")
+    n_l = f"size({lines})"
+    n_p = f"size({paras})"
+    dup = ("CASE WHEN {n} > 0 THEN (cast({n} - size(array_distinct("
+           "{a})) as double)) / cast({n} as double) ELSE 0.0D END")
+    top = (f"CASE WHEN {n_l} > 0 THEN cast(aggregate("
+           f"array_distinct({lines}), 0, (a, x) -> greatest(a, "
+           f"size(filter({lines}, y -> y = x)))) as double)"
+           f" / cast({n_l} as double) ELSE 0.0D END")
+    return [
+        F.expr(n_l).alias("n_lines"),
+        F.expr(dup.format(n=n_l, a=lines)).alias("dup_line_ratio"),
+        F.expr(top).alias("top_line_share"),
+        F.expr(dup.format(n=n_p, a=paras)).alias("dup_para_ratio"),
+    ]

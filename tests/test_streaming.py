@@ -408,3 +408,57 @@ def test_stream_pq_encode_equals_batch(spark, tmp_path_factory) -> None:
     got = sorted((r["vec_id"], bytes(r["code"]))
                  for r in spark.sql("SELECT * FROM pq_stream").collect())
     assert got == want and len(got) == batch.count()
+
+
+def test_stream_privacy_ops_equal_batch(spark, tmp_path_factory) -> None:
+    """redact_pii and strip_image_metadata are stateless narrow
+    stages — privacy hygiene runs unchanged over live ingest."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        strip_image_metadata,
+    )
+    from cerberus_cpp_spark.operators.text import redact_pii
+    from cerberus_cpp_spark.sources.imagegen import (
+        encode_pixels,
+        pixel_seed,
+        synth_pixels,
+    )
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        jpeg_insert_metadata,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_privacy"))
+    rows = []
+    for i in range(40):
+        px = synth_pixels(pixel_seed(i, 42), 8, 8)
+        blob = jpeg_insert_metadata(
+            encode_pixels(px, "jpeg"),
+            exif=build_exif(orientation=1), comment=f"c{i}")
+        rows.append((i, f"mail u{i}@ex.com ssn 123-45-6789",
+                     bytearray(blob)))
+    spark.createDataFrame(
+        rows, "image_id long, text string, bytes binary"
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    want_t = sorted((r["image_id"], r["text"], r["n_pii_email"])
+                    for r in redact_pii(batch, "text").collect())
+    want_s = sorted((r["image_id"], r["removed"],
+                     bytes(r["stripped"]))
+                    for r in strip_image_metadata(batch).collect())
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q1 = (redact_pii(stream, "text")
+          .writeStream.format("memory").queryName("pii_stream")
+          .trigger(availableNow=True).start())
+    q2 = (strip_image_metadata(stream)
+          .writeStream.format("memory").queryName("strip_stream")
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_t = sorted((r["image_id"], r["text"], r["n_pii_email"])
+                   for r in spark.sql(
+                       "SELECT * FROM pii_stream").collect())
+    got_s = sorted((r["image_id"], r["removed"], bytes(r["stripped"]))
+                   for r in spark.sql(
+                       "SELECT * FROM strip_stream").collect())
+    assert got_t == want_t and got_s == want_s and len(got_t) == 40

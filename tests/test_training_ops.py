@@ -302,3 +302,35 @@ def test_redact_pii_plan_is_narrow(spark, tmp_path) -> None:
     out = redact_pii(spark.read.parquet(p), "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and plan.count("FileScan") == 1
+
+
+def test_repetition_features(spark) -> None:
+    from cerberus_cpp_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(0, "a\nb\nc"), (1, "x\nx\nx\n\n\np\n\np"), (2, ""),
+         (3, "solo"), (4, "t\n t \nt\nu")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            df.select("doc_id", *repetition_features("text")).collect()}
+    assert rows[0]["dup_line_ratio"] == 0.0
+    assert abs(rows[0]["top_line_share"] - 1 / 3) < 1e-12
+    # [x,x,x,p,p]: dup (5-2)/5, top 3/5; paras [x\nx\nx, p, p]: 1/3
+    assert rows[1]["n_lines"] == 5
+    assert rows[1]["dup_line_ratio"] == 0.6
+    assert rows[1]["top_line_share"] == 0.6
+    assert abs(rows[1]["dup_para_ratio"] - 1 / 3) < 1e-12
+    # empty doc: all zeros, no division error
+    assert (rows[2]["n_lines"], rows[2]["dup_line_ratio"],
+            rows[2]["top_line_share"]) == (0, 0.0, 0.0)
+    assert rows[3]["top_line_share"] == 1.0
+    # whitespace-trimmed lines count as duplicates
+    assert rows[4]["dup_line_ratio"] == 0.5
+    assert rows[4]["top_line_share"] == 0.75
+    # max_lines cap bounds the fold on pathological docs
+    big = spark.createDataFrame(
+        [(0, "\n".join(f"l{i}" for i in range(50)))],
+        "doc_id long, text string")
+    capped = big.select(
+        *repetition_features("text", max_lines=10)).collect()[0]
+    assert capped["n_lines"] == 10
