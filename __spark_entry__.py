@@ -651,6 +651,40 @@ FROM planted
 """
 
 
+def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (text.ngram_contamination — the
+    13-gram overlap check every LLM pipeline runs before training):
+    20 synthetic eval sentences of 15 nonce tokens each
+    (zq{e}w0..zq{e}w14 — alnum shapes that cannot occur in natural
+    text, so accidental overlap is impossible and the oracle is pure
+    arithmetic); every doc with doc_id % 7 == 2 gets eval sentence
+    (doc_id % 20) appended. A 15-token sentence holds exactly 3
+    distinct 13-grams, and grams spanning the splice boundary mix in
+    non-eval tokens, so every planted doc reports EXACTLY 3
+    contaminated grams and no clean doc reports any."""
+    d = _t(spark, sf_dir, "documents")
+
+    def sent(idc: str) -> str:
+        return (f"concat_ws(' ', transform(sequence(0, 14), j ->"
+                f" concat('zq', cast({idc} % 20 as string), 'w',"
+                f" cast(j as string))))")
+
+    planted = d.select(
+        "doc_id",
+        F.expr(f"CASE WHEN doc_id % 7 = 2 THEN concat(text, ' ',"
+               f" {sent('doc_id')}) ELSE text END").alias("text"))
+    evals = spark.range(20).select(
+        F.col("id").alias("eval_id"),
+        F.expr(sent("id")).alias("text"))
+    return _tx.ngram_contamination(planted, evals, n=13)
+
+
+_CONTAMINATION_SQL = """
+SELECT doc_id, CAST(3 AS BIGINT) AS n_contaminated_grams
+FROM documents WHERE doc_id % 7 = 2
+"""
+
+
 IMG_STRIP_N = 250
 
 
@@ -3829,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": q_pii_redact_docs,
         "img_strip_metadata": q_img_strip_metadata,
         "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4735,6 +4770,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "pii_redact_docs": _pii_redact_sql(),
         "img_strip_metadata": _IMG_STRIP_SQL,
         "repetition_docs": _repetition_sql(),
+        "contamination_docs": _CONTAMINATION_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

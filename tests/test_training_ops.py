@@ -334,3 +334,37 @@ def test_repetition_features(spark) -> None:
     capped = big.select(
         *repetition_features("text", max_lines=10)).collect()[0]
     assert capped["n_lines"] == 10
+
+
+def test_ngram_contamination(spark) -> None:
+    from cerberus_cpp_spark.operators.text import ngram_contamination
+
+    evals = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "eval_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            # full eval sentence embedded mid-document
+            (0, "intro text. The quick brown fox jumps over the "
+                "lazy dog tonight! outro."),
+            # only 9 shared tokens: no full 10-gram at n=10
+            (1, "quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated content with many words here"),
+            # sentence embedded twice: hits stay DISTINCT grams
+            (3, "The quick brown fox jumps over the lazy dog tonight "
+                "and again the quick brown fox jumps over the lazy "
+                "dog tonight"),
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in ngram_contamination(docs, evals, n=10).collect()}
+    # eval sentence = 10 tokens -> exactly 1 distinct 10-gram
+    assert got == {0: 1, 3: 1}
+    # case/punctuation insensitivity proved by doc 0 (The ... dog!)
+    # n larger than every doc: nothing flagged, no crash
+    assert ngram_contamination(docs, evals, n=50).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not an eval set"):
+        ngram_contamination(docs, evals, n=2, max_eval_grams=3)
+    with _pytest.raises(ValueError, match="n must be"):
+        ngram_contamination(docs, evals, n=0)
