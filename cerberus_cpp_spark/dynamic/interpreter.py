@@ -224,6 +224,34 @@ class Validator:
         self._state: _State | None = None
         _register_builtin_rules(self)
 
+    @classmethod
+    def from_yaml(cls, source: str, **kwargs) -> "Validator":
+        """Construct from a YAML schema — the reference's native
+        schema format (its ``Validator`` takes ``YAML::Node`` schemas
+        and every ``test/testdata.yml`` case is YAML;
+        ``validator.hh:33-38``). ``source`` is YAML text, or a path to
+        a ``.yml``/``.yaml`` file. ``yaml.safe_load`` output is
+        exactly the dict/scalar tree the engine's YAML-decode type
+        semantics were built for, so a cerberus-cpp user's schema
+        file works verbatim. Keyword arguments pass through to the
+        constructor."""
+        import os
+
+        import yaml
+
+        if (len(source) < 4096 and "\n" not in source
+                and (source.endswith((".yml", ".yaml"))
+                     and os.path.exists(source))):
+            with open(source, "r", encoding="utf-8") as f:
+                schema = yaml.safe_load(f)
+        else:
+            schema = yaml.safe_load(source)
+        if not isinstance(schema, dict):
+            raise SchemaError(
+                f"YAML schema must be a mapping, got "
+                f"{type(schema).__name__}")
+        return cls(schema, **kwargs)
+
     # -- extension API -------------------------------------------------
     def register_rule(
         self,

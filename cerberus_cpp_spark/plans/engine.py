@@ -166,6 +166,32 @@ class TableValidator:
         self._registry = dict(registry or {})
         self._registry_normalized: dict[str, dict] | None = None
 
+    @classmethod
+    def from_yaml(cls, source: str, **kwargs) -> "TableValidator":
+        """Construct from a YAML schema — the reference's native
+        format (``validator.hh:33-38``; every ``test/testdata.yml``
+        case is YAML), so a cerberus-cpp user's schema file compiles
+        straight to the fused Spark plan. ``source`` is YAML text or
+        a ``.yml``/``.yaml`` path; keyword arguments pass through."""
+        import os
+
+        import yaml
+
+        from ..errors import SchemaError
+
+        if (len(source) < 4096 and "\n" not in source
+                and (source.endswith((".yml", ".yaml"))
+                     and os.path.exists(source))):
+            with open(source, "r", encoding="utf-8") as f:
+                schema = yaml.safe_load(f)
+        else:
+            schema = yaml.safe_load(source)
+        if not isinstance(schema, dict):
+            raise SchemaError(
+                f"YAML schema must be a mapping, got "
+                f"{type(schema).__name__}")
+        return cls(schema, **kwargs)
+
     @property
     def schema(self) -> dict:
         """Meta-validated + normalized schema. Validation is LAZY (on

@@ -90,3 +90,43 @@ def test_referential_empty_dim(spark) -> None:
     dim = spark.createDataFrame([], "pk long")
     out = checks.referential_violations(fact, dim, "fk", "pk")
     assert out.count() == 2  # everything dangles
+
+
+def test_from_yaml_schema(spark, tmp_path) -> None:
+    """YAML is the reference's native schema format (testdata.yml,
+    YAML::Node constructor) — both engines accept it verbatim, from
+    text or a file, with identical semantics to the dict form."""
+    import yaml
+
+    from cerberus_cpp_spark import SchemaError, Validator
+    from cerberus_cpp_spark.plans.engine import TableValidator
+
+    text = """
+w:
+  type: integer
+  min: 0
+  max: 100
+fmt:
+  type: string
+  allowed: [png, jpeg]
+"""
+    v = Validator.from_yaml(text)
+    assert v.validate({"w": 50, "fmt": "png"}) is True
+    assert v.validate({"w": -1, "fmt": "gif"}) is False
+    assert len(v.errors) == 2
+    path = tmp_path / "schema.yml"
+    path.write_text(text)
+    vf = Validator.from_yaml(str(path))
+    assert vf.schema == yaml.safe_load(text)
+
+    df = spark.createDataFrame(
+        [(50, "png"), (101, "bmp")], "w bigint, fmt string")
+    tv = TableValidator.from_yaml(text, allow_unknown=True)
+    res = tv.validate(df)
+    assert res.counts()["invalid_rows"] == 1
+    twin = TableValidator(yaml.safe_load(text), allow_unknown=True)
+    assert sorted(map(tuple, res.violations("w").collect())) == \
+        sorted(map(tuple, twin.validate(df).violations("w").collect()))
+
+    with pytest.raises(SchemaError, match="mapping"):
+        Validator.from_yaml("- a\n- b")
