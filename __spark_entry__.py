@@ -651,6 +651,109 @@ FROM planted
 """
 
 
+# curation plants: %3==0 repeated lines (repetitive), else %11==5 an
+# email (pii); %13==1 docs additionally get an exact duplicate copy
+# under doc_id+100000 (of the ALREADY-transformed text, so the pair
+# shares a fingerprint). `%` safe: doc_id >= 0 in both engines.
+_CURATE_PLANT = """CASE WHEN doc_id % 3 = 0
+  THEN concat(text, repeat(concat(chr(10), 'dup line'), 6))
+  WHEN doc_id % 11 = 5
+  THEN concat(text, ' reach me at x', cast(doc_id as string),
+              '@spam.io now')
+  ELSE text END"""
+
+
+def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass corpus-curation verdict (text.curate_documents):
+    every text filter composed into keep + machine-readable reasons
+    — too_short, low_quality, repetitive, lang, pii, duplicate — the
+    documents analogue of run_full_validation. Plants exercise every
+    reason; the oracle recomposes the ENTIRE verdict in SQL from the
+    already-proven component twins (quality/lang from text_profile's,
+    repetition from repetition_docs', PII counts, md5-fingerprint
+    window for survivor selection) down to the exact reasons string."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select("doc_id", F.expr(_CURATE_PLANT).alias("text"))
+    dups = planted.where("doc_id % 13 = 1").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = planted.unionByName(dups)
+    return _tx.curate_documents(corpus)
+
+
+def _curate_sql() -> str:
+    toks = _TOKS
+    l = ("list_filter(list_transform(string_split(text, chr(10)),"
+         " x -> trim(x)), x -> x <> '')[1:10000]")
+    dupr = (f"CASE WHEN len({l}) > 0 THEN"
+            f" CAST(len({l}) - len(list_distinct({l})) AS DOUBLE)"
+            f" / len({l}) ELSE 0.0 END")
+    topr = (f"CASE WHEN len({l}) > 0 THEN CAST(list_max("
+            f"list_transform(list_distinct({l}), x ->"
+            f" len(list_filter({l}, y -> y = x)))) AS DOUBLE)"
+            f" / len({l}) ELSE 0.0 END")
+    pii = " + ".join(
+        "len(regexp_extract_all(text, '{p}'))".format(
+            p=_tx.PII_PATTERNS[k].replace("'", "''"))
+        for k in ("email", "ipv4", "ssn", "phone"))
+    hits = ",\n         ".join(
+        f"{_duck_stophits(lang)} AS hits_{lang}"
+        for lang in _tx.LANG_STOPWORDS)
+    return f"""
+WITH planted0 AS (
+  SELECT doc_id, {_CURATE_PLANT} AS text FROM documents
+), planted AS (
+  SELECT * FROM planted0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM planted0
+  WHERE doc_id % 13 = 1
+), f AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           AS alnum,
+         length(text) AS n_chars,
+         {_duck_stophits('en')} AS n_stop,
+         length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fp,
+         len({l}) AS n_lines,
+         {dupr} AS dup_line_ratio,
+         {topr} AS top_line_share,
+         {pii} AS n_pii,
+         {hits}
+  FROM planted
+), r AS (
+  SELECT *,
+         0.4 * least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+         + 0.4 * least(CASE WHEN n_tokens > 0
+                 THEN CAST(n_stop AS DOUBLE) / n_tokens
+                 ELSE 0.0 END * 4, 1.0)
+         + 0.2 * (1.0 - least(CASE WHEN n_chars > 0
+                 THEN CAST(n_chars - alnum - n_spaces AS DOUBLE)
+                      / n_chars ELSE 0.0 END * 5, 1.0))
+           AS quality_score,
+         {_duck_lang_case()} AS lang_guess,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM f
+), v AS (
+  SELECT *,
+         concat_ws(',',
+           CASE WHEN n_tokens < 5 THEN 'too_short' END,
+           CASE WHEN quality_score < 0.45 THEN 'low_quality' END,
+           CASE WHEN n_lines >= 5 AND (dup_line_ratio > 0.3
+                OR top_line_share > 0.5) THEN 'repetitive' END,
+           CASE WHEN lang_guess NOT IN ('en') THEN 'lang' END,
+           CASE WHEN n_pii > 0 THEN 'pii' END,
+           CASE WHEN rk > 1 THEN 'duplicate' END) AS reasons
+  FROM r
+)
+SELECT doc_id, reasons, reasons = '' AS keep, n_tokens,
+       quality_score, lang_guess, dup_line_ratio, top_line_share,
+       CAST(n_pii AS INTEGER) AS n_pii
+FROM v
+"""
+
+
 def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (text.ngram_contamination — the
     13-gram overlap check every LLM pipeline runs before training):
@@ -3864,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_strip_metadata": q_img_strip_metadata,
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
+        "curate_docs": q_curate_docs,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4771,6 +4875,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_strip_metadata": _IMG_STRIP_SQL,
         "repetition_docs": _repetition_sql(),
         "contamination_docs": _CONTAMINATION_SQL,
+        "curate_docs": _curate_sql(),
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

@@ -441,3 +441,98 @@ def ngram_contamination(
         .where(F.col("n_contaminated_grams") >= int(min_hits))
     )
     return hits
+
+
+def curate_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    min_quality: float = 0.45,
+    max_dup_line_ratio: float = 0.3,
+    max_top_line_share: float = 0.5,
+    min_lines_for_top: int = 5,
+    langs: tuple = ("en",),
+    pii_kinds: tuple = ("email", "ipv4", "ssn", "phone"),
+    dedup: bool = True,
+) -> DataFrame:
+    """The curation verdict pass an LLM corpus actually ships
+    through: every text filter this module provides, composed into
+    ONE projection emitting ``keep`` + machine-readable ``reasons``
+    — the documents analogue of ``pipeline.run_full_validation``.
+
+    Filters, in FIXED reason order (``reasons`` is a comma-joined
+    string, empty = keep):
+
+    - ``too_short``: fewer than ``min_tokens`` tokens
+    - ``low_quality``: :func:`quality_score` below ``min_quality``
+    - ``repetitive``: :func:`repetition_features` dup-line ratio or
+      top-line share above threshold — gated on ``min_lines_for_top``
+      lines so a one-line document is not "100% repetitive"
+    - ``lang``: :func:`lang_guess` outside ``langs`` (empty/None
+      tuple disables)
+    - ``pii``: any :data:`PII_PATTERNS` match (empty tuple disables)
+    - ``duplicate``: exact near-normalized duplicate
+      (:func:`fingerprint_md5`) that is NOT the lowest-id survivor
+
+    Everything except ``duplicate`` is a narrow whole-pass
+    projection (the repetition folds are CodegenFallback but stay
+    in-task); ``dedup=True`` adds the ONE shuffle — a window over
+    the md5 fingerprint (salting unnecessary: identical-text groups
+    are the hot keys and they are exactly what the window must
+    co-locate; pathological mono-value corpora should pre-filter).
+    Output: id, keep, reasons, and the underlying signals for audit
+    (n_tokens, quality_score, lang_guess, dup_line_ratio,
+    top_line_share, n_pii)."""
+    from pyspark.sql.window import Window
+
+    rep = repetition_features(text_col)
+    n_pii = None
+    for k in pii_kinds:
+        c = F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[k]))
+        n_pii = c if n_pii is None else (n_pii + c)
+    if n_pii is None:
+        n_pii = F.lit(0)
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+        quality_score(text_col),
+        lang_guess(text_col),
+        rep[0],   # n_lines
+        rep[1],   # dup_line_ratio
+        rep[2],   # top_line_share
+        n_pii.alias("n_pii"),
+        fingerprint_md5(text_col),
+    )
+    if dedup:
+        w = Window.partitionBy("fingerprint") \
+            .orderBy(F.col(id_col).asc())
+        base = base.withColumn("__rk", F.row_number().over(w))
+    else:
+        base = base.withColumn("__rk", F.lit(1))
+
+    def when(cond, tag):
+        return F.when(cond, F.lit(tag))
+
+    reasons = F.concat_ws(
+        ",",
+        when(F.col("n_tokens") < min_tokens, "too_short"),
+        when(F.col("quality_score") < min_quality, "low_quality"),
+        when(
+            (F.col("n_lines") >= min_lines_for_top)
+            & ((F.col("dup_line_ratio") > max_dup_line_ratio)
+               | (F.col("top_line_share") > max_top_line_share)),
+            "repetitive"),
+        when(~F.col("lang_guess").isin(*langs) if langs else F.lit(False),
+             "lang"),
+        when(F.col("n_pii") > 0, "pii"),
+        when(F.col("__rk") > 1, "duplicate"),
+    )
+    return base.select(
+        id_col,
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+        "n_tokens", "quality_score", "lang_guess",
+        "dup_line_ratio", "top_line_share", "n_pii",
+    )

@@ -368,3 +368,45 @@ def test_ngram_contamination(spark) -> None:
         ngram_contamination(docs, evals, n=2, max_eval_grams=3)
     with _pytest.raises(ValueError, match="n must be"):
         ngram_contamination(docs, evals, n=0)
+
+
+def test_curate_documents(spark) -> None:
+    from cerberus_cpp_spark.operators.text import curate_documents
+
+    long_en = ("the quick brown fox is one of the fine animals that "
+               "live in a forest and the story goes on and on with "
+               "many fine words to say about it")
+    df = spark.createDataFrame(
+        [
+            (0, long_en),
+            (1, "tiny"),
+            (2, "der und die das ist ein nicht zu der und die das "
+                "ist ein beispiel mit vielen worten und noch mehr "
+                "worten damit es lang genug ist"),
+            (3, "mail me at a@b.co please and also the rest of this "
+                "document is a fine long text that continues for "
+                "quite a while with the usual words"),
+            (4, "x\nx\nx\nx\nx\nx\nx\nsomething else"),
+            (100, long_en),
+        ],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in curate_documents(df).collect()}
+    assert rows[0]["keep"] and rows[0]["reasons"] == ""
+    assert "too_short" in rows[1]["reasons"]
+    assert rows[2]["reasons"] == "lang"
+    assert rows[2]["lang_guess"] == "de"
+    assert rows[3]["reasons"] == "pii" and rows[3]["n_pii"] == 1
+    assert "repetitive" in rows[4]["reasons"]
+    # exact duplicate: lowest id survives, copy flagged
+    assert rows[100]["reasons"] == "duplicate" and not rows[100]["keep"]
+    # dedup=False: fully narrow, no duplicate reason
+    nd = {r["doc_id"]: r for r in
+          curate_documents(df, dedup=False).collect()}
+    assert nd[100]["keep"]
+    plan = curate_documents(df.limit(6), dedup=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # langs=() disables the language filter
+    no_lang = {r["doc_id"]: r for r in
+               curate_documents(df, langs=()).collect()}
+    assert no_lang[2]["keep"]
