@@ -235,6 +235,13 @@ def _make_encoder(lib, ctx, codec: str, quality: int, lossless: bool,
     enc = C.c_void_p()
     _ck(lib.heif_context_get_encoder_for_format(
         ctx, _COMP[codec], C.byref(enc)), "get_encoder")
+    # NOTE (round 4 close): x265's default per-encoder thread pool
+    # was suspected in a long-bench-session slowdown of the heif
+    # census (18-20 s vs 2 s isolated); pinning it single-threaded
+    # (x265:pools=none + frame-threads=1) was MEASURED 2.2× slower
+    # in isolation and did not cure the full-bench anomaly, so the
+    # default threading stands — the anomaly is recorded in BENCH
+    # §43 as host/session-state variance, not a code property.
     if chroma444 or lossless:
         _ck(lib.heif_encoder_set_parameter_string(
             enc, b"chroma", b"444"), "chroma=444")
