@@ -462,3 +462,27 @@ def test_stream_privacy_ops_equal_batch(spark, tmp_path_factory) -> None:
                    for r in spark.sql(
                        "SELECT * FROM strip_stream").collect())
     assert got_t == want_t and got_s == want_s and len(got_t) == 40
+
+
+def test_stream_curate_documents_equals_batch(spark,
+                                              tmp_path_factory) -> None:
+    """curate_documents(dedup=False) is a single narrow projection —
+    the curation verdict runs unchanged over live ingest (exact-dup
+    survivor selection needs the batch window and is documented as
+    the one non-streaming piece)."""
+    from cerberus_cpp_spark.operators.text import curate_documents
+
+    src = str(tmp_path_factory.mktemp("stream_curate"))
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = sorted(map(tuple,
+                      curate_documents(batch, dedup=False).collect()))
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (curate_documents(stream, dedup=False)
+         .writeStream.format("memory").queryName("curate_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql("SELECT * FROM curate_stream").collect()))
+    assert got == want and len(got) == batch.count()
