@@ -651,6 +651,88 @@ FROM planted
 """
 
 
+def q_time_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness/timeliness over the events feed
+    (checks.missing_time_buckets): delete whole hours by arithmetic
+    on the absolute hour id (h%50 ∈ {13,14,15} → recurring 3-hour
+    outages; h%97 = 5 → scattered 1-hour holes) and detect every
+    contiguous gap between the observed first and last hour. One
+    distinct-bucket aggregate over the source; the run collapse
+    works on the tiny bucket frame. Integer bucket ids in the output
+    so engine timezone RENDERING can never skew the compare; the
+    oracle replays filter, bucketing, expected-vs-observed diff, and
+    the bucket − row_number() run trick."""
+    ev = _t(spark, sf_dir, "events").where("ts IS NOT NULL")
+    h = "floor(unix_timestamp(ts) / 3600)"
+    kept = ev.where(F.expr(
+        f"NOT ({h} % 50 IN (13, 14, 15) OR {h} % 97 = 5)"))
+    return checks.missing_time_buckets(kept, "ts")
+
+
+_TIME_GAPS_SQL = """
+WITH kept AS (
+  SELECT ts FROM events
+  WHERE ts IS NOT NULL
+    AND NOT (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 50 IN (13, 14, 15)
+             OR CAST(floor(epoch(ts) / 3600) AS BIGINT) % 97 = 5)
+), observed AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket
+  FROM kept
+), bounds AS (
+  SELECT min(bucket) AS lo, max(bucket) AS hi FROM observed
+), expected AS (
+  SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds
+), missing AS (
+  SELECT bucket FROM expected
+  WHERE bucket NOT IN (SELECT bucket FROM observed)
+), runs AS (
+  SELECT bucket,
+         bucket - row_number() OVER (ORDER BY bucket) AS run
+  FROM missing
+)
+SELECT min(bucket) AS gap_start_bucket,
+       max(bucket) AS gap_end_bucket,
+       count(*) AS n_missing
+FROM runs GROUP BY run
+"""
+
+
+def q_staleness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group freshness (checks.group_staleness): silence the
+    'error' feed for the last 48 observed hours and 'signup' for the
+    last 24 (arithmetic on the hour id relative to the corpus's
+    known 2024-01-01 start, constant 473352 = epoch/3600), then
+    report how far behind the table's last event each type's last
+    event is. The oracle replays the filter and the max-epoch
+    arithmetic."""
+    ev = _t(spark, sf_dir, "events").where("ts IS NOT NULL")
+    rel = "(floor(unix_timestamp(ts) / 3600) - 473352)"
+    kept = ev.where(F.expr(
+        f"NOT (event_type = 'error' AND {rel} >= 672)"
+        f" AND NOT (event_type = 'signup' AND {rel} >= 696)"))
+    return checks.group_staleness(kept, "ts", "event_type")
+
+
+_STALENESS_SQL = """
+WITH kept AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+  WHERE ts IS NOT NULL
+    AND NOT (event_type = 'error'
+             AND CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352 >= 672)
+    AND NOT (event_type = 'signup'
+             AND CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352 >= 696)
+), per AS (
+  SELECT event_type, max(ep) AS last_epoch FROM kept
+  GROUP BY event_type
+)
+SELECT event_type, last_epoch,
+       (SELECT max(last_epoch) FROM per) - last_epoch
+         AS staleness_seconds
+FROM per
+"""
+
+
 # curation plants: %3==0 repeated lines (repetitive), else %11==5 an
 # email (pii); %13==1 docs additionally get an exact duplicate copy
 # under doc_id+100000 (of the ALREADY-transformed text, so the pair
@@ -3968,6 +4050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "contamination_docs": q_contamination_docs,
         "curate_docs": q_curate_docs,
+        "time_gaps_events": q_time_gaps_events,
+        "staleness_events": q_staleness_events,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4876,6 +4960,8 @@ SELECT o_orderkey, o_orderpriority FROM (
         "repetition_docs": _repetition_sql(),
         "contamination_docs": _CONTAMINATION_SQL,
         "curate_docs": _curate_sql(),
+        "time_gaps_events": _TIME_GAPS_SQL,
+        "staleness_events": _STALENESS_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

@@ -1304,3 +1304,79 @@ def embedding_dim_drift(
             "drifted": max(gaps) > rel_tolerance,
         }
     return out
+
+
+def missing_time_buckets(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Completeness/timeliness check: find time ranges with ZERO
+    events between the observed first and last bucket — a feed that
+    silently stopped for three hours passes every row-level rule and
+    every distribution check; only the calendar notices.
+
+    Returns one row per contiguous gap: (``group_col``?,
+    ``gap_start_bucket``, ``gap_end_bucket``, ``n_missing``) where
+    bucket ``b`` covers instants ``[b·bucket_seconds,
+    (b+1)·bucket_seconds)`` — integer bucket ids, not rendered
+    timestamps, so engine timezone rendering can never skew the
+    comparison.
+
+    Scale shape: ONE distinct-bucket aggregate over the source
+    (map-side partial dedup; never a global sort of events). The
+    expected-vs-observed anti-join and the run collapse
+    (``bucket - row_number()`` grouping) operate on the tiny bucket
+    frame — ≤ range/bucket_seconds rows regardless of event count."""
+    from pyspark.sql.window import Window
+
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    grp = [group_col] if group_col else []
+    b = F.floor(F.unix_timestamp(F.col(ts_col))
+                / F.lit(int(bucket_seconds))).alias("bucket")
+    observed = df.where(F.col(ts_col).isNotNull()) \
+        .select(*grp, b).distinct()
+    bounds = observed.groupBy(*grp).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    expected = bounds.select(
+        *grp, F.explode(F.expr("sequence(lo, hi)")).alias("bucket"))
+    missing = expected.join(observed, on=grp + ["bucket"],
+                            how="left_anti")
+    w = Window.partitionBy(*grp).orderBy("bucket")
+    runs = missing.withColumn(
+        "run", F.col("bucket") - F.row_number().over(w))
+    return (
+        runs.groupBy(*grp, "run")
+        .agg(F.min("bucket").alias("gap_start_bucket"),
+             F.max("bucket").alias("gap_end_bucket"),
+             F.count(F.lit(1)).alias("n_missing"))
+        .drop("run")
+    )
+
+
+def group_staleness(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group freshness: how long before the table's LAST event
+    did each group stop producing? (``group_col``,
+    ``last_epoch``, ``staleness_seconds`` = global max epoch − group
+    max epoch). A partner feed that died yesterday shows up here
+    while every surviving row still validates. One aggregate pass +
+    a single-partition window over the O(groups) frame (the same
+    join-free denominator recovery the audit plan uses)."""
+    from pyspark.sql.window import Window
+
+    per = df.where(F.col(ts_col).isNotNull()).groupBy(group_col).agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("last_epoch"))
+    everything = Window.partitionBy(F.lit(0))
+    return per.select(
+        group_col,
+        "last_epoch",
+        (F.max("last_epoch").over(everything)
+         - F.col("last_epoch")).alias("staleness_seconds"),
+    )

@@ -98,3 +98,66 @@ def test_cross_modal_conflicts(spark) -> None:
     plan = (cross_modal_conflicts(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_missing_time_buckets(spark) -> None:
+    from datetime import datetime, timezone
+
+    from cerberus_cpp_spark.operators.checks import missing_time_buckets
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc) \
+            .replace(tzinfo=None)
+
+    # hours 0,1,2, [3,4 missing], 5, [6 missing], 7
+    rows = [(1, t(0)), (2, t(1, 30)), (3, t(2)), (4, t(5)),
+            (5, t(7)), (6, t(7, 59)), (7, None)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    gaps = sorted(
+        (r["gap_start_bucket"], r["gap_end_bucket"], r["n_missing"])
+        for r in missing_time_buckets(df, "ts").collect())
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+               ) // 3600
+    assert gaps == [(base + 3, base + 4, 2), (base + 6, base + 6, 1)]
+    # no gaps → empty; custom bucket width honored
+    dense = spark.createDataFrame(
+        [(i, t(0, i)) for i in range(60)], "id long, ts timestamp")
+    assert missing_time_buckets(dense, "ts").count() == 0
+    assert missing_time_buckets(
+        dense.where("id % 2 = 0"), "ts",
+        bucket_seconds=60).count() == 29  # every odd minute missing
+    with pytest.raises(ValueError):
+        missing_time_buckets(df, "ts", bucket_seconds=0)
+
+
+def test_missing_time_buckets_grouped(spark) -> None:
+    from datetime import datetime, timezone
+
+    from cerberus_cpp_spark.operators.checks import missing_time_buckets
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc) \
+            .replace(tzinfo=None)
+
+    rows = [("a", t(0)), ("a", t(3)), ("b", t(0)), ("b", t(1))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {(r["g"], r["n_missing"]) for r in
+           missing_time_buckets(df, "ts", group_col="g").collect()}
+    assert got == {("a", 2)}  # only a has a hole; b is dense
+
+
+def test_group_staleness(spark) -> None:
+    from datetime import datetime, timezone
+
+    from cerberus_cpp_spark.operators.checks import group_staleness
+
+    def t(h):
+        return datetime(2024, 1, 1, h, tzinfo=timezone.utc) \
+            .replace(tzinfo=None)
+
+    rows = [("live", t(10)), ("live", t(4)), ("dead", t(2)),
+            ("dead", t(1)), ("mid", t(9))]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r["g"]: r["staleness_seconds"] for r in
+           group_staleness(df, "ts", "g").collect()}
+    assert got == {"live": 0, "mid": 3600, "dead": 8 * 3600}
