@@ -733,6 +733,53 @@ FROM per
 """
 
 
+def q_volume_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume anomalies (checks.volume_anomalies — the partner
+    of time_gaps_events: a feed that halves or 10×es without ever
+    stopping leaves no gap): plant a replay storm (hours with
+    h%301==7 duplicated ×5) and a sampling drought (hours with
+    h%211==3 keep only event_id%5==0), then score every hourly
+    count with the median/MAD robust z. The oracle replays the
+    plants, the count aggregate, and the quantile/MAD/score
+    arithmetic — natural hours are judged by the SAME replayed
+    formula, so the row set matches exactly whatever the
+    borderline hours do."""
+    ev = _t(spark, sf_dir, "events").where("ts IS NOT NULL")
+    h = "floor(unix_timestamp(ts) / 3600)"
+    storm = ev.where(F.expr(f"{h} % 301 = 7")).crossJoin(
+        spark.range(4).select(F.lit(1).alias("__r"))).drop("__r")
+    drought_kept = ev.where(F.expr(
+        f"NOT ({h} % 211 = 3 AND event_id % 5 != 0)"))
+    planted = drought_kept.unionByName(storm)
+    return checks.volume_anomalies(planted, "ts", z=3.5)
+
+
+_VOLUME_ANOMALY_SQL = """
+WITH ev AS (
+  SELECT event_id, ts, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events WHERE ts IS NOT NULL
+), planted AS (
+  SELECT h AS bucket FROM ev
+  WHERE NOT (h % 211 = 3 AND event_id % 5 != 0)
+  UNION ALL
+  SELECT h FROM ev, range(4) WHERE h % 301 = 7
+), counts AS (
+  SELECT bucket, count(*) AS cnt FROM planted GROUP BY bucket
+), med AS (
+  SELECT quantile_cont(cnt, 0.5) AS med FROM counts
+), mad AS (
+  SELECT quantile_cont(abs(cnt - med), 0.5) AS mad FROM counts, med
+)
+SELECT bucket, cnt, med, mad,
+       CASE WHEN mad > 0
+            THEN abs(cnt - med) / (1.4826 * mad) END AS robust_z
+FROM counts, med, mad
+WHERE (CASE WHEN mad > 0
+            THEN abs(cnt - med) / (1.4826 * mad) END > 3.5)
+   OR (mad = 0 AND cnt <> med)
+"""
+
+
 # curation plants: %3==0 repeated lines (repetitive), else %11==5 an
 # email (pii); %13==1 docs additionally get an exact duplicate copy
 # under doc_id+100000 (of the ALREADY-transformed text, so the pair
@@ -4052,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "time_gaps_events": q_time_gaps_events,
         "staleness_events": q_staleness_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
         "phash_pixel_dups": q_phash_pixel_dups,
         "audit_sampled_rules": q_audit_sampled_rules,
         "audit_escalated_exact": q_audit_escalated_exact,
@@ -4962,6 +5010,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "curate_docs": _curate_sql(),
         "time_gaps_events": _TIME_GAPS_SQL,
         "staleness_events": _STALENESS_SQL,
+        "volume_anomaly_events": _VOLUME_ANOMALY_SQL,
         "phash_pixel_dups": _PHASH_PIXEL_SQL,
         "audit_sampled_rules": _audit_sampled_sql(),
         "audit_escalated_exact": _audit_escalated_sql(),

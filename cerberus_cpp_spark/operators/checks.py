@@ -1380,3 +1380,57 @@ def group_staleness(
         (F.max("last_epoch").over(everything)
          - F.col("last_epoch")).alias("staleness_seconds"),
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    bucket_seconds: int = 3600,
+    z: float = 3.5,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Event-VOLUME anomalies per time bucket — the partner of
+    :func:`missing_time_buckets`: a feed that halves (upstream
+    sampling bug) or 10×es (replay storm) its hourly volume without
+    ever stopping leaves no gap and breaks no row rule; the count
+    series shows it.
+
+    Per (``group_col``?, bucket): ``robust_z = |cnt − median| /
+    (1.4826 · MAD)`` over that group's bucket counts — the same
+    median/MAD score as ``ledger.partition_anomalies`` (immune to
+    the outliers it hunts; ``MAD = 0`` degrades to flagging any
+    deviation from the median). Buckets with zero events are the
+    GAP check's job and are absent here by construction.
+
+    Scale shape: ONE count aggregate over the source (map-side
+    partials); the median/MAD aggregates and the score run on the
+    tiny bucket-count frame. Returns rows with ``robust_z > z``
+    (or MAD 0 and ``cnt ≠ median``): (``group_col``?, ``bucket``,
+    ``cnt``, ``med``, ``mad``, ``robust_z``)."""
+    if bucket_seconds < 1:
+        raise ValueError("bucket_seconds must be >= 1")
+    grp = [group_col] if group_col else []
+    b = F.floor(F.unix_timestamp(F.col(ts_col))
+                / F.lit(int(bucket_seconds))).alias("bucket")
+    counts = df.where(F.col(ts_col).isNotNull()) \
+        .groupBy(*grp, b).agg(F.count(F.lit(1)).alias("cnt"))
+    med = counts.groupBy(*grp).agg(
+        F.expr("percentile(cnt, 0.5)").alias("med"))
+    with_med = counts.join(med, on=grp) if grp else \
+        counts.crossJoin(med)
+    mad = with_med.groupBy(*grp).agg(
+        F.expr("percentile(abs(cnt - med), 0.5)").alias("mad"))
+    scored = (with_med.join(mad, on=grp) if grp else
+              with_med.crossJoin(mad)).withColumn(
+        "robust_z",
+        F.when(
+            F.col("mad") > 0,
+            F.abs(F.col("cnt") - F.col("med"))
+            / (F.lit(1.4826) * F.col("mad")),
+        ),
+    )
+    return scored.where(
+        (F.col("robust_z") > float(z))
+        | (F.col("mad") == 0) & (F.col("cnt") != F.col("med"))
+    ).select(*grp, "bucket", "cnt", "med", "mad", "robust_z")

@@ -161,3 +161,42 @@ def test_group_staleness(spark) -> None:
     got = {r["g"]: r["staleness_seconds"] for r in
            group_staleness(df, "ts", "g").collect()}
     assert got == {"live": 0, "mid": 3600, "dead": 8 * 3600}
+
+
+def test_volume_anomalies(spark) -> None:
+    from datetime import datetime, timezone
+
+    from cerberus_cpp_spark.operators.checks import volume_anomalies
+
+    def t(h, m):
+        return datetime(2024, 1, 1, h, m, tzinfo=timezone.utc) \
+            .replace(tzinfo=None)
+
+    # 20 hours at ~6 events, one replay-storm hour at 60, one
+    # half-dead hour at 1
+    rows = []
+    for h in range(20):
+        n = 60 if h == 7 else (1 if h == 13 else 6)
+        rows += [(h * 100 + m, t(h, m)) for m in range(n)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = volume_anomalies(df, "ts", z=3.5).collect()
+    # 18 of 20 hours identical -> MAD = 0 -> robust_z NULL and ANY
+    # deviation from the median flags
+    assert {r["cnt"] for r in got} == {60, 1}
+    assert all(r["mad"] == 0 and r["robust_z"] is None for r in got)
+    # nonzero-MAD regime: counts 5..8 cycling, one 60-storm
+    rows2 = []
+    for h in range(20):
+        n = 60 if h == 7 else 5 + h % 4
+        rows2 += [(h * 100 + m, t(h, m)) for m in range(n)]
+    df2 = spark.createDataFrame(rows2, "id long, ts timestamp")
+    hot = volume_anomalies(df2, "ts", z=3.5).collect()
+    assert {r["cnt"] for r in hot} == {60}
+    assert all(r["mad"] > 0 and r["robust_z"] > 3.5 for r in hot)
+    # grouped: the storm only in group 'a'
+    g = df.withColumn("g", F.expr(
+        "CASE WHEN id < 2000 THEN 'a' ELSE 'b' END"))
+    grouped = volume_anomalies(g, "ts", group_col="g").collect()
+    assert all(r["g"] == "a" or r["cnt"] in (60, 1) for r in grouped)
+    with pytest.raises(ValueError):
+        volume_anomalies(df, "ts", bucket_seconds=0)
