@@ -200,3 +200,41 @@ def test_volume_anomalies(spark) -> None:
     assert all(r["g"] == "a" or r["cnt"] in (60, 1) for r in grouped)
     with pytest.raises(ValueError):
         volume_anomalies(df, "ts", bucket_seconds=0)
+
+
+def test_missing_time_buckets_property(spark) -> None:
+    """Property: start from a dense bucket range, delete any interior
+    subset — the reported gaps are EXACTLY the maximal runs of the
+    deleted set (union of gap ranges == deleted buckets, one row per
+    contiguous run)."""
+    from datetime import datetime, timezone
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_cpp_spark.operators.checks import missing_time_buckets
+
+    base = int(datetime(2024, 1, 1,
+                        tzinfo=timezone.utc).timestamp()) // 3600
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.integers(6, 18),
+           st.sets(st.integers(1, 16), max_size=8))
+    def check(n, removed):
+        removed = {r for r in removed if r < n - 1}  # keep endpoints
+        rows = [(h, datetime(2024, 1, 1 + h // 24, h % 24,
+                             tzinfo=timezone.utc).replace(tzinfo=None))
+                for h in range(n) if h not in removed]
+        df = spark.createDataFrame(rows, "id long, ts timestamp")
+        gaps = missing_time_buckets(df, "ts").collect()
+        got = set()
+        for r in gaps:
+            lo = r["gap_start_bucket"] - base
+            hi = r["gap_end_bucket"] - base
+            assert r["n_missing"] == hi - lo + 1
+            # each reported run is maximal: neighbors are present
+            assert lo - 1 not in removed and hi + 1 not in removed
+            got |= set(range(lo, hi + 1))
+        assert got == removed
+
+    check()

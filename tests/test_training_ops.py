@@ -410,3 +410,46 @@ def test_curate_documents(spark) -> None:
     no_lang = {r["doc_id"]: r for r in
                curate_documents(df, langs=()).collect()}
     assert no_lang[2]["keep"]
+
+
+def test_redact_pii_property_no_residual_matches(spark) -> None:
+    """Invariant: after redaction, re-counting on the REDACTED text
+    finds zero matches of every enabled kind (replacement tokens can
+    never retrigger a pattern), and PII-free text passes through
+    byte-identical."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_cpp_spark.operators.text import redact_pii
+
+    plants = ["u{i}@ex-{i}.org", "10.{i}.0.7", "123-45-678{d}",
+              "555-867-530{d}"]
+    words = st.lists(
+        st.text(alphabet="abcdefgh XYZ.,-", min_size=0, max_size=8),
+        min_size=0, max_size=6)
+
+    @settings(max_examples=15, deadline=None)
+    @given(words, st.integers(0, 3), st.integers(0, 999))
+    def check(ws, which, i):
+        body = " ".join(ws)
+        pii = plants[which].format(i=i, d=i % 10)
+        doc = f"{body} {pii} {body}"
+        df = spark.createDataFrame(
+            [(0, doc), (1, body)], "doc_id long, text string")
+        out = redact_pii(df, "text")
+        red = {r["doc_id"]: r for r in out.collect()}
+        total0 = sum(red[0][f"n_pii_{k}"]
+                     for k in ("email", "ipv4", "ssn", "phone"))
+        assert total0 >= 1
+        again = redact_pii(
+            spark.createDataFrame([(0, red[0]["text"])],
+                                  "doc_id long, text string"),
+            "text").collect()[0]
+        assert sum(again[f"n_pii_{k}"]
+                   for k in ("email", "ipv4", "ssn", "phone")) == 0
+        # PII-free doc: untouched iff it matched nothing itself
+        if sum(red[1][f"n_pii_{k}"]
+               for k in ("email", "ipv4", "ssn", "phone")) == 0:
+            assert red[1]["text"] == body
+
+    check()
