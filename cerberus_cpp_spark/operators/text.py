@@ -456,6 +456,7 @@ def curate_documents(
     langs: tuple = ("en",),
     pii_kinds: tuple = ("email", "ipv4", "ssn", "phone"),
     dedup: bool = True,
+    full_rows: bool = False,
 ) -> DataFrame:
     """The curation verdict pass an LLM corpus actually ships
     through: every text filter this module provides, composed into
@@ -484,9 +485,21 @@ def curate_documents(
     co-locate; pathological mono-value corpora should pre-filter).
     Output: id, keep, reasons, and the underlying signals for audit
     (n_tokens, quality_score, lang_guess, dup_line_ratio,
-    top_line_share, n_pii)."""
+    top_line_share, n_pii). ``full_rows=True`` carries EVERY source
+    column through (same single projection — no join back), the
+    shape :func:`curate_split` needs; verdict column names must not
+    collide with source columns in that mode."""
     from pyspark.sql.window import Window
 
+    verdict_cols = ("reasons", "keep", "n_tokens", "quality_score",
+                    "lang_guess", "n_lines", "dup_line_ratio",
+                    "top_line_share", "n_pii", "fingerprint", "__rk")
+    if full_rows:
+        clash = [c for c in df.columns if c in verdict_cols]
+        if clash:
+            raise ValueError(
+                f"full_rows=True: source columns collide with "
+                f"verdict columns: {clash}")
     rep = repetition_features(text_col)
     n_pii = None
     for k in pii_kinds:
@@ -494,8 +507,10 @@ def curate_documents(
         n_pii = c if n_pii is None else (n_pii + c)
     if n_pii is None:
         n_pii = F.lit(0)
+    lead = [F.col(c) for c in df.columns] if full_rows \
+        else [F.col(id_col)]
     base = df.select(
-        F.col(id_col),
+        *lead,
         F.size(tokens(text_col)).alias("n_tokens"),
         quality_score(text_col),
         lang_guess(text_col),
@@ -529,10 +544,28 @@ def curate_documents(
         when(F.col("n_pii") > 0, "pii"),
         when(F.col("__rk") > 1, "duplicate"),
     )
+    head = list(df.columns) if full_rows else [id_col]
     return base.select(
-        id_col,
+        *head,
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
         "n_tokens", "quality_score", "lang_guess",
         "dup_line_ratio", "top_line_share", "n_pii",
     )
+
+
+def curate_split(
+    df: DataFrame,
+    **kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split for corpora — the documents analogue of
+    ``TableValidationResult.quarantine()``: ``(kept, dropped)`` as
+    two filtered branches of ONE :func:`curate_documents` pass over
+    FULL rows. ``kept`` carries the original columns only (ready to
+    write as the training corpus); ``dropped`` keeps the verdict
+    columns (``reasons`` + audit signals) for triage. Keyword
+    arguments pass through to :func:`curate_documents`."""
+    verdicts = curate_documents(df, full_rows=True, **kwargs)
+    kept = verdicts.where(F.col("keep")).select(*df.columns)
+    dropped = verdicts.where(~F.col("keep"))
+    return kept, dropped
