@@ -901,7 +901,10 @@ def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" concat('zq', cast({idc} % 20 as string), 'w',"
                 f" cast(j as string))))")
 
-    planted = d.select(
+    # text IS NOT NULL on BOTH engines: Spark's concat(NULL, ...) is
+    # NULL so a null-text doc would emit no grams while the count-only
+    # oracle still predicted 3 (ADVICE r4 latent asymmetry).
+    planted = d.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(f"CASE WHEN doc_id % 7 = 2 THEN concat(text, ' ',"
                f" {sent('doc_id')}) ELSE text END").alias("text"))
@@ -913,7 +916,7 @@ def q_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAMINATION_SQL = """
 SELECT doc_id, CAST(3 AS BIGINT) AS n_contaminated_grams
-FROM documents WHERE doc_id % 7 = 2
+FROM documents WHERE doc_id % 7 = 2 AND text IS NOT NULL
 """
 
 
@@ -4013,7 +4016,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering policy (round-4 verdict #1): the driver's correctness
+    # harness checks the FIRST 50 entries, so the newest / least-soaked
+    # queries go first and the 50 that were driver-green in
+    # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
+    # the TOP.
     return {
+        "img_content_drift": q_img_content_drift,
+        "audio_header_census": q_audio_header_census,
+        "video_header_census": q_video_header_census,
+        "audio_pcm_stats": q_audio_pcm_stats,
+        "video_frames": q_video_frames,
+        "img_anim_frames": q_img_anim_frames,
+        "img_alpha_census": q_img_alpha_census,
+        "img_header_consistency": q_img_header_consistency,
+        "img_tiered_check": q_img_tiered_check,
+        "img_gif_census": q_img_gif_census,
+        "img_bmp_tiff_census": q_img_bmp_tiff_census,
+        "img_exif_consistency": q_img_exif_consistency,
+        "img_orientation_fix": q_img_orientation_fix,
+        "tdigest_drift": q_tdigest_drift,
+        "hot_keys_phash": q_hot_keys_phash,
+        "img_phash_near_dups": q_img_phash_near_dups,
+        "snapshot_row_diff": q_snapshot_row_diff,
+        "img_png_chunk_audit": q_img_png_chunk_audit,
+        "incremental_validation": q_incremental_validation,
+        "img_container_audit": q_img_container_audit,
+        "img_phash_clusters": q_img_phash_clusters,
+        "cat_drift_events": q_cat_drift_events,
+        "phash_band_drift": q_phash_band_drift,
+        "full_validation_ledger": q_full_validation_ledger,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "emb_dim_drift": q_emb_dim_drift,
+        "pii_redact_docs": q_pii_redact_docs,
+        "img_strip_metadata": q_img_strip_metadata,
+        "repetition_docs": q_repetition_docs,
+        "contamination_docs": q_contamination_docs,
+        "curate_docs": q_curate_docs,
+        "time_gaps_events": q_time_gaps_events,
+        "staleness_events": q_staleness_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "phash_pixel_dups": q_phash_pixel_dups,
+        "audit_sampled_rules": q_audit_sampled_rules,
+        "audit_escalated_exact": q_audit_escalated_exact,
         "val_orders_violations": q_val_orders_violations,
         "val_part_summary": q_val_part_summary,
         "val_embeddings_len": q_val_embeddings_len,
@@ -4064,45 +4111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_caption_conflicts": q_img_caption_conflicts,
         "img_heif_census": q_img_heif_census,
         "img_heif_burst": q_img_heif_burst,
-        "img_content_drift": q_img_content_drift,
-        "audio_header_census": q_audio_header_census,
-        "video_header_census": q_video_header_census,
-        "audio_pcm_stats": q_audio_pcm_stats,
-        "video_frames": q_video_frames,
-        "img_anim_frames": q_img_anim_frames,
-        "img_alpha_census": q_img_alpha_census,
-        "img_header_consistency": q_img_header_consistency,
-        "img_tiered_check": q_img_tiered_check,
-        "img_gif_census": q_img_gif_census,
-        "img_bmp_tiff_census": q_img_bmp_tiff_census,
-        "img_exif_consistency": q_img_exif_consistency,
-        "img_orientation_fix": q_img_orientation_fix,
-        "tdigest_drift": q_tdigest_drift,
-        "hot_keys_phash": q_hot_keys_phash,
-        "img_phash_near_dups": q_img_phash_near_dups,
-        "snapshot_row_diff": q_snapshot_row_diff,
-        "img_png_chunk_audit": q_img_png_chunk_audit,
-        "incremental_validation": q_incremental_validation,
-        "img_container_audit": q_img_container_audit,
-        "img_phash_clusters": q_img_phash_clusters,
-        "cat_drift_events": q_cat_drift_events,
-        "phash_band_drift": q_phash_band_drift,
-        "full_validation_ledger": q_full_validation_ledger,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_pq": q_ann_topk_pq,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "emb_dim_drift": q_emb_dim_drift,
-        "pii_redact_docs": q_pii_redact_docs,
-        "img_strip_metadata": q_img_strip_metadata,
-        "repetition_docs": q_repetition_docs,
-        "contamination_docs": q_contamination_docs,
-        "curate_docs": q_curate_docs,
-        "time_gaps_events": q_time_gaps_events,
-        "staleness_events": q_staleness_events,
-        "volume_anomaly_events": q_volume_anomaly_events,
-        "phash_pixel_dups": q_phash_pixel_dups,
-        "audit_sampled_rules": q_audit_sampled_rules,
-        "audit_escalated_exact": q_audit_escalated_exact,
     }
 
 

@@ -234,23 +234,12 @@ class Validator:
         exactly the dict/scalar tree the engine's YAML-decode type
         semantics were built for, so a cerberus-cpp user's schema
         file works verbatim. Keyword arguments pass through to the
-        constructor."""
-        import os
+        constructor. A path-shaped source naming no existing file
+        raises ``FileNotFoundError`` (shared helper,
+        ``yamlschema.py``)."""
+        from ..yamlschema import load_yaml_schema
 
-        import yaml
-
-        if (len(source) < 4096 and "\n" not in source
-                and (source.endswith((".yml", ".yaml"))
-                     and os.path.exists(source))):
-            with open(source, "r", encoding="utf-8") as f:
-                schema = yaml.safe_load(f)
-        else:
-            schema = yaml.safe_load(source)
-        if not isinstance(schema, dict):
-            raise SchemaError(
-                f"YAML schema must be a mapping, got "
-                f"{type(schema).__name__}")
-        return cls(schema, **kwargs)
+        return cls(load_yaml_schema(source), **kwargs)
 
     # -- extension API -------------------------------------------------
     def register_rule(

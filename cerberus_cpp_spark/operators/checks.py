@@ -834,27 +834,29 @@ def categorical_drift_report(
     stability index, the ML-monitoring standard: Σ (p_a - p_b) ·
     ln(p_a / p_b), shares floored at ``psi_floor`` so one-sided
     categories contribute a large-but-finite term instead of ∞).
-    PSI lives here, driver-side over the bounded per-category rows,
-    rather than in the oracle-matched frame — its log() would break
-    the bit-exact SQL replay. ONE bounded per-category collect; all
-    folds happen driver-side so the underlying scan runs once."""
-    import math
-
-    rows = drift.select(
-        "share_a", "share_b", "abs_gap", "chi2_term"
-    ).collect()
-    l_inf = max((r["abs_gap"] for r in rows), default=0.0)
-    psi = 0.0
-    for r in rows:
-        pa = max(r["share_a"], psi_floor)
-        pb = max(r["share_b"], psi_floor)
-        psi += (pa - pb) * math.log(pa / pb)
+    PSI lives here, in the report fold, rather than in the
+    oracle-matched frame — its log() would break the bit-exact SQL
+    replay. Every fold (max, sums, count, PSI terms) happens IN-PLAN
+    in ONE aggregate job returning a single row, so the driver never
+    receives per-category rows — an id-like column with 10^9 distinct
+    categories costs a shuffle of partial aggregates, not an
+    unbounded driver collect (round-4 verdict #4)."""
+    pa = F.greatest(F.col("share_a"), F.lit(psi_floor))
+    pb = F.greatest(F.col("share_b"), F.lit(psi_floor))
+    row = drift.agg(
+        F.max("abs_gap").alias("l_inf"),
+        F.sum("abs_gap").alias("sum_gap"),
+        F.sum("chi2_term").alias("chi2"),
+        F.count(F.lit(1)).alias("categories"),
+        F.sum((pa - pb) * F.log(pa / pb)).alias("psi"),
+    ).collect()[0]
+    l_inf = row["l_inf"] if row["l_inf"] is not None else 0.0
     return {
         "l_inf": l_inf,
-        "tvd": sum(r["abs_gap"] for r in rows) / 2.0,
-        "chi2": sum(r["chi2_term"] for r in rows),
-        "psi": psi,
-        "categories": len(rows),
+        "tvd": (row["sum_gap"] or 0.0) / 2.0,
+        "chi2": row["chi2"] or 0.0,
+        "psi": row["psi"] or 0.0,
+        "categories": row["categories"],
         "drifted": l_inf > l_inf_tolerance,
     }
 
@@ -971,18 +973,25 @@ def snapshot_drift_report(
         if c not in sd["removed"] and c not in sd["added"]
     ]
     if cat_usable:
+        # fold per column IN-PLAN: the driver receives one row per
+        # categorical column, never per category (round-4 verdict #4 —
+        # an id-like column no longer means an unbounded collect)
         drift = categorical_drift_multi(a, b, cat_usable)
-        rows = drift.select(
-            "col_name", "share_a", "share_b", "abs_gap", "chi2_term"
+        folded = drift.groupBy("col_name").agg(
+            F.max("abs_gap").alias("l_inf"),
+            F.sum("abs_gap").alias("sum_gap"),
+            F.sum("chi2_term").alias("chi2"),
+            F.count(F.lit(1)).alias("categories"),
         ).collect()
+        by_col = {r["col_name"]: r for r in folded}
         for c in cat_usable:
-            sub = [r for r in rows if r["col_name"] == c]
-            l_inf = max((r["abs_gap"] for r in sub), default=0.0)
+            r = by_col.get(c)
+            l_inf = r["l_inf"] if r is not None else 0.0
             report["categorical"][c] = {
                 "l_inf": l_inf,
-                "tvd": sum(r["abs_gap"] for r in sub) / 2.0,
-                "chi2": sum(r["chi2_term"] for r in sub),
-                "categories": len(sub),
+                "tvd": (r["sum_gap"] / 2.0) if r is not None else 0.0,
+                "chi2": r["chi2"] if r is not None else 0.0,
+                "categories": r["categories"] if r is not None else 0,
                 "drifted": l_inf > l_inf_tolerance,
             }
     emb_usable = {
@@ -996,8 +1005,17 @@ def snapshot_drift_report(
             if d < 1:
                 raise ValueError(f"embedding dim for {c!r} must be >= 1")
             names.extend((c, i, f"{c}__d{i}") for i in range(d))
+        # try_element_at: an over-declared width yields NULL (never an
+        # ANSI error), null vectors contribute nothing — a dimension
+        # whose digest stays EMPTY while the column has data is a
+        # declared-vs-observed width mismatch, surfaced under the
+        # schema section instead of silently reporting "no drift" for
+        # phantom dimensions (ADVICE r4).
         exprs = [
-            F.element_at(F.col(c), i + 1).cast("double").alias(n)
+            F.when(
+                F.col(c).isNotNull(),
+                F.try_element_at(F.col(c), F.lit(i + 1)),
+            ).cast("double").alias(n)
             for c, i, n in names
         ]
         da = tdigests_of(a.select(*exprs), [n for _, _, n in names],
@@ -1005,8 +1023,22 @@ def snapshot_drift_report(
         db = tdigests_of(b.select(*exprs), [n for _, _, n in names],
                          compression=compression)
         for c, d in emb_usable.items():
+            totals = [
+                (da[f"{c}__d{i}"].total, db[f"{c}__d{i}"].total)
+                for i in range(d)
+            ]
+            empty_dims = [i for i, (ta_, tb_) in enumerate(totals)
+                          if ta_ == 0 or tb_ == 0]
+            has_data = any(ta_ > 0 or tb_ > 0 for ta_, tb_ in totals)
+            if empty_dims and has_data:
+                sd.setdefault("embedding_width", {})[c] = {
+                    "declared": d,
+                    "empty_dims": empty_dims,
+                }
             drifted_dims, max_gap = [], 0.0
             for i in range(d):
+                if i in empty_dims:
+                    continue
                 n = f"{c}__d{i}"
                 qa = [da[n].quantile(p) for p in probs]
                 qb = [db[n].quantile(p) for p in probs]
@@ -1025,6 +1057,7 @@ def snapshot_drift_report(
             }
     report["drifted"] = bool(
         sd["added"] or sd["removed"] or sd["changed"]
+        or sd.get("embedding_width")
         or any(r["drifted"] for r in report["numeric"].values())
         or any(r["drifted"] for r in report["categorical"].values())
         or any(r["drifted"] for r in report["embedding"].values())
@@ -1312,11 +1345,21 @@ def missing_time_buckets(
     *,
     bucket_seconds: int = 3600,
     group_col: str | None = None,
+    max_buckets: int = 2_000_000,
 ) -> DataFrame:
     """Completeness/timeliness check: find time ranges with ZERO
     events between the observed first and last bucket — a feed that
     silently stopped for three hours passes every row-level rule and
     every distribution check; only the calendar notices.
+
+    ``max_buckets`` guards the expected-bucket explode: one corrupt
+    outlier timestamp (epoch 0) with a small ``bucket_seconds`` would
+    otherwise inflate the "tiny" expected frame to billions of rows or
+    past Spark's sequence element limit (ADVICE r4). The guard is an
+    in-plan ``assert_true`` on the bounds frame — zero extra jobs —
+    that fails the job with an actionable message (widen
+    ``bucket_seconds``, raise ``max_buckets``, or clean the outlier)
+    instead of silently exploding.
 
     Returns one row per contiguous gap: (``group_col``?,
     ``gap_start_bucket``, ``gap_end_bucket``, ``n_missing``) where
@@ -1334,6 +1377,8 @@ def missing_time_buckets(
 
     if bucket_seconds < 1:
         raise ValueError("bucket_seconds must be >= 1")
+    if max_buckets < 1:
+        raise ValueError("max_buckets must be >= 1")
     grp = [group_col] if group_col else []
     b = F.floor(F.unix_timestamp(F.col(ts_col))
                 / F.lit(int(bucket_seconds))).alias("bucket")
@@ -1341,8 +1386,27 @@ def missing_time_buckets(
         .select(*grp, b).distinct()
     bounds = observed.groupBy(*grp).agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    span = F.col("hi") - F.col("lo") + F.lit(1)
+    guard = F.assert_true(
+        span <= F.lit(int(max_buckets)),
+        F.concat(
+            F.lit("missing_time_buckets: expected-bucket span "),
+            span.cast("string"),
+            F.lit(f" exceeds max_buckets={int(max_buckets)}"
+                  f" (bucket_seconds={int(bucket_seconds)}) — an"
+                  f" outlier timestamp or too-fine bucketing; widen"
+                  f" bucket_seconds, raise max_buckets, or clean the"
+                  f" outlier"),
+        ),
+    )
+    # the guard is woven INTO the exploded expression (assert_true
+    # yields NULL on pass) so column pruning cannot optimize it away
     expected = bounds.select(
-        *grp, F.explode(F.expr("sequence(lo, hi)")).alias("bucket"))
+        *grp,
+        F.explode(
+            F.when(guard.isNull(), F.expr("sequence(lo, hi)"))
+        ).alias("bucket"),
+    )
     missing = expected.join(observed, on=grp + ["bucket"],
                             how="left_anti")
     w = Window.partitionBy(*grp).orderBy("bucket")

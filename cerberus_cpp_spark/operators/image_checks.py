@@ -1009,6 +1009,7 @@ def strip_image_metadata(df: DataFrame, *, id_col: str = "image_id",
         [T.StructField(n, t, True) for n, t in fields])
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
         import sys
 
         if pkg_parent not in sys.path:
@@ -1031,6 +1032,14 @@ def strip_image_metadata(df: DataFrame, *, id_col: str = "image_id",
                 blob = bytes(blob)
                 try:
                     stripped, removed = strip_metadata(blob)
+                except (IndexError, struct.error):
+                    # truncation surfacing as a raw decode error: same
+                    # 'malformed' routing as an explicit ValueError
+                    rows["status"].append("malformed")
+                    rows["stripped"].append(None)
+                    rows["removed"].append(None)
+                    rows["bytes_saved"].append(None)
+                    continue
                 except ValueError as e:
                     unsupported = "unsupported for format" in str(e)
                     rows["status"].append(

@@ -157,6 +157,7 @@ def stratified_exact_sample(
     n: int,
     key: str,
     seed: int = 0,
+    max_stratum_rows: int | None = 20_000_000,
 ) -> DataFrame:
     """Exactly ``min(n, |stratum|)`` deterministic rows per stratum.
 
@@ -166,17 +167,43 @@ def stratified_exact_sample(
     a single task, so this path is for BOUNDED strata (class labels,
     shard tags). For unbounded strata use
     :func:`stratified_hash_sample` (narrow) instead.
+
+    ``max_stratum_rows`` guards that contract (round-4 verdict #5):
+    a stratum larger than the bound FAILS the job with the observed
+    size in the message instead of silently serializing a huge sort
+    into one task. The guard is an in-plan ``assert_true`` over a
+    count window on the SAME partitioning (reuses the exchange, no
+    extra job); pass ``None`` to disable.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    if max_stratum_rows is not None and max_stratum_rows < 1:
+        raise ValueError("max_stratum_rows must be >= 1 or None")
     cols = [strata] if isinstance(strata, str) else list(strata)
     w = W.partitionBy(*cols).orderBy(split_bucket(key, seed), F.col(key))
     rn = "_ccs_sample_rn"
-    return (
-        df.withColumn(rn, F.row_number().over(w))
-        .where(F.col(rn) <= n)
-        .drop(rn)
-    )
+    out = df.withColumn(rn, F.row_number().over(w))
+    keep: Column = F.col(rn) <= n
+    cntc = "_ccs_stratum_cnt"
+    if max_stratum_rows is not None:
+        # count window over the SAME partitioning: shares the exchange,
+        # projected to a plain column (window fns can't live in WHERE)
+        out = out.withColumn(
+            cntc, F.count(F.lit(1)).over(W.partitionBy(*cols)))
+        guard = F.assert_true(
+            F.col(cntc) <= F.lit(int(max_stratum_rows)),
+            F.concat(
+                F.lit("stratified_exact_sample: stratum of "),
+                F.col(cntc).cast("string"),
+                F.lit(f" rows exceeds max_stratum_rows="
+                      f"{int(max_stratum_rows)} — each stratum sorts"
+                      f" in ONE task; use stratified_hash_sample for"
+                      f" unbounded strata or raise the bound"),
+            ),
+        )
+        # woven into the kept predicate so pruning can't drop it
+        keep = F.when(guard.isNull(), keep)
+    return out.where(keep).drop(rn, cntc)
 
 
 def kfold_assign(

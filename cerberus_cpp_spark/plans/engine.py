@@ -172,25 +172,12 @@ class TableValidator:
         format (``validator.hh:33-38``; every ``test/testdata.yml``
         case is YAML), so a cerberus-cpp user's schema file compiles
         straight to the fused Spark plan. ``source`` is YAML text or
-        a ``.yml``/``.yaml`` path; keyword arguments pass through."""
-        import os
+        a ``.yml``/``.yaml`` path; keyword arguments pass through.
+        A path-shaped source naming no existing file raises
+        ``FileNotFoundError`` (shared helper, ``yamlschema.py``)."""
+        from ..yamlschema import load_yaml_schema
 
-        import yaml
-
-        from ..errors import SchemaError
-
-        if (len(source) < 4096 and "\n" not in source
-                and (source.endswith((".yml", ".yaml"))
-                     and os.path.exists(source))):
-            with open(source, "r", encoding="utf-8") as f:
-                schema = yaml.safe_load(f)
-        else:
-            schema = yaml.safe_load(source)
-        if not isinstance(schema, dict):
-            raise SchemaError(
-                f"YAML schema must be a mapping, got "
-                f"{type(schema).__name__}")
-        return cls(schema, **kwargs)
+        return cls(load_yaml_schema(source), **kwargs)
 
     @property
     def schema(self) -> dict:

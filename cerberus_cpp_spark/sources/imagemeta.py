@@ -498,6 +498,8 @@ def _strip_jpeg(data: bytes) -> tuple[bytes, list[str]]:
             out += data[pos:]  # entropy data + EOI: verbatim
             return bytes(out), sorted(removed)
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("JPEG segment overruns buffer")
         body = data[pos + 4:pos + 2 + seglen]
         if marker == 0xE1 and body.startswith(_EXIF_PREAMBLE):
             removed.add("exif")
@@ -510,7 +512,10 @@ def _strip_jpeg(data: bytes) -> tuple[bytes, list[str]]:
         else:
             out += data[pos:pos + 2 + seglen]
         pos += 2 + seglen
-    return bytes(out), sorted(removed)
+    # Falling out of the loop means the stream ended before SOS/EOI —
+    # a truncated container, never a clean one (ADVICE r4: returning
+    # partial bytes here shipped corrupt payloads with status='ok').
+    raise ValueError("JPEG ends before SOS/EOI")
 
 
 def _strip_png(data: bytes, magic: bytes) -> tuple[bytes, list[str]]:
@@ -525,14 +530,17 @@ def _strip_png(data: bytes, magic: bytes) -> tuple[bytes, list[str]]:
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         end = pos + 12 + length
+        if end > len(data):
+            raise ValueError("PNG chunk overruns buffer")
         if tag in kinds:
             removed.add(kinds[tag])
         else:
             out += data[pos:end]
         if tag == b"IEND":
-            break
+            return bytes(out), sorted(removed)
         pos = end
-    return bytes(out), sorted(removed)
+    # No IEND: truncated stream — must route to 'malformed', not 'ok'.
+    raise ValueError("PNG missing IEND")
 
 
 def _strip_webp(data: bytes) -> tuple[bytes, list[str]]:
@@ -581,15 +589,19 @@ def _strip_gif(data: bytes) -> tuple[bytes, list[str]]:
     def skip_subblocks(p: int) -> int:
         while p < len(data) and data[p] != 0:
             p += 1 + data[p]
+        if p >= len(data):
+            raise ValueError("GIF sub-blocks overrun buffer")
         return p + 1
 
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
             out += data[pos:pos + 1]
-            break
+            return bytes(out), sorted(removed)
         if b == 0x21:  # extension
             start = pos
+            if pos + 2 > len(data):
+                raise ValueError("GIF extension overruns buffer")
             label = data[pos + 1]
             pos = skip_subblocks(pos + 2)
             if label == 0xFE:
@@ -598,11 +610,16 @@ def _strip_gif(data: bytes) -> tuple[bytes, list[str]]:
                 out += data[start:pos]
         elif b == 0x2C:  # image descriptor
             start = pos
+            if pos + 11 > len(data):
+                raise ValueError("GIF image descriptor overruns buffer")
             lflags = data[pos + 9]
             lct = (3 * (2 << (lflags & 0x07))) if lflags & 0x80 else 0
             pos += 10 + lct + 1  # descriptor + LCT + LZW min-code
+            if pos > len(data):
+                raise ValueError("GIF color table overruns buffer")
             pos = skip_subblocks(pos)
             out += data[start:pos]
         else:
             raise ValueError(f"bad GIF block 0x{b:02x}")
-    return bytes(out), sorted(removed)
+    # Loop exit without the 0x3B trailer: truncated stream.
+    raise ValueError("GIF ends before trailer")

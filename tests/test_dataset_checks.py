@@ -238,3 +238,30 @@ def test_missing_time_buckets_property(spark) -> None:
         assert got == removed
 
     check()
+
+
+def test_missing_time_buckets_max_buckets_guard(spark) -> None:
+    """ADVICE r4: one corrupt epoch-0 outlier with fine bucketing must
+    fail with an actionable message, not explode a billion-row
+    sequence. The guard is in-plan (assert_true woven into the
+    exploded expression, so pruning cannot drop it)."""
+    from datetime import datetime, timezone
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cerberus_cpp_spark.operators.checks import missing_time_buckets
+
+    def t(y):
+        return datetime(y, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+    df = spark.createDataFrame(
+        [(1, t(1970)), (2, t(2024)), (3, t(2024))],
+        "id long, ts timestamp")
+    with pytest.raises(SparkRuntimeException, match="max_buckets"):
+        missing_time_buckets(df, "ts", bucket_seconds=60).collect()
+    # same data passes with a sane max_buckets for coarse buckets
+    wide = missing_time_buckets(
+        df, "ts", bucket_seconds=86400 * 365, max_buckets=100)
+    assert wide.count() > 0
+    with pytest.raises(ValueError):
+        missing_time_buckets(df, "ts", max_buckets=0)

@@ -130,3 +130,19 @@ fmt:
 
     with pytest.raises(SchemaError, match="mapping"):
         Validator.from_yaml("- a\n- b")
+
+
+def test_from_yaml_missing_path_raises(tmp_path) -> None:
+    """ADVICE r4: a path-shaped source (.yml/.yaml, no newline) that
+    names no existing file must raise FileNotFoundError instead of
+    being silently parsed as YAML text (which surfaced as a confusing
+    'schema must be a mapping, got str'). Both engines share the one
+    helper (yamlschema.load_yaml_schema)."""
+    from cerberus_cpp_spark import Validator
+    from cerberus_cpp_spark.plans.engine import TableValidator
+
+    missing = str(tmp_path / "nope.yml")
+    with pytest.raises(FileNotFoundError, match="nope.yml"):
+        Validator.from_yaml(missing)
+    with pytest.raises(FileNotFoundError, match="nope.yml"):
+        TableValidator.from_yaml(missing)

@@ -401,3 +401,54 @@ def test_strip_image_metadata_operator(spark):
     both = strip_image_metadata(df.where("image_id = 0"),
                                 keep_original=True).collect()[0]
     assert bytes(both["original"]) == tagged
+
+
+def test_strip_rejects_truncated_containers():
+    """ADVICE r4 (medium): truncated/malformed containers must raise —
+    returning partial bytes would ship corrupt payloads labelled
+    status='ok' through strip_image_metadata."""
+    # JPEG cut mid-segment (declared length overruns the buffer) and
+    # cut before SOS/EOI.
+    raw = encode_pixels(_px(), "jpeg")
+    tagged = M.jpeg_insert_metadata(raw, comment="hello world")
+    with pytest.raises(ValueError, match="overruns|before SOS"):
+        M.strip_metadata(tagged[:8])  # SOI + APP0 header, body cut
+    # Build a marker stream that ends cleanly after a full segment but
+    # before SOS: SOI + COM segment only.
+    no_sos = b"\xff\xd8" + b"\xff\xfe\x00\x04hi"
+    with pytest.raises(ValueError, match="before SOS"):
+        M.strip_metadata(no_sos)
+    # PNG whose chunk length overruns, and PNG missing IEND.
+    png = encode_pixels(_px(), "png")
+    with pytest.raises(ValueError, match="overruns"):
+        # overwrite the IHDR chunk's length field with 0xffffffff
+        M.strip_metadata(png[:8] + b"\xff\xff\xff\xff" + png[12:])
+    assert png[-12:-8] == b"\x00\x00\x00\x00" and png[-8:-4] == b"IEND"
+    with pytest.raises(ValueError, match="missing IEND"):
+        M.strip_metadata(png[:-12])
+    # GIF cut before the 0x3B trailer / mid-sub-block.
+    gif = encode_pixels(_px(), "gif")
+    assert gif[-1] == 0x3B
+    with pytest.raises(ValueError, match="overrun|before trailer"):
+        M.strip_metadata(gif[:-1])
+    with pytest.raises(ValueError, match="overrun|before trailer"):
+        M.strip_metadata(gif[: len(gif) // 2])
+
+
+def test_strip_operator_routes_truncation_malformed(spark):
+    from cerberus_cpp_spark.operators.image_checks import (
+        strip_image_metadata,
+    )
+
+    png = encode_pixels(_px(), "png")
+    jp = encode_pixels(_px(), "jpeg")
+    df = spark.createDataFrame(
+        [(0, bytearray(png[:-12])), (1, bytearray(jp[:8])),
+         (2, bytearray(png))],
+        "image_id long, bytes binary")
+    rows = {r["image_id"]: r for r in
+            strip_image_metadata(df).collect()}
+    assert rows[0]["status"] == "malformed"
+    assert rows[0]["stripped"] is None
+    assert rows[1]["status"] == "malformed"
+    assert rows[2]["status"] == "ok"

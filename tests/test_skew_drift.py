@@ -486,3 +486,45 @@ def test_snapshot_drift_report_embedding(spark) -> None:
     assert rep3["schema"]["changed"] and rep3["drifted"]
     with pytest.raises(ValueError, match=">= 1"):
         checks.snapshot_drift_report(a, b, embedding={"embedding": 0})
+
+
+def test_snapshot_drift_report_embedding_width_mismatch(spark) -> None:
+    """ADVICE r4: an over-declared embedding width must surface under
+    the schema section (phantom dimensions), never report 'no drift';
+    null vectors are ignored rather than poisoning digests."""
+    a = _vec_frame(spark)  # actual width 4
+    b = _vec_frame(spark, scale=(2,))
+    rep = checks.snapshot_drift_report(a, b, embedding={"embedding": 6})
+    wm = rep["schema"]["embedding_width"]["embedding"]
+    assert wm["declared"] == 6 and wm["empty_dims"] == [4, 5]
+    assert rep["drifted"] is True
+    # real dims still compared: dim 2 drifts exactly as before
+    assert rep["embedding"]["embedding"]["drifted_dims"] == [2]
+    # null vectors tolerated
+    an = a.withColumn(
+        "embedding",
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("embedding")))
+    rep2 = checks.snapshot_drift_report(an, an, embedding={"embedding": 4})
+    assert "embedding_width" not in rep2["schema"]
+    assert not rep2["drifted"]
+
+
+def test_categorical_drift_report_high_cardinality_in_plan(spark) -> None:
+    """Round-4 verdict #4: pointed at an id-like column the report
+    folds in-plan — exact L-inf/TVD/chi2/PSI with the driver receiving
+    ONE row, no per-category collect."""
+    df = spark.range(0, 50_000, 1, 8).select(
+        F.col("id"), F.col("id").cast("string").alias("c"))
+    d = checks.categorical_drift_tagged(df, F.expr("id % 2"), "c")
+    rep = checks.categorical_drift_report(d, l_inf_tolerance=1e-6)
+    assert rep["categories"] == 50_000
+    # every category lives on exactly one side: gap = 1/25000 each
+    assert abs(rep["l_inf"] - 1 / 25_000) < 1e-12
+    assert abs(rep["tvd"] - 1.0) < 1e-9 and rep["drifted"] is True
+    # snapshot report over the same id-like column: one row per column
+    a = df.where("id % 2 = 0")
+    b = df.where("id % 2 = 1")
+    rep2 = checks.snapshot_drift_report(a, b, categorical=["c"])
+    assert rep2["categorical"]["c"]["categories"] == 50_000
+    assert rep2["categorical"]["c"]["l_inf"] > 0.0

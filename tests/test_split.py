@@ -247,3 +247,25 @@ def test_kfold_matches_duckdb_and_balances(spark) -> None:
     assert all(abs(c - 1000) < 120 for c in counts)  # ~3 sigma
     with pytest.raises(ValueError):
         sp.kfold_assign(df, "k", 1)
+
+
+def test_stratified_exact_sample_oversized_stratum_guard(spark) -> None:
+    """Round-4 verdict #5: a stratum past max_stratum_rows fails with
+    the observed size instead of silently single-task-sorting it."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.range(0, 10_000, 1, 8).select(
+        F.col("id"), (F.col("id") % 2).alias("label"))
+    with pytest.raises(SparkRuntimeException, match="max_stratum_rows"):
+        sp.stratified_exact_sample(
+            df, "label", 3, "id", max_stratum_rows=1000).collect()
+    # under the bound (or disabled): identical exact sample
+    a = sp.stratified_exact_sample(
+        df, "label", 3, "id", max_stratum_rows=5000).collect()
+    b = sp.stratified_exact_sample(
+        df, "label", 3, "id", max_stratum_rows=None).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 6
+    with pytest.raises(ValueError):
+        sp.stratified_exact_sample(df, "label", 3, "id",
+                                      max_stratum_rows=0)
