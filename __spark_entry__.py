@@ -1214,6 +1214,76 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_IVFPQ_SQL = _ANN_PQ_SQL
 
 
+ANN_DIST_REPS = 2021  # 5 bases × 2021 replicas = 10,105 queries
+
+
+def q_ann_topk_pq_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED ADC serving path (round-4 verdict task #1):
+    10,105 queries — past the 10k bound the driver-LUT path refuses —
+    processed in 5,100-query hash blocks with LUTs built
+    EXECUTOR-side over the query DataFrame (the query vectors never
+    reach the driver; ``similarity.build_query_luts``). PLANTED-TRUTH
+    oracle: every query is a fresh-id replica of one of 5 corpus
+    vectors, so its identical original is provably rank 1 at cosine
+    exactly 1.0 (it shares the query's own code, hence its maximal
+    ADC score, into every per-partition prune; no two corpus vectors
+    are parallel — max off-diagonal cosine 0.60 measured — so the
+    exact rescore has a unique winner)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = _sim.pq_encode(corpus, books)
+    reps = spark.range(ANN_DIST_REPS).select(F.col("id").alias("r"))
+    queries = (
+        emb.where("vec_id < 5").crossJoin(reps)
+        .select((F.lit(100000) + F.col("r") * 10 + F.col("vec_id"))
+                .alias("vec_id"), "embedding"))
+    return _sim.pq_topk_distributed(
+        codes, books, queries, k=1, corpus=corpus, rescore_n=8,
+        queries_per_block=5100) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_PQ_DIST_SQL = f"""
+SELECT 100000 + t.r * 10 + e.vec_id AS query_id,
+       e.vec_id AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings e CROSS JOIN range({ANN_DIST_REPS}) t(r)
+WHERE e.vec_id < 5
+"""
+
+
+def q_ann_topk_ivfpq_residual(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC (round-4 verdict task #2 — the
+    standard FAISS composition): PQ codebooks trained on residuals
+    from the coarse centroid (``pq_train(centroids=...)``), codes
+    quantize ``x_norm - centroid[list]``, and ADC adds the
+    <q, centroid[list]> bias the probe selection already computed.
+    Same PLANTED-TRUTH oracle as the raw-vector parent: the identical
+    twin (vec_id + 1e6) shares the query's list (probe[0]) and its
+    residual code, so the exact rescore provably ranks it 1 at cosine
+    1.0. Recall-at-same-bits vs the raw encoder: tests/test_pq.py +
+    BENCH.md §34."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    assigned, cents = _sim.ivf_index(corpus, n_lists=16, seed=11)
+    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11,
+                          centroids=cents)
+    codes = _sim.pq_encode(assigned, books, centroids=cents,
+                           list_col="list_id", keep_cols=("list_id",))
+    return _sim.ivf_pq_topk(codes, cents, books, queries, k=1,
+                            nprobe=1, corpus=corpus, rescore_n=16,
+                            residual=True) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_IVFPQ_RES_SQL = _ANN_PQ_SQL
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -4022,6 +4092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "ann_topk_pq_dist": q_ann_topk_pq_dist,
+        "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
         "img_content_drift": q_img_content_drift,
         "audio_header_census": q_audio_header_census,
         "video_header_census": q_video_header_census,
@@ -5010,6 +5082,8 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_pq": _ANN_PQ_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
+        "ann_topk_pq_dist": _ANN_PQ_DIST_SQL,
+        "ann_topk_ivfpq_residual": _ANN_IVFPQ_RES_SQL,
         "emb_dim_drift": _emb_dim_drift_sql(),
         "pii_redact_docs": _pii_redact_sql(),
         "img_strip_metadata": _IMG_STRIP_SQL,

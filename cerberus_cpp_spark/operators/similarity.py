@@ -20,7 +20,14 @@
 - :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` — product
   quantization: vectors compressed to m uint8 codes (32× at the
   defaults), ADC lookup-table scan over the code column only, exact
-  cosine rescore of the top candidates.
+  cosine rescore of the top candidates. ``pq_train(centroids=...)``
+  / ``pq_encode(centroids=...)`` switch to RESIDUAL encoding
+  (standard IVFADC — better recall at the same bits);
+  ``ivf_pq_topk(residual=True)`` scores them.
+- :func:`pq_topk_distributed` / :func:`ivf_pq_topk_distributed` —
+  the unbounded-query serving path: ADC LUTs built executor-side
+  over the query DataFrame (:func:`build_query_luts`), processed in
+  bounded hash blocks; the driver never collects the query frame.
 """
 
 from __future__ import annotations
@@ -540,6 +547,7 @@ def pq_train(
     iters: int = 10,
     seed: int = 11,
     sample_mod: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks — the compressed-domain ANN
     path next to LSH (:func:`ann_topk_lsh`) and IVF
@@ -561,6 +569,17 @@ def pq_train(
     brief's embedding-similarity leg (SURVEY.md §2 LLM-pipeline ops);
     the ADC search design follows Jégou, Douze, Schmid, "Product
     Quantization for Nearest Neighbor Search" (TPAMI 2011, public).
+
+    ``centroids`` (the IVF coarse quantizer's matrix) switches to
+    RESIDUAL encoding — standard IVFADC: each training vector is
+    assigned to its nearest (cosine) centroid with the SAME math as
+    :func:`_assign_lists` and the codebooks are trained on
+    ``x_norm - centroid`` instead of the raw normalized vector.
+    Residuals concentrate much closer to the origin than the vectors
+    themselves, so the same bit budget quantizes them with less
+    error — materially better recall at fixed m/n_codes (measured in
+    tests/test_pq.py and BENCH.md §34). Pair with
+    ``pq_encode(centroids=...)`` and ``ivf_pq_topk(residual=True)``.
     """
     if m < 1:
         raise ValueError("m must be >= 1")
@@ -579,6 +598,11 @@ def pq_train(
     dsub = dim // m
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                       1e-12)
+    if centroids is not None:
+        cn = centroids / np.linalg.norm(centroids, axis=1,
+                                        keepdims=True)
+        assign = (mat @ cn.T).argmax(axis=1)
+        mat = mat - cn[assign]
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for sub in range(m):
         part = mat[:, sub * dsub:(sub + 1) * dsub]
@@ -616,6 +640,8 @@ def pq_encode(
     out_col: str = "code",
     keep_cols: tuple = (),
     with_error: bool = False,
+    centroids: np.ndarray | None = None,
+    list_col: str | None = None,
 ) -> DataFrame:
     """(``id_col``, *``keep_cols``, ``out_col``): each vector
     compressed to ``m`` uint8 codes packed into one BinaryType value
@@ -638,18 +664,44 @@ def pq_encode(
     quantiles on fresh batches against the training-time baseline
     (``checks.tdigest_of``/``tdigests_of``) and retrain when they
     drift, the index-maintenance twin of
-    ``checks.embedding_dim_drift`` (which watches the INPUT side)."""
+    ``checks.embedding_dim_drift`` (which watches the INPUT side).
+
+    ``centroids`` switches to RESIDUAL encoding (pair with
+    ``pq_train(centroids=...)``): each vector's residual from its
+    coarse centroid is what gets coded. The list comes from
+    ``list_col`` when given (the ``ivf_index`` assignment already on
+    the frame — the stored index stays self-consistent) or is
+    recomputed per batch with :func:`_assign_lists`' exact math.
+    With ``centroids`` and no explicit ``list_col`` the output grows
+    a ``list_id`` column so :func:`ivf_pq_topk` can prune."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
+    cn = None
+    if centroids is not None:
+        cn = centroids / np.linalg.norm(centroids, axis=1,
+                                        keepdims=True)
+        if list_col is not None and list_col not in df.columns:
+            raise ValueError(
+                f"list_col {list_col!r} not in frame; encode the "
+                f"ivf_index output or pass list_col=None to "
+                f"recompute assignments")
+    elif list_col is not None:
+        raise ValueError("list_col requires centroids")
     keep = [c for c in keep_cols if c not in (id_col, vec_col)]
+    use_list_col = list_col if cn is not None else None
+    emit_list = cn is not None and list_col is None
     out_schema = T.StructType(
         [T.StructField(id_col, df.schema[id_col].dataType, True)]
         + [T.StructField(c, df.schema[c].dataType, True) for c in keep]
+        + ([T.StructField("list_id", T.IntegerType(), True)]
+           if emit_list else [])
         + [T.StructField(out_col, T.BinaryType(), True)]
         + ([T.StructField("pq_err", T.DoubleType(), True)]
            if with_error else [])
     )
-    src = df.select(id_col, *keep, vec_col)
+    extra = ([use_list_col] if use_list_col is not None
+             and use_list_col not in keep else [])
+    src = df.select(id_col, *keep, *extra, vec_col)
 
     def work(batches):
         import numpy as np
@@ -664,6 +716,13 @@ def pq_encode(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
+            lists = None
+            if cn is not None:
+                if use_list_col is not None:
+                    lists = pdf[use_list_col].to_numpy().astype(int)
+                else:
+                    lists = (mat @ cn.T).argmax(axis=1)
+                mat = mat - cn[lists]  # residual from the coarse cell
             codes = np.empty((len(mat), m), dtype=np.uint8)
             err = np.zeros(len(mat)) if with_error else None
             for sub in range(m):
@@ -679,6 +738,8 @@ def pq_encode(
             out = {id_col: pdf[id_col]}
             for c in keep:
                 out[c] = pdf[c]
+            if emit_list:
+                out["list_id"] = lists.astype(np.int32)
             out[out_col] = [c.tobytes() for c in codes]
             if with_error:
                 out["pq_err"] = err
@@ -730,8 +791,9 @@ def pq_topk(
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk builds one LUT per query driver-side and is "
-            f"bounded at {max_queries} queries; got more. Batch the "
-            f"query load or raise max_queries explicitly.")
+            f"bounded at {max_queries} queries; got more. Use "
+            f"pq_topk_distributed (executor-side LUTs, unbounded "
+            f"query count) or raise max_queries explicitly.")
     if not q_rows:
         spark = codes.sparkSession
         empty = T.StructType([
@@ -780,12 +842,23 @@ def _adc_partial_topn(
     code_col: str,
     list_col: str | None = None,
     probe_sets: list | None = None,
+    bias: np.ndarray | None = None,
 ) -> DataFrame:
     """Per-partition ADC top-``n_keep`` per query over the code
     column — the only rows that ever shuffle (partitions × |queries|
     × n_keep). With ``list_col``/``probe_sets`` (aligned with
-    ``q_ids``), each query scores ONLY rows in its probed IVF lists."""
+    ``q_ids``), each query scores ONLY rows in its probed IVF lists.
+    ``bias`` (|queries| × n_lists, aligned with ``q_ids``) adds the
+    residual-IVFADC correction: score = <q, centroid[list]> +
+    Σ LUT[sub, code] when the codes quantize residuals."""
+    if bias is not None and list_col is None:
+        raise ValueError("bias requires list_col")
     m = lut.shape[1]
+    # scoring matrix cell budget: queries chunk so that
+    # chunk × partition_rows stays ~32 MB of float64 — vectorizes
+    # ACROSS queries (the 10k-query serving batch would otherwise pay
+    # per-query Python overhead) while bounding task memory at scale
+    cell_budget = 4_000_000
 
     def work(batches):
         import numpy as np
@@ -801,26 +874,50 @@ def _adc_partial_topn(
             nids = pdf[id_col].to_numpy()
             lists = (pdf[list_col].to_numpy()
                      if list_col is not None else None)
+            # queries sharing a probe set score the same row subset —
+            # group them so each group scores as one vectorized chunk
+            if probe_sets is not None:
+                groups: dict = {}
+                for qi in range(len(q_ids)):
+                    groups.setdefault(
+                        frozenset(probe_sets[qi]), []).append(qi)
+                group_items = list(groups.items())
+            else:
+                group_items = [(None, np.arange(len(q_ids)))]
+            q_arr = np.asarray(q_ids)
             frames = []
-            for qi, qid in enumerate(q_ids):
-                if probe_sets is not None:
-                    mask = np.isin(lists,
-                                   np.fromiter(probe_sets[qi], int))
+            for pset, qis in group_items:
+                if pset is not None:
+                    mask = np.isin(lists, np.fromiter(pset, int))
                     if not mask.any():
                         continue
                     sub_codes, sub_nids = codes_mat[mask], nids[mask]
+                    sub_lists = lists[mask].astype(int)
                 else:
                     sub_codes, sub_nids = codes_mat, nids
-                s = np.zeros(len(sub_codes))
-                for sub in range(m):
-                    s += lut[qi, sub, sub_codes[:, sub]]
-                take = min(n_keep, len(s))
-                top = np.argpartition(-s, take - 1)[:take]
-                frames.append(pd.DataFrame({
-                    "query_id": qid,
-                    "neighbor_id": sub_nids[top],
-                    "adc": s[top],
-                }))
+                    sub_lists = None
+                n = len(sub_codes)
+                take = min(n_keep, n)
+                qis = np.asarray(qis)
+                step = max(1, cell_budget // max(n, 1))
+                for st in range(0, len(qis), step):
+                    qchunk = qis[st:st + step]
+                    # float64 accumulation in the same order as the
+                    # scalar path (bias, then subspaces 0..m-1) —
+                    # bitwise-identical scores
+                    s = np.zeros((len(qchunk), n))
+                    if bias is not None:
+                        s += bias[qchunk][:, sub_lists]
+                    for sub in range(m):
+                        s += lut[qchunk, sub][:, sub_codes[:, sub]]
+                    top = np.argpartition(-s, take - 1,
+                                          axis=1)[:, :take]
+                    frames.append(pd.DataFrame({
+                        "query_id": np.repeat(q_arr[qchunk], take),
+                        "neighbor_id": sub_nids[top].ravel(),
+                        "adc": np.take_along_axis(
+                            s, top, axis=1).ravel(),
+                    }))
             if not frames:
                 continue
             batch = pd.concat(frames, ignore_index=True)
@@ -905,6 +1002,7 @@ def ivf_pq_topk(
     code_col: str = "code",
     list_col: str = "list_id",
     max_queries: int = 10_000,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF × PQ — the full trillion-scale composition (FAISS's
     IVFADC, Jégou et al. 2011): the coarse quantizer prunes the scan
@@ -922,7 +1020,15 @@ def ivf_pq_topk(
     contract-oracle invariant, inherited from both parents.
 
     Output matches :func:`pq_topk`: (query_id, neighbor_id, rank,
-    cosine) with ``corpus``, else the raw ADC ranking."""
+    cosine) with ``corpus``, else the raw ADC ranking.
+
+    ``residual=True`` reads codes produced by the residual encoder
+    (``pq_train(centroids=...)`` + ``pq_encode(centroids=...)``):
+    ADC becomes <q, centroid[list]> + Σ LUT[sub, code] — the bias
+    matrix is the SAME q·centroidᵀ product the probe selection
+    already computes, so residual scoring costs one extra gather per
+    row, and the finer residual quantization buys measurably better
+    recall at the same bits (BENCH §34)."""
     if rescore_n < k:
         raise ValueError("rescore_n must be >= k")
     nprobe = max(1, min(int(nprobe), len(centroids)))
@@ -931,8 +1037,9 @@ def ivf_pq_topk(
     if len(q_rows) > max_queries:
         raise ValueError(
             f"ivf_pq_topk builds one LUT per query driver-side and "
-            f"is bounded at {max_queries} queries; got more. Batch "
-            f"the query load or raise max_queries explicitly.")
+            f"is bounded at {max_queries} queries; got more. Use "
+            f"ivf_pq_topk_distributed (executor-side LUTs, unbounded "
+            f"query count) or raise max_queries explicitly.")
     if not q_rows:
         spark = codes.sparkSession
         empty = T.StructType([
@@ -958,10 +1065,291 @@ def ivf_pq_topk(
         codes, q_ids, lut, int(rescore_n),
         queries_schema=queries.schema,
         id_col=id_col, code_col=code_col,
-        list_col=list_col, probe_sets=probe_sets)
+        list_col=list_col, probe_sets=probe_sets,
+        bias=sims if residual else None)
     return _finish_topk(partial, int(rescore_n), k,
                         corpus=corpus, queries=queries,
                         id_col=id_col, vec_col=vec_col)
+
+
+def build_query_luts(
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC lookup tables built EXECUTOR-side: one Arrow stage over
+    the query frame (codebooks + centroids travel in the closure —
+    a few hundred KB), emitting per query row:
+
+    - ``lut``: the (m × n_codes) float64 LUT as bytes
+      (LUT[sub][code] = <q_sub, codebook[sub][code]>, unit-normalized
+      query — byte-for-byte the driver path's :func:`_query_luts`)
+    - ``probes``: the ``nprobe`` IVF lists (``centroids`` given),
+      same stable-argsort math as :func:`_assign_lists`
+    - ``bias``: the full q·centroidᵀ row as bytes (``centroids``
+      given) — the residual-ADC correction terms
+
+    This is the scale half of :func:`pq_topk_distributed`: the query
+    VECTORS never leave the executors; the driver only ever ferries
+    bounded blocks of these fixed-size derived rows (round-4 verdict
+    #2)."""
+    m, n_codes, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks)
+    cn = None
+    n_probe = 0
+    if centroids is not None:
+        cn = centroids / np.linalg.norm(centroids, axis=1,
+                                        keepdims=True)
+        n_probe = max(1, min(int(nprobe), len(centroids)))
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType,
+                      True),
+        T.StructField("lut", T.BinaryType(), True),
+        T.StructField("probes", T.ArrayType(T.IntegerType()), True),
+        T.StructField("bias", T.BinaryType(), True),
+    ])
+    src = queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("qvec"))
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            # LUT normalization: EXACT _query_luts arithmetic
+            q_lut = q_mat / np.maximum(
+                np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+            lut = np.einsum("qsd,scd->qsc",
+                            q_lut.reshape(len(q_mat), m, dsub), books)
+            out = {
+                "query_id": pdf["query_id"],
+                "lut": [x.tobytes() for x in lut],
+            }
+            if cn is not None:
+                # probe/bias normalization: EXACT ivf_pq_topk driver
+                # arithmetic (zero-norm guard differs from the LUT's)
+                norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (q_mat / norms) @ cn.T
+                order = np.argsort(-sims, axis=1,
+                                   kind="stable")[:, :n_probe]
+                out["probes"] = [[int(j) for j in row] for row in order]
+                out["bias"] = [s.tobytes() for s in sims]
+            else:
+                out["probes"] = [None] * len(pdf)
+                out["bias"] = [None] * len(pdf)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def _empty_topk_frame(codes: DataFrame, queries: DataFrame,
+                      corpus: DataFrame | None, id_col: str) -> DataFrame:
+    spark = codes.sparkSession
+    empty = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", codes.schema[id_col].dataType),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("cosine" if corpus is not None else "adc",
+                      T.DoubleType()),
+    ])
+    return spark.createDataFrame([], empty)
+
+
+def _topk_distributed(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    *,
+    centroids: np.ndarray | None,
+    nprobe: int,
+    corpus: DataFrame | None,
+    rescore_n: int,
+    queries_per_block: int,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    list_col: str | None,
+) -> DataFrame:
+    """Shared engine for :func:`pq_topk_distributed` /
+    :func:`ivf_pq_topk_distributed` — the UNBOUNDED-query ADC path.
+
+    The query frame is never collected: LUTs/probes/bias are built
+    executor-side (:func:`build_query_luts`), split into
+    deterministic md5-free hash blocks (``pmod(xxhash64(query_id),
+    B)``), and the driver ferries ONE block of fixed-size LUT rows at
+    a time (≤ ``queries_per_block`` × ~(m·n_codes·8 + n_lists·8)
+    bytes — the blocks bound driver memory no matter how many million
+    queries arrive). Each block scans the 32×-compressed code column
+    once with the per-partition top-R prune; results are eagerly
+    localCheckpoint'ed so block closures free before the next block
+    runs, then unioned. Total cost: ceil(|Q|/block) scans of the code
+    frame — the rescan-per-query-batch contract the PQ design is
+    built around (see :func:`pq_train`)."""
+    import math
+
+    m, n_codes, _ = codebooks.shape
+    if rescore_n < k:
+        raise ValueError("rescore_n must be >= k")
+    if residual and centroids is None:
+        raise ValueError("residual=True requires centroids")
+    if queries_per_block < 1:
+        raise ValueError("queries_per_block must be >= 1")
+    from ..functions.ckpt import checkpoint_tracked, free_checkpoint
+
+    # build + materialize the LUT frame ONCE (one pass over the query
+    # frame); the per-block filters below read the checkpointed
+    # blocks instead of re-running the crossJoin/einsum per block,
+    # and counting the materialized frame replaces a separate
+    # queries.count() scan
+    luts, lut_blocks = checkpoint_tracked(
+        build_query_luts(queries, codebooks, centroids=centroids,
+                         nprobe=nprobe, id_col=id_col,
+                         vec_col=vec_col))
+    spark = codes.sparkSession
+    try:
+        n_q = luts.count()
+        if n_q == 0:
+            return _empty_topk_frame(codes, queries, corpus, id_col)
+        n_blocks = max(1, math.ceil(n_q / int(queries_per_block)))
+        return _topk_block_loop(
+            codes, codebooks, queries, k, luts=luts,
+            n_blocks=n_blocks, centroids=centroids, corpus=corpus,
+            rescore_n=rescore_n, residual=residual, id_col=id_col,
+            vec_col=vec_col, code_col=code_col, list_col=list_col)
+    finally:
+        free_checkpoint(spark, lut_blocks)
+
+
+def _topk_block_loop(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int,
+    *,
+    luts: DataFrame,
+    n_blocks: int,
+    centroids: np.ndarray | None,
+    corpus: DataFrame | None,
+    rescore_n: int,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+    code_col: str,
+    list_col: str | None,
+) -> DataFrame:
+    m, n_codes, _ = codebooks.shape
+    qb = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_blocks))
+    results: list[DataFrame] = []
+    for b in range(n_blocks):
+        rows = luts.where(qb == b).collect()
+        if not rows:
+            continue
+        q_ids = [r["query_id"] for r in rows]
+        lut = np.stack([
+            np.frombuffer(r["lut"], dtype=np.float64)
+            .reshape(m, n_codes) for r in rows
+        ])
+        probe_sets = None
+        bias = None
+        if centroids is not None:
+            probe_sets = [set(r["probes"]) for r in rows]
+            if residual:
+                bias = np.stack([
+                    np.frombuffer(r["bias"], dtype=np.float64)
+                    for r in rows
+                ])
+        partial = _adc_partial_topn(
+            codes, q_ids, lut, int(rescore_n),
+            queries_schema=queries.schema,
+            id_col=id_col, code_col=code_col,
+            list_col=list_col if centroids is not None else None,
+            probe_sets=probe_sets, bias=bias)
+        q_block = queries.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == b)
+        res = _finish_topk(partial, int(rescore_n), k,
+                           corpus=corpus, queries=q_block,
+                           id_col=id_col, vec_col=vec_col)
+        # eager checkpoint: materializes this block's small top-k and
+        # releases the block's LUT closure before the next iteration
+        results.append(res.localCheckpoint(eager=True))
+    if not results:
+        return _empty_topk_frame(codes, queries, corpus, id_col)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def pq_topk_distributed(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus: DataFrame | None = None,
+    rescore_n: int = 32,
+    queries_per_block: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+) -> DataFrame:
+    """:func:`pq_topk` without the driver-LUT query bound — the
+    100 TB SERVING path (round-4 verdict task #1): LUTs are built
+    executor-side over the query DataFrame (the query vectors never
+    reach the driver), queries process in deterministic hash blocks
+    of ``queries_per_block``, and each block is one rescan of the
+    compressed code column with the same per-partition top-R prune
+    and exact-cosine rescore. Output and semantics are identical to
+    :func:`pq_topk` (pinned in tests); only the query-side plumbing
+    scales."""
+    return _topk_distributed(
+        codes, codebooks, queries, k,
+        centroids=None, nprobe=0, corpus=corpus,
+        rescore_n=rescore_n, queries_per_block=queries_per_block,
+        residual=False, id_col=id_col, vec_col=vec_col,
+        code_col=code_col, list_col=None)
+
+
+def ivf_pq_topk_distributed(
+    codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    corpus: DataFrame | None = None,
+    rescore_n: int = 32,
+    queries_per_block: int = 10_000,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """:func:`ivf_pq_topk` without the driver-LUT query bound: probe
+    lists, LUTs, and (with ``residual=True``) centroid-bias rows are
+    all computed executor-side in one Arrow stage over the query
+    frame; the driver ferries bounded LUT blocks only. Same planted
+    invariants as the driver-path parent (identical twin's list is
+    probe[0]; nprobe=n_lists equals plain PQ)."""
+    return _topk_distributed(
+        codes, codebooks, queries, k,
+        centroids=centroids, nprobe=nprobe, corpus=corpus,
+        rescore_n=rescore_n, queries_per_block=queries_per_block,
+        residual=residual, id_col=id_col, vec_col=vec_col,
+        code_col=code_col, list_col=list_col)
 
 
 def tune_rescore_n(

@@ -310,3 +310,255 @@ def test_pq_encode_with_error_staleness_signal(spark, emb, books) -> None:
             SIM.pq_encode(drifted, books, with_error=True).collect()]
     terr = [r["pq_err"] for r in rows]
     assert np.median(derr) > np.median(terr)
+
+
+# ---------------------------------------------------------------------------
+# Distributed query path (round-4 verdict #1): executor-side LUTs,
+# unbounded query count, driver never collects the query frame.
+# ---------------------------------------------------------------------------
+
+
+def test_build_query_luts_exact_and_plan(spark, emb, books) -> None:
+    """The executor-built LUT bytes are byte-identical to the driver
+    path's _query_luts, and the build is one MapInPandas Arrow stage
+    (the 'no driver collect of the query frame' plan pin)."""
+    qs = emb.where("vec_id < 6").select("vec_id", "embedding")
+    frame = SIM.build_query_luts(qs, books)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CollectLimit" not in plan and "Exchange" not in plan
+    got = {r["query_id"]: bytes(r["lut"]) for r in frame.collect()}
+    q_rows = qs.collect()
+    q_ids, lut = SIM._query_luts(q_rows, books,
+                                 id_col="vec_id", vec_col="embedding")
+    for i, qid in enumerate(q_ids):
+        assert got[qid] == lut[i].tobytes()
+    # probes/bias are NULL without centroids
+    assert all(r["probes"] is None and r["bias"] is None
+               for r in frame.collect())
+
+
+def test_pq_topk_distributed_equals_driver(spark, emb, books) -> None:
+    """Multiple hash blocks (queries_per_block forces 3+) must return
+    exactly the driver path's result — same ranks, same cosines."""
+    codes = SIM.pq_encode(emb, books)
+    qs = emb.where("vec_id < 12")
+    want = sorted(map(tuple, SIM.pq_topk(
+        codes, books, qs, k=3, corpus=emb, rescore_n=16).collect()))
+    got = sorted(map(tuple, SIM.pq_topk_distributed(
+        codes, books, qs, k=3, corpus=emb, rescore_n=16,
+        queries_per_block=4).collect()))
+    assert got == want
+    # ADC-only mode too
+    wa = sorted(map(tuple, SIM.pq_topk(
+        codes, books, qs, k=3, rescore_n=8).collect()))
+    ga = sorted(map(tuple, SIM.pq_topk_distributed(
+        codes, books, qs, k=3, rescore_n=8,
+        queries_per_block=5).collect()))
+    assert ga == wa
+
+
+def test_pq_topk_distributed_beyond_driver_bound(spark, emb) -> None:
+    """>10k queries — the load the driver path refuses — processed in
+    bounded blocks with the planted-twin invariant exact for every
+    query: replicas of 5 base queries (fresh ids) must all rank their
+    base's identical twin 1 at cosine 1.0."""
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    books = SIM.pq_train(corpus, m=8, n_codes=64, seed=11)
+    codes = SIM.pq_encode(corpus, books)
+    reps = spark.range(2021).select(F.col("id").alias("r"))
+    qs = (emb.where("vec_id < 5").crossJoin(reps)
+          .select((F.lit(100000) + F.col("r") * 10 + F.col("vec_id"))
+                  .alias("vec_id"), "embedding"))
+    n_q = qs.count()
+    assert n_q == 10_105  # > the 10k driver bound
+    with pytest.raises(ValueError, match="max_queries"):
+        SIM.pq_topk(codes, books, qs, k=1, corpus=corpus)
+    top1 = SIM.pq_topk_distributed(
+        codes, books, qs, k=1, corpus=corpus, rescore_n=16,
+        queries_per_block=4096).collect()
+    assert len(top1) == n_q
+    for r in top1:
+        # two identical vectors exist per base (the original and its
+        # +5000 twin); exact-cosine tie-break picks the lower id
+        assert r["neighbor_id"] == r["query_id"] % 10
+        assert r["cosine"] == 1.0
+
+
+def test_ivf_pq_topk_distributed_equals_driver(spark, emb) -> None:
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    books = SIM.pq_train(emb, m=8, n_codes=64, seed=11)
+    codes = SIM.pq_encode(assigned, books, keep_cols=("list_id",))
+    qs = emb.where("vec_id < 10")
+    want = sorted(map(tuple, SIM.ivf_pq_topk(
+        codes, cents, books, qs, k=3, nprobe=2,
+        corpus=emb, rescore_n=16).collect()))
+    got = sorted(map(tuple, SIM.ivf_pq_topk_distributed(
+        codes, cents, books, qs, k=3, nprobe=2, corpus=emb,
+        rescore_n=16, queries_per_block=3).collect()))
+    assert got == want
+
+
+def test_topk_distributed_guards_and_empty(spark, emb, books) -> None:
+    codes = SIM.pq_encode(emb, books)
+    none = SIM.pq_topk_distributed(
+        codes, books, emb.where("vec_id < 0"), k=3)
+    assert none.count() == 0
+    assert none.columns == ["query_id", "neighbor_id", "rank", "adc"]
+    with pytest.raises(ValueError, match="rescore_n"):
+        SIM.pq_topk_distributed(codes, books, emb.limit(1),
+                                k=5, rescore_n=2)
+    with pytest.raises(ValueError, match="queries_per_block"):
+        SIM.pq_topk_distributed(codes, books, emb.limit(1),
+                                k=1, queries_per_block=0)
+    with pytest.raises(ValueError, match="residual"):
+        SIM._topk_distributed(
+            codes, books, emb.limit(1), 1, centroids=None, nprobe=0,
+            corpus=None, rescore_n=8, queries_per_block=10,
+            residual=True, id_col="vec_id", vec_col="embedding",
+            code_col="code", list_col=None)
+
+
+# ---------------------------------------------------------------------------
+# Residual-encoded IVF-PQ (round-4 verdict #2): codebooks trained on
+# coarse-centroid residuals — finer quantization at the same bits.
+# ---------------------------------------------------------------------------
+
+
+def test_residual_encode_guards(spark, emb, books) -> None:
+    with pytest.raises(ValueError, match="list_col requires"):
+        SIM.pq_encode(emb, books, list_col="list_id")
+    _, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    with pytest.raises(ValueError, match="not in frame"):
+        SIM.pq_encode(emb, books, centroids=cents, list_col="nope")
+    with pytest.raises(ValueError, match="bias requires"):
+        SIM._adc_partial_topn(
+            SIM.pq_encode(emb, books), [0],
+            np.zeros((1, 8, 64)), 4, queries_schema=emb.schema,
+            id_col="vec_id", code_col="code",
+            bias=np.zeros((1, 8)))
+
+
+def test_residual_encode_emits_consistent_lists(spark, emb) -> None:
+    """pq_encode(centroids=...) without list_col recomputes the
+    assignment with _assign_lists' exact math — must agree with the
+    ivf_index frame; with list_col it reads the stored column."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    rbooks = SIM.pq_train(emb, m=8, n_codes=64, seed=11,
+                          centroids=cents)
+    via_col = SIM.pq_encode(assigned, rbooks, centroids=cents,
+                            list_col="list_id",
+                            keep_cols=("list_id",))
+    recomputed = SIM.pq_encode(emb, rbooks, centroids=cents)
+    a = {r["vec_id"]: (r["list_id"], bytes(r["code"]))
+         for r in via_col.collect()}
+    b = {r["vec_id"]: (r["list_id"], bytes(r["code"]))
+         for r in recomputed.collect()}
+    assert a == b
+
+
+def _clustered_emb(spark, n=600, dim=64, n_clusters=8, seed=5):
+    """Deterministic CLUSTERED unit vectors — the regime residual
+    encoding exists for (real embedding corpora cluster; uniform
+    random vectors do not, and there residuals carry MORE energy
+    than the vectors: ||x - c||² ≈ 2 for near-orthogonal x, c)."""
+    rng = np.random.RandomState(seed)
+    anchors = rng.standard_normal((n_clusters, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = anchors[i % n_clusters] + 0.15 * rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+
+
+def test_residual_quantization_error_strictly_lower(spark) -> None:
+    """THE reason residual encoding exists: on clustered data,
+    quantizing residuals from the coarse centroid at the same
+    (m, n_codes) bits leaves strictly less error than quantizing the
+    raw normalized vectors. (On UNIFORM random vectors the opposite
+    holds — residuals carry more energy — which is why this test
+    builds a clustered corpus, not the random `embeddings` table.)"""
+    emb = _clustered_emb(spark).cache()
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    raw_books = SIM.pq_train(emb, m=8, n_codes=64, seed=11)
+    res_books = SIM.pq_train(emb, m=8, n_codes=64, seed=11,
+                             centroids=cents)
+    raw_err = [r["pq_err"] for r in SIM.pq_encode(
+        emb, raw_books, with_error=True).collect()]
+    res_err = [r["pq_err"] for r in SIM.pq_encode(
+        assigned, res_books, centroids=cents, list_col="list_id",
+        with_error=True).collect()]
+    assert np.median(res_err) < np.median(raw_err)
+    assert np.mean(res_err) < np.mean(raw_err)
+
+
+def test_residual_ivfpq_planted_twin_rank1(spark, emb) -> None:
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    assigned, cents = SIM.ivf_index(corpus, n_lists=8, seed=11)
+    rbooks = SIM.pq_train(corpus, m=8, n_codes=64, seed=11,
+                          centroids=cents)
+    codes = SIM.pq_encode(assigned, rbooks, centroids=cents,
+                          list_col="list_id", keep_cols=("list_id",))
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    top1 = SIM.ivf_pq_topk(codes, cents, rbooks, qs, k=1, nprobe=1,
+                           corpus=corpus, rescore_n=16,
+                           residual=True).collect()
+    assert len(top1) == 5
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] + 5000
+        assert r["cosine"] == 1.0
+
+
+def test_residual_recall_at_fixed_budget(spark) -> None:
+    """Measured recall@5 at the SAME rescore_n on clustered data:
+    residual IVFADC must not be worse than raw-vector IVFADC (it is
+    typically strictly better; the ADC-error test above pins the
+    mechanism)."""
+    emb = _clustered_emb(spark).cache()
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    raw_books = SIM.pq_train(emb, m=8, n_codes=64, seed=11)
+    res_books = SIM.pq_train(emb, m=8, n_codes=64, seed=11,
+                             centroids=cents)
+    raw_codes = SIM.pq_encode(assigned, raw_books,
+                              keep_cols=("list_id",))
+    res_codes = SIM.pq_encode(assigned, res_books, centroids=cents,
+                              list_col="list_id",
+                              keep_cols=("list_id",))
+    qs = emb.where("vec_id < 20")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(emb, qs, k=5).collect()}
+    raw = {(r["query_id"], r["neighbor_id"])
+           for r in SIM.ivf_pq_topk(
+               raw_codes, cents, raw_books, qs, k=5, nprobe=8,
+               corpus=emb, rescore_n=32).collect()}
+    res = {(r["query_id"], r["neighbor_id"])
+           for r in SIM.ivf_pq_topk(
+               res_codes, cents, res_books, qs, k=5, nprobe=8,
+               corpus=emb, rescore_n=32, residual=True).collect()}
+    r_raw = len(raw & exact) / len(exact)
+    r_res = len(res & exact) / len(exact)
+    assert r_res >= r_raw
+
+
+def test_residual_distributed_equals_driver(spark, emb) -> None:
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    rbooks = SIM.pq_train(emb, m=8, n_codes=64, seed=11,
+                          centroids=cents)
+    codes = SIM.pq_encode(assigned, rbooks, centroids=cents,
+                          list_col="list_id", keep_cols=("list_id",))
+    qs = emb.where("vec_id < 8")
+    want = sorted(map(tuple, SIM.ivf_pq_topk(
+        codes, cents, rbooks, qs, k=3, nprobe=2, corpus=emb,
+        rescore_n=16, residual=True).collect()))
+    got = sorted(map(tuple, SIM.ivf_pq_topk_distributed(
+        codes, cents, rbooks, qs, k=3, nprobe=2, corpus=emb,
+        rescore_n=16, residual=True,
+        queries_per_block=3).collect()))
+    assert got == want
