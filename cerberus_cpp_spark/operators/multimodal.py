@@ -639,7 +639,7 @@ AUDIO_HEADER_SCHEMA = (
     "clip_id string, fmt string, ok boolean, message string, "
     "sample_rate int, channels int, duration_ms bigint, "
     "n_frames int, bitrate_kbps_min int, bitrate_kbps_max int, "
-    "cbr boolean, id3v2 boolean, id3v1 boolean"
+    "cbr boolean, id3v2 boolean, id3v1 boolean, profile string"
 )
 
 
@@ -661,9 +661,15 @@ def audio_header_info(
     measures what a transcode pipeline needs to know BEFORE spending
     a decoder on the clip. One narrow Arrow stage.
 
-    ``fmt``: 'wav' / 'mpeg' / NULL (unrecognized or no payload);
-    ``ok`` False carries a structural ``message``. MPEG-only columns
-    are NULL for wav rows and vice versa (cbr/id3/bitrates)."""
+    AAC ADTS payloads (ISO 13818-7 transport) get the same chain
+    walk: per-frame header arithmetic, 1024 samples per raw data
+    block, exact duration, truncation / parameter-change detection,
+    CRC-frame accounting, plus the AAC ``profile`` (main/lc/ssr/ltp).
+
+    ``fmt``: 'wav' / 'mpeg' / 'adts' / NULL (unrecognized or no
+    payload); ``ok`` False carries a structural ``message``.
+    Family-specific columns are NULL elsewhere (cbr/id3v1/bitrates
+    are MPEG-only; profile is ADTS-only)."""
     src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
     pkg_parent = PKG_PARENT
 
@@ -673,7 +679,9 @@ def audio_header_info(
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
         from cerberus_cpp_spark.sources.mpegaudio import (
+            audit_adts,
             audit_mpeg_audio,
+            sniff_adts,
             sniff_mpeg_audio,
         )
         from cerberus_cpp_spark.sources.wavcodec import (
@@ -683,7 +691,8 @@ def audio_header_info(
 
         cols = ("fmt", "ok", "message", "sample_rate", "channels",
                 "duration_ms", "n_frames", "bitrate_kbps_min",
-                "bitrate_kbps_max", "cbr", "id3v2", "id3v1")
+                "bitrate_kbps_max", "cbr", "id3v2", "id3v1",
+                "profile")
 
         for pdf in batches:
             out: dict = {"clip_id": pdf["clip_id"],
@@ -718,6 +727,15 @@ def audio_header_info(
                         bitrate_kbps_max=a["bitrate_kbps_max"],
                         cbr=a["cbr"], id3v2=a["id3v2"],
                         id3v1=a["id3v1"])
+                elif sniff_adts(blob):
+                    a = audit_adts(blob)
+                    put(fmt="adts", ok=a["ok"], message=a["message"],
+                        sample_rate=a["sample_rate"],
+                        channels=a["channels"],
+                        duration_ms=a["duration_ms"],
+                        n_frames=a["n_frames"] or None,
+                        id3v2=a["id3v2"],
+                        profile=a["profile"])
                 else:
                     put(ok=False, message="unrecognized audio stream")
             res = pd.DataFrame(out)

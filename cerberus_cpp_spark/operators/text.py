@@ -457,6 +457,7 @@ def curate_documents(
     pii_kinds: tuple = ("email", "ipv4", "ssn", "phone"),
     dedup: bool = True,
     full_rows: bool = False,
+    keep_fingerprint: bool = False,
 ) -> DataFrame:
     """The curation verdict pass an LLM corpus actually ships
     through: every text filter this module provides, composed into
@@ -488,7 +489,10 @@ def curate_documents(
     top_line_share, n_pii). ``full_rows=True`` carries EVERY source
     column through (same single projection — no join back), the
     shape :func:`curate_split` needs; verdict column names must not
-    collide with source columns in that mode."""
+    collide with source columns in that mode. ``keep_fingerprint``
+    appends the md5 fingerprint column — the handle the streaming
+    twin (``streaming.curate.curate_documents_stream``) groups its
+    duplicate state on."""
     from pyspark.sql.window import Window
 
     verdict_cols = ("reasons", "keep", "n_tokens", "quality_score",
@@ -545,12 +549,14 @@ def curate_documents(
         when(F.col("__rk") > 1, "duplicate"),
     )
     head = list(df.columns) if full_rows else [id_col]
+    tail = ["fingerprint"] if keep_fingerprint else []
     return base.select(
         *head,
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
         "n_tokens", "quality_score", "lang_guess",
         "dup_line_ratio", "top_line_share", "n_pii",
+        *tail,
     )
 
 

@@ -214,3 +214,180 @@ def build_id3v2(size: int = 32) -> bytes:
     ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
                 (size >> 7) & 0x7F, size & 0x7F])
     return b"ID3\x04\x00\x00" + ss + b"\x00" * size
+
+
+# ---------------------------------------------------------------------------
+# AAC ADTS (ISO/IEC 13818-7) — the same structural pattern for the
+# other ubiquitous compressed-audio transport. ADTS and MPEG audio
+# sync words are mutually exclusive to these parsers: an ADTS header
+# carries layer bits 00, which parse_frame_header rejects as
+# "reserved layer", and an MPEG audio header carries layer != 0,
+# which parse_adts_header rejects — so the sniffers cannot cross-
+# classify. Sample decode stays an honest stub (no AAC decoder in
+# the container); the FRAME layer is pure header arithmetic: 1024
+# samples per raw data block, frame byte length carried in the
+# header, so duration / truncation / parameter-change detection are
+# exactly replayable by contract oracles.
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350]
+_ADTS_PROFILES = ("main", "lc", "ssr", "ltp")
+
+
+def parse_adts_header(hdr: bytes) -> dict:
+    """Decode one ADTS fixed+variable header (7 bytes; CRC-protected
+    frames carry 2 extra check bytes counted in ``header_bytes``).
+    ValueError on bad sync, nonzero layer, or reserved/forbidden
+    sample-rate index."""
+    if len(hdr) < 7:
+        raise ValueError("truncated ADTS header")
+    if hdr[0] != 0xFF or (hdr[1] & 0xF0) != 0xF0:
+        raise ValueError("bad ADTS sync word")
+    if (hdr[1] >> 1) & 3 != 0:
+        raise ValueError("ADTS layer bits must be 0")
+    mpeg2 = bool((hdr[1] >> 3) & 1)
+    crc = not (hdr[1] & 1)
+    profile = (hdr[2] >> 6) & 3
+    ridx = (hdr[2] >> 2) & 0xF
+    if ridx >= 13:
+        raise ValueError("reserved/forbidden ADTS sample-rate index")
+    chan = ((hdr[2] & 1) << 2) | (hdr[3] >> 6)
+    frame_len = ((hdr[3] & 3) << 11) | (hdr[4] << 3) | (hdr[5] >> 5)
+    header_bytes = 9 if crc else 7
+    if frame_len < header_bytes:
+        raise ValueError("ADTS frame length smaller than its header")
+    fullness = ((hdr[5] & 0x1F) << 6) | (hdr[6] >> 2)
+    blocks = (hdr[6] & 3) + 1
+    return {
+        "mpeg_version": "2" if mpeg2 else "4",
+        "crc": crc,
+        "profile": _ADTS_PROFILES[profile],
+        "sample_rate": _ADTS_RATES[ridx],
+        "channel_config": chan,
+        # config 1-6 = that many channels; 7 = 7.1 (8); 0 = PCE
+        # in-band (unknown without parsing the raw block)
+        "channels": (8 if chan == 7 else chan if chan >= 1 else None),
+        "frame_bytes": frame_len,
+        "samples": 1024 * blocks,
+        "raw_blocks": blocks,
+        "fullness": fullness,
+        "header_bytes": header_bytes,
+    }
+
+
+def sniff_adts(data: bytes) -> bool:
+    """True when the payload starts with a valid ADTS frame header
+    (after a leading ID3v2 tag, when present)."""
+    if data is None or len(data) < 7:
+        return False
+    try:
+        off = _id3v2_size(data)
+        parse_adts_header(data[off:off + 7])
+        return True
+    except ValueError:
+        return False
+
+
+def audit_adts(data: bytes) -> dict:
+    """Walk the full ADTS frame chain; structural report:
+
+    ``{"ok", "message", "n_frames", "duration_ms", "sample_rate",
+    "profile", "channels", "crc_frames", "raw_blocks",
+    "buffer_fullness_vbr", "id3v2"}``
+
+    ok=False (with a message) on truncation, bad sync mid-stream, or
+    mid-stream profile/sample-rate/channel changes. Duration is exact
+    integer math: Σ(1024·raw_blocks)·1000 // sample_rate.
+    ``buffer_fullness_vbr`` is True when every frame signals 0x7FF
+    (the encoder's VBR marker)."""
+    out = {
+        "ok": False, "message": None, "n_frames": 0,
+        "duration_ms": None, "sample_rate": None, "profile": None,
+        "channels": None, "crc_frames": 0, "raw_blocks": 0,
+        "buffer_fullness_vbr": None, "id3v2": False,
+    }
+    try:
+        off = _id3v2_size(data)
+        out["id3v2"] = off > 0
+        if off > len(data):
+            raise ValueError("ID3v2 tag longer than the payload")
+        end = len(data)
+        first = None
+        samples = 0
+        all_vbr = True
+        while off < end:
+            h = parse_adts_header(data[off:off + 7])
+            if first is None:
+                first = h
+                out.update(
+                    sample_rate=h["sample_rate"],
+                    profile=h["profile"], channels=h["channels"],
+                )
+            elif (h["sample_rate"], h["profile"],
+                  h["channel_config"]) != (
+                    first["sample_rate"], first["profile"],
+                    first["channel_config"]):
+                raise ValueError(
+                    f"stream parameters change at frame"
+                    f" {out['n_frames']}")
+            if off + h["frame_bytes"] > end:
+                raise ValueError(
+                    f"frame {out['n_frames']} truncated"
+                    f" ({end - off} of {h['frame_bytes']} bytes)")
+            samples += h["samples"]
+            out["n_frames"] += 1
+            out["crc_frames"] += 1 if h["crc"] else 0
+            out["raw_blocks"] += h["raw_blocks"]
+            all_vbr = all_vbr and h["fullness"] == 0x7FF
+            off += h["frame_bytes"]
+        if out["n_frames"] == 0:
+            raise ValueError("no ADTS frames")
+        out["duration_ms"] = samples * 1000 // first["sample_rate"]
+        out["buffer_fullness_vbr"] = all_vbr
+        out["ok"] = True
+    except ValueError as e:
+        out["message"] = str(e)[:160]
+    return out
+
+
+def build_adts_frame(*, sample_rate: int = 44100,
+                     channel_config: int = 2,
+                     profile: str = "lc",
+                     payload: int = 64,
+                     crc: bool = False,
+                     raw_blocks: int = 1,
+                     fullness: int = 0x7FF,
+                     mpeg2: bool = False) -> bytes:
+    """Spec-valid ADTS frame with a zeroed raw data block —
+    deterministic fixture material (the payload is NOT decodable AAC
+    and does not claim to be; CRC check bytes are zeroed)."""
+    try:
+        ridx = _ADTS_RATES.index(sample_rate)
+    except ValueError:
+        raise ValueError(f"not an ADTS sample rate: {sample_rate}")
+    try:
+        pidx = _ADTS_PROFILES.index(profile)
+    except ValueError:
+        raise ValueError(f"not an ADTS profile: {profile!r}")
+    if not 0 <= channel_config <= 7:
+        raise ValueError("channel_config must be in [0, 7]")
+    if not 1 <= raw_blocks <= 4:
+        raise ValueError("raw_blocks must be in [1, 4]")
+    if not 0 <= fullness <= 0x7FF:
+        raise ValueError("fullness must fit 11 bits")
+    header_bytes = 9 if crc else 7
+    frame_len = header_bytes + int(payload)
+    if frame_len >= (1 << 13):
+        raise ValueError("ADTS frame length exceeds 13 bits")
+    b = bytearray(7)
+    b[0] = 0xFF
+    b[1] = 0xF0 | (int(mpeg2) << 3) | (0 << 1) | (0 if crc else 1)
+    b[2] = (pidx << 6) | (ridx << 2) | (channel_config >> 2)
+    b[3] = ((channel_config & 3) << 6) | ((frame_len >> 11) & 3)
+    b[4] = (frame_len >> 3) & 0xFF
+    b[5] = ((frame_len & 7) << 5) | (fullness >> 6)
+    b[6] = ((fullness & 0x3F) << 2) | (raw_blocks - 1)
+    if crc:
+        b += b"\x00\x00"
+    return bytes(b) + b"\x00" * int(payload)

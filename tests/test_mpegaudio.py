@@ -125,3 +125,107 @@ def test_audio_header_info_operator(spark, tmp_path) -> None:
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# AAC ADTS structural layer (ISO/IEC 13818-7 frame arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def test_adts_header_arithmetic() -> None:
+    f = ma.build_adts_frame(sample_rate=48000, channel_config=2,
+                           profile="lc", payload=50, crc=True,
+                           raw_blocks=2, fullness=123)
+    h = ma.parse_adts_header(f)
+    assert h["sample_rate"] == 48000 and h["channels"] == 2
+    assert h["profile"] == "lc" and h["crc"] is True
+    assert h["frame_bytes"] == 9 + 50 == len(f)
+    assert h["samples"] == 2048 and h["raw_blocks"] == 2
+    assert h["fullness"] == 123 and h["header_bytes"] == 9
+    # 7.1 mapping and PCE-in-band
+    h7 = ma.parse_adts_header(ma.build_adts_frame(channel_config=7))
+    assert h7["channels"] == 8
+    h0 = ma.parse_adts_header(ma.build_adts_frame(channel_config=0))
+    assert h0["channels"] is None
+    # guards
+    with pytest.raises(ValueError, match="sync"):
+        ma.parse_adts_header(b"\x00" * 7)
+    with pytest.raises(ValueError, match="sample rate"):
+        ma.build_adts_frame(sample_rate=44000)
+    with pytest.raises(ValueError, match="profile"):
+        ma.build_adts_frame(profile="he")
+    with pytest.raises(ValueError, match="raw_blocks"):
+        ma.build_adts_frame(raw_blocks=5)
+    with pytest.raises(ValueError, match="13 bits"):
+        ma.build_adts_frame(payload=10_000)
+
+
+def test_adts_sniff_disjoint_from_mpeg_audio() -> None:
+    """ADTS carries layer bits 00 (reserved for MPEG audio) and MPEG
+    audio carries layer != 0 (rejected by the ADTS parser): the two
+    sniffers can never cross-classify a payload."""
+    aac = ma.build_adts_frame() * 3
+    mp3 = ma.build_frame(bitrate_kbps=128, sample_rate=44100) * 3
+    assert ma.sniff_adts(aac) and not ma.sniff_mpeg_audio(aac)
+    assert ma.sniff_mpeg_audio(mp3) and not ma.sniff_adts(mp3)
+    assert ma.sniff_adts(ma.build_id3v2(16) + aac)
+    assert not ma.sniff_adts(b"RIFF....WAVE")
+    assert not ma.sniff_adts(None) and not ma.sniff_adts(b"\xff")
+
+
+def test_adts_audit_chain_and_duration() -> None:
+    f = ma.build_adts_frame(sample_rate=32000, channel_config=1,
+                           profile="main", payload=40)
+    a = ma.audit_adts(ma.build_id3v2(8) + f * 5)
+    assert a["ok"] and a["n_frames"] == 5 and a["id3v2"]
+    assert a["sample_rate"] == 32000 and a["channels"] == 1
+    assert a["profile"] == "main"
+    assert a["duration_ms"] == 5 * 1024 * 1000 // 32000
+    assert a["crc_frames"] == 0 and a["raw_blocks"] == 5
+    assert a["buffer_fullness_vbr"] is True  # default 0x7FF
+    # CBR-style fullness: not the VBR marker
+    g = ma.build_adts_frame(fullness=100)
+    assert ma.audit_adts(g * 2)["buffer_fullness_vbr"] is False
+    # multi-raw-block frames count 1024 samples per block
+    mb = ma.build_adts_frame(raw_blocks=3)
+    assert ma.audit_adts(mb)["duration_ms"] == 3 * 1024 * 1000 // 44100
+
+
+def test_adts_audit_damage_classes() -> None:
+    f = ma.build_adts_frame(payload=40)
+    trunc = ma.audit_adts((f * 3)[:-10])
+    assert not trunc["ok"] and "frame 2 truncated" in trunc["message"]
+    assert trunc["n_frames"] == 2
+    other = ma.build_adts_frame(payload=40, sample_rate=48000)
+    pc = ma.audit_adts(f + other + f)
+    assert not pc["ok"]
+    assert pc["message"] == "stream parameters change at frame 1"
+    assert ma.audit_adts(b"")["message"] == "no ADTS frames"
+    # profile change is a parameter change too
+    pm = ma.audit_adts(f + ma.build_adts_frame(payload=40,
+                                             profile="main"))
+    assert "parameters change" in pm["message"]
+
+
+def test_audio_header_info_routes_adts(spark) -> None:
+    from cerberus_cpp_spark.operators.multimodal import (
+        audio_header_info,
+    )
+
+    aac = ma.build_adts_frame(sample_rate=44100, channel_config=2,
+                             profile="ltp", payload=48, crc=True) * 4
+    mp3 = ma.build_frame(bitrate_kbps=128, sample_rate=44100) * 2
+    df = spark.createDataFrame(
+        [("a", bytearray(aac)), ("b", bytearray(mp3)),
+         ("c", bytearray((aac * 1)[:-5]))],
+        "clip_id string, bytes binary")
+    rows = {r["clip_id"]: r for r in audio_header_info(df).collect()}
+    a = rows["a"]
+    assert a["fmt"] == "adts" and a["ok"]
+    assert a["profile"] == "ltp" and a["n_frames"] == 4
+    assert a["duration_ms"] == 4 * 1024 * 1000 // 44100
+    assert a["bitrate_kbps_min"] is None and a["cbr"] is None
+    assert rows["b"]["fmt"] == "mpeg" and rows["b"]["profile"] is None
+    c = rows["c"]
+    assert c["fmt"] == "adts" and not c["ok"]
+    assert "truncated" in c["message"]
