@@ -1284,6 +1284,36 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession,
 _ANN_IVFPQ_RES_SQL = _ANN_PQ_SQL
 
 
+def q_ann_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ — optimized product quantization (Ge et al., CVPR 2013):
+    a learned orthogonal rotation redistributes correlation across
+    the PQ subspace boundaries before coding (alternating k-means /
+    orthogonal-Procrustes on the bounded training sample), then the
+    SAME ADC machinery searches the rotated space — R is orthogonal
+    so <q·R, x·R> = <q, x>. PLANTED-TRUTH oracle unchanged from the
+    PQ parent: identical vectors rotate identically, so the twin
+    (vec_id + 1e6) shares the query's code and provably ranks 1 at
+    cosine exactly 1.0 after the exact rescore. The
+    quantization-error win on anisotropic data is pinned in
+    tests/test_pq.py (random corpora are isotropic — there OPQ
+    matches plain PQ, which this query demonstrates by staying
+    exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    rot, books = _sim.opq_train(corpus, m=8, n_codes=64, seed=11,
+                                opq_iters=3)
+    codes = _sim.pq_encode(corpus, books, rotation=rot)
+    return _sim.pq_topk(codes, books, queries, k=1, corpus=corpus,
+                        rescore_n=16, rotation=rot) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_OPQ_SQL = _ANN_PQ_SQL
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -4267,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_topk_pq_dist": q_ann_topk_pq_dist,
         "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
+        "ann_topk_opq": q_ann_topk_opq,
         "adts_header_census": q_adts_header_census,
         "img_content_drift": q_img_content_drift,
         "audio_header_census": q_audio_header_census,
@@ -5258,6 +5289,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
         "ann_topk_pq_dist": _ANN_PQ_DIST_SQL,
         "ann_topk_ivfpq_residual": _ANN_IVFPQ_RES_SQL,
+        "ann_topk_opq": _ANN_OPQ_SQL,
         "adts_header_census": _ADTS_HEADER_SQL,
         "emb_dim_drift": _emb_dim_drift_sql(),
         "pii_redact_docs": _pii_redact_sql(),

@@ -603,12 +603,98 @@ def pq_train(
                                         keepdims=True)
         assign = (mat @ cn.T).argmax(axis=1)
         mat = mat - cn[assign]
+    # incremental k-means++ running-min inside (same exact values as
+    # a per-centroid full recompute — 19× less work, measured)
+    return _pq_kmeans(mat, m, n_codes, iters, seed)
+
+
+def opq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    train_rows: int = 20_000,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 11,
+    sample_mod: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013 —
+    public): learn an ORTHOGONAL rotation R that redistributes
+    variance/correlation across the PQ subspace boundaries before
+    quantizing, then codebooks on the rotated sample. Returns
+    ``(rotation, codebooks)`` — feed both to
+    ``pq_encode(rotation=...)`` / ``pq_topk(rotation=...)``.
+
+    Alternating minimization on the SAME bounded deterministic sample
+    as :func:`pq_train`: (1) k-means codebooks on X·R, (2) the
+    orthogonal Procrustes step R = U·Vᵀ from the SVD of Xᵀ·Y (Y =
+    the per-subspace reconstruction). R is orthogonal, so rotated
+    inner products equal raw ones (<q·R, x·R> = <q, x>) and the whole
+    ADC machinery — LUTs, per-partition prune, exact rescore — is
+    unchanged; only encode/query rotate first. Wins when dimensions
+    are correlated or variance is uneven across subspaces (real
+    embeddings; measured in tests on anisotropic data — on already
+    isotropic vectors R converges near a permutation and matches
+    plain PQ)."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if not 2 <= n_codes <= 256:
+        raise ValueError("n_codes must be in [2, 256] (uint8 codes)")
+    if opq_iters < 1:
+        raise ValueError("opq_iters must be >= 1")
+    mat = _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
+    if len(mat) < n_codes:
+        raise ValueError(
+            f"OPQ training sample ({len(mat)}) smaller than n_codes "
+            f"({n_codes}); lower n_codes or sample_mod")
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) not divisible by m ({m})")
+    dsub = dim // m
+    mat = mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rot = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        xr = mat @ rot
+        # codebooks on the rotated sample: same k-means as pq_train
+        # (per-subspace k-means++ + Lloyd), fewer Lloyd iters per
+        # alternation — the outer loop supplies the refinement
+        books = _pq_kmeans(xr, m, n_codes, max(2, iters // 2), seed)
+        recon = np.empty_like(xr)
+        for sub in range(m):
+            part = xr[:, sub * dsub:(sub + 1) * dsub]
+            # expansion trick: (n, k) distances, never an (n, k, d)
+            # tensor (the sample is 20k rows — memory matters)
+            d2 = ((part ** 2).sum(axis=1, keepdims=True)
+                  - 2.0 * part @ books[sub].T
+                  + (books[sub] ** 2).sum(axis=1))
+            recon[:, sub * dsub:(sub + 1) * dsub] = \
+                books[sub][d2.argmin(axis=1)]
+        # orthogonal Procrustes: min_R ||X R - Y||_F
+        u, _, vt = np.linalg.svd(mat.T @ recon)
+        rot = u @ vt
+    # final full-strength codebooks on the converged rotation
+    books = _pq_kmeans(mat @ rot, m, n_codes, iters, seed)
+    return rot, books
+
+
+def _pq_kmeans(mat: np.ndarray, m: int, n_codes: int, iters: int,
+               seed: int) -> np.ndarray:
+    """Per-subspace k-means (k-means++ seeding + Lloyd) — the exact
+    :func:`pq_train` training loop, factored so OPQ's alternation
+    reuses it on rotated samples."""
+    dim = mat.shape[1]
+    dsub = dim // m
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for sub in range(m):
         part = mat[:, sub * dsub:(sub + 1) * dsub]
         rng = np.random.RandomState(seed + 7919 * sub)
-        # incremental k-means++ running-min (same exact values as a
-        # per-centroid full recompute — 19× less work, measured)
         cents = [part[rng.randint(len(part))]]
         dmin = ((part - cents[0]) ** 2).sum(axis=1)
         for _ in range(n_codes - 1):
@@ -618,7 +704,6 @@ def pq_train(
                 dmin, ((part - cents[-1]) ** 2).sum(axis=1))
         cents = np.asarray(cents)
         for _ in range(iters):
-            # (n, n_codes) squared distances via the expansion trick
             d2 = ((part ** 2).sum(axis=1, keepdims=True)
                   - 2.0 * part @ cents.T
                   + (cents ** 2).sum(axis=1))
@@ -642,6 +727,7 @@ def pq_encode(
     with_error: bool = False,
     centroids: np.ndarray | None = None,
     list_col: str | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(``id_col``, *``keep_cols``, ``out_col``): each vector
     compressed to ``m`` uint8 codes packed into one BinaryType value
@@ -673,9 +759,27 @@ def pq_encode(
     the frame — the stored index stays self-consistent) or is
     recomputed per batch with :func:`_assign_lists`' exact math.
     With ``centroids`` and no explicit ``list_col`` the output grows
-    a ``list_id`` column so :func:`ivf_pq_topk` can prune."""
+    a ``list_id`` column so :func:`ivf_pq_topk` can prune.
+
+    ``rotation`` (from :func:`opq_train`) rotates each normalized
+    vector before coding — pass the SAME matrix to the search side.
+    Rotation composes with neither ``centroids`` nor residuals here
+    (OPQ-IVFADC couples the rotation with the coarse quantizer in
+    ways this engine does not model — refused, not silently
+    mis-encoded)."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
+    rot = None
+    if rotation is not None:
+        if centroids is not None:
+            raise ValueError(
+                "rotation does not compose with centroids/residual "
+                "encoding; use one or the other")
+        rot = np.ascontiguousarray(rotation, dtype=np.float64)
+        if rot.shape != (m * dsub, m * dsub):
+            raise ValueError(
+                f"rotation shape {rot.shape} does not match dim "
+                f"{m * dsub}")
     cn = None
     if centroids is not None:
         cn = centroids / np.linalg.norm(centroids, axis=1,
@@ -716,6 +820,8 @@ def pq_encode(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
+            if rot is not None:
+                mat = mat @ rot
             lists = None
             if cn is not None:
                 if use_list_col is not None:
@@ -760,6 +866,7 @@ def pq_topk(
     vec_col: str = "embedding",
     code_col: str = "code",
     max_queries: int = 10_000,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k by asymmetric distance computation over PQ codes:
     per query, inner-product lookup tables against the codebooks
@@ -781,7 +888,10 @@ def pq_topk(
     broadcast could) and the output matches :func:`cosine_topk`:
     (query_id, neighbor_id, rank, cosine). Without ``corpus`` the
     raw ADC ranking is returned as (query_id, neighbor_id, rank,
-    adc). Self-matches excluded in both modes."""
+    adc). Self-matches excluded in both modes. ``rotation`` (OPQ)
+    rotates queries before the LUT build — R is orthogonal, so
+    <q·R, x·R> = <q, x> and ADC approximates the SAME inner product,
+    just with less quantization error."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
     if rescore_n < k:
@@ -805,7 +915,8 @@ def pq_topk(
         ])
         return spark.createDataFrame([], empty)
     q_ids, lut = _query_luts(q_rows, codebooks,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             rotation=rotation)
     partial = _adc_partial_topn(
         codes, q_ids, lut, int(rescore_n),
         queries_schema=queries.schema,
@@ -816,15 +927,20 @@ def pq_topk(
 
 
 def _query_luts(q_rows, codebooks: np.ndarray, *,
-                id_col: str, vec_col: str):
+                id_col: str, vec_col: str,
+                rotation: np.ndarray | None = None):
     """ADC lookup tables: LUT[q, sub, code] = <q_sub, books[sub,
-    code]> over the unit-normalized query vectors."""
+    code]> over the unit-normalized (optionally OPQ-rotated) query
+    vectors."""
     m, n_codes, dsub = codebooks.shape
     q_ids = [r[id_col] for r in q_rows]
     q_mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64)
                         for r in q_rows])
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
                         1e-12)
+    if rotation is not None:
+        q_mat = q_mat @ np.ascontiguousarray(rotation,
+                                             dtype=np.float64)
     lut = np.einsum("qsd,scd->qsc",
                     q_mat.reshape(len(q_mat), m, dsub),
                     np.ascontiguousarray(codebooks))
@@ -1080,6 +1196,7 @@ def build_query_luts(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ADC lookup tables built EXECUTOR-side: one Arrow stage over
     the query frame (codebooks + centroids travel in the closure —
@@ -1099,9 +1216,14 @@ def build_query_luts(
     #2)."""
     m, n_codes, dsub = codebooks.shape
     books = np.ascontiguousarray(codebooks)
+    rot = (np.ascontiguousarray(rotation, dtype=np.float64)
+           if rotation is not None else None)
     cn = None
     n_probe = 0
     if centroids is not None:
+        if rot is not None:
+            raise ValueError(
+                "rotation does not compose with centroids")
         cn = centroids / np.linalg.norm(centroids, axis=1,
                                         keepdims=True)
         n_probe = max(1, min(int(nprobe), len(centroids)))
@@ -1127,6 +1249,8 @@ def build_query_luts(
             # LUT normalization: EXACT _query_luts arithmetic
             q_lut = q_mat / np.maximum(
                 np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+            if rot is not None:
+                q_lut = q_lut @ rot
             lut = np.einsum("qsd,scd->qsc",
                             q_lut.reshape(len(q_mat), m, dsub), books)
             out = {
@@ -1180,6 +1304,7 @@ def _topk_distributed(
     vec_col: str,
     code_col: str,
     list_col: str | None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared engine for :func:`pq_topk_distributed` /
     :func:`ivf_pq_topk_distributed` — the UNBOUNDED-query ADC path.
@@ -1215,7 +1340,7 @@ def _topk_distributed(
     luts, lut_blocks = checkpoint_tracked(
         build_query_luts(queries, codebooks, centroids=centroids,
                          nprobe=nprobe, id_col=id_col,
-                         vec_col=vec_col))
+                         vec_col=vec_col, rotation=rotation))
     spark = codes.sparkSession
     try:
         n_q = luts.count()
@@ -1303,6 +1428,7 @@ def pq_topk_distributed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "code",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """:func:`pq_topk` without the driver-LUT query bound — the
     100 TB SERVING path (round-4 verdict task #1): LUTs are built
@@ -1318,7 +1444,7 @@ def pq_topk_distributed(
         centroids=None, nprobe=0, corpus=corpus,
         rescore_n=rescore_n, queries_per_block=queries_per_block,
         residual=False, id_col=id_col, vec_col=vec_col,
-        code_col=code_col, list_col=None)
+        code_col=code_col, list_col=None, rotation=rotation)
 
 
 def ivf_pq_topk_distributed(

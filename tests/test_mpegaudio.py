@@ -229,3 +229,48 @@ def test_audio_header_info_routes_adts(spark) -> None:
     c = rows["c"]
     assert c["fmt"] == "adts" and not c["ok"]
     assert "truncated" in c["message"]
+
+
+def test_adts_build_parse_roundtrip_property() -> None:
+    """Every spec-valid parameter combination survives build→parse
+    bit-exactly, and chains of n frames audit to exact integer
+    durations — pure arithmetic, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        ridx=st.integers(0, 12),
+        pidx=st.integers(0, 3),
+        chan=st.integers(0, 7),
+        payload=st.integers(1, 512),
+        crc=st.booleans(),
+        blocks=st.integers(1, 4),
+        fullness=st.integers(0, 0x7FF),
+        mpeg2=st.booleans(),
+        n=st.integers(1, 6),
+    )
+    def check(ridx, pidx, chan, payload, crc, blocks, fullness,
+              mpeg2, n):
+        rate = ma._ADTS_RATES[ridx]
+        prof = ma._ADTS_PROFILES[pidx]
+        f = ma.build_adts_frame(
+            sample_rate=rate, channel_config=chan, profile=prof,
+            payload=payload, crc=crc, raw_blocks=blocks,
+            fullness=fullness, mpeg2=mpeg2)
+        h = ma.parse_adts_header(f)
+        assert h["sample_rate"] == rate and h["profile"] == prof
+        assert h["channel_config"] == chan
+        assert h["crc"] is crc and h["raw_blocks"] == blocks
+        assert h["fullness"] == fullness
+        assert h["frame_bytes"] == len(f) == (9 if crc else 7) + payload
+        assert h["mpeg_version"] == ("2" if mpeg2 else "4")
+        a = ma.audit_adts(f * n)
+        assert a["ok"] and a["n_frames"] == n
+        assert a["duration_ms"] == blocks * 1024 * n * 1000 // rate
+        assert a["raw_blocks"] == blocks * n
+        # truncating the final frame must always be caught
+        bad = ma.audit_adts((f * n)[:-1])
+        assert not bad["ok"] and "truncated" in bad["message"]
+
+    check()

@@ -562,3 +562,91 @@ def test_residual_distributed_equals_driver(spark, emb) -> None:
         rescore_n=16, residual=True,
         queries_per_block=3).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# OPQ — optimized product quantization (learned orthogonal rotation)
+# ---------------------------------------------------------------------------
+
+
+def _anisotropic_emb(spark, n=600, dim=64, seed=3):
+    """Correlated, unevenly-scaled dimensions — the regime OPQ exists
+    for. x = z @ (U diag(decay) V): cross-subspace correlation that
+    plain contiguous-subspace PQ cannot exploit."""
+    rng = np.random.RandomState(seed)
+    u, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    v, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    mix = u @ np.diag(np.geomspace(1.0, 0.02, dim)) @ v
+    z = rng.standard_normal((n, dim))
+    x = z @ mix
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rows = [(i, [float(t) for t in x[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(8)
+
+
+def test_opq_rotation_orthogonal_and_deterministic(spark) -> None:
+    emb = _anisotropic_emb(spark).cache()
+    rot, books = SIM.opq_train(emb, m=8, n_codes=32, seed=11,
+                               opq_iters=4)
+    assert rot.shape == (64, 64) and books.shape == (8, 32, 8)
+    assert np.allclose(rot @ rot.T, np.eye(64), atol=1e-10)
+    rot2, books2 = SIM.opq_train(emb, m=8, n_codes=32, seed=11,
+                                 opq_iters=4)
+    assert np.array_equal(rot, rot2) and np.array_equal(books, books2)
+    with pytest.raises(ValueError, match="opq_iters"):
+        SIM.opq_train(emb, opq_iters=0)
+
+
+def test_opq_error_lower_on_anisotropic(spark) -> None:
+    """THE OPQ claim: on correlated/unevenly-scaled dimensions the
+    learned rotation leaves strictly less quantization error than
+    plain PQ at the same (m, n_codes) bits."""
+    emb = _anisotropic_emb(spark).cache()
+    pq_books = SIM.pq_train(emb, m=8, n_codes=32, seed=11)
+    rot, opq_books = SIM.opq_train(emb, m=8, n_codes=32, seed=11)
+    pq_err = [r["pq_err"] for r in SIM.pq_encode(
+        emb, pq_books, with_error=True).collect()]
+    opq_err = [r["pq_err"] for r in SIM.pq_encode(
+        emb, opq_books, rotation=rot, with_error=True).collect()]
+    assert np.median(opq_err) < np.median(pq_err)
+    assert np.mean(opq_err) < np.mean(pq_err)
+
+
+def test_opq_planted_twin_rank1_and_distributed(spark, emb) -> None:
+    """Identical vectors rotate identically → identical codes → the
+    planted twin carries the query's own maximal ADC score into the
+    rescore, rank 1 at cosine exactly 1.0 — on both the driver and
+    the distributed query paths, which must agree exactly."""
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    rot, books = SIM.opq_train(corpus, m=8, n_codes=64, seed=11,
+                               opq_iters=3)
+    codes = SIM.pq_encode(corpus, books, rotation=rot)
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    top1 = SIM.pq_topk(codes, books, qs, k=1, corpus=corpus,
+                       rescore_n=16, rotation=rot).collect()
+    assert len(top1) == 5
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] + 5000
+        assert r["cosine"] == 1.0
+    want = sorted(map(tuple, SIM.pq_topk(
+        codes, books, qs, k=3, corpus=corpus, rescore_n=16,
+        rotation=rot).collect()))
+    got = sorted(map(tuple, SIM.pq_topk_distributed(
+        codes, books, qs, k=3, corpus=corpus, rescore_n=16,
+        rotation=rot, queries_per_block=2).collect()))
+    assert got == want
+
+
+def test_opq_guards(spark, emb, books) -> None:
+    _, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    with pytest.raises(ValueError, match="does not compose"):
+        SIM.pq_encode(emb, books, centroids=cents,
+                      rotation=np.eye(64))
+    with pytest.raises(ValueError, match="rotation shape"):
+        SIM.pq_encode(emb, books, rotation=np.eye(8))
+    with pytest.raises(ValueError, match="does not compose"):
+        SIM.build_query_luts(emb, books, centroids=cents,
+                             rotation=np.eye(64))
