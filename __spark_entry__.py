@@ -466,6 +466,53 @@ def _docs_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(b).unionByName(c)
 
 
+_INC_SB = f"greatest(cast(floor({_NTOK} / 4) as int), 1)"
+_INC_SUFFIX = (
+    f"concat_ws(' ', transform(sequence(1, {_INC_SB}),"
+    " i -> concat('qi', doc_id, 'x', i)))"
+)
+
+
+def _docs_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A synthetic 'today's crawl' increment: for every doc_id%7==3 a
+    near-dup variant (original text + ~n/4 unique filler tokens →
+    J ≈ 0.8 against its source), for every doc_id%7==5 a genuinely
+    fresh 40-token doc matching nothing. Same deterministic SQL text
+    construction as `_docs_chained`, so DuckDB replays it verbatim."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.where("doc_id % 7 = 3").selectExpr(
+        "doc_id + 3000000 as doc_id",
+        f"concat(text, ' ', {_INC_SUFFIX}) as text",
+    )
+    fresh = d.where("doc_id % 7 = 5").selectExpr(
+        "doc_id + 4000000 as doc_id",
+        "concat_ws(' ', transform(sequence(1, 40),"
+        " i -> concat('zz', doc_id, 'x', i))) as text",
+    )
+    return variant.unionByName(fresh)
+
+
+def q_incremental_near_dups(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: today's increment against the standing
+    corpus (dedup.incremental_near_duplicates) — corpus MinHash
+    signatures are computed once and reused per increment (stored-
+    signature parity pinned in tests), candidates from ONE banded
+    cross-join (never corpus×corpus), exact-Jaccard verify of
+    candidate docs only. The oracle replays the ENTIRE pipeline —
+    increment text construction, shingles, the 16 universal-hash
+    minhash constants, 8×2 band keys, the cross candidate join, and
+    the verified Jaccard — so any banding miss or hash drift desyncs
+    it. Pairs are (corpus id, increment id, jaccard ≥ 0.5); the
+    planted variants pair with their sources, fresh docs with
+    nothing, and any accidental corpus-text match appears on both
+    sides identically."""
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inc = _docs_increment(spark, sf_dir)
+    return _dd.incremental_near_duplicates(
+        corpus, inc, threshold=0.5, max_bucket=None)
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING (round-2 verdict item 3): complete-Jaccard
     pairs at threshold 0.5 over the planted-chain corpus → connected
@@ -503,6 +550,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sp.stratified_exact_sample(
         o, "o_orderpriority", 40, "o_orderkey", seed=5
     ).select("o_orderkey", "o_orderpriority")
+
+
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sample (split.mixture_sample): the largest
+    deterministic subset of documents whose language composition hits
+    the target shares {en .4, zh .2, es .2, de .1, fr .1} —
+    downsample-only, so T = min(count/p) and the binding language
+    keeps 100% of itself. Fully IN-PLAN (one hash agg + one-row min
+    fold + |targets|-row rate join + the md5-bucket filter — no
+    driver collect), so the oracle replays counts, T, per-group
+    thresholds AND the bucket predicate: row set EXACT (both engines
+    share IEEE f64 expression order and the md5 arithmetic pinned in
+    tests/test_split.py). Targets passed as INTEGER weights (4/2/2/1/1
+    — total 10.0 is exact in f64, so each normalized share equals the
+    oracle's decimal literal bit-for-bit; float weights summing to
+    1.0000000000000002 would perturb thresholds by an ulp)."""
+    d = _t(spark, sf_dir, "documents")
+    return _sp.mixture_sample(
+        d, "lang",
+        {"en": 4, "zh": 2, "es": 2, "de": 1, "fr": 1},
+        key="doc_id", seed=5,
+    ).select("doc_id", "lang")
+
+
+_MIXTURE_SAMPLE_SQL = """
+WITH p AS (
+  SELECT * FROM (VALUES
+    ('en', CAST('0.4' AS DOUBLE)), ('zh', CAST('0.2' AS DOUBLE)),
+    ('es', CAST('0.2' AS DOUBLE)), ('de', CAST('0.1' AS DOUBLE)),
+    ('fr', CAST('0.1' AS DOUBLE))) v(lang, p)
+),
+c AS (
+  SELECT d.lang, COUNT(*) AS cnt, any_value(p.p) AS p
+  FROM documents d JOIN p ON d.lang = p.lang GROUP BY d.lang
+),
+tm AS (SELECT MIN(cnt / p) AS tv FROM c),
+r AS (SELECT c.lang, tm.tv * c.p / c.cnt * 1000000 AS thr FROM c, tm)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST(concat('0x', substr(
+        md5(concat_ws(':', CAST(d.doc_id AS VARCHAR), '5')),
+        1, 12)) AS BIGINT) % 1000000 < r.thr
+"""
 
 
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3861,6 +3951,60 @@ FROM walk GROUP BY id
 """
 
 
+DECON_EVAL_N = 150
+
+
+def q_img_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination for IMAGES (dedup.image_decontamination
+    — the phash analogue of the 13-gram text decontamination): every
+    training row gains contaminated / n_eval_matches / min_hamming
+    from a COMPLETE cross-frame pigeonhole-blocked Hamming join
+    (dedup.cross_hamming_pairs) against a 150-row eval set at
+    distance ≤ 3. Eval hashes are anchor(13·id) ^ bit 5, so eval row
+    id hits group 13·id's members 0/1/2 at distances 1/2/3 (member 3
+    lands at 6, out) while ids past the 1,000 planted groups match
+    nothing — but the oracle is brute force O(n·m), so blocking
+    completeness, not the plants, carries the equality."""
+    from cerberus_cpp_spark.operators import dedup
+
+    train = _phash_planted_frame(spark)
+    ev = spark.range(0, DECON_EVAL_N, 1, 4).select(
+        F.format_string("ev-%06d", F.col("id")).alias("image_id"),
+        F.expr(
+            "(((id * 13L) * 2654435761L + 99L) & 9223372036854775807L)"
+            " ^ 32L"
+        ).alias("phash"),
+    )
+    out = dedup.image_decontamination(
+        train, ev, "phash", train_id="image_id", eval_id="image_id",
+        max_hamming=3)
+    return out.select("image_id", "phash", "contaminated",
+                      "n_eval_matches", "min_hamming")
+
+
+def _img_decontamination_sql() -> str:
+    return f"""
+WITH {_phash_planted_cte()},
+e AS (
+  SELECT printf('ev-%06d', range) AS eval_id,
+         xor((((range * 13) * 2654435761) + 99)
+             & 9223372036854775807, 32) AS ephash
+  FROM range(0, {DECON_EVAL_N})
+),
+hits AS (
+  SELECT t.image_id, COUNT(*) AS n_eval_matches,
+         MIN(bit_count(xor(t.phash, e.ephash)))::INT AS min_hamming
+  FROM t JOIN e ON bit_count(xor(t.phash, e.ephash)) <= 3
+  GROUP BY t.image_id
+)
+SELECT t.image_id, t.phash,
+       hits.image_id IS NOT NULL AS contaminated,
+       COALESCE(hits.n_eval_matches, 0) AS n_eval_matches,
+       hits.min_hamming
+FROM t LEFT JOIN hits USING (image_id)
+"""
+
+
 PNG_AUDIT_N = 3000
 
 
@@ -4295,6 +4439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_decontamination": q_img_decontamination,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "incremental_near_dups": q_incremental_near_dups,
         "ann_topk_pq_dist": q_ann_topk_pq_dist,
         "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
         "ann_topk_opq": q_ann_topk_opq,
@@ -4884,6 +5031,90 @@ WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
 """
 
 
+def _incremental_near_dups_sql() -> str:
+    """DuckDB replay of the INCREMENTAL LSH pipeline: the increment's
+    text construction, per-side shingle/minhash/band chains (identical
+    constants to `_near_dups_lsh_sql`), the CROSS candidate join (no
+    `<` ordering — independent namespaces), and the exact-Jaccard
+    verification restricted to candidates."""
+    mins = ",\n       ".join(
+        f"min((sh * {_dd.MINHASH_A[j]} + {_dd.MINHASH_B[j]})"
+        f" % {_dd.MERSENNE31}) AS mh_{j}"
+        for j in range(_dd.MINHASH_K)
+    )
+    br = _dd.LSH_BAND_ROWS
+    n_bands = _dd.MINHASH_K // br
+
+    def band_sel(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band,"
+            f" CAST(mh_{b * br} AS VARCHAR)"
+            + "".join(
+                f" || ':' || CAST(mh_{b * br + j} AS VARCHAR)"
+                for j in range(1, br)
+            )
+            + f" AS kv FROM {src}"
+            for b in range(n_bands)
+        )
+
+    ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    si = f"greatest(cast(floor({ntok} / 4) as int), 1)"
+    sfx = ("array_to_string([('qi' || doc_id || 'x' || i)"
+           f" FOR i IN range(1, {si} + 1)], ' ')")
+    fresh = ("array_to_string([('zz' || doc_id || 'x' || i)"
+             " FOR i IN range(1, 41)], ' ')")
+    return f"""
+WITH inc AS (
+  SELECT doc_id + 3000000 AS doc_id, text || ' ' || {sfx} AS text
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, {fresh} AS text
+  FROM documents WHERE doc_id % 7 = 5
+),
+{_DUCK_SHINGLE_CTE},
+itoks AS (
+  SELECT doc_id, {_TOKS} AS t FROM inc
+),
+ish AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(t) < 3 THEN []
+           ELSE [array_to_string(t[i:i+2], ' ')
+                 FOR i IN range(1, len(t) - 1)] END)) AS shingle
+  FROM itoks
+),
+ishh AS (
+  SELECT doc_id, {_duck_roll('shingle')} AS sh FROM ish
+),
+sig_c AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+sig_n AS (SELECT doc_id, {mins} FROM ishh GROUP BY doc_id),
+banded_c AS (
+{band_sel('sig_c')}
+),
+banded_n AS (
+{band_sel('sig_n')}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded_c a JOIN banded_n b
+    ON a.band = b.band AND a.kv = b.kv
+),
+sizes_c AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+sizes_n AS (SELECT doc_id, count(*) AS sz FROM ishh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shh a JOIN ishh b ON a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes_c sa ON sa.doc_id = i.id_a
+JOIN sizes_n sb ON sb.doc_id = i.id_b
+WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+"""
+
+
 def _simhash_sql() -> str:
     bits = ",\n       ".join(
         f"sum(CASE WHEN (th & {1 << b}) > 0 THEN 1 ELSE -1 END)"
@@ -5287,6 +5518,9 @@ SELECT o_orderkey, o_orderpriority FROM (
         "ann_topk_ivf": _ANN_IVF_SQL,
         "ann_topk_pq": _ANN_PQ_SQL,
         "ann_topk_ivfpq": _ANN_IVFPQ_SQL,
+        "img_decontamination": _img_decontamination_sql(),
+        "mixture_sample_docs": _MIXTURE_SAMPLE_SQL,
+        "incremental_near_dups": _incremental_near_dups_sql(),
         "ann_topk_pq_dist": _ANN_PQ_DIST_SQL,
         "ann_topk_ivfpq_residual": _ANN_IVFPQ_RES_SQL,
         "ann_topk_opq": _ANN_OPQ_SQL,

@@ -569,6 +569,221 @@ def oversized_hamming_buckets(
     )
 
 
+def cross_lsh_candidate_pairs(
+    left_sigs: DataFrame, right_sigs: DataFrame, *,
+    left_id: str = "doc_id", right_id: str = "doc_id",
+    band_rows: int = LSH_BAND_ROWS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (left, right) candidate pairs sharing ≥ 1 LSH band
+    ACROSS two signature frames — the cross-frame twin of
+    :func:`lsh_candidate_pairs`, for INCREMENTAL dedup (today's crawl
+    against the standing corpus) where re-banding the whole corpus
+    against itself would redo yesterday's work. No ``<`` ordering, no
+    self-exclusion: the namespaces are independent. Same single
+    equi-join shape on (band, bkey); ``max_bucket`` caps each side's
+    buckets independently (anti-join against the tiny oversized set —
+    surface with :func:`oversized_lsh_buckets` per side)."""
+    sides = []
+    for sigs, id_col in ((left_sigs, left_id), (right_sigs, right_id)):
+        banded = _banded_keys(sigs, id_col, band_rows)
+        if max_bucket is not None:
+            oversized = (
+                banded.groupBy("band", "bkey")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .where(F.col("bsz") > max_bucket)
+                .select("band", "bkey")
+            )
+            banded = banded.join(
+                F.broadcast(oversized), on=["band", "bkey"],
+                how="left_anti",
+            )
+        sides.append(banded)
+    a = sides[0].alias("a")
+    b = sides[1].alias("b")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .select(F.col(f"a.{left_id}").alias("id_a"),
+                F.col(f"b.{right_id}").alias("id_b"))
+        .distinct()
+    )
+
+
+def incremental_near_duplicates(
+    corpus: DataFrame, new_docs: DataFrame, *,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.7,
+    max_bucket: int | None = 10_000, hash_fn: str = "portable",
+    corpus_signatures: DataFrame | None = None,
+    broadcast_candidates: bool = False,
+) -> DataFrame:
+    """Near-dup pairs of a NEW increment against the STANDING corpus
+    — (id_a from corpus, id_b from new, jaccard ≥ threshold). The
+    daily-ingest op at 100 TB: the corpus side's MinHash signatures
+    are computed once and stored (pass them via
+    ``corpus_signatures`` — |corpus| × 16 ints, ~1000× smaller than
+    the text), so each increment pays signatures for ITSELF plus one
+    banded cross-join, never a corpus×corpus pass. Verification
+    recomputes shingles only for candidate docs on each side
+    (semi-join before the explode), exactly like
+    :func:`near_duplicates`.
+
+    A doc present on both sides pairs with itself at jaccard 1.0 —
+    that IS the signal (the increment re-crawled a known page); no
+    self-exclusion applies across namespaces."""
+    sigs_c = corpus_signatures
+    if sigs_c is None:
+        sigs_c = minhash_signatures(corpus, id_col, text_col, k,
+                                    hash_fn=hash_fn) \
+            .localCheckpoint(eager=False)
+    sigs_n = minhash_signatures(new_docs, id_col, text_col, k,
+                                hash_fn=hash_fn) \
+        .localCheckpoint(eager=False)
+    cands = cross_lsh_candidate_pairs(
+        sigs_c, sigs_n, left_id=id_col, right_id=id_col,
+        max_bucket=max_bucket,
+    ).localCheckpoint(eager=False)
+    ids_a = cands.select(F.col("id_a").alias(id_col)).distinct()
+    ids_b = cands.select(F.col("id_b").alias(id_col)).distinct()
+    docs_a = _candidate_docs(corpus, ids_a, id_col,
+                             broadcast_candidates)
+    docs_b = _candidate_docs(new_docs, ids_b, id_col,
+                             broadcast_candidates)
+    sh_a = doc_shingles(docs_a, id_col, text_col, k, hash_fn,
+                        fanout=False).localCheckpoint(eager=False)
+    sh_b = doc_shingles(docs_b, id_col, text_col, k, hash_fn,
+                        fanout=False).localCheckpoint(eager=False)
+    sizes_a = sh_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_a.alias("a")
+    b = sh_b.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(cands, on=["id_a", "id_b"], how="left_semi")
+        .join(sizes_a.select(F.col(id_col).alias("id_a"),
+                             F.col("sz").alias("sz_a")), on="id_a")
+        .join(sizes_b.select(F.col(id_col).alias("id_b"),
+                             F.col("sz").alias("sz_b")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_hamming_pairs(
+    left: DataFrame, right: DataFrame, hash_col: str, *,
+    left_id: str = "doc_id", right_id: str = "doc_id",
+    max_hamming: int = 3, n_blocks: int = 4,
+    block_bits: int | None = 16, combo: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All (left, right) pairs within Hamming distance ``max_hamming``
+    on an integer hash column ACROSS two frames — the cross-frame twin
+    of :func:`hamming_near_pairs` (same Manku/Jain/Das Sarma WWW'07
+    multi-index blocking, same pigeonhole completeness: with
+    ``n_blocks − combo ≥ max_hamming`` every qualifying pair agrees
+    exactly on ≥ 1 block key, so one equi-join recalls it and one
+    ``bit_count(xor)`` verifies). Returns (id_a, id_b, hamming) with
+    id_a from ``left``, id_b from ``right`` — the namespaces are
+    independent, so no ``<`` ordering and no self-pair exclusion.
+
+    This is the EVAL-SET DECONTAMINATION join for images (the phash
+    analogue of ``text.ngram_contamination``): left = the training
+    corpus, right = the eval set; see :func:`image_decontamination`
+    for the per-row verdict wrapper. Scale shape is the self-join's:
+    both sides posexplode to one banded relation each, ONE equi-join
+    shuffled on (block, bkey), the Hamming verify dies in codegen
+    before the distinct shuffles anything. ``max_bucket`` caps each
+    side's buckets independently (anti-join against the tiny oversized
+    set — surface them with :func:`oversized_hamming_buckets` per
+    side; a dropped bucket loses only pairs whose sole agreeing block
+    was that bucket, same documented contract as the self-join)."""
+    if combo < 1 or max_hamming > n_blocks - combo:
+        raise ValueError(
+            f"completeness needs max_hamming ≤ n_blocks - combo "
+            f"(pigeonhole): got distance {max_hamming} with "
+            f"{n_blocks} blocks, {combo}-block keys")
+    if block_bits is not None and n_blocks * block_bits > 64:
+        raise ValueError("n_blocks * block_bits must be ≤ 64")
+    sides = []
+    for df, id_col in ((left, left_id), (right, right_id)):
+        banded = _hamming_blocked(df, hash_col, id_col, n_blocks,
+                                  block_bits, combo)
+        if max_bucket is not None:
+            oversized = (
+                banded.groupBy("block", "bkey")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .where(F.col("bsz") > max_bucket)
+                .select("block", "bkey")
+            )
+            banded = banded.join(
+                F.broadcast(oversized), on=["block", "bkey"],
+                how="left_anti",
+            )
+        sides.append(banded)
+    a = sides[0].alias("a")
+    b = sides[1].alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    return (
+        a.join(b, on=["block", "bkey"])
+        .where(hamming <= F.lit(max_hamming))
+        .select(F.col(f"a.{left_id}").alias("id_a"),
+                F.col(f"b.{right_id}").alias("id_b"),
+                hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+def image_decontamination(
+    train: DataFrame, eval_set: DataFrame, hash_col: str = "phash", *,
+    train_id: str = "image_id", eval_id: str = "image_id",
+    max_hamming: int = 3, n_blocks: int = 4,
+    block_bits: int | None = 16, combo: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-training-row eval-set contamination verdict by perceptual
+    hash: every ``train`` row gains ``contaminated`` (true when some
+    ``eval_set`` row sits within Hamming ``max_hamming`` on
+    ``hash_col``), ``n_eval_matches`` (how many — 0 when clean) and
+    ``min_hamming`` (closest match; NULL when clean). The image twin
+    of the 13-gram text decontamination (``text.ngram_contamination``)
+    — a training pipeline drops or quarantines the flagged rows
+    before sampling, exactly like eval-leaked documents.
+
+    Scale: the pair join is :func:`cross_hamming_pairs` (complete
+    pigeonhole blocking, verify-in-join); the per-train aggregate
+    reduces pairs to ≤ |contaminated| rows BEFORE the verdict join
+    back onto ``train``, so AQE broadcasts it whenever contamination
+    is rare (the realistic regime — eval sets are tiny next to the
+    corpus). Nothing is ever driver-collected."""
+    pairs = cross_hamming_pairs(
+        train.select(train_id, hash_col), eval_set, hash_col,
+        left_id=train_id, right_id=eval_id, max_hamming=max_hamming,
+        n_blocks=n_blocks, block_bits=block_bits, combo=combo,
+        max_bucket=max_bucket)
+    hits = (
+        pairs.groupBy(F.col("id_a").alias(train_id))
+        .agg(F.count(F.lit(1)).alias("n_eval_matches"),
+             F.min("hamming").alias("min_hamming"))
+    )
+    return (
+        train.join(hits, on=train_id, how="left")
+        .withColumn("contaminated", F.col("n_eval_matches").isNotNull())
+        .withColumn("n_eval_matches",
+                    F.coalesce(F.col("n_eval_matches"), F.lit(0)))
+    )
+
+
 def banding_for_threshold(
     threshold: float, num_hashes: int = MINHASH_K,
 ) -> tuple[int, int]:

@@ -206,6 +206,95 @@ def stratified_exact_sample(
     return out.where(keep).drop(rn, cntc)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    targets: Mapping[str, float],
+    key: str,
+    seed: int = 0,
+    max_total: int | None = None,
+) -> DataFrame:
+    """The largest deterministic sample whose ``group_col`` composition
+    matches ``targets`` — the DATA-MIXING op (language / domain /
+    source ratios) a training pipeline runs before tokenization.
+
+    ``targets`` maps group value → desired share (normalized here, so
+    pass weights or proportions). Downsample-only: the achievable
+    total is ``T = min_g count_g / p_g`` — the group that runs out
+    first binds, keeping 100% of itself while every other group is
+    hash-thinned to ``T·p_g`` expected rows. ``max_total`` caps T for
+    a smaller mixture-true subset. Groups not in ``targets`` are
+    dropped; a target group MISSING from the data fails the job with
+    an in-plan ``assert_true`` naming the shortfall (a silent absent
+    group would quietly ship the wrong mixture).
+
+    Everything happens IN-PLAN — no driver collect anywhere: one
+    hash aggregate over the (pushdown-filtered) target groups, a
+    one-row min fold, a |targets|-row rate frame joined back (AQE
+    broadcasts it — it cannot exceed len(targets) rows), then the
+    same :func:`split_bucket` Bernoulli filter as
+    :func:`hash_sample`, so membership is a pure function of
+    (key, seed, targets, group counts): stable under relayout and
+    re-runs, and every rate and row is replayable by a SQL oracle
+    (same IEEE f64 expression order both engines).
+
+    Expected composition error per group is binomial
+    (√(T·p·(1−p))); for exactly-n-per-group use
+    :func:`stratified_exact_sample` with per-group n = T·p_g
+    (bounded-strata caveat applies there).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    if any(t <= 0 for t in targets.values()):
+        raise ValueError("every target share must be > 0")
+    if max_total is not None and max_total < 0:
+        raise ValueError("max_total must be >= 0 or None")
+    total = float(sum(targets.values()))
+    shares = {g: float(t) / total for g, t in targets.items()}
+    gcol = F.col(group_col)
+    # p as a CASE over the group column (literal doubles — the oracle
+    # embeds the identical normalized values)
+    pcol: Column | None = None
+    for g, p in shares.items():
+        cond = gcol.eqNullSafe(F.lit(g))
+        pcol = F.when(cond, F.lit(p)) if pcol is None \
+            else pcol.when(cond, F.lit(p))
+    src = df.where(gcol.isin([g for g in shares]))  # scan pushdown
+    counts = (
+        src.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__mix_cnt"))
+        .withColumn("__mix_p", pcol)
+    )
+    t_expr = F.min(F.col("__mix_cnt") / F.col("__mix_p")).alias("__mix_t")
+    folded = counts.agg(t_expr, F.count(F.lit(1)).alias("__mix_ng"))
+    guard = F.assert_true(
+        F.col("__mix_ng") == F.lit(len(shares)),
+        F.concat(
+            F.lit("mixture_sample: only "),
+            F.col("__mix_ng").cast("string"),
+            F.lit(f" of {len(shares)} target groups present in "
+                  f"'{group_col}' — an absent group makes the "
+                  f"requested mixture unachievable"),
+        ),
+    )
+    t_col = F.when(guard.isNull(), F.col("__mix_t"))
+    if max_total is not None:
+        t_col = F.least(t_col, F.lit(float(max_total)))
+    rates = (
+        counts.crossJoin(folded.select(t_col.alias("__mix_t")))
+        .select(
+            group_col,
+            (F.col("__mix_t") * F.col("__mix_p") / F.col("__mix_cnt")
+             * F.lit(SCALE)).alias("__mix_thr"),
+        )
+    )
+    return (
+        src.join(rates, on=group_col)
+        .where(split_bucket(key, seed) < F.col("__mix_thr"))
+        .drop("__mix_thr")
+    )
+
+
 def kfold_assign(
     df: DataFrame, key: str, k: int, seed: int = 0,
     fold_col: str = "fold",

@@ -154,3 +154,113 @@ def test_combo_pigeonhole_guard() -> None:
     with pytest.raises(ValueError, match="pigeonhole"):
         DD.hamming_near_pairs(None, "phash", max_hamming=3,
                               n_blocks=6, block_bits=None, combo=4)
+
+
+# ---------------------------------------------------------------------------
+# cross_hamming_pairs / image_decontamination — the eval-set
+# decontamination join (cross-frame twin of the self-join)
+# ---------------------------------------------------------------------------
+
+
+def _brute_cross(l_ids, l_hs, r_ids, r_hs, k):
+    out = set()
+    for i in range(len(l_ids)):
+        for j in range(len(r_ids)):
+            d = bin((l_hs[i] ^ r_hs[j]) & ((1 << 64) - 1)).count("1")
+            if d <= k:
+                out.add((l_ids[i], r_ids[j], d))
+    return out
+
+
+@pytest.fixture(scope="module")
+def eval_hashed(spark, hashed):
+    """An eval frame overlapping some train anchors: for every 5th
+    anchor, the anchor ^ bit 9 (distance 1/2/3/4 from that group's
+    members) plus 20 random non-matching hashes."""
+    rows = hashed.collect()
+    anchors = [r["phash"] for r in rows if r["image_id"].endswith("_0")]
+    ev = [(f"e{g:04d}", _s64(anchors[g] ^ (1 << 9)))
+          for g in range(0, len(anchors), 5)]
+    rng = np.random.default_rng(99)
+    ev += [(f"x{i:04d}", int(v)) for i, v in enumerate(
+        rng.integers(-(2 ** 63), 2 ** 63, size=20, dtype=np.int64))]
+    return spark.createDataFrame(ev, "image_id string, phash long")
+
+
+def test_cross_complete_vs_brute_force(spark, hashed, eval_hashed) -> None:
+    lr = hashed.collect()
+    rr = eval_hashed.collect()
+    l_ids = [r["image_id"] for r in lr]
+    l_hs = [r["phash"] & ((1 << 64) - 1) for r in lr]
+    r_ids = [r["image_id"] for r in rr]
+    r_hs = [r["phash"] & ((1 << 64) - 1) for r in rr]
+    for k in (0, 1, 3):
+        want = _brute_cross(l_ids, l_hs, r_ids, r_hs, k)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in DD.cross_hamming_pairs(
+                hashed, eval_hashed, "phash", left_id="image_id",
+                right_id="image_id", max_hamming=k,
+            ).collect()
+        }
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_cross_no_self_exclusion(spark) -> None:
+    """Identical ids across frames are DIFFERENT rows — a shared id
+    must still pair (distance 0), unlike the self-join."""
+    l = spark.createDataFrame([("a", 7)], "image_id string, phash long")
+    r = spark.createDataFrame([("a", 7)], "image_id string, phash long")
+    got = DD.cross_hamming_pairs(
+        l, r, "phash", left_id="image_id", right_id="image_id",
+        max_hamming=0).collect()
+    assert [(g["id_a"], g["id_b"], g["hamming"]) for g in got] == \
+        [("a", "a", 0)]
+
+
+def test_cross_combination_blocking(spark, hashed, eval_hashed) -> None:
+    lr, rr = hashed.collect(), eval_hashed.collect()
+    want = _brute_cross(
+        [r["image_id"] for r in lr],
+        [r["phash"] & ((1 << 64) - 1) for r in lr],
+        [r["image_id"] for r in rr],
+        [r["phash"] & ((1 << 64) - 1) for r in rr], 3)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.cross_hamming_pairs(
+            hashed, eval_hashed, "phash", left_id="image_id",
+            right_id="image_id", max_hamming=3,
+            n_blocks=6, block_bits=None, combo=3,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cross_pigeonhole_guard() -> None:
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.cross_hamming_pairs(None, None, "phash", max_hamming=4)
+
+
+def test_image_decontamination_verdicts(spark, hashed, eval_hashed) -> None:
+    """Per-train verdict: contaminated iff some eval hash within k;
+    n_eval_matches and min_hamming replay the brute force; clean rows
+    keep NULL min_hamming and 0 matches; row count preserved."""
+    lr, rr = hashed.collect(), eval_hashed.collect()
+    want_pairs = _brute_cross(
+        [r["image_id"] for r in lr],
+        [r["phash"] & ((1 << 64) - 1) for r in lr],
+        [r["image_id"] for r in rr],
+        [r["phash"] & ((1 << 64) - 1) for r in rr], 3)
+    agg = {}
+    for a, _, d in want_pairs:
+        n, m = agg.get(a, (0, 64))
+        agg[a] = (n + 1, min(m, d))
+    out = DD.image_decontamination(
+        hashed, eval_hashed, "phash", train_id="image_id",
+        eval_id="image_id", max_hamming=3).collect()
+    assert len(out) == len(lr)
+    for r in out:
+        n, m = agg.get(r["image_id"], (0, None))
+        assert r["contaminated"] == (n > 0)
+        assert r["n_eval_matches"] == n
+        assert r["min_hamming"] == m

@@ -488,3 +488,76 @@ def test_curate_split(spark) -> None:
     full = {r["doc_id"]: (r["keep"], r["reasons"])
             for r in curate_documents(df, full_rows=True).collect()}
     assert slim == full
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: the daily-increment-vs-standing-corpus join
+# ---------------------------------------------------------------------------
+
+
+def _inc_frames(spark):
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    new = spark.createDataFrame([
+        # near-dup of corpus doc 0 (one word swapped)
+        (100, "The quick brown fox leaps over the lazy dog near the river"),
+        # exact re-crawl of corpus doc 3
+        (101, "Der Hund ist nicht zu Hause und die Katze ist im Garten"),
+        # genuinely new
+        (102, "completely fresh material about distributed query engines"),
+    ], ["doc_id", "text"])
+    return corpus, new
+
+
+def test_incremental_near_duplicates_pairs(spark) -> None:
+    """Cross-frame verify matches a brute-force cross Jaccard at the
+    threshold: the re-crawl pairs at 1.0, the variant above 0.5, the
+    fresh doc pairs with nothing."""
+    corpus, new = _inc_frames(spark)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in DD.incremental_near_duplicates(
+               corpus, new, threshold=0.5, max_bucket=None).collect()}
+    assert got.get((3, 101)) == 1.0
+    assert (0, 100) in got and 0.5 <= got[(0, 100)] < 1.0
+    assert all(b != 102 for (_, b) in got)
+    # cross-namespace: ids never pair corpus-side with corpus-side
+    assert all(a <= 6 and b >= 100 for (a, b) in got)
+
+
+def test_incremental_equals_self_join_restriction(spark) -> None:
+    """Running the SELF near-dup join over corpus ∪ increment and
+    restricting to cross pairs must equal the incremental result —
+    the incremental path is an optimization, not a semantics change."""
+    corpus, new = _inc_frames(spark)
+    union = corpus.unionByName(new)
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in DD.near_duplicates(
+                union, threshold=0.5, max_bucket=None).collect()
+            if r["id_a"] <= 6 and r["id_b"] >= 100}
+    inc = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in DD.incremental_near_duplicates(
+               corpus, new, threshold=0.5, max_bucket=None).collect()}
+    assert inc == full
+
+
+def test_incremental_with_precomputed_signatures(spark) -> None:
+    """The stored-signature path (corpus sigs computed once, reused
+    per increment) must agree exactly with the from-text path."""
+    corpus, new = _inc_frames(spark)
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", 3).cache()
+    a = sorted(map(tuple, DD.incremental_near_duplicates(
+        corpus, new, threshold=0.5, max_bucket=None).collect()))
+    b = sorted(map(tuple, DD.incremental_near_duplicates(
+        corpus, new, threshold=0.5, max_bucket=None,
+        corpus_signatures=sigs).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_cross_lsh_shared_id_pairs(spark) -> None:
+    """Identical docs with the SAME id across frames still pair —
+    cross-frame namespaces are independent (no self-exclusion)."""
+    corpus, _ = _inc_frames(spark)
+    sigs = DD.minhash_signatures(corpus, "doc_id", "text", 3)
+    cands = {(r["id_a"], r["id_b"])
+             for r in DD.cross_lsh_candidate_pairs(
+                 sigs, sigs).collect()}
+    assert (0, 0) in cands and (3, 3) in cands
