@@ -1404,6 +1404,32 @@ def q_ann_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_OPQ_SQL = _ANN_PQ_SQL
 
 
+def q_ann_topk_opq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style 'OPQ,IVF,PQ' chain
+    (similarity.opq_ivf_pq_topk): learn the OPQ rotation, rotate
+    corpus and queries ONCE (rotate_embeddings — R preserves inner
+    products and norms), then the UNMODIFIED coarse-quantize →
+    residual-PQ → probe-pruned ADC → exact-rescore pipeline runs in
+    rotated space. This composes what pq_encode(rotation=, centroids=)
+    deliberately refuses — there the quantizer would live in the
+    unrotated space; here it is trained on rotated vectors, so the
+    model is exact. PLANTED-TRUTH oracle shared with the whole PQ
+    family: the twin rotates identically → same list, same residual
+    code, rescored (rotated == raw) cosine exactly 1.0 at rank 1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    return _sim.opq_ivf_pq_topk(
+        corpus, queries, k=1, m=8, n_codes=64, n_lists=16, nprobe=1,
+        rescore_n=16, opq_iters=3, seed=11, residual=True) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_OPQ_IVF_SQL = _ANN_PQ_SQL
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups over corpus ∪ planted duplicates (the raw
     corpus has no near-pairs at 0.99); exact all-pairs variant, so it
@@ -4442,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_decontamination": q_img_decontamination,
         "mixture_sample_docs": q_mixture_sample_docs,
         "incremental_near_dups": q_incremental_near_dups,
+        "ann_topk_opq_ivf": q_ann_topk_opq_ivf,
         "ann_topk_pq_dist": q_ann_topk_pq_dist,
         "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
         "ann_topk_opq": q_ann_topk_opq,
@@ -5521,6 +5548,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "img_decontamination": _img_decontamination_sql(),
         "mixture_sample_docs": _MIXTURE_SAMPLE_SQL,
         "incremental_near_dups": _incremental_near_dups_sql(),
+        "ann_topk_opq_ivf": _ANN_OPQ_IVF_SQL,
         "ann_topk_pq_dist": _ANN_PQ_DIST_SQL,
         "ann_topk_ivfpq_residual": _ANN_IVFPQ_RES_SQL,
         "ann_topk_opq": _ANN_OPQ_SQL,

@@ -684,6 +684,148 @@ def opq_train(
     return rot, books
 
 
+def rotate_embeddings(
+    df: DataFrame,
+    rotation: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Every vector multiplied by ``rotation`` in ONE narrow Arrow
+    stage (zero Exchanges, all other columns pass through). The
+    composition primitive that makes OPQ orthogonal to everything
+    else: because R preserves inner products and norms, a frame
+    rotated ONCE can feed the unmodified IVF / residual-PQ / rescore
+    machinery — no ``rotation=`` plumbing inside those operators, no
+    unmodeled coupling (this is how :func:`opq_ivf_pq_topk` composes
+    OPQ with the coarse quantizer, i.e. FAISS's 'OPQ..,IVF..,PQ..'
+    chain). NULL or wrong-width vectors fail the task with a clear
+    message rather than silently mis-rotating."""
+    rot = np.ascontiguousarray(rotation, dtype=np.float64)
+    if rot.ndim != 2 or rot.shape[0] != rot.shape[1]:
+        raise ValueError(f"rotation must be square, got {rot.shape}")
+    out = out_col or vec_col
+    fields = []
+    for f in df.schema.fields:
+        if f.name == out:
+            fields.append(T.StructField(
+                out, T.ArrayType(T.DoubleType()), True))
+        else:
+            fields.append(f)
+    if out not in df.columns:
+        fields.append(T.StructField(
+            out, T.ArrayType(T.DoubleType()), True))
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+    dim = rot.shape[0]
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf):
+                if pdf[vec_col].isna().any():
+                    raise ValueError(
+                        "rotate_embeddings: NULL embedding — filter "
+                        "or repair before rotating")
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pdf[vec_col]])
+                if mat.ndim != 2 or mat.shape[1] != dim:
+                    raise ValueError(
+                        f"rotate_embeddings: vectors of width "
+                        f"{mat.shape[1:]} vs rotation dim {dim}")
+                r = mat @ rot
+                pdf = pdf.copy()
+                pdf[out] = list(r)
+            else:
+                pdf = pdf.copy()
+                pdf[out] = pd.Series([], dtype=object)
+            yield pdf[names]
+
+    return df.mapInPandas(work, schema=out_schema)
+
+
+def opq_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    m: int = 8,
+    n_codes: int = 256,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    rescore_n: int = 32,
+    opq_iters: int = 8,
+    iters: int = 10,
+    seed: int = 11,
+    train_rows: int = 20_000,
+    residual: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+    sample_mod: int | None = None,
+    distributed: bool = False,
+    queries_per_block: int = 10_000,
+) -> DataFrame:
+    """The full FAISS-style 'OPQ,IVF,PQ' chain (Ge et al. CVPR 2013 ×
+    Jégou et al. 2011): learn the OPQ rotation, rotate corpus AND
+    queries ONCE (:func:`rotate_embeddings` — R preserves inner
+    products and norms, so rotated cosines ARE the raw cosines and
+    normalization commutes), then run the UNMODIFIED coarse-quantize
+    → residual-PQ → probe-pruned ADC → exact-rescore pipeline in the
+    rotated space. This composes what ``pq_encode(rotation=,
+    centroids=)`` deliberately refuses: there the rotation would
+    couple with a coarse quantizer trained in the unrotated space;
+    here the quantizer itself is trained on rotated vectors, so the
+    model is exact, not approximated.
+
+    Planted-twin invariant survives end-to-end: identical vectors
+    rotate identically → same list, same residual code, and the
+    rescore (cosines of rotated vectors = raw cosines) ranks the twin
+    1 at exactly 1.0. At scale: training collects stay bounded
+    (same deterministic sample as every quantizer here), the rotated
+    corpus is one extra narrow Arrow pass you'd materialize next to
+    the codes at rest, and search cost is identical to
+    :func:`ivf_pq_topk`."""
+    rot, _ = opq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        train_rows=train_rows, iters=iters, opq_iters=opq_iters,
+        seed=seed, sample_mod=sample_mod)
+    # lazy localCheckpoint: the rotated corpus feeds FOUR consumers
+    # (ivf sample, pq sample, encode, rescore) — without truncation
+    # each would re-run the Arrow rotation stage
+    rcorp = rotate_embeddings(corpus, rot, vec_col=vec_col) \
+        .localCheckpoint(eager=False)
+    rq = rotate_embeddings(queries, rot, vec_col=vec_col)
+    assigned, cents = ivf_index(
+        rcorp, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        train_rows=train_rows, iters=iters, seed=seed,
+        sample_mod=sample_mod)
+    books = pq_train(
+        rcorp, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        train_rows=train_rows, iters=iters, seed=seed,
+        sample_mod=sample_mod,
+        centroids=cents if residual else None)
+    codes = pq_encode(
+        assigned, books, id_col=id_col, vec_col=vec_col,
+        centroids=cents if residual else None,
+        list_col="list_id" if residual else None,
+        keep_cols=("list_id",))
+    if distributed:
+        # unbounded-query serving: rotation is already baked into rq
+        # and rcorp, so the distributed path needs no rotation param
+        return ivf_pq_topk_distributed(
+            codes, cents, books, rq, k, nprobe=nprobe, corpus=rcorp,
+            rescore_n=rescore_n, queries_per_block=queries_per_block,
+            residual=residual, id_col=id_col, vec_col=vec_col)
+    return ivf_pq_topk(
+        codes, cents, books, rq, k, nprobe=nprobe, corpus=rcorp,
+        rescore_n=rescore_n, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries, residual=residual)
+
+
 def _pq_kmeans(mat: np.ndarray, m: int, n_codes: int, iters: int,
                seed: int) -> np.ndarray:
     """Per-subspace k-means (k-means++ seeding + Lloyd) — the exact

@@ -650,3 +650,93 @@ def test_opq_guards(spark, emb, books) -> None:
     with pytest.raises(ValueError, match="does not compose"):
         SIM.build_query_luts(emb, books, centroids=cents,
                              rotation=np.eye(64))
+
+
+# ---------------------------------------------------------------------------
+# rotate_embeddings + the full OPQ,IVF,PQ chain
+# ---------------------------------------------------------------------------
+
+
+def test_rotate_embeddings_math_and_passthrough(spark, emb) -> None:
+    rng = np.random.RandomState(5)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    src = emb.withColumn("tag", F.col("vec_id") % 7)
+    out = {r["vec_id"]: r for r in SIM.rotate_embeddings(
+        src, q).collect()}
+    raw = {r["vec_id"]: r for r in src.collect()}
+    assert set(out) == set(raw)
+    some = list(raw)[:25]
+    for vid in some:
+        want = np.asarray(raw[vid]["embedding"], dtype=np.float64) @ q
+        got = np.asarray(out[vid]["embedding"])
+        assert np.array_equal(got, want)       # bit-exact, same op
+        assert out[vid]["tag"] == raw[vid]["tag"]
+    # norms preserved (orthogonal R) up to f64 noise
+    for vid in some[:5]:
+        a = np.linalg.norm(raw[vid]["embedding"])
+        b = np.linalg.norm(out[vid]["embedding"])
+        assert abs(a - b) < 1e-9 * max(a, 1)
+
+
+def test_rotate_embeddings_out_col_and_plan(spark, emb) -> None:
+    q = np.eye(64)
+    out = SIM.rotate_embeddings(emb, q, out_col="rot")
+    assert "rot" in out.columns and "embedding" in out.columns
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 0          # one narrow stage
+    r = out.limit(3).collect()
+    for row in r:
+        assert list(row["rot"]) == list(row["embedding"])
+
+
+def test_rotate_embeddings_guards(spark, emb) -> None:
+    with pytest.raises(ValueError, match="square"):
+        SIM.rotate_embeddings(emb, np.zeros((4, 8)))
+    import re
+    with pytest.raises(Exception, match=re.compile(
+            "rotation dim", re.DOTALL)):
+        SIM.rotate_embeddings(emb, np.eye(8)).collect()
+    withnull = emb.limit(5).withColumn(
+        "embedding", F.when(F.col("vec_id") % 2 == 0,
+                            F.col("embedding")))
+    with pytest.raises(Exception, match=re.compile(
+            "NULL embedding", re.DOTALL)):
+        SIM.rotate_embeddings(withnull, np.eye(64)).collect()
+
+
+def test_opq_ivf_pq_planted_twin(spark, emb) -> None:
+    """The full OPQ,IVF,PQ chain: identical vectors rotate
+    identically → same coarse list, same residual code → the exact
+    rescore (rotated cosines == raw cosines) ranks the planted twin
+    1 at exactly 1.0 — in BOTH residual and raw encodings."""
+    planted = emb.where("vec_id < 5").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    qs = emb.where("vec_id < 5").select("vec_id", "embedding")
+    for residual in (True, False):
+        top1 = SIM.opq_ivf_pq_topk(
+            corpus, qs, k=1, m=8, n_codes=64, n_lists=8, nprobe=1,
+            rescore_n=16, opq_iters=2, seed=11,
+            residual=residual).collect()
+        assert len(top1) == 5, residual
+        for r in top1:
+            assert r["neighbor_id"] == r["query_id"] + 5000
+            assert r["cosine"] == 1.0
+
+
+def test_opq_ivf_pq_distributed_equals_driver(spark, emb) -> None:
+    """distributed=True routes the chain's search through the
+    unbounded-query block path — results must equal the driver path
+    exactly (rotation baked into the frames, not the params)."""
+    planted = emb.where("vec_id < 4").selectExpr(
+        "vec_id + 5000 AS vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    qs = emb.where("vec_id < 4").select("vec_id", "embedding")
+    kw = dict(k=3, m=8, n_codes=64, n_lists=8, nprobe=2,
+              rescore_n=16, opq_iters=2, seed=11, residual=True)
+    want = sorted(map(tuple, SIM.opq_ivf_pq_topk(
+        corpus, qs, **kw).collect()))
+    got = sorted(map(tuple, SIM.opq_ivf_pq_topk(
+        corpus, qs, distributed=True, queries_per_block=2,
+        **kw).collect()))
+    assert got == want and len(got) == 12

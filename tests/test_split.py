@@ -376,3 +376,18 @@ def test_mixture_sample_matches_duckdb(spark) -> None:
                 1, 12)) AS BIGINT) % 1000000 < r.thr
     """).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_mixture_sample_plan_quality(spark) -> None:
+    """JVM-only (no Python stages anywhere) and the target-group
+    filter is pushed into BOTH scans of the source (counts + output),
+    so non-target groups are pruned at the source at 100 TB."""
+    df = _grouped(spark, {"a": 50, "b": 50, "c": 50})
+    out = sp.mixture_sample(df, "g", {"a": 1, "b": 1}, "k")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in phys and "BatchEvalPython" not in phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("g#") > 0 and "Filter" in opt
+    # both branches carry the isin filter below their aggregates
+    assert opt.count("IN (a,b)") + opt.count("g IN") + \
+        opt.count("INSET") >= 2
