@@ -595,6 +595,32 @@ WHERE CAST(concat('0x', substr(
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (split.weighted_hash_sample
+    — the per-row member of the sampling family): each document kept
+    with probability equal to its own length-based quality proxy
+    least(1, n_chars/3000). One narrow shuffle-free JVM filter, pure
+    function of (key, weight) — the oracle replays the weight
+    expression, the clamp, and the md5-bucket predicate, so the row
+    set is EXACT."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(3000.0))
+    return _sp.weighted_hash_sample(d, w, "doc_id", seed=11) \
+        .select("doc_id", "n_chars")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST(concat('0x', substr(
+        md5(concat_ws(':', CAST(doc_id AS VARCHAR), '11')),
+        1, 12)) AS BIGINT) % 1000000
+      < least(greatest(least(CAST(1 AS DOUBLE),
+                             n_chars / CAST(3000 AS DOUBLE)),
+                       CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))
+        * 1000000
+"""
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-safe dataset split: Jaccard pairs over the planted
     transitive-chain corpus → connected components → split keyed on
@@ -4469,6 +4495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": q_mixture_sample_docs,
         "incremental_near_dups": q_incremental_near_dups,
         "ann_topk_opq_ivf": q_ann_topk_opq_ivf,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "ann_topk_pq_dist": q_ann_topk_pq_dist,
         "ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,
         "ann_topk_opq": q_ann_topk_opq,
@@ -5549,6 +5576,7 @@ SELECT o_orderkey, o_orderpriority FROM (
         "mixture_sample_docs": _MIXTURE_SAMPLE_SQL,
         "incremental_near_dups": _incremental_near_dups_sql(),
         "ann_topk_opq_ivf": _ANN_OPQ_IVF_SQL,
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "ann_topk_pq_dist": _ANN_PQ_DIST_SQL,
         "ann_topk_ivfpq_residual": _ANN_IVFPQ_RES_SQL,
         "ann_topk_opq": _ANN_OPQ_SQL,

@@ -123,6 +123,33 @@ def hash_sample(
     return df.where(split_bucket(key, seed) < int(round(fraction * SCALE)))
 
 
+def weighted_hash_sample(
+    df: DataFrame, weight_col: str | Column, key: str,
+    seed: int = 0, clamp: bool = True,
+) -> DataFrame:
+    """Per-row importance sampling: each row kept with probability
+    equal to ITS OWN weight (a quality score, a domain boost, a
+    DSIR-style importance ratio) — the quality-weighted data-mixing
+    primitive, completing the family next to :func:`hash_sample`
+    (uniform), :func:`stratified_hash_sample` (per-group), and
+    :func:`mixture_sample` (target shares).
+
+    Same md5-bucket mechanism: membership is a pure function of
+    (key, seed, weight), so re-runs, repartitioning, and appends keep
+    prior decisions, and the oracle replays every row exactly. Still
+    one narrow shuffle-free JVM filter pushed at the scan. ``clamp``
+    folds weights into [0, 1] (NULL weights drop the row — a NULL
+    comparison is false in both engines); pass ``clamp=False`` to
+    fail fast on out-of-range weights instead (values > 1 keep
+    unconditionally, < 0 never — same as clamped, but documented
+    intent differs)."""
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    if clamp:
+        w = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    return df.where(split_bucket(key, seed) < w * F.lit(SCALE))
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata: str,

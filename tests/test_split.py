@@ -391,3 +391,43 @@ def test_mixture_sample_plan_quality(spark) -> None:
     # both branches carry the isin filter below their aggregates
     assert opt.count("IN (a,b)") + opt.count("g IN") + \
         opt.count("INSET") >= 2
+
+
+def test_weighted_hash_sample(spark) -> None:
+    """Per-row keep probability equals the weight column: weight-0
+    rows never survive, weight-1 rows always do, a 0.3-weight block
+    lands within binomial noise, NULL weights drop, clamping folds
+    out-of-range values, and the row set replays exactly in DuckDB."""
+    df = _keys(spark, 12000).withColumn(
+        "w", F.when(F.col("k") % 4 == 0, 0.0)
+             .when(F.col("k") % 4 == 1, 1.0)
+             .when(F.col("k") % 4 == 2, 0.3)
+             .otherwise(F.lit(None).cast("double")))
+    out = sp.weighted_hash_sample(df, "w", "k", seed=9).cache()
+    got = {r["k"] for r in out.collect()}
+    assert all(k % 4 != 0 for k in got)
+    assert sum(1 for k in got if k % 4 == 1) == 3000
+    n3 = sum(1 for k in got if k % 4 == 2)
+    assert abs(n3 - 900) < 5 * (3000 * 0.3 * 0.7) ** 0.5
+    assert all(k % 4 != 3 for k in got)        # NULL drops
+    # clamp: >1 keeps everything, <0 nothing
+    crazy = _keys(spark, 100).withColumn(
+        "w", F.when(F.col("k") < 50, 7.5).otherwise(-2.0))
+    kept = {r["k"] for r in sp.weighted_hash_sample(
+        crazy, "w", "k").collect()}
+    assert kept == set(range(50))
+    # exact DuckDB replay
+    con = duckdb.connect()
+    want = {v[0] for v in con.sql("""
+        SELECT k FROM (
+          SELECT range AS k,
+                 CASE WHEN range % 4 = 0 THEN 0.0
+                      WHEN range % 4 = 1 THEN 1.0
+                      WHEN range % 4 = 2 THEN 0.3 END AS w
+          FROM range(12000))
+        WHERE CAST(concat('0x', substr(
+                md5(concat_ws(':', CAST(k AS VARCHAR), '9')),
+                1, 12)) AS BIGINT) % 1000000
+              < least(greatest(w, 0.0), 1.0) * 1000000
+    """).fetchall()}
+    assert got == want
