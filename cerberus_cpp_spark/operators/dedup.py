@@ -766,6 +766,12 @@ def image_decontamination(
     back onto ``train``, so AQE broadcasts it whenever contamination
     is rare (the realistic regime — eval sets are tiny next to the
     corpus). Nothing is ever driver-collected."""
+    clash = {"contaminated", "n_eval_matches", "min_hamming"} \
+        & set(train.columns)
+    if clash:
+        raise ValueError(
+            f"image_decontamination: train already has verdict "
+            f"column(s) {sorted(clash)} — rename or drop them first")
     pairs = cross_hamming_pairs(
         train.select(train_id, hash_col), eval_set, hash_col,
         left_id=train_id, right_id=eval_id, max_hamming=max_hamming,

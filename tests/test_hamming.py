@@ -264,3 +264,24 @@ def test_image_decontamination_verdicts(spark, hashed, eval_hashed) -> None:
         assert r["contaminated"] == (n > 0)
         assert r["n_eval_matches"] == n
         assert r["min_hamming"] == m
+
+
+def test_image_decontamination_collision_guard(spark) -> None:
+    t = spark.createDataFrame([("a", 1, True)],
+                              "image_id string, phash long,"
+                              " contaminated boolean")
+    e = spark.createDataFrame([("b", 1)],
+                              "image_id string, phash long")
+    with pytest.raises(ValueError, match="verdict column"):
+        DD.image_decontamination(t, e, "phash")
+
+
+def test_decontamination_plan_shape(spark, hashed, eval_hashed) -> None:
+    """ONE pair equi-join + ONE verdict join back, no cartesian —
+    the pair join stays the single (block, bkey) shuffle."""
+    out = DD.image_decontamination(
+        hashed, eval_hashed, "phash", train_id="image_id",
+        eval_id="image_id", max_hamming=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 2
+    assert "Cartesian" not in plan
