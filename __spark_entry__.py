@@ -1036,6 +1036,190 @@ FROM documents WHERE doc_id % 7 = 2 AND text IS NOT NULL
 """
 
 
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential token-budget packing (split.pack_documents — the
+    deterministic first-fit bin assignment every pretraining
+    pipeline runs to build fixed-budget training sequences): pack
+    each language's documents in doc_id order into 2000-char bins.
+    The oracle replays the running sum, the integer DIV, and the
+    offset arithmetic; casts pin DuckDB's HUGEINT window sums back
+    to BIGINT."""
+    d = _t(spark, sf_dir, "documents")
+    return _sp.pack_documents(
+        d, 2000, weight="n_chars", group_col="lang",
+    ).select("doc_id", "lang", "pack_weight", "bin_id", "bin_offset")
+
+
+_PACK_DOCS_SQL = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars AS pack_weight,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS strt
+  FROM documents
+)
+SELECT doc_id, lang, pack_weight,
+       CAST(strt // 2000 AS BIGINT) AS bin_id,
+       CAST(strt - (strt // 2000) * 2000 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+def q_epoch_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (split.epoch_shuffle):
+    every document gets a reproducible (bucket, position) for epoch 3
+    under seed 1 — a pure function of the key, so a killed job
+    replays the identical order and appends never reorder existing
+    rows. The oracle replays the md5 order key bit-for-bit (the
+    module's established CAST(concat('0x', substr(md5(..)))) recipe)
+    and the per-bucket row_number."""
+    d = _t(spark, sf_dir, "documents")
+    return _sp.epoch_shuffle(
+        d, key="doc_id", epoch=3, n_buckets=16, seed=1,
+    ).select("doc_id", "epoch_bucket", "epoch_pos")
+
+
+_EPOCH_ORDER_SQL = """
+WITH o AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat_ws(':',
+              CAST(doc_id AS VARCHAR), 'epoch3', '1')), 1, 12))
+           AS BIGINT) AS okey
+  FROM documents
+)
+SELECT doc_id, CAST(okey % 16 AS INTEGER) AS epoch_bucket,
+       CAST(row_number() OVER (PARTITION BY okey % 16
+            ORDER BY okey, doc_id) AS BIGINT) AS epoch_pos
+FROM o
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking (text.chunk_documents — the
+    pre-tokenization step that turns long documents into training
+    rows): 120-char windows at stride 90 (30 chars of overlap so no
+    span is cut without a context copy). One shuffle-free JVM
+    projection (plan-pinned); the oracle replays the window
+    arithmetic with generate_series + substr."""
+    d = _t(spark, sf_dir, "documents")
+    return _tx.chunk_documents(d, chunk_chars=120, stride=90)
+
+
+_CHUNK_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) >= 1
+),
+k AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (L - 1) // 90)) AS k
+  FROM d
+)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       CAST(k * 90 AS BIGINT) AS chunk_start,
+       substr(text, CAST(k * 90 + 1 AS INTEGER), 120) AS chunk_text,
+       CAST(length(substr(text, CAST(k * 90 + 1 AS INTEGER), 120))
+            AS BIGINT) AS chunk_chars_out
+FROM k
+"""
+
+
+def q_dup_gram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span score
+    (text.duplicate_ngram_stats — the C4/Dolma repeated-span signal
+    that per-doc repetition features cannot see): every doc with
+    doc_id % 9 == 4 gets the SAME 7 nonce tokens appended, so the 3
+    fully-inside 5-grams of that sentence become corpus-wide
+    duplicates while splice-boundary grams stay doc-unique; natural
+    word-salad overlaps are replayed verbatim by the oracle (it
+    recomputes grams as STRINGS — agreement with the engine's 64-bit
+    gram hashes is exact absent a blake2b+poly collision, and the
+    parquet corpus is fixed)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 9 = 4 THEN concat(text,"
+               " ' zydup1 zydup2 zydup3 zydup4 zydup5 zydup6"
+               " zydup7') ELSE text END").alias("text"))
+    return _tx.duplicate_ngram_stats(planted, n=5)
+
+
+_DUP_GRAM_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 4 THEN concat(text,
+           ' zydup1 zydup2 zydup3 zydup4 zydup5 zydup6 zydup7')
+         ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM planted
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) < 5 THEN []
+             ELSE [array_to_string(t[i:i+4], ' ')
+                   FOR i IN range(1, len(t) - 3)] END) AS gram
+    FROM toks)
+),
+freq AS (SELECT gram, count(*) AS nd FROM g GROUP BY 1)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dup_gram_ratio
+FROM g JOIN freq f USING (gram)
+GROUP BY 1
+"""
+
+
+def q_emb_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding (semantic) eval-set decontamination
+    (similarity.embedding_decontamination — the third member of the
+    decontamination trio after 13-gram text and phash image): the
+    eval set is every embedding with vec_id % 37 == 5, scaled ×1.5
+    (cosine is scale-invariant, so each planted eval vector matches
+    its own train twin at cosine ≈ 1.0 exactly — float→double
+    widening and ×1.5 are both IEEE-exact, so both engines build
+    bit-identical eval matrices). The natural cross-cosine ceiling of
+    this corpus is measured ≈ 0.48 at every SF, so threshold 0.9
+    splits planted from natural with ~0.4 of margin — both engines
+    agree on every pair's side of the threshold regardless of
+    summation-order ulps, and round(·, 6) pins the reported value."""
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.where("vec_id % 37 = 5").select(
+        F.expr("transform(embedding, x -> cast(x as double) * 1.5d)")
+        .alias("embedding"))
+    return _sim.embedding_decontamination(
+        emb, evals, threshold=0.9,
+    ).select("vec_id", "label", "contaminated", "n_eval_matches",
+             "max_cosine")
+
+
+_EMB_DECONTAMINATION_SQL = """
+WITH ev AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> x * 1.5) AS ev
+  FROM embeddings WHERE vec_id % 37 = 5 AND embedding IS NOT NULL
+),
+hits AS (
+  SELECT t.vec_id, count(*) AS n_eval_matches,
+         round(max(list_cosine_similarity(
+             t.embedding::DOUBLE[], e.ev)), 6) AS max_cosine
+  FROM embeddings t, ev e
+  WHERE list_cosine_similarity(t.embedding::DOUBLE[], e.ev) >= 0.9
+  GROUP BY 1
+)
+SELECT t.vec_id, t.label,
+       h.n_eval_matches IS NOT NULL AS contaminated,
+       CAST(coalesce(h.n_eval_matches, 0) AS BIGINT)
+         AS n_eval_matches,
+       h.max_cosine
+FROM embeddings t LEFT JOIN hits h USING (vec_id)
+"""
+
+
 IMG_STRIP_N = 250
 
 
@@ -4491,6 +4675,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "pack_docs": q_pack_docs,
+        "epoch_order_docs": q_epoch_order_docs,
+        "chunk_docs": q_chunk_docs,
+        "dup_gram_docs": q_dup_gram_docs,
+        "emb_decontamination": q_emb_decontamination,
         "img_decontamination": q_img_decontamination,
         "mixture_sample_docs": q_mixture_sample_docs,
         "incremental_near_dups": q_incremental_near_dups,
@@ -5389,6 +5578,11 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pack_docs": _PACK_DOCS_SQL,
+        "epoch_order_docs": _EPOCH_ORDER_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
+        "dup_gram_docs": _DUP_GRAM_SQL,
+        "emb_decontamination": _EMB_DECONTAMINATION_SQL,
         "val_orders_violations": _ORDERS_VIOL_SQL,
         "val_part_summary": _PART_SUMMARY_SQL,
         "val_embeddings_len": _EMB_VIOL_SQL,

@@ -1715,3 +1715,133 @@ def tune_nprobe(
         if recall >= target_recall or nprobe >= n_lists:
             return nprobe, recall
         nprobe = min(nprobe * 2, n_lists)
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str = "embedding",
+    max_eval_rows: int = 20_000,
+) -> DataFrame:
+    """Eval-set decontamination by embedding cosine — the semantic
+    member of the decontamination trio (text: 13-gram
+    ``text.ngram_contamination``; image: perceptual-hash
+    ``dedup.image_decontamination``). Every ``train`` row gains
+    ``contaminated`` (true when some ``eval_df`` vector has cosine ≥
+    ``threshold`` with it), ``n_eval_matches`` (how many — 0 when
+    clean) and ``max_cosine`` (closest match rounded to 6 decimals;
+    NULL when clean). Rows whose vector is NULL or zero-norm cannot
+    match anything and come back clean — the same contract as a
+    null-text document emitting no grams.
+
+    EXACT by construction (complete brute force against the eval
+    side), which is the point of a decontamination gate: the eval
+    set is small by definition, so it is size-guarded
+    (``max_eval_rows``, enforced with ``limit(n+1)`` inside the same
+    job as the bounded collect) and carried to every executor as one
+    normalized float64 matrix; the train side is scanned ONCE in a
+    narrow Arrow stage doing a single BLAS matmul per batch
+    (interpreted ``zip_with`` folds per pair would be ~100× slower
+    and CodegenFallback). Only the contaminated rows (a vanishing
+    fraction — eval sets are tiny and leaks rare) leave the stage,
+    then one AQE-planned left join pins the verdict back onto
+    ``train``. Nothing data-proportional is broadcast or collected.
+
+    Reference analogue: cerberus-cpp has no vectors (SURVEY §2.2) —
+    this extends the validation family the same way the phash and
+    n-gram checks do, with the per-row verdict contract of
+    `validator.hh`'s document-level pass/fail."""
+    clash = {"contaminated", "n_eval_matches", "max_cosine"} \
+        & set(train.columns)
+    if clash:
+        raise ValueError(
+            f"embedding_decontamination: train already has verdict "
+            f"column(s) {sorted(clash)} — rename or drop them first")
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    spark = train.sparkSession
+    ev_rows = eval_df.select(eval_vec_col).where(
+        F.col(eval_vec_col).isNotNull()
+    ).limit(max_eval_rows + 1).collect()
+    if len(ev_rows) > max_eval_rows:
+        raise ValueError(
+            f"embedding_decontamination is exact against the eval set "
+            f"and bounds it at {max_eval_rows} rows; got more. That is "
+            f"not an eval set — raise max_eval_rows explicitly if "
+            f"intended.")
+    verdictless = train.withColumn(
+        "contaminated", F.lit(False)
+    ).withColumn("n_eval_matches", F.lit(0)) \
+     .withColumn("max_cosine", F.lit(None).cast("double"))
+    if not ev_rows:
+        return verdictless
+    emat = np.asarray(
+        [np.asarray(r[eval_vec_col], dtype=np.float64)
+         for r in ev_rows])
+    enorm = np.linalg.norm(emat, axis=1)
+    keep = enorm > 0
+    if not keep.any():
+        return verdictless
+    eunit = emat[keep] / enorm[keep][:, None]
+    bc = spark.sparkContext.broadcast(eunit)
+    id_dtype = train.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_dtype, True),
+        T.StructField("n_eval_matches", T.LongType(), True),
+        T.StructField("max_cosine", T.DoubleType(), True),
+    ])
+    src = train.select(id_col, vec_col)
+    dim = eunit.shape[1]
+    thr = float(threshold)
+
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        ev = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = [None if v is None else
+                    np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]]
+            ok = [i for i, v in enumerate(vecs)
+                  if v is not None and v.shape == (dim,)]
+            bad = [i for i, v in enumerate(vecs)
+                   if v is not None and v.shape != (dim,)]
+            if bad:
+                raise ValueError(
+                    f"embedding_decontamination: train vector width "
+                    f"{vecs[bad[0]].shape} != eval dim {dim} at "
+                    f"{id_col}={pdf[id_col].iloc[bad[0]]!r}")
+            if not ok:
+                continue
+            mat = np.stack([vecs[i] for i in ok])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ ev.T  # (batch, |eval|)
+            hits = sims >= thr
+            n = hits.sum(axis=1)
+            rows = np.nonzero(n > 0)[0]
+            if not len(rows):
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].iloc[[ok[i] for i in rows]],
+                "n_eval_matches": n[rows].astype(np.int64),
+                "max_cosine": np.round(
+                    np.where(hits[rows], sims[rows],
+                             -np.inf).max(axis=1), 6),
+            })
+
+    hits = src.mapInPandas(work, schema=out_schema)
+    return (
+        train.join(hits, on=id_col, how="left")
+        .withColumn("contaminated",
+                    F.col("n_eval_matches").isNotNull())
+        .withColumn("n_eval_matches",
+                    F.coalesce(F.col("n_eval_matches"), F.lit(0)))
+    )

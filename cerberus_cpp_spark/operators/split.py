@@ -374,3 +374,178 @@ def cluster_safe_splits(
         .withColumn(split_col, split_expr(F.col("split_key"), weights, seed))
         .drop("__css_doc", "__css_cluster")
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    *,
+    weight: str | Column = "n_chars",
+    group_col: str,
+    id_col: str = "doc_id",
+    max_group_rows: int | None = 20_000_000,
+) -> DataFrame:
+    """Sequential token-budget packing: walk each group's rows in
+    ``id_col`` order, accumulate ``weight`` (a column name or
+    expression — token or char counts), and start a new bin whenever
+    the running total passes ``budget``. Adds ``pack_weight`` (the
+    evaluated weight), ``bin_id`` (0-based, = the bin the row STARTS
+    in: ``floor((cumsum - w) / budget)``) and ``bin_offset`` (how
+    much of that bin precedes the row). The deterministic streaming
+    analogue of first-fit bin packing every pretraining pipeline
+    runs to build fixed-token-budget sequences — membership is a
+    pure function of (group, id order, weights), stable under
+    re-runs, relayout, and cluster size, like everything in this
+    module. A row heavier than ``budget`` still gets the bin it
+    starts in (it overflows; the caller's chunker —
+    ``text.chunk_documents`` — is the tool that prevents that).
+
+    Scale shape: ONE shuffle on ``group_col`` and a running-sum
+    window inside each group — each group packs within a single
+    task, so groups must be bounded shards (a source/shard/bucket
+    column), exactly the :func:`stratified_exact_sample` contract;
+    the same in-plan ``assert_true`` count guard (shares the
+    window's exchange) fails loudly with the observed size instead
+    of silently serializing, and ``None`` disables it. Integer
+    weights replay exactly in ANSI SQL; double weights are subject
+    to summation-order (the window order is total, so still
+    deterministic — just documented).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if max_group_rows is not None and max_group_rows < 1:
+        raise ValueError("max_group_rows must be >= 1 or None")
+    wcol = F.col(weight) if isinstance(weight, str) else weight
+    clash = {"pack_weight", "bin_id", "bin_offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"pack_documents: input already has {sorted(clash)} — "
+            f"rename or drop them first")
+    win = (
+        W.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = df.withColumn("pack_weight", wcol)
+    ok = F.assert_true(
+        F.col("pack_weight").isNotNull()
+        & (F.col("pack_weight") >= 0),
+        F.concat(
+            F.lit("pack_documents: weight must be non-NULL and >= 0;"
+                  " got "),
+            F.coalesce(F.col("pack_weight").cast("string"),
+                       F.lit("NULL")),
+            F.lit(f" at {id_col}="),
+            F.col(id_col).cast("string"),
+        ),
+    )
+    cum = F.sum("pack_weight").over(win)
+    # integer DIV, not floor(double /): exact past 2^53 (a 10^12-row
+    # group's cumulative token count overflows double precision);
+    # fractional weights fall back to floor() with that caveat
+    from pyspark.sql.types import FractionalType
+
+    fractional = isinstance(
+        out.schema["pack_weight"].dataType, FractionalType)
+    out = out.withColumn("_ccs_start", cum - F.col("pack_weight"))
+    binexpr = (
+        F.floor(F.col("_ccs_start") / F.lit(int(budget)))
+        if fractional
+        else F.expr(f"_ccs_start DIV {int(budget)}")
+    )
+    out = (
+        out.withColumn(
+            "bin_id", F.when(ok.isNull(), binexpr).cast("long"))
+        .withColumn(
+            "bin_offset",
+            F.col("_ccs_start") - F.col("bin_id") * F.lit(int(budget)))
+        .drop("_ccs_start")
+    )
+    if max_group_rows is not None:
+        cntc = "_ccs_pack_cnt"
+        out = out.withColumn(
+            cntc, F.count(F.lit(1)).over(W.partitionBy(group_col)))
+        guard = F.assert_true(
+            F.col(cntc) <= F.lit(int(max_group_rows)),
+            F.concat(
+                F.lit("pack_documents: group of "),
+                F.col(cntc).cast("string"),
+                F.lit(f" rows exceeds max_group_rows="
+                      f"{int(max_group_rows)} — each group packs in"
+                      f" ONE task; shard the group column or raise"
+                      f" the bound"),
+            ),
+        )
+        out = out.withColumn(
+            "bin_id", F.when(guard.isNull(), F.col("bin_id"))
+        ).drop(cntc)
+    return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    key: str = "doc_id",
+    epoch: int = 0,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    max_bucket_rows: int | None = 20_000_000,
+) -> DataFrame:
+    """Deterministic training-epoch order: every row gets
+    ``epoch_bucket`` (which of ``n_buckets`` shuffle shards it lands
+    in) and ``epoch_pos`` (its 1-based position inside that shard),
+    both pure functions of ``(key, epoch, seed)`` via the module's
+    md5 recipe — so epoch 0 and epoch 1 are two different
+    reproducible permutations, a killed job replays the exact same
+    order, and appending data never reorders existing rows relative
+    to each other. Writers materialize the epoch with
+    ``repartition(n_buckets, 'epoch_bucket')`` +
+    ``sortWithinPartitions('epoch_pos')`` — which is exactly the
+    plan this window already produces (one hash Exchange on the
+    bucket + an in-task sort).
+
+    Ties on the 48-bit order key break by ``key`` itself, so the
+    order is total whenever ``key`` is unique. ``max_bucket_rows``
+    guards the one-task-per-bucket sort exactly like
+    :func:`pack_documents`; size ``n_buckets`` so a bucket
+    (≈ rows / n_buckets) fits a task comfortably.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if max_bucket_rows is not None and max_bucket_rows < 1:
+        raise ValueError("max_bucket_rows must be >= 1 or None")
+    clash = {"epoch_bucket", "epoch_pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_shuffle: input already has {sorted(clash)} — "
+            f"rename or drop them first")
+    h = F.md5(F.concat_ws(
+        ":", F.col(key).cast("string"),
+        F.lit(f"epoch{int(epoch)}"), F.lit(str(int(seed)))))
+    okey = F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
+    out = df.withColumn("_ccs_okey", okey).withColumn(
+        "epoch_bucket",
+        (F.col("_ccs_okey") % F.lit(int(n_buckets))).cast("int"))
+    win = W.partitionBy("epoch_bucket").orderBy(
+        F.col("_ccs_okey"), F.col(key))
+    out = out.withColumn(
+        "epoch_pos", F.row_number().over(win).cast("long"))
+    if max_bucket_rows is not None:
+        cntc = "_ccs_bucket_cnt"
+        out = out.withColumn(
+            cntc,
+            F.count(F.lit(1)).over(W.partitionBy("epoch_bucket")))
+        guard = F.assert_true(
+            F.col(cntc) <= F.lit(int(max_bucket_rows)),
+            F.concat(
+                F.lit("epoch_shuffle: bucket of "),
+                F.col(cntc).cast("string"),
+                F.lit(f" rows exceeds max_bucket_rows="
+                      f"{int(max_bucket_rows)} — each bucket sorts"
+                      f" in ONE task; raise n_buckets or the bound"),
+            ),
+        )
+        out = out.withColumn(
+            "epoch_pos", F.when(guard.isNull(), F.col("epoch_pos"))
+        ).drop(cntc)
+    return out.drop("_ccs_okey")

@@ -324,6 +324,185 @@ def repetition_features(
     ]
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_chars: int = 2048,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-width character windows — the
+    standard pre-tokenization chunking step of a training pipeline
+    (long documents become multiple training rows; ``stride`` <
+    ``chunk_chars`` gives overlapping windows so no span is ever cut
+    without a context copy). Emits ``(id_col, chunk_id, chunk_start,
+    chunk_text, chunk_chars_out)`` with 0-based ``chunk_start`` =
+    ``chunk_id * stride``; windows start while ``start < length``,
+    so the tail chunk may be shorter. NULL/empty texts emit nothing.
+
+    Scale shape: one shuffle-free JVM projection —
+    ``posexplode(sequence(...))`` + ``substring`` stay inside
+    whole-stage codegen, rows fan out in place with no Exchange (the
+    plan pin is in the tests), and downstream repartition decides
+    layout. The ``sequence`` upper bound ``floor((len-1)/stride)`` is
+    ≥ 0 whenever ``len ≥ 1``, so the descending-``sequence(1, 0)``
+    trap cannot fire."""
+    if chunk_chars < 1:
+        raise ValueError("chunk_chars must be >= 1")
+    stride = chunk_chars if stride is None else int(stride)
+    if not 1 <= stride <= chunk_chars:
+        raise ValueError(
+            "stride must be in [1, chunk_chars] — a stride above "
+            "chunk_chars would silently drop spans")
+    t, size, st = text_col, int(chunk_chars), stride
+    return (
+        df.where(F.length(F.col(t)) >= 1)
+        .select(
+            id_col,
+            F.expr(
+                f"posexplode(sequence(0, cast(floor((length({t}) - 1)"
+                f" / {st}) as int)))"
+            ).alias("chunk_id", "_k"),
+            F.col(t).alias("_txt"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("_k") * st).cast("long").alias("chunk_start"),
+            F.expr(f"substring(_txt, _k * {st} + 1, {size})")
+            .alias("chunk_text"),
+        )
+        .withColumn("chunk_chars_out",
+                    F.length("chunk_text").cast("long"))
+        .drop("_k", "_txt")
+    )
+
+
+def ngram_hashes(
+    df: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, gram)``: one int64 hash per token ``n``-gram of
+    every document (lowercased alnum tokens — the module's
+    ``tokens()`` regex). One narrow Arrow stage: per-token 8-byte
+    blake2b, then a sliding-window uint64 polynomial combine —
+    all-numpy, no per-gram string building (a JVM
+    ``transform(slice+concat_ws)`` HOF prototype ran 30× slower per
+    core, CodegenFallback). NULL texts and docs shorter than ``n``
+    tokens emit no grams. Shared by :func:`ngram_contamination` and
+    :func:`duplicate_ngram_stats`."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import types as SQT
+
+    idc, txt = id_col, text_col
+    id_dtype = df.schema[idc].dataType
+    schema = SQT.StructType([
+        SQT.StructField(idc, id_dtype, True),
+        SQT.StructField("gram", SQT.LongType(), True),
+    ])
+    nn = int(n)
+    src = df.select(idc, txt)
+
+    def work(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        tok_re = re.compile(TOKEN_RE)
+        pw = np.uint64(1099511628211) ** np.arange(
+            nn, dtype=np.uint64)  # wraps mod 2^64: deterministic
+
+        def tok_hash(t: str) -> int:
+            return int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8)
+                .digest(), "little")
+
+        for pdf in batches:
+            ids, out = [], []
+            for rid, text in zip(pdf[idc], pdf[txt]):
+                if text is None:
+                    continue
+                toks = tok_re.findall(text.lower())
+                if len(toks) < nn:
+                    continue
+                th = np.fromiter(
+                    (tok_hash(t) for t in toks),
+                    dtype=np.uint64, count=len(toks))
+                win = np.lib.stride_tricks.sliding_window_view(
+                    th, nn)
+                h = (win * pw).sum(axis=1).view(np.int64)
+                ids.append(np.full(len(h), rid))
+                out.append(h)
+            if not out:
+                continue
+            yield pd.DataFrame({
+                idc: np.concatenate(ids),
+                "gram": np.concatenate(out),
+            })
+
+    return src.mapInPandas(work, schema=schema)
+
+
+def duplicate_ngram_stats(
+    df: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span score: for each document, how
+    many of its DISTINCT token ``n``-grams also occur in at least
+    ``min_docs`` documents corpus-wide (itself included), and the
+    fraction of its grams that do. The standard corpus-level
+    repeated-span signal (C4's three-sentence-span dedup, Dolma's
+    paragraph-duplication score — public): near-1 ratios mark
+    boilerplate/mirrored documents that per-doc repetition features
+    (:func:`repetition_features`, which only see INSIDE one doc)
+    cannot catch. Returns ``(id_col, n_grams, n_dup_grams,
+    dup_gram_ratio)``; docs with fewer than ``n`` tokens emit no
+    grams and are absent.
+
+    Scale shape: this is inherently a corpus-wide gram exchange (the
+    semantics need every gram's document frequency), but every
+    Exchange ships int64 hashes only (:func:`ngram_hashes` — never
+    gram strings) and is preceded by partial aggregation:
+    ``dropDuplicates`` partial-dedupes map-side, the frequency
+    aggregate partial-counts, and the join back is gram-keyed on the
+    SAME partitioning Catalyst just produced, so the frequency side
+    is not re-shuffled. The final per-doc fold ships two ints per
+    (doc, gram). ~O(corpus tokens) × 8 bytes through the wire once —
+    the same cost class as MinHash dedup's shingle pass."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    g = ngram_hashes(df, n=n, id_col=id_col, text_col=text_col)
+    gd = g.dropDuplicates([id_col, "gram"])
+    freq = gd.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        gd.join(freq, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_n_docs") >= int(min_docs), 1)
+                .otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_gram_ratio",
+            F.col("n_dup_grams").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -366,56 +545,7 @@ def ngram_contamination(
         raise ValueError("min_hits must be >= 1")
 
     def grams(df: DataFrame, idc: str, txt: str) -> DataFrame:
-        from pyspark.sql import types as SQT
-
-        id_dtype = df.schema[idc].dataType
-        schema = SQT.StructType([
-            SQT.StructField(idc, id_dtype, True),
-            SQT.StructField("gram", SQT.LongType(), True),
-        ])
-        nn = int(n)
-        src = df.select(idc, txt)
-
-        def work(batches):
-            import hashlib
-            import re
-
-            import numpy as np
-            import pandas as pd
-
-            tok_re = re.compile(TOKEN_RE)
-            pw = np.uint64(1099511628211) ** np.arange(
-                nn, dtype=np.uint64)  # wraps mod 2^64: deterministic
-
-            def tok_hash(t: str) -> int:
-                return int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8)
-                    .digest(), "little")
-
-            for pdf in batches:
-                ids, out = [], []
-                for rid, text in zip(pdf[idc], pdf[txt]):
-                    if text is None:
-                        continue
-                    toks = tok_re.findall(text.lower())
-                    if len(toks) < nn:
-                        continue
-                    th = np.fromiter(
-                        (tok_hash(t) for t in toks),
-                        dtype=np.uint64, count=len(toks))
-                    win = np.lib.stride_tricks.sliding_window_view(
-                        th, nn)
-                    h = (win * pw).sum(axis=1).view(np.int64)
-                    ids.append(np.full(len(h), rid))
-                    out.append(h)
-                if not out:
-                    continue
-                yield pd.DataFrame({
-                    idc: np.concatenate(ids),
-                    "gram": np.concatenate(out),
-                })
-
-        return src.mapInPandas(work, schema=schema)
+        return ngram_hashes(df, n=n, id_col=idc, text_col=txt)
 
     eval_grams = grams(eval_docs, eval_id_col, eval_text_col) \
         .select("gram").distinct()

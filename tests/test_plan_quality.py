@@ -249,3 +249,19 @@ def test_round4_metadata_queries_plan_shape(spark) -> None:
     assert plan.count("Exchange") == 1, plan
     exif = E.queries()["img_exif_consistency"](spark, "unused")
     assert "Exchange" not in _plan(exif)
+
+
+def test_chunk_documents_is_narrow(spark) -> None:
+    """Document chunking is one shuffle-free JVM projection:
+    posexplode(sequence)+substring fan rows out in place — at 10^12
+    docs an Exchange here would ship the full text corpus."""
+    from cerberus_cpp_spark.operators.text import chunk_documents
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(chunk_documents(df, chunk_chars=120, stride=90))
+    assert "Exchange" not in plan, plan[:800]
+    # the scan reads only the two columns the operator needs
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "doc_id:bigint", "text:string"}, plan[:800]

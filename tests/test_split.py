@@ -431,3 +431,108 @@ def test_weighted_hash_sample(spark) -> None:
               < least(greatest(w, 0.0), 1.0) * 1000000
     """).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sequential packing
+# ---------------------------------------------------------------------------
+
+def test_pack_documents_exact_bins(spark) -> None:
+    rows = [("a", 0, 600), ("a", 1, 600), ("a", 2, 900),
+            ("a", 3, 100), ("b", 0, 2500), ("b", 1, 10)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "w"])
+    out = {(r["g"], r["doc_id"]): (r["bin_id"], r["bin_offset"])
+           for r in sp.pack_documents(
+               df, 1000, weight="w", group_col="g").collect()}
+    # group a cumsum starts: 0, 600, 1200, 2100
+    assert out[("a", 0)] == (0, 0)
+    assert out[("a", 1)] == (0, 600)
+    assert out[("a", 2)] == (1, 200)
+    assert out[("a", 3)] == (2, 100)
+    # oversize row overflows the bin it starts in; next row lands
+    # where the running total says
+    assert out[("b", 0)] == (0, 0)
+    assert out[("b", 1)] == (2, 500)
+
+
+def test_pack_documents_guards(spark) -> None:
+    df = spark.createDataFrame(
+        [("a", 0, 5)], ["g", "doc_id", "w"])
+    with pytest.raises(ValueError, match="budget"):
+        sp.pack_documents(df, 0, weight="w", group_col="g")
+    with pytest.raises(ValueError, match="rename or drop"):
+        sp.pack_documents(
+            df.withColumn("bin_id", F.lit(1)), 10, weight="w",
+            group_col="g")
+    nulls = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 5)], "g string, doc_id long, w long")
+    with pytest.raises(Exception, match="non-NULL"):
+        sp.pack_documents(nulls, 10, weight="w",
+                          group_col="g").collect()
+    big = spark.createDataFrame(
+        [("a", i, 1) for i in range(5)], ["g", "doc_id", "w"])
+    with pytest.raises(Exception, match="max_group_rows"):
+        sp.pack_documents(big, 10, weight="w", group_col="g",
+                          max_group_rows=3).collect()
+
+
+def test_pack_documents_fractional_weights(spark) -> None:
+    df = spark.createDataFrame(
+        [("a", 0, 0.6), ("a", 1, 0.6)], ["g", "doc_id", "w"])
+    out = {r["doc_id"]: r["bin_id"] for r in sp.pack_documents(
+        df, 1, weight="w", group_col="g").collect()}
+    assert out == {0: 0, 1: 0}  # second row starts at 0.6 -> bin 0
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle
+# ---------------------------------------------------------------------------
+
+def test_epoch_shuffle_deterministic_permutations(spark) -> None:
+    df = _keys(spark, 300).withColumnRenamed("k", "doc_id")
+    a = sp.epoch_shuffle(df, epoch=0, n_buckets=8).collect()
+    b = sp.epoch_shuffle(df, epoch=0, n_buckets=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every (bucket, pos) slot is unique = a total order
+    slots = {(r["epoch_bucket"], r["epoch_pos"]) for r in a}
+    assert len(slots) == 300
+    # per-bucket positions are 1..n_bucket
+    from collections import Counter
+    per = Counter(r["epoch_bucket"] for r in a)
+    for bkt, cnt in per.items():
+        pos = sorted(r["epoch_pos"] for r in a
+                     if r["epoch_bucket"] == bkt)
+        assert pos == list(range(1, cnt + 1))
+    # a different epoch is a different permutation
+    c = sp.epoch_shuffle(df, epoch=1, n_buckets=8).collect()
+    assert {(r["doc_id"], r["epoch_bucket"], r["epoch_pos"])
+            for r in a} != {(r["doc_id"], r["epoch_bucket"],
+                             r["epoch_pos"]) for r in c}
+
+
+def test_epoch_shuffle_append_stable_and_guarded(spark) -> None:
+    df = _keys(spark, 200).withColumnRenamed("k", "doc_id")
+    base = {(r["doc_id"]): (r["epoch_bucket"], r["epoch_pos"])
+            for r in sp.epoch_shuffle(df, epoch=2,
+                                      n_buckets=4).collect()}
+    grown = _keys(spark, 260).withColumnRenamed("k", "doc_id")
+    after = {(r["doc_id"]): (r["epoch_bucket"], r["epoch_pos"])
+             for r in sp.epoch_shuffle(grown, epoch=2,
+                                       n_buckets=4).collect()}
+    # appended rows never change an existing row's bucket, and the
+    # RELATIVE order of old rows inside a bucket is preserved
+    for d, (bkt, _) in base.items():
+        assert after[d][0] == bkt
+    for bkt in range(4):
+        old = [d for d, v in sorted(base.items(),
+                                    key=lambda kv: kv[1][1])
+               if v[0] == bkt]
+        new = [d for d, v in sorted(after.items(),
+                                    key=lambda kv: kv[1][1])
+               if v[0] == bkt and d in base]
+        assert old == new
+    with pytest.raises(ValueError, match="n_buckets"):
+        sp.epoch_shuffle(df, n_buckets=0)
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        sp.epoch_shuffle(df, n_buckets=1,
+                         max_bucket_rows=50).collect()

@@ -561,3 +561,128 @@ def test_cross_lsh_shared_id_pairs(spark) -> None:
              for r in DD.cross_lsh_candidate_pairs(
                  sigs, sigs).collect()}
     assert (0, 0) in cands and (3, 3) in cands
+
+
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.0, 1.0, 0.0, 0.0], "b"),
+        (2, [0.6, 0.8, 0.0, 0.0], "c"),
+        (3, None, "d"),                    # NULL vector: clean
+        (4, [0.0, 0.0, 0.0, 0.0], "e"),    # zero-norm: clean
+        (5, [0.0, 0.0, 0.6, 0.8], "f"),
+    ]
+    train = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag string")
+    evals = spark.createDataFrame(
+        [([2.0, 0.0, 0.0, 0.0],),          # = train 0 scaled
+         ([0.0, 0.0, 1.2, 1.6],),          # = train 5 scaled
+         ([0.0, 0.0, 0.0, 0.0],)],         # zero-norm eval: ignored
+        "embedding array<double>")
+    return train, evals
+
+
+def test_embedding_decontamination_planted(spark, decon_frames) -> None:
+    train, evals = decon_frames
+    out = {r["vec_id"]: r for r in SIM.embedding_decontamination(
+        train, evals, threshold=0.95).collect()}
+    assert len(out) == 6
+    assert {i for i, r in out.items() if r["contaminated"]} == {0, 5}
+    assert out[0]["n_eval_matches"] == 1
+    assert out[0]["max_cosine"] == 1.0
+    assert out[5]["max_cosine"] == 1.0
+    for i in (1, 2, 3, 4):
+        assert out[i]["n_eval_matches"] == 0
+        assert out[i]["max_cosine"] is None
+    # train columns survive the verdict join
+    assert out[2]["tag"] == "c"
+
+
+def test_embedding_decontamination_guards(spark, decon_frames) -> None:
+    train, evals = decon_frames
+    with pytest.raises(ValueError, match="verdict column"):
+        SIM.embedding_decontamination(
+            train.withColumn("contaminated", F.lit(True)), evals)
+    with pytest.raises(ValueError, match="bounds it at 2 rows"):
+        SIM.embedding_decontamination(train, evals, max_eval_rows=2)
+    with pytest.raises(ValueError, match="threshold"):
+        SIM.embedding_decontamination(train, evals, threshold=1.5)
+    # width mismatch fails loudly in the Arrow stage
+    bad = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="vector width"):
+        SIM.embedding_decontamination(bad, evals).collect()
+
+
+def test_embedding_decontamination_empty_eval(spark, decon_frames) -> None:
+    train, _ = decon_frames
+    empty = spark.createDataFrame([], "embedding array<double>")
+    out = SIM.embedding_decontamination(train, empty).collect()
+    assert len(out) == 6
+    assert all(not r["contaminated"] and r["n_eval_matches"] == 0
+               and r["max_cosine"] is None for r in out)
+
+
+def test_duplicate_ngram_stats(spark, docs) -> None:
+    # docs 0 and 1 normalize to the SAME 12 tokens -> all 8 of their
+    # 5-grams are corpus-duplicated; doc 2 differs only at token
+    # index 8 (cat vs dog) -> its 4 grams starting at 0..3 are shared
+    # with docs 0/1, the 4 covering index 8 are unique; docs 3-6
+    # share nothing.
+    out = {r["doc_id"]: r for r in TX.duplicate_ngram_stats(
+        docs, n=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    for i in (0, 1):
+        assert out[i]["n_grams"] == 8
+        assert out[i]["n_dup_grams"] == 8
+        assert out[i]["dup_gram_ratio"] == 1.0
+    assert out[2]["n_grams"] == 8
+    assert out[2]["n_dup_grams"] == 4
+    assert out[2]["dup_gram_ratio"] == 0.5
+    for i in (3, 4, 5, 6):
+        assert out[i]["n_dup_grams"] == 0
+        assert out[i]["dup_gram_ratio"] == 0.0
+    assert out[6]["n_grams"] == 2  # 6 tokens -> 2 five-grams
+
+
+def test_duplicate_ngram_stats_short_and_null_docs(spark) -> None:
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, None), (2, "p q r s t u")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TX.duplicate_ngram_stats(
+        df, n=5).collect()}
+    # doc 0 has 4 tokens (< n) and doc 1 is NULL: both absent
+    assert set(out) == {2}
+    assert out[2]["n_grams"] == 2
+    with pytest.raises(ValueError, match="min_docs"):
+        TX.duplicate_ngram_stats(df, min_docs=0)
+    with pytest.raises(ValueError, match="n must be"):
+        TX.ngram_hashes(df, n=0)
+
+
+def test_chunk_documents_exact_windows(spark) -> None:
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "xy"), (2, ""), (3, None)],
+        ["doc_id", "text"])
+    out = TX.chunk_documents(df, chunk_chars=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["chunk_start"], r["chunk_text"], r["chunk_chars_out"])
+           for r in out}
+    # len 10, stride 3 -> starts 0,3,6,9 (start < len)
+    assert got == {
+        (0, 0): (0, "abcd", 4),
+        (0, 1): (3, "defg", 4),
+        (0, 2): (6, "ghij", 4),
+        (0, 3): (9, "j", 1),
+        (1, 0): (0, "xy", 2),
+    }
+    # non-overlapping default: stride == chunk_chars
+    out2 = TX.chunk_documents(df, chunk_chars=4).collect()
+    texts = sorted(r["chunk_text"] for r in out2
+                   if r["doc_id"] == 0)
+    assert texts == ["abcd", "efgh", "ij"]
+    with pytest.raises(ValueError, match="stride"):
+        TX.chunk_documents(df, chunk_chars=4, stride=5)
+    with pytest.raises(ValueError, match="chunk_chars"):
+        TX.chunk_documents(df, chunk_chars=0)
