@@ -1036,6 +1036,73 @@ FROM documents WHERE doc_id % 7 = 2 AND text IS NOT NULL
 """
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: LSH-bucketed
+    embedding near-dup pairs (similarity.embedding_near_duplicates)
+    → connected components + canonical survivor
+    (dedup.near_duplicate_clusters). Plant: every vec_id < 10 gains
+    TWO exact-copy twins at 1000000 + vec_id*10 + r — bit-identical
+    vectors produce bit-identical hyperplane signatures (same floats
+    → same matmul → same signs), so the banded LSH provably emits
+    all three pairs per base, cosine 1.0 clears threshold 0.999, and
+    no natural pair comes near it (corpus ceiling ≈ 0.48). The
+    oracle is therefore pure id arithmetic: each component is
+    {base, twin0, twin1} with cluster_id = keep_id = the base id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = (
+        emb.where("vec_id < 10")
+        .select("vec_id", "embedding",
+                F.explode(F.expr("sequence(0, 1)")).alias("r"))
+        .select(
+            (F.lit(1000000) + F.col("vec_id") * 10 + F.col("r"))
+            .alias("vec_id"),
+            "embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    pairs = _sim.embedding_near_duplicates(corpus, threshold=0.999)
+    return _dd.near_duplicate_clusters(pairs)
+
+
+_EMB_DUP_CLUSTERS_SQL = """
+WITH base AS (SELECT vec_id FROM embeddings WHERE vec_id < 10),
+r AS (SELECT unnest(range(2)) AS r),
+m AS (
+  SELECT vec_id AS doc_id, vec_id AS cid FROM base
+  UNION ALL
+  SELECT 1000000 + vec_id * 10 + r AS doc_id, vec_id AS cid
+  FROM base, r
+)
+SELECT doc_id, cid AS cluster_id, cid AS keep_id FROM m
+"""
+
+
+def q_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus token budget (text.token_budget):
+    the achievable-share report a data-mixing plan is written
+    against before mixture_sample enforces it. One scan + one
+    partial-aggregated hash agg; the oracle replays both tokenizers
+    (alnum and the RE2-portable BPE-ish pattern) and pins DuckDB's
+    HUGEINT sums back to BIGINT."""
+    d = _t(spark, sf_dir, "documents")
+    return _tx.token_budget(d, ("lang", "source"))
+
+
+def _token_budget_sql() -> str:
+    pat = _tx.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+            AS BIGINT) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(text, '{pat}')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+       CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS DOUBLE)
+         / count(*) AS mean_bpe_per_doc
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential token-budget packing (split.pack_documents — the
     deterministic first-fit bin assignment every pretraining
@@ -4675,6 +4742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "emb_dup_clusters": q_emb_dup_clusters,
+        "token_budget_docs": q_token_budget_docs,
         "pack_docs": q_pack_docs,
         "epoch_order_docs": q_epoch_order_docs,
         "chunk_docs": q_chunk_docs,
@@ -5578,6 +5647,8 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "emb_dup_clusters": _EMB_DUP_CLUSTERS_SQL,
+        "token_budget_docs": _token_budget_sql(),
         "pack_docs": _PACK_DOCS_SQL,
         "epoch_order_docs": _EPOCH_ORDER_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,

@@ -14,6 +14,8 @@ Portability rules used throughout:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -705,3 +707,43 @@ def curate_split(
     kept = verdicts.where(F.col("keep")).select(*df.columns)
     dropped = verdicts.where(~F.col("keep"))
     return kept, dropped
+
+
+def token_budget(
+    df: DataFrame,
+    group_cols: Sequence[str] | str = ("lang",),
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus budget report: document count, alnum-token
+    and BPE-ish token totals, character total, and mean BPE tokens
+    per doc — the numbers a data-mixing plan is written against
+    (:func:`~cerberus_cpp_spark.operators.split.mixture_sample`
+    consumes target shares; THIS is where the achievable shares come
+    from). NULL texts count as documents but contribute no tokens or
+    chars (SQL ``sum`` skips NULL — replayed identically by the
+    oracle).
+
+    Scale shape: one scan, one hash aggregate with map-side partial
+    aggregation — the per-group partials are a few ints, so the
+    Exchange ships O(groups), not O(rows). Tokenization stays in JVM
+    regexp (codegen), the BPE pattern is the module's RE2-portable
+    :data:`BPE_ISH_PATTERN`."""
+    cols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    if not cols:
+        raise ValueError("group_cols must name at least one column")
+    n_bpe = F.sum(F.size(bpe_ish_tokens(text_col)))
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+            n_bpe.alias("n_bpe_tokens"),
+            F.sum(F.length(F.col(text_col))).alias("n_chars_total"),
+        )
+        .withColumn(
+            "mean_bpe_per_doc",
+            F.col("n_bpe_tokens").cast("double") / F.col("n_docs"),
+        )
+    )

@@ -265,3 +265,42 @@ def test_chunk_documents_is_narrow(spark) -> None:
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(m.group(1).split(",")) == {
         "doc_id:bigint", "text:string"}, plan[:800]
+
+
+def test_pack_documents_single_exchange(spark) -> None:
+    """Sequential packing = ONE hash Exchange on the group column;
+    the running-sum window, the guard count window (same
+    partitioning — reuses the exchange), and all bin arithmetic run
+    inside it, and the scan is pruned to the three needed columns."""
+    from cerberus_cpp_spark.operators.split import pack_documents
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(
+        pack_documents(df, 2000, weight="n_chars", group_col="lang")
+        .select("doc_id", "lang", "pack_weight", "bin_id",
+                "bin_offset"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+        plan[:1200]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "doc_id:bigint", "lang:string", "n_chars:bigint"}, plan[:800]
+
+
+def test_epoch_shuffle_single_exchange(spark) -> None:
+    """Epoch ordering = ONE hash Exchange on the shuffle bucket +
+    in-task sort — exactly the repartition+sortWithinPartitions plan
+    a writer would materialize; the guard count window shares the
+    exchange."""
+    from cerberus_cpp_spark.operators.split import epoch_shuffle
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(
+        epoch_shuffle(df, key="doc_id", epoch=3, n_buckets=16,
+                      seed=1)
+        .select("doc_id", "epoch_bucket", "epoch_pos"))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+        plan[:1200]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "doc_id:bigint", plan[:800]

@@ -486,3 +486,27 @@ def test_stream_curate_documents_equals_batch(spark,
     got = sorted(map(tuple,
                      spark.sql("SELECT * FROM curate_stream").collect()))
     assert got == want and len(got) == batch.count()
+
+
+def test_stream_chunk_documents_equals_batch(spark,
+                                             tmp_path_factory) -> None:
+    """chunk_documents is a stateless shuffle-free projection —
+    pre-tokenization chunking runs unchanged over live ingest."""
+    from cerberus_cpp_spark.operators.text import chunk_documents
+
+    src = str(tmp_path_factory.mktemp("stream_chunk"))
+    rows = [(i, ("x" * (i % 7)) + "abcdefghij" * (1 + i % 5))
+            for i in range(40)] + [(40, None), (41, "")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    want = sorted(map(tuple, chunk_documents(
+        batch, chunk_chars=12, stride=9).collect()))
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (chunk_documents(stream, chunk_chars=12, stride=9)
+         .writeStream.format("memory").queryName("chunk_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM chunk_stream").collect()))
+    assert got == want and len(got) > 40

@@ -686,3 +686,82 @@ def test_chunk_documents_exact_windows(spark) -> None:
         TX.chunk_documents(df, chunk_chars=4, stride=5)
     with pytest.raises(ValueError, match="chunk_chars"):
         TX.chunk_documents(df, chunk_chars=0)
+
+
+def test_token_budget(spark) -> None:
+    df = spark.createDataFrame(
+        [("en", "it's one", 0), ("en", None, 1), ("de", "a b", 2)],
+        ["lang", "text", "doc_id"])
+    out = {r["lang"]: r for r in TX.token_budget(df, "lang").collect()}
+    # "it's one" -> alnum tokens [it, s, one]; BPE-ish: [it,'s, one]
+    assert out["en"]["n_docs"] == 2          # NULL text still a doc
+    assert out["en"]["n_tokens"] == 3
+    assert out["en"]["n_bpe_tokens"] == 3
+    assert out["en"]["n_chars_total"] == 8   # NULL adds nothing
+    assert out["en"]["mean_bpe_per_doc"] == 1.5
+    assert out["de"]["n_tokens"] == 2
+    with pytest.raises(ValueError, match="group_cols"):
+        TX.token_budget(df, [])
+
+
+def test_chunk_documents_property_coverage(spark) -> None:
+    """Property: for any text and any (chunk, stride ≤ chunk), the
+    emitted windows exactly tile the document — non-overlapping mode
+    reassembles the original text by chunk_id order, and overlapping
+    mode covers every character position with correct substrings at
+    the declared starts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.text(alphabet="abcXYZ 09", min_size=1, max_size=80),
+           st.integers(1, 12), st.integers(1, 12))
+    def check(text, chunk, stride_raw):
+        stride = min(stride_raw, chunk)
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        rows = sorted(TX.chunk_documents(
+            df, chunk_chars=chunk, stride=stride).collect(),
+            key=lambda r: r["chunk_id"])
+        covered = set()
+        for r in rows:
+            s = r["chunk_start"]
+            assert r["chunk_text"] == text[s:s + chunk]
+            assert s == r["chunk_id"] * stride and s < len(text)
+            covered |= set(range(s, min(s + chunk, len(text))))
+        assert covered == set(range(len(text)))
+        if stride == chunk:
+            assert "".join(r["chunk_text"] for r in rows) == text
+
+    check()
+
+
+def test_pack_documents_property_bins(spark) -> None:
+    """Property: for any weight sequence, within each group bins are
+    contiguous non-decreasing in id order, every row's bin matches a
+    sequential replay of the running total, and bin_offset is that
+    replay's in-bin cursor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_cpp_spark.operators.split import pack_documents
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(0, 13), min_size=1, max_size=20),
+           st.integers(1, 9))
+    def check(weights, budget):
+        df = spark.createDataFrame(
+            [("g", i, w) for i, w in enumerate(weights)],
+            ["grp", "doc_id", "w"])
+        got = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+               for r in pack_documents(
+                   df, budget, weight="w", group_col="grp").collect()}
+        cum = 0
+        prev_bin = 0
+        for i, w in enumerate(weights):
+            want_bin, want_off = cum // budget, cum % budget
+            assert got[i] == (want_bin, want_off), (i, weights, budget)
+            assert want_bin >= prev_bin
+            prev_bin = want_bin
+            cum += w
+
+    check()
