@@ -1036,6 +1036,274 @@ FROM documents WHERE doc_id % 7 = 2 AND text IS NOT NULL
 """
 
 
+MP4_N = 600
+
+
+def q_mp4_track_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 movie-container census (multimodal.mp4_track_frames over
+    sources/isobmff.mp4_movie_info — the most common video container,
+    completing the structural A/V family next to AVI, Annex-B H.264,
+    ADTS, MPEG audio, and WAV): one row per track with handler,
+    sample-entry codec, tkhd dims, stts sample counts, and integer
+    millisecond durations, all from the moov walk with zero sample
+    decode. Fixtures are spec-valid ISO 14496-12 v0 boxes built by
+    id arithmetic; damage plants with CONSTANT messages (ftyp cut
+    below its declared size → brand sniff fails; moov 4cc corrupted
+    → 'no moov box') so the oracle replays every field including
+    message text. Precedence: null > truncation > moov corruption."""
+    from cerberus_cpp_spark.operators.multimodal import mp4_track_frames
+
+    df = spark.range(0, MP4_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.isobmff import build_mp4
+
+        vts = (30000, 25, 24000)
+        vcodec = ("avc1", "hvc1", "av01")
+        sts = (48000, 44100)
+        scodec = ("mp4a", "opus")
+        langs = ("und", "eng", "deu", "fra")
+        brands = (b"isom", b"mp42", b"avc1")
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("mp4-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                tracks = []
+                for k in range(1 + i % 3):
+                    vide = (i + k) % 2 == 0
+                    n = 30 + (i + k) % 50
+                    tracks.append({
+                        "track_id": k + 1,
+                        "handler": "vide" if vide else "soun",
+                        "codec": (vcodec[i % 3] if vide
+                                  else scodec[i % 2]),
+                        "timescale": (vts[i % 3] if vide
+                                      else sts[i % 2]),
+                        "samples": [(n, 1001 if vide else 1024)],
+                        "width": 320 + 16 * (i % 5) if vide else 0,
+                        "height": 180 + 9 * (i % 5) if vide else 0,
+                        "lang": langs[(i + k) % 4],
+                    })
+                blob = build_mp4(tracks, brand=brands[i % 3])
+                if i % 17 == 9:
+                    blob = blob[:20]   # ftyp below declared size
+                elif i % 19 == 11:
+                    blob = blob.replace(b"moov", b"mooX", 1)
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return mp4_track_frames(clips)
+
+
+_MP4_TRACK_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({MP4_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9 THEN 'not an mp4 movie (ftyp brand)'
+              WHEN id % 19 = 11 THEN 'no moov box' END AS message
+  FROM ids
+),
+k3 AS (SELECT unnest(range(3)) AS k),
+tr AS (
+  SELECT id, CAST(k AS INTEGER) AS k,
+         (id + k) % 2 = 0 AS vide,
+         30 + (id + k) % 50 AS n,
+         CAST(1 + id % 3 AS INTEGER) AS n_tracks,
+         ['und', 'eng', 'deu', 'fra'][CAST((id + k) % 4 AS INT) + 1]
+           AS lang
+  FROM ids, k3
+  WHERE k < 1 + id % 3 AND id IN (SELECT id FROM bad
+                                  WHERE message IS NULL)
+),
+f AS (
+  SELECT id, k, n, n_tracks, lang, vide,
+         CASE WHEN vide
+              THEN ['avc1', 'hvc1', 'av01'][CAST(id % 3 AS INT) + 1]
+              ELSE ['mp4a', 'opus'][CAST(id % 2 AS INT) + 1]
+         END AS codec,
+         CASE WHEN vide
+              THEN [30000, 25, 24000][CAST(id % 3 AS INT) + 1]
+              ELSE [48000, 44100][CAST(id % 2 AS INT) + 1]
+         END AS ts,
+         n * CASE WHEN vide THEN 1001 ELSE 1024 END AS dur_ts,
+         CASE WHEN vide THEN 320 + 16 * (id % 5) ELSE 0 END AS w,
+         CASE WHEN vide THEN 180 + 9 * (id % 5) ELSE 0 END AS h
+  FROM tr
+),
+movie AS (
+  SELECT id, max(dur_ts * 1000 // ts) AS mdur FROM f GROUP BY id
+)
+SELECT concat('mp4-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       CASE WHEN b.message IS NULL THEN
+         ['isom', 'mp42', 'avc1'][CAST(b.id % 3 AS INT) + 1]
+       END AS brand,
+       CAST(m.mdur AS BIGINT) AS movie_duration_ms,
+       f.n_tracks, CAST(f.k + 1 AS INTEGER) AS track_id,
+       CASE WHEN f.vide THEN 'vide'
+            WHEN f.vide IS NOT NULL THEN 'soun' END AS handler,
+       f.codec, CAST(f.w AS INTEGER) AS width,
+       CAST(f.h AS INTEGER) AS height,
+       CAST(f.ts AS BIGINT) AS track_timescale,
+       CAST(f.n AS BIGINT) AS n_samples,
+       CAST(f.dur_ts * 1000 // f.ts AS BIGINT) AS duration_ms,
+       f.lang
+FROM bad b
+LEFT JOIN f ON b.id = f.id
+LEFT JOIN movie m ON b.id = m.id
+"""
+
+
+WEBM_N = 600
+
+
+def q_webm_track_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM container census (multimodal.webm_track_frames
+    over sources/ebml.webm_movie_info — RFC 8794 EBML + the public
+    Matroska registry), the sibling of mp4_track_census for the
+    other big web video container: one row per TrackEntry with type,
+    CodecID, pixel dims, sampling rate/channels, language, plus
+    doctype, TimestampScale, integer ms duration, and cluster count,
+    all from the Segment walk with zero sample decode. Fixtures are
+    spec-valid EBML built by id arithmetic; damage plants with
+    CONSTANT messages (header truncation → doctype sniff fails;
+    Tracks ID corrupted → 'Segment without Tracks') so the oracle
+    replays every field including message text. Precedence:
+    null > truncation > Tracks corruption."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        webm_track_frames,
+    )
+
+    df = spark.range(0, WEBM_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.ebml import build_webm
+
+        vcodec = ("V_VP9", "V_VP8", "V_AV1")
+        acodec = ("A_OPUS", "A_VORBIS")
+        hz = (48000.0, 44100.0)
+        langs = ("und", "eng", "deu", "fra")
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("webm-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                tracks = []
+                for k in range(1 + i % 3):
+                    vide = (i + k) % 2 == 0
+                    t = {"number": k + 1,
+                         "type": "video" if vide else "audio",
+                         "lang": langs[(i + k) % 4]}
+                    if vide:
+                        t.update(codec=vcodec[i % 3],
+                                 width=320 + 16 * (i % 5),
+                                 height=180 + 9 * (i % 5))
+                    else:
+                        t.update(codec=acodec[i % 2], hz=hz[i % 2],
+                                 channels=1 + (i + k) % 2)
+                    tracks.append(t)
+                blob = build_webm(
+                    tracks,
+                    doctype="webm" if i % 2 == 0 else "matroska",
+                    duration_ms=1000 + 7 * i, n_clusters=i % 4)
+                if i % 17 == 9:
+                    blob = blob[:10]   # EBML header truncated
+                elif i % 19 == 11:
+                    blob = blob.replace(b"\x16\x54\xae\x6b",
+                                        b"\x16\x54\xae\x6a", 1)
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return webm_track_frames(clips)
+
+
+_WEBM_TRACK_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({WEBM_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9
+                THEN 'not a matroska/webm stream (EBML doctype)'
+              WHEN id % 19 = 11 THEN 'Segment without Tracks'
+         END AS message
+  FROM ids
+),
+k3 AS (SELECT unnest(range(3)) AS k),
+tr AS (
+  SELECT id, CAST(k AS INTEGER) AS k,
+         (id + k) % 2 = 0 AS vide,
+         CAST(1 + id % 3 AS INTEGER) AS n_tracks,
+         ['und', 'eng', 'deu', 'fra'][CAST((id + k) % 4 AS INT) + 1]
+           AS lang
+  FROM ids, k3
+  WHERE k < 1 + id % 3 AND id IN (SELECT id FROM bad
+                                  WHERE message IS NULL)
+)
+SELECT concat('webm-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       CASE WHEN b.message IS NULL THEN
+         CASE WHEN b.id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+       END AS doctype,
+       CASE WHEN b.message IS NULL
+            THEN CAST(1000000 AS BIGINT) END AS timestamp_scale,
+       CASE WHEN b.message IS NULL
+            THEN CAST(1000 + 7 * b.id AS BIGINT)
+       END AS movie_duration_ms,
+       CASE WHEN b.message IS NULL
+            THEN CAST(b.id % 4 AS INTEGER) END AS n_clusters,
+       t.n_tracks, CAST(t.k + 1 AS INTEGER) AS track_number,
+       CASE WHEN t.vide THEN 'video'
+            WHEN t.vide IS NOT NULL THEN 'audio' END AS track_type,
+       CASE WHEN t.vide
+            THEN ['V_VP9', 'V_VP8', 'V_AV1'][CAST(b.id % 3 AS INT)
+                                             + 1]
+            WHEN t.vide IS NOT NULL
+            THEN ['A_OPUS', 'A_VORBIS'][CAST(b.id % 2 AS INT) + 1]
+       END AS codec,
+       CASE WHEN t.vide
+            THEN CAST(320 + 16 * (b.id % 5) AS INTEGER)
+       END AS width,
+       CASE WHEN t.vide
+            THEN CAST(180 + 9 * (b.id % 5) AS INTEGER)
+       END AS height,
+       CASE WHEN NOT t.vide
+            THEN [48000.0, 44100.0][CAST(b.id % 2 AS INT) + 1]
+       END AS sampling_hz,
+       CASE WHEN NOT t.vide
+            THEN CAST(1 + (b.id + t.k) % 2 AS INTEGER)
+       END AS channels,
+       t.lang
+FROM bad b
+LEFT JOIN tr t ON b.id = t.id
+"""
+
+
 def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup end-to-end: LSH-bucketed
     embedding near-dup pairs (similarity.embedding_near_duplicates)
@@ -4742,6 +5010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "webm_track_census": q_webm_track_census,
+        "mp4_track_census": q_mp4_track_census,
         "emb_dup_clusters": q_emb_dup_clusters,
         "token_budget_docs": q_token_budget_docs,
         "pack_docs": q_pack_docs,
@@ -5647,6 +5917,8 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "webm_track_census": _WEBM_TRACK_SQL,
+        "mp4_track_census": _MP4_TRACK_SQL,
         "emb_dup_clusters": _EMB_DUP_CLUSTERS_SQL,
         "token_budget_docs": _token_budget_sql(),
         "pack_docs": _PACK_DOCS_SQL,

@@ -846,3 +846,181 @@ def video_header_info(
             yield res
 
     return src.mapInPandas(work, schema=VIDEO_HEADER_SCHEMA)
+
+
+MP4_TRACK_SCHEMA = (
+    "clip_id string, ok boolean, message string, brand string, "
+    "movie_duration_ms bigint, n_tracks int, track_id int, "
+    "handler string, codec string, width int, height int, "
+    "track_timescale bigint, n_samples bigint, duration_ms bigint, "
+    "lang string"
+)
+
+
+def mp4_track_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """MP4 movie-container census — ONE ROW PER TRACK from the moov
+    structural walk (``sources/isobmff.mp4_movie_info``, ISO/IEC
+    14496-12 §8): track id, handler (vide/soun), sample-entry codec
+    4cc, tkhd display dims, media timescale, sample count from the
+    stts table, integer millisecond durations (track and movie), and
+    the mdhd language. Completes the container family next to AVI,
+    raw Annex-B H.264, ADTS, MPEG audio, and WAV; sample decode of
+    the contained codecs remains out of scope exactly like those
+    layers — this answers what a transcode/census pipeline needs
+    BEFORE spending a decoder.
+
+    One narrow Arrow stage (zero Exchange); per-clip failure
+    routing: NULL payloads and structurally damaged containers emit
+    a single ok=false row naming the offending box, never killing
+    the job — the per-row verdict contract of the reference's
+    document-level pass/fail (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.isobmff import mp4_movie_info
+
+        cols = ("ok", "message", "brand", "movie_duration_ms",
+                "n_tracks", "track_id", "handler", "codec", "width",
+                "height", "track_timescale", "n_samples",
+                "duration_ms", "lang")
+        int_cols = {"movie_duration_ms": "Int64", "n_tracks": "Int32",
+                    "track_id": "Int32", "width": "Int32",
+                    "height": "Int32", "track_timescale": "Int64",
+                    "n_samples": "Int64", "duration_ms": "Int64"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    info = mp4_movie_info(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                mdur = (info["duration"] * 1000
+                        // info["timescale"]) if info["timescale"] \
+                    else None
+                for tr in info["tracks"]:
+                    put(cid, ok=True, brand=info["brand"],
+                        movie_duration_ms=mdur,
+                        n_tracks=len(info["tracks"]),
+                        track_id=tr["track_id"],
+                        handler=tr["handler"], codec=tr["codec"],
+                        width=tr["width"], height=tr["height"],
+                        track_timescale=tr["timescale"],
+                        n_samples=tr["n_samples"],
+                        duration_ms=tr["duration"] * 1000
+                        // tr["timescale"] if tr["timescale"]
+                        else None,
+                        lang=tr["lang"])
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            yield res
+
+    return src.mapInPandas(work, schema=MP4_TRACK_SCHEMA)
+
+
+WEBM_TRACK_SCHEMA = (
+    "clip_id string, ok boolean, message string, doctype string, "
+    "timestamp_scale bigint, movie_duration_ms bigint, "
+    "n_clusters int, n_tracks int, track_number int, "
+    "track_type string, codec string, width int, height int, "
+    "sampling_hz double, channels int, lang string"
+)
+
+
+def webm_track_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Matroska/WebM container census — ONE ROW PER TRACK from the
+    EBML Segment walk (``sources/ebml.webm_movie_info``, RFC 8794 +
+    the public Matroska registry): track number, type
+    (video/audio/...), CodecID, pixel dims, sampling rate/channels,
+    language, plus the movie-level doctype, TimestampScale, integer
+    millisecond duration and cluster count. The exact sibling of
+    ``mp4_track_frames`` for the other big web video container;
+    sample decode stays out of scope like every container layer.
+
+    One narrow Arrow stage (zero Exchange); per-clip failure
+    routing: NULL payloads and structurally damaged streams emit a
+    single ok=false row naming the offending element, never killing
+    the job — the per-row verdict contract of the reference's
+    document-level pass/fail (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.ebml import webm_movie_info
+
+        cols = ("ok", "message", "doctype", "timestamp_scale",
+                "movie_duration_ms", "n_clusters", "n_tracks",
+                "track_number", "track_type", "codec", "width",
+                "height", "sampling_hz", "channels", "lang")
+        int_cols = {"timestamp_scale": "Int64",
+                    "movie_duration_ms": "Int64",
+                    "n_clusters": "Int32", "n_tracks": "Int32",
+                    "track_number": "Int32", "width": "Int32",
+                    "height": "Int32", "channels": "Int32"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    info = webm_movie_info(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                for tr in info["tracks"]:
+                    put(cid, ok=True, doctype=info["doctype"],
+                        timestamp_scale=info["timestamp_scale"],
+                        movie_duration_ms=info["duration_ms"],
+                        n_clusters=info["n_clusters"],
+                        n_tracks=len(info["tracks"]),
+                        track_number=tr["number"],
+                        track_type=tr["type"], codec=tr["codec"],
+                        width=tr["width"], height=tr["height"],
+                        sampling_hz=tr["hz"],
+                        channels=tr["channels"], lang=tr["lang"])
+            res = pd.DataFrame(out)
+            res["sampling_hz"] = pd.array(res["sampling_hz"],
+                                          dtype="Float64")
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            yield res
+
+    return src.mapInPandas(work, schema=WEBM_TRACK_SCHEMA)
