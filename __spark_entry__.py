@@ -1304,6 +1304,235 @@ LEFT JOIN tr t ON b.id = t.id
 """
 
 
+OGG_N = 600
+
+
+def q_ogg_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container census (multimodal.ogg_stream_frames over
+    sources/ogg.ogg_stream_info — RFC 3533 page walk + RFC 7845
+    OpusHead / Vorbis-I BOS identification), completing the
+    web-audio container family next to the MP4/Matroska movie walks:
+    codec, channels, granule clock, Opus pre-skip, page count,
+    integer-ms duration from the final granule position, CRC verdict
+    and EOS, with zero sample decode. Fixtures are spec-valid pages
+    with real appendix-A CRCs built by id arithmetic; damage plants:
+    header truncation → constant sniff message; a flipped payload
+    byte on the LAST page → structure intact, crc_ok=false (every
+    other field still replayed by the oracle). Precedence:
+    null > truncation > crc flip."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        ogg_stream_frames,
+    )
+
+    df = spark.range(0, OGG_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.ogg import (
+            build_ogg_opus,
+            build_ogg_vorbis,
+            iter_pages,
+        )
+
+        vrates = (44100, 22050, 48000)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("ogg-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                n_audio = 1 + i % 4
+                ch = 1 + (i // 2) % 2
+                if i % 2 == 0:
+                    blob = build_ogg_opus(
+                        serial=i + 1, n_audio_pages=n_audio,
+                        duration_ms=500 + 13 * i,
+                        pre_skip=312 + 10 * (i % 5), channels=ch)
+                else:
+                    blob = build_ogg_vorbis(
+                        serial=i + 1, n_audio_pages=n_audio,
+                        duration_ms=500 + 13 * i,
+                        rate=vrates[i % 3], channels=ch)
+                if i % 17 == 9:
+                    blob = blob[:10]   # header truncated
+                elif i % 19 == 11:
+                    # flip one payload byte on the LAST page: the
+                    # structure survives, the page CRC does not
+                    last = list(iter_pages(blob))[-1]
+                    ps = last[5]
+                    blob = (blob[:ps] + bytes([blob[ps] ^ 0xFF])
+                            + blob[ps + 1:])
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return ogg_stream_frames(clips)
+
+
+_OGG_STREAM_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({OGG_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9
+                THEN 'not an ogg stream (OggS BOS capture)'
+         END AS message
+  FROM ids
+),
+f AS (
+  SELECT id,
+         id % 2 = 0 AS opus,
+         1 + id % 4 AS n_audio,
+         CAST(1 + (id // 2) % 2 AS INTEGER) AS channels,
+         500 + 13 * id AS dur_in,
+         312 + 10 * (id % 5) AS pre_skip,
+         [44100, 22050, 48000][CAST(id % 3 AS INT) + 1] AS vrate
+  FROM ids
+  WHERE id IN (SELECT id FROM bad WHERE message IS NULL)
+)
+SELECT concat('ogg-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       CASE WHEN f.opus THEN 'opus'
+            WHEN f.opus IS NOT NULL THEN 'vorbis' END AS codec,
+       f.channels,
+       CAST(CASE WHEN f.opus THEN 48000 ELSE f.vrate END
+            AS BIGINT) AS rate,
+       CAST(CASE WHEN f.opus THEN f.pre_skip
+                 WHEN f.opus IS NOT NULL THEN 0 END
+            AS INTEGER) AS pre_skip,
+       CAST(f.n_audio + CASE WHEN f.opus THEN 2 ELSE 1 END
+            AS INTEGER) AS n_pages,
+       CAST(CASE WHEN f.opus THEN f.dur_in
+            ELSE ((f.dur_in * f.vrate) // 1000) * 1000 // f.vrate
+       END AS BIGINT) AS duration_ms,
+       CASE WHEN f.opus IS NOT NULL
+            THEN NOT b.id % 19 = 11 END AS crc_ok,
+       CASE WHEN f.opus IS NOT NULL THEN TRUE END AS eos
+FROM bad b
+LEFT JOIN f ON b.id = f.id
+"""
+
+
+FLAC_N = 600
+
+
+def q_flac_stream_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata census (multimodal.flac_stream_frames over
+    sources/flac.flac_stream_info — RFC 9639 block walk +
+    bit-packed STREAMINFO): rate, channels, bits-per-sample, total
+    samples → integer-ms duration (NULL for streamed encodes with
+    total=0), MD5 presence, block count and type list (joined to a
+    CSV column so the value hash is engine-neutral). Fixtures are
+    spec-valid metadata prefixes built by id arithmetic; damage
+    plants with CONSTANT messages (magic corrupted → sniff fails;
+    last-block flag cleared → 'no last-metadata-block flag before
+    EOF'). Precedence: null > magic > lost-last-flag."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        flac_stream_frames,
+    )
+
+    df = spark.range(0, FLAC_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.flac import build_flac
+
+        rates = (8000, 16000, 22050, 44100, 48000)
+        bpss = (8, 16, 24)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("flac-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                blob = build_flac(
+                    rate=rates[i % 5], channels=1 + i % 4,
+                    bps=bpss[i % 3],
+                    total_samples=0 if i % 13 == 0
+                    else 1000 * i + i % 7,
+                    n_padding=i % 3)
+                if i % 17 == 9:
+                    blob = b"XLaC" + blob[4:]
+                elif i % 19 == 11:
+                    # clear the last-block flag on the final block
+                    # (every tail block here has a 16-byte payload)
+                    p = len(blob) - 20
+                    blob = (blob[:p] + bytes([blob[p] & 0x7F])
+                            + blob[p + 1:])
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    res = flac_stream_frames(clips)
+    return res.select(
+        "clip_id", "ok", "message", "rate", "channels",
+        "bits_per_sample", "total_samples", "duration_ms",
+        "n_blocks",
+        F.array_join("block_types", ",").alias("block_types_csv"),
+        "md5_set")
+
+
+_FLAC_STREAM_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({FLAC_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9
+                THEN 'not a flac stream (fLaC magic)'
+              WHEN id % 19 = 11
+                THEN 'no last-metadata-block flag before EOF'
+         END AS message
+  FROM ids
+),
+f AS (
+  SELECT id,
+         [8000, 16000, 22050, 44100, 48000][CAST(id % 5 AS INT) + 1]
+           AS rate,
+         CAST(1 + id % 4 AS INTEGER) AS channels,
+         [8, 16, 24][CAST(id % 3 AS INT) + 1] AS bps,
+         CASE WHEN id % 13 = 0 THEN 0
+              ELSE 1000 * id + id % 7 END AS total,
+         CAST(id % 3 AS INT) AS pads
+  FROM ids
+  WHERE id IN (SELECT id FROM bad WHERE message IS NULL)
+)
+SELECT concat('flac-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       CAST(f.rate AS BIGINT) AS rate, f.channels,
+       CAST(f.bps AS INTEGER) AS bits_per_sample,
+       CAST(f.total AS BIGINT) AS total_samples,
+       CAST(CASE WHEN f.total > 0
+                 THEN f.total * 1000 // f.rate END AS BIGINT)
+         AS duration_ms,
+       CAST(2 + f.pads AS INTEGER) AS n_blocks,
+       CASE WHEN f.id IS NOT NULL THEN
+         concat('streaminfo,vorbis_comment',
+                repeat(',padding', f.pads))
+       END AS block_types_csv,
+       CASE WHEN f.id IS NOT NULL THEN TRUE END AS md5_set
+FROM bad b
+LEFT JOIN f ON b.id = f.id
+"""
+
+
 def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup end-to-end: LSH-bucketed
     embedding near-dup pairs (similarity.embedding_near_duplicates)
@@ -5010,6 +5239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "ogg_stream_census": q_ogg_stream_census,
+        "flac_stream_census": q_flac_stream_census,
         "webm_track_census": q_webm_track_census,
         "mp4_track_census": q_mp4_track_census,
         "emb_dup_clusters": q_emb_dup_clusters,
@@ -5917,6 +6148,8 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ogg_stream_census": _OGG_STREAM_SQL,
+        "flac_stream_census": _FLAC_STREAM_SQL,
         "webm_track_census": _WEBM_TRACK_SQL,
         "mp4_track_census": _MP4_TRACK_SQL,
         "emb_dup_clusters": _EMB_DUP_CLUSTERS_SQL,

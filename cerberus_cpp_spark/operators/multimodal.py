@@ -1024,3 +1024,161 @@ def webm_track_frames(
             yield res
 
     return src.mapInPandas(work, schema=WEBM_TRACK_SCHEMA)
+
+
+OGG_STREAM_SCHEMA = (
+    "clip_id string, ok boolean, message string, codec string, "
+    "channels int, rate bigint, pre_skip int, n_pages int, "
+    "duration_ms bigint, crc_ok boolean, eos boolean"
+)
+
+
+def ogg_stream_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Ogg container census — ONE ROW PER STREAM from the RFC 3533
+    page walk (``sources/ogg.ogg_stream_info``): BOS codec
+    identification (OpusHead / Vorbis-I), channels, the granule
+    clock rate, Opus pre-skip, page count, integer-ms duration from
+    the last granule position, whole-stream CRC verdict, and EOS
+    presence. Completes the web-audio container family next to the
+    MP4/Matroska movie walks and the raw ADTS/MPEG/WAV layers;
+    sample decode of the contained codecs stays out of scope exactly
+    like those layers.
+
+    One narrow Arrow stage (zero Exchange); per-clip failure
+    routing: NULL payloads and structurally damaged streams emit a
+    single ok=false row naming the offending page/field, never
+    killing the job — the per-row verdict contract of the
+    reference's document-level pass/fail (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.ogg import ogg_stream_info
+
+        cols = ("ok", "message", "codec", "channels", "rate",
+                "pre_skip", "n_pages", "duration_ms", "crc_ok",
+                "eos")
+        int_cols = {"channels": "Int32", "rate": "Int64",
+                    "pre_skip": "Int32", "n_pages": "Int32",
+                    "duration_ms": "Int64"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    info = ogg_stream_info(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                put(cid, ok=True, codec=info["codec"],
+                    channels=info["channels"], rate=info["rate"],
+                    pre_skip=info["pre_skip"],
+                    n_pages=info["n_pages"],
+                    duration_ms=info["duration_ms"],
+                    crc_ok=info["crc_ok"], eos=info["eos"])
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            for c in ("ok", "crc_ok", "eos"):
+                res[c] = pd.array(res[c], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=OGG_STREAM_SCHEMA)
+
+
+FLAC_STREAM_SCHEMA = (
+    "clip_id string, ok boolean, message string, rate bigint, "
+    "channels int, bits_per_sample int, total_samples bigint, "
+    "duration_ms bigint, n_blocks int, block_types array<string>, "
+    "md5_set boolean"
+)
+
+
+def flac_stream_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """FLAC metadata census — ONE ROW PER STREAM from the
+    metadata-block walk (``sources/flac.flac_stream_info``,
+    RFC 9639): bit-packed STREAMINFO fields (rate, channels,
+    bits-per-sample, total samples → integer-ms duration, MD5
+    presence) plus the block count and type list. The lossless-audio
+    sibling of ``ogg_stream_frames``; frame decode stays out of
+    scope like every container layer.
+
+    One narrow Arrow stage (zero Exchange); per-clip failure
+    routing: NULL payloads and structurally damaged streams emit a
+    single ok=false row naming the offending block, never killing
+    the job — the per-row verdict contract of the reference's
+    document-level pass/fail (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.flac import flac_stream_info
+
+        cols = ("ok", "message", "rate", "channels",
+                "bits_per_sample", "total_samples", "duration_ms",
+                "n_blocks", "block_types", "md5_set")
+        int_cols = {"rate": "Int64", "channels": "Int32",
+                    "bits_per_sample": "Int32",
+                    "total_samples": "Int64",
+                    "duration_ms": "Int64", "n_blocks": "Int32"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    info = flac_stream_info(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                put(cid, ok=True, rate=info["rate"],
+                    channels=info["channels"],
+                    bits_per_sample=info["bits_per_sample"],
+                    total_samples=info["total_samples"],
+                    duration_ms=info["duration_ms"],
+                    n_blocks=info["n_blocks"],
+                    block_types=info["block_types"],
+                    md5_set=info["md5_set"])
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            for c in ("ok", "md5_set"):
+                res[c] = pd.array(res[c], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=FLAC_STREAM_SCHEMA)
