@@ -1304,6 +1304,634 @@ LEFT JOIN tr t ON b.id = t.id
 """
 
 
+_LD_HEAD = "JOIN OUR NEWSLETTER TODAY"
+_LD_FOOT = "COPYRIGHT 2026 EXAMPLE CORP"
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup — the C4 recipe
+    (text.dedup_lines): a line occurring 2+ times anywhere in the
+    corpus survives only at its first (doc_id, line_index)
+    occurrence. The plant wraps documents in shared boilerplate
+    (newsletter header on doc_id%5==0, copyright footer on both
+    %5==0 and %7==0) so cross-document duplicate lines exist by
+    construction; the oracle replays the plant AND the full
+    dedup (window count + first-occurrence rank + ordered rebuild)
+    and compares the md5 of every surviving text. Returns the
+    docs that lost at least one line."""
+    from cerberus_cpp_spark.operators.text import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat_ws("\n", F.lit(_LD_HEAD), F.col("text"),
+                               F.lit(_LD_FOOT)))
+            .when(F.col("doc_id") % 7 == 0,
+                  F.concat_ws("\n", F.lit(_LD_FOOT), F.col("text")))
+            .otherwise(F.col("text")),
+        ).alias("text"),
+    )
+    out = dedup_lines(planted)
+    return (
+        out.where(F.col("n_removed") > 0)
+        .select("doc_id", "n_lines", "n_removed",
+                F.md5("text").alias("text_md5"))
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN doc_id % 5 = 0 THEN
+                concat('{_LD_HEAD}', chr(10), text, chr(10),
+                       '{_LD_FOOT}')
+              WHEN doc_id % 7 = 0 THEN
+                concat('{_LD_FOOT}', chr(10), text)
+              ELSE text END AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l
+  FROM planted WHERE text IS NOT NULL
+),
+lines AS (
+  SELECT doc_id, unnest(l) AS line,
+         unnest(generate_series(0, len(l) - 1)) AS pos
+  FROM split
+),
+marked AS (
+  SELECT doc_id, line, pos,
+         count(*) OVER (PARTITION BY line) AS cnt,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN cnt >= 2 AND rn > 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE cnt < 2 OR rn = 1), ''))
+         AS text_md5
+FROM marked
+GROUP BY doc_id
+HAVING n_removed > 0
+"""
+
+
+_HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
+                  "&nbsp;end")
+
+
+def q_html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawled-HTML cleaning (text.strip_html — the deterministic
+    regexp pipeline: drop script/style/comment blocks, strip tags,
+    decode the six common entities, collapse whitespace): the plant
+    wraps every doc_id%3==0 document in markup whose script body
+    contains '<' comparisons and quoted tags (the classic naive-
+    stripper traps) plus an entity gauntlet; the oracle replays the
+    plant and the SAME shared pattern tables
+    (text.HTML_STRIP_STEPS / HTML_ENTITIES) through DuckDB RE2 and
+    compares the md5 of every cleaned string plus raw/clean
+    lengths."""
+    from cerberus_cpp_spark.operators.text import strip_html
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = docs.where((F.col("doc_id") % 3 == 0)
+                     & F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p{margin:0}</style>"
+                  "<script>if(1<2){x=\"<p>\"}</script></head>"
+                  "<body><!-- hidden <b>note</b> --><h1>"),
+            F.col("lang"),
+            F.lit("</h1>\n<p>"),
+            F.col("text"),
+            F.lit("</p>" + _HTML_GAUNTLET + "</body></html>"),
+        ).alias("text"),
+    )
+    return raw.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length(strip_html("text")).alias("n_chars_clean"),
+        F.md5(strip_html("text")).alias("clean_md5"),
+    )
+
+
+def _html_strip_sql() -> str:
+    from cerberus_cpp_spark.operators.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    expr = "text"
+    for pat, rep in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    gauntlet = _HTML_GAUNTLET.replace("'", "''")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         concat('<html><head><style>p{{margin:0}}</style>',
+                '<script>if(1<2){{x="<p>"}}</script></head>',
+                '<body><!-- hidden <b>note</b> --><h1>', lang,
+                '</h1>', chr(10), '<p>', text,
+                '</p>{gauntlet}</body></html>') AS text
+  FROM documents
+  WHERE doc_id % 3 = 0 AND text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_raw,
+       CAST(length({expr}) AS INTEGER) AS n_chars_clean,
+       md5({expr}) AS clean_md5
+FROM raw
+"""
+
+
+COMP_N = 600
+
+
+def q_compression_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-payload census with REAL stdlib decode
+    (multimodal.compression_census over
+    sources/compression.decompress_bounded): gzip/zlib/bzip2/xz
+    streams are actually decompressed (through the zip-bomb budget)
+    and fingerprinted; zstd is sniffed but honestly gated on the
+    absent decoder. The oracle regenerates the identical plaintext
+    per id, so n_raw and the md5 of the DECOMPRESSED bytes are
+    replayed exactly — the decode itself is verified, not just the
+    framing. Damage plants with CONSTANT message classes: null,
+    magic flip (unknown format), truncation (corrupt), appended
+    junk (trailing garbage); zstd outranks truncation/trailing
+    because the gate fires before decode. Compressed sizes are
+    codec-version-dependent and deliberately NOT part of the
+    contract columns."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        compression_census,
+    )
+
+    df = spark.range(0, COMP_N, 1, 8)
+
+    def gen(batches):
+        import bz2
+        import gzip
+        import lzma
+        import zlib
+
+        import pandas as pd
+
+        enc = (gzip.compress, zlib.compress, bz2.compress,
+               lzma.compress)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("pay-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                if i % 5 == 4:
+                    blob = b"\x28\xb5\x2f\xfd" + b"\x00" * 32
+                else:
+                    raw = ("lorem-%d " % i) * (50 + i % 30)
+                    blob = enc[i % 5](raw.encode())
+                if i % 17 == 9:
+                    blob = bytes([blob[0] ^ 0xFF]) + blob[1:]
+                elif i % 19 == 11:
+                    blob = blob[:-5]
+                elif i % 13 == 5:
+                    blob = blob + b"JUNKJUNK"
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return compression_census(clips).select(
+        "clip_id", "ok", "message", "fmt", "n_raw", "raw_md5")
+
+
+_COMPRESSION_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({COMP_N})),
+v AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9 THEN 'unknown compression format'
+              WHEN id % 5 = 4 THEN 'zstd: no decoder available'
+              WHEN id % 19 = 11 THEN 'truncated or corrupt stream'
+              WHEN id % 13 = 5
+                THEN 'trailing garbage after stream end'
+         END AS message,
+         repeat(concat('lorem-', CAST(id AS VARCHAR), ' '),
+                CAST(50 + id % 30 AS BIGINT)) AS raw
+  FROM ids
+)
+SELECT concat('pay-', lpad(CAST(id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       message IS NULL AS ok, message,
+       CASE WHEN message IS NULL THEN
+         ['gzip', 'zlib', 'bzip2', 'xz'][CAST(id % 5 AS INT) + 1]
+       END AS fmt,
+       CASE WHEN message IS NULL
+            THEN CAST(length(raw) AS BIGINT) END AS n_raw,
+       CASE WHEN message IS NULL THEN md5(raw) END AS raw_md5
+FROM v
+"""
+
+
+URL_N = 2000
+
+
+def _url_plant(spark: SparkSession) -> DataFrame:
+    """Planted URL corpus shared by url_profile and domain_mix.
+    The generator is NESTED so cloudpickle ships it by value — a
+    module-level function would be pickled as a reference to
+    __spark_entry__, which executors cannot import when the driver
+    runs from a neutral cwd."""
+
+    def gen(batches):
+        import pandas as pd
+
+        schemes = ("https", "http", "ftp")
+        tlds = ("com", "org", "co.uk")
+        for pdf in batches:
+            ids, urls = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append(i)
+                if i % 13 == 7:
+                    urls.append(None)
+                    continue
+                if i % 11 == 5:
+                    urls.append("not a url %d" % i)
+                    continue
+                u = schemes[i % 3] + "://"
+                if i % 4 == 1:
+                    u += "u:p@"
+                u += "s%d.example%d.%s" % (i % 50, i % 7,
+                                           tlds[i % 3])
+                if i % 5 == 0:
+                    u += ":8080"
+                u += "/seg" * (i % 4)
+                if i % 6 == 2:
+                    u += "//"
+                u += ("?a=1&b=2", "", "?x")[i % 3]
+                if i % 8 == 3:
+                    u += "#frag"
+                urls.append(u)
+            yield pd.DataFrame({"doc_id": ids, "url": urls})
+
+    return spark.range(0, URL_N, 1, 8).mapInPandas(
+        gen, schema="doc_id long, url string")
+
+
+#: the plant replayed in SQL — shared by both URL oracles
+_URL_PLANT_SQL = f"""
+  SELECT range AS doc_id,
+         CASE
+           WHEN range % 13 = 7 THEN NULL
+           WHEN range % 11 = 5
+             THEN concat('not a url ', CAST(range AS VARCHAR))
+           ELSE concat(
+             ['https', 'http', 'ftp'][CAST(range % 3 AS INT) + 1],
+             '://',
+             CASE WHEN range % 4 = 1 THEN 'u:p@' ELSE '' END,
+             's', range % 50, '.example', range % 7, '.',
+             ['com', 'org', 'co.uk'][CAST(range % 3 AS INT) + 1],
+             CASE WHEN range % 5 = 0 THEN ':8080' ELSE '' END,
+             repeat('/seg', CAST(range % 4 AS BIGINT)),
+             CASE WHEN range % 6 = 2 THEN '//' ELSE '' END,
+             ['?a=1&b=2', '', '?x'][CAST(range % 3 AS INT) + 1],
+             CASE WHEN range % 8 = 3 THEN '#frag' ELSE '' END)
+         END AS url
+  FROM range({URL_N})
+"""
+
+
+def q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL featurization (operators/url.url_features — one codegen
+    projection, zero shuffle): scheme, host (userinfo/port
+    stripped, lowercased), naive registered domain (last two
+    labels — the deliberate no-PSL contract, so 'co.uk' IS the
+    documented answer for co.uk hosts), non-empty path depth, and
+    query-param count over a planted URL corpus covering the trap
+    shapes (userinfo, ports, doubled slashes, fragments, bare
+    params, unparseable rows, NULLs). The oracle replays BOTH the
+    plant and the module's shared RE2 patterns verbatim."""
+    from cerberus_cpp_spark.operators.url import url_features
+
+    return _url_plant(spark).select("doc_id", *url_features("url"))
+
+
+def _url_profile_sql() -> str:
+    from cerberus_cpp_spark.operators.url import (
+        HOST_RE,
+        PATH_RE,
+        QUERY_RE,
+        SCHEME_RE,
+    )
+
+    return f"""
+WITH planted AS ({_URL_PLANT_SQL}),
+f AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '{SCHEME_RE}', 1) AS scheme,
+         lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+         regexp_extract(url, '{PATH_RE}', 1) AS path,
+         regexp_extract(url, '{QUERY_RE}', 1) AS q
+  FROM planted
+)
+SELECT doc_id, scheme, host,
+       CASE WHEN host IS NULL THEN NULL
+            WHEN len(string_split(host, '.')) >= 2
+            THEN concat(string_split(host, '.')[-2], '.',
+                        string_split(host, '.')[-1])
+            ELSE host END AS domain,
+       CAST(CASE WHEN path IS NULL THEN NULL
+            ELSE len(list_filter(string_split(path, '/'),
+                                 x -> x != '')) END AS INTEGER)
+         AS path_depth,
+       CAST(CASE WHEN url IS NULL THEN NULL WHEN q = '' THEN 0
+            ELSE len(string_split(q, '&')) END AS INTEGER)
+         AS n_params
+FROM f
+"""
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus shares (url.domain_mix) — the
+    achievable-share report a domain-curation plan feeds into
+    mixture_sample, over the same planted URL corpus as
+    url_profile (unparseable/NULL rows accounted under domain '').
+    One partially-aggregated scan; the share denominator is a
+    window over the REDUCED O(domains) frame. The oracle replays
+    plant, domain rule, counts, and the f64 share division."""
+    from cerberus_cpp_spark.operators.url import domain_mix
+
+    return domain_mix(_url_plant(spark), min_pages=2)
+
+
+def _domain_mix_sql() -> str:
+    from cerberus_cpp_spark.operators.url import HOST_RE
+
+    return f"""
+WITH planted AS ({_URL_PLANT_SQL}),
+d AS (
+  SELECT coalesce(CASE
+           WHEN url IS NULL THEN NULL
+           WHEN len(string_split(lower(regexp_extract(
+                  url, '{HOST_RE}', 1)), '.')) >= 2
+           THEN concat(
+             string_split(lower(regexp_extract(
+               url, '{HOST_RE}', 1)), '.')[-2], '.',
+             string_split(lower(regexp_extract(
+               url, '{HOST_RE}', 1)), '.')[-1])
+           ELSE lower(regexp_extract(url, '{HOST_RE}', 1))
+         END, '') AS domain
+  FROM planted
+),
+c AS (SELECT domain, count(*) AS n_pages FROM d GROUP BY domain)
+SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(n_pages AS DOUBLE)
+         / CAST(sum(n_pages) OVER () AS DOUBLE) AS share
+FROM c
+QUALIFY n_pages >= 2
+"""
+
+
+WARC_N = 600
+
+
+def q_warc_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive census (multimodal.warc_census over
+    sources/warc — ISO 28500, the container Common-Crawl-style
+    corpora arrive in): one row per record with type, id, target
+    URI, Content-Length framing, and the HTTP status parsed from
+    response blocks — the census that lets an ingest pipeline drop
+    4xx/5xx fetches before HTML extraction spends a cycle. Fixtures
+    are spec-valid record chains built by id arithmetic (one
+    warcinfo + 1-3 responses, constant-width HTTP preamble so the
+    oracle replays Content-Length exactly); damage plants with
+    CONSTANT messages (version flip; truncation into the last
+    content block). Precedence: null > flip > truncation."""
+    from cerberus_cpp_spark.operators.multimodal import warc_census
+
+    df = spark.range(0, WARC_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.warc import build_warc
+
+        codes = (200, 404, 301, 500)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("warc-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                recs = [{"type": "warcinfo",
+                         "record_id": "<urn:uuid:%d-info>" % i,
+                         "content_type": "application/warc-fields",
+                         "block": b"software: cerberus\r\n"}]
+                for k in range(1 + i % 3):
+                    body = ("body-%d-%d " % (i, k)) \
+                        * (5 + (i + k) % 10)
+                    blk = ("HTTP/1.1 %d X\r\n"
+                           "Content-Type: text/html\r\n\r\n"
+                           % codes[(i + k) % 4]) + body
+                    recs.append({
+                        "type": "response",
+                        "record_id": "<urn:uuid:%d-%d>" % (i, k),
+                        "uri": "https://example.com/p-%d-%d"
+                               % (i, k),
+                        "content_type":
+                            "application/http;msgtype=response",
+                        "block": blk.encode()})
+                blob = build_warc(recs)
+                if i % 17 == 9:
+                    blob = b"X" + blob[1:]
+                elif i % 19 == 11:
+                    blob = blob[:-10]
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return warc_census(clips)
+
+
+_WARC_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({WARC_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9
+                THEN 'not a warc stream (version line)'
+              WHEN id % 19 = 11
+                THEN 'warc content block overruns stream'
+         END AS message
+  FROM ids
+),
+ok AS (SELECT id, CAST(2 + id % 3 AS INTEGER) AS n_records
+       FROM bad WHERE message IS NULL),
+k3 AS (SELECT unnest(range(3)) AS k),
+resp AS (
+  SELECT o.id, k, o.n_records,
+         'response' AS record_type,
+         concat('<urn:uuid:', o.id, '-', k, '>') AS record_id,
+         concat('https://example.com/p-', o.id, '-', k) AS uri,
+         CAST(43 + length(repeat(
+           concat('body-', o.id, '-', k, ' '),
+           CAST(5 + (o.id + k) % 10 AS BIGINT))) AS BIGINT)
+           AS content_length,
+         'application/http;msgtype=response' AS content_type,
+         CAST([200, 404, 301, 500][CAST((o.id + k) % 4 AS INT) + 1]
+              AS INTEGER) AS http_status
+  FROM ok o, k3 WHERE k < 1 + o.id % 3
+),
+info AS (
+  SELECT id, NULL::INTEGER AS k, n_records,
+         'warcinfo' AS record_type,
+         concat('<urn:uuid:', id, '-info>') AS record_id,
+         NULL::VARCHAR AS uri, CAST(20 AS BIGINT) AS content_length,
+         'application/warc-fields' AS content_type,
+         NULL::INTEGER AS http_status
+  FROM ok
+),
+recs AS (SELECT * FROM info UNION ALL SELECT * FROM resp)
+SELECT concat('warc-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       r.n_records, r.record_type, r.record_id, r.uri,
+       r.content_length, r.content_type, r.http_status
+FROM bad b
+LEFT JOIN recs r ON b.id = r.id
+"""
+
+
+ARCH_N = 600
+
+
+def q_archive_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive census (multimodal.archive_census over
+    sources/archive — ustar TAR header arithmetic + ZIP central-
+    directory walk with REAL deflate decode and CRC-32 verification
+    per member): one row per member with name, size, tar typeflag /
+    zip method, and the zip crc verdict. Fixtures are spec-valid
+    archives built by id arithmetic (builders interop-pinned against
+    stdlib tarfile/zipfile in tests); damage plants with CONSTANT
+    per-format messages (tar magic flip / zip leading-byte flip →
+    unknown archive format; tar truncation / zip EOCD cut → the
+    format's own truncation message). Precedence: null > flip >
+    truncation."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        archive_census,
+    )
+
+    df = spark.range(0, ARCH_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.archive import (
+            build_tar,
+            build_zip,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("arc-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                members = [
+                    {"name": "f-%d-%d.txt" % (i, k),
+                     "data": (("data-%d-%d " % (i, k))
+                              * (10 + (i + k) % 20)).encode()}
+                    for k in range(1 + i % 3)
+                ]
+                blob = (build_tar(members) if i % 2 == 0
+                        else build_zip(members))
+                if i % 17 == 9:
+                    if i % 2 == 0:
+                        blob = blob[:257] + b"X" + blob[258:]
+                    else:
+                        blob = b"XK" + blob[2:]
+                elif i % 19 == 11:
+                    # tar: cut past both zero-terminator blocks into
+                    # the last member's data block (a single missing
+                    # terminator is legitimately accepted);
+                    # zip: cut the EOCD record
+                    blob = blob[:-1064] if i % 2 == 0 else blob[:-30]
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return archive_census(clips)
+
+
+_ARCHIVE_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({ARCH_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9 THEN 'unknown archive format'
+              WHEN id % 19 = 11 THEN
+                CASE WHEN id % 2 = 0 THEN 'tar archive truncated'
+                     ELSE 'zip end-of-central-directory not found'
+                END
+         END AS message
+  FROM ids
+),
+k3 AS (SELECT unnest(range(3)) AS k),
+m AS (
+  SELECT id, k,
+         CAST(1 + id % 3 AS INTEGER) AS n_members,
+         concat('f-', id, '-', k, '.txt') AS member_name,
+         CAST(length(repeat(concat('data-', id, '-', k, ' '),
+                            CAST(10 + (id + k) % 20 AS BIGINT)))
+              AS BIGINT) AS member_size
+  FROM ids, k3
+  WHERE k < 1 + id % 3 AND id IN (SELECT id FROM bad
+                                  WHERE message IS NULL)
+)
+SELECT concat('arc-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       CASE WHEN b.message IS NULL THEN
+         CASE WHEN b.id % 2 = 0 THEN 'tar' ELSE 'zip' END
+       END AS fmt,
+       m.n_members, m.member_name, m.member_size,
+       CASE WHEN m.id IS NOT NULL AND b.id % 2 = 0
+            THEN '0' END AS typeflag,
+       CASE WHEN m.id IS NOT NULL AND b.id % 2 = 1
+            THEN 'deflate' END AS method,
+       CASE WHEN m.id IS NOT NULL AND b.id % 2 = 1
+            THEN TRUE END AS crc_ok
+FROM bad b
+LEFT JOIN m ON b.id = m.id
+"""
+
+
 OGG_N = 600
 
 
@@ -2050,6 +2678,34 @@ SELECT vec_id AS query_id,
        CAST(1.0 AS DOUBLE) AS cosine
 FROM embeddings WHERE vec_id < 10
 """
+
+
+def q_ann_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (similarity.sq_train — FAISS 'SQ8',
+    the middle rung of the quantizer ladder: dim bytes per vector,
+    4× smaller than float32, near-lossless where PQ m=8 is 32×
+    smaller but lossier). The codebook is a per-dim uniform grid in
+    the pq_train tensor contract, so encode, ADC LUT search, the
+    per-partition top-R prune and the exact rescore are the
+    UNMODIFIED pq_* machinery with all its plan pins. PLANTED-TRUTH
+    oracle: identical twin (vec_id + 1e6) encodes to the identical
+    rung vector, carries the query's maximal ADC score into the
+    rescore set, and exact cosine makes it provably rank 1 at
+    1.0. Fidelity-vs-PQ and round-to-rung pins:
+    tests/test_sq.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    queries = emb.where("vec_id < 10").select("vec_id", "embedding")
+    grid = _sim.sq_train(corpus, n_levels=256)
+    codes = _sim.pq_encode(corpus, grid)
+    return _sim.pq_topk(codes, grid, queries, k=1,
+                        corpus=corpus, rescore_n=16) \
+        .select("query_id", "neighbor_id", "cosine")
+
+
+_ANN_SQ_SQL = _ANN_PQ_SQL
 
 
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5239,6 +5895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "url_profile": q_url_profile,
+        "domain_mix": q_domain_mix,
+        "warc_census": q_warc_census,
+        "archive_census": q_archive_census,
+        "compression_census": q_compression_census,
+        "ann_topk_sq": q_ann_topk_sq,
+        "line_dedup_docs": q_line_dedup_docs,
+        "html_strip_docs": q_html_strip_docs,
         "ogg_stream_census": q_ogg_stream_census,
         "flac_stream_census": q_flac_stream_census,
         "webm_track_census": q_webm_track_census,
@@ -6148,6 +6812,14 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_profile": _url_profile_sql(),
+        "domain_mix": _domain_mix_sql(),
+        "warc_census": _WARC_SQL,
+        "archive_census": _ARCHIVE_SQL,
+        "compression_census": _COMPRESSION_SQL,
+        "ann_topk_sq": _ANN_SQ_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
+        "html_strip_docs": _html_strip_sql(),
         "ogg_stream_census": _OGG_STREAM_SQL,
         "flac_stream_census": _FLAC_STREAM_SQL,
         "webm_track_census": _WEBM_TRACK_SQL,

@@ -1182,3 +1182,248 @@ def flac_stream_frames(
             yield res
 
     return src.mapInPandas(work, schema=FLAC_STREAM_SCHEMA)
+
+
+COMPRESSION_SCHEMA = (
+    "clip_id string, ok boolean, message string, fmt string, "
+    "n_comp bigint, n_raw bigint, ratio double, raw_md5 string"
+)
+
+
+def compression_census(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    max_out: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Compressed-payload census with REAL bounded decode
+    (``sources/compression.decompress_bounded`` — stdlib zlib/gzip/
+    bzip2/xz, zstd sniffed but honestly gated on the absent
+    decoder): format, compressed and decompressed sizes, ratio, and
+    the md5 of the decompressed bytes (the content fingerprint a
+    dedup pass downstream keys on — crawled corpora store the same
+    document under different compression settings, so dedup must
+    key on RAW content, not payload bytes). Every stream is decoded
+    through the streaming ``max_out`` budget: a zip-bomb aborts with
+    a named verdict instead of an executor OOM.
+
+    One narrow Arrow stage (zero Exchange); per-payload failure
+    routing with CONSTANT message classes (unknown magic, truncated/
+    corrupt, trailing garbage, over-limit, absent zstd decoder) —
+    the per-row verdict contract of the reference's document-level
+    pass/fail (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+    bound = int(max_out)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.compression import (
+            decompress_bounded,
+        )
+
+        cols = ("ok", "message", "fmt", "n_comp", "n_raw", "ratio",
+                "raw_md5")
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    info = decompress_bounded(bytes(blob),
+                                              max_out=bound)
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                put(cid, ok=True, fmt=info["fmt"],
+                    n_comp=info["n_comp"], n_raw=info["n_raw"],
+                    ratio=(info["n_raw"] / info["n_comp"]
+                           if info["n_comp"] else None),
+                    raw_md5=hashlib.md5(info["raw"]).hexdigest())
+            res = pd.DataFrame(out)
+            for c, t in (("n_comp", "Int64"), ("n_raw", "Int64")):
+                res[c] = pd.array(res[c], dtype=t)
+            res["ratio"] = pd.array(res["ratio"], dtype="Float64")
+            res["ok"] = pd.array(res["ok"], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=COMPRESSION_SCHEMA)
+
+
+ARCHIVE_SCHEMA = (
+    "clip_id string, ok boolean, message string, fmt string, "
+    "n_members int, member_name string, member_size bigint, "
+    "typeflag string, method string, crc_ok boolean"
+)
+
+
+def archive_census(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    max_out: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Archive census — ONE ROW PER MEMBER for ustar TAR and ZIP
+    payloads (``sources/archive`` — the containers code/training
+    corpora arrive in): member name, size, tar typeflag, zip
+    compression method, and for zip a REAL verdict — every member
+    is inflated (through the ``max_out`` zip-bomb budget) and its
+    stored CRC-32 verified against the actual bytes, so crc_ok is a
+    decode check, not a framing check.
+
+    One narrow Arrow stage (zero Exchange); per-payload failure
+    routing with CONSTANT message classes — the per-row verdict
+    contract of the reference's document-level pass/fail
+    (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+    bound = int(max_out)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.archive import (
+            sniff_tar,
+            sniff_zip,
+            tar_members,
+            zip_members,
+        )
+
+        cols = ("ok", "message", "fmt", "n_members", "member_name",
+                "member_size", "typeflag", "method", "crc_ok")
+        int_cols = {"n_members": "Int32", "member_size": "Int64"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                b = bytes(blob)
+                try:
+                    if sniff_tar(b):
+                        fmt, members = "tar", tar_members(b)
+                    elif sniff_zip(b):
+                        fmt, members = "zip", zip_members(
+                            b, max_out=bound)
+                    else:
+                        raise ValueError(
+                            "unknown archive format")
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                if not members:
+                    put(cid, ok=True, fmt=fmt, n_members=0)
+                    continue
+                for m in members:
+                    put(cid, ok=True, fmt=fmt,
+                        n_members=len(members),
+                        member_name=m["name"],
+                        member_size=m["size"],
+                        typeflag=m.get("typeflag"),
+                        method=m.get("method"),
+                        crc_ok=m.get("crc_ok"))
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            for c in ("ok", "crc_ok"):
+                res[c] = pd.array(res[c], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=ARCHIVE_SCHEMA)
+
+
+WARC_SCHEMA = (
+    "clip_id string, ok boolean, message string, n_records int, "
+    "record_type string, record_id string, uri string, "
+    "content_length bigint, content_type string, http_status int"
+)
+
+
+def warc_census(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """WARC census — ONE ROW PER RECORD from the ISO 28500 walk
+    (``sources/warc.warc_records``): record type, id, target URI,
+    Content-Length, Content-Type, and the HTTP status parsed from
+    application/http response blocks — the ingest-side census of a
+    Common-Crawl-style corpus BEFORE any HTML extraction
+    (``text.strip_html``) or charset work spends cycles on 4xx/5xx
+    fetches and non-HTML blocks. Record-level gzip members route
+    through ``compression_census`` upstream.
+
+    One narrow Arrow stage (zero Exchange); per-payload failure
+    routing with CONSTANT message classes — the per-row verdict
+    contract of the reference's document-level pass/fail
+    (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.warc import warc_records
+
+        cols = ("ok", "message", "n_records", "record_type",
+                "record_id", "uri", "content_length",
+                "content_type", "http_status")
+        int_cols = {"n_records": "Int32", "content_length": "Int64",
+                    "http_status": "Int32"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    recs = warc_records(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                for r in recs:
+                    put(cid, ok=True, n_records=len(recs),
+                        record_type=r["type"],
+                        record_id=r["record_id"], uri=r["uri"],
+                        content_length=r["content_length"],
+                        content_type=r["content_type"],
+                        http_status=r["http_status"])
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            res["ok"] = pd.array(res["ok"], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=WARC_SCHEMA)

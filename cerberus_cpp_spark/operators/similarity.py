@@ -608,6 +608,63 @@ def pq_train(
     return _pq_kmeans(mat, m, n_codes, iters, seed)
 
 
+def sq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 256,
+    train_rows: int = 20_000,
+    sample_mod: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Scalar-quantization codebooks (FAISS's 'SQ8'): each dimension
+    independently snapped to a uniform ``n_levels``-step grid
+    between that dimension's observed min and max — dim bytes per
+    vector at the default (4× smaller than float32, vs PQ's 32× at
+    m=8), trading compression for near-lossless fidelity: the
+    middle rung of the quantizer ladder (LSH < PQ < SQ < exact).
+
+    Returns a ``(dim, n_levels, 1)`` codebook tensor — EXACTLY the
+    :func:`pq_train` contract with m=dim, so the entire downstream
+    machinery is reused unmodified and keeps its pins:
+    :func:`pq_encode` (one narrow Arrow stage; for a uniform grid
+    the per-subspace nearest-entry argmin IS round-to-nearest-rung),
+    :func:`pq_topk` / :func:`pq_topk_distributed` (ADC LUTs, the
+    per-partition top-R prune, exact rescore), and the IVF
+    composition via ``centroids`` (residual SQ — the grid is fit to
+    the residuals instead). Out-of-range values at encode time clamp
+    to the edge rungs automatically (nearest entry of a bounded
+    grid). Constant dimensions degenerate to a single repeated rung
+    — argmin picks index 0 deterministically.
+
+    Bounds come from the SAME bounded deterministic sample as
+    IVF/PQ training (``_bounded_sample_matrix``), computed on
+    unit-normalized vectors to match the encode path. Deterministic:
+    no iterative training at all — the codebook is a pure function
+    of the sample's per-dim extrema."""
+    if not 2 <= n_levels <= 256:
+        raise ValueError(
+            "n_levels must be in [2, 256] (uint8 codes)")
+    mat = _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
+    if len(mat) == 0:
+        raise ValueError("empty training sample")
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                      1e-12)
+    if centroids is not None:
+        cn = centroids / np.linalg.norm(centroids, axis=1,
+                                        keepdims=True)
+        assign = (mat @ cn.T).argmax(axis=1)
+        mat = mat - cn[assign]
+    lo = mat.min(axis=0)                      # (dim,)
+    hi = mat.max(axis=0)
+    steps = np.linspace(0.0, 1.0, n_levels)   # (n_levels,)
+    grid = lo[:, None] + (hi - lo)[:, None] * steps[None, :]
+    return np.ascontiguousarray(grid[:, :, None])
+
+
 def opq_train(
     corpus: DataFrame,
     *,

@@ -747,3 +747,155 @@ def token_budget(
             F.col("n_bpe_tokens").cast("double") / F.col("n_docs"),
         )
     )
+
+
+def dedup_lines_within(col: str = "text") -> Column:
+    """Column expression removing REPEATED LINES WITHIN one document
+    (keep the first occurrence, preserve order) — the per-document
+    half of C4/Dolma line dedup, e.g. a nav menu repeated between
+    page sections. Pure JVM higher-order functions over the split
+    array (``filter`` + ``array_position`` = first index of the
+    value), zero shuffle, zero Python; NULL text stays NULL. The
+    oracle twin is a DuckDB ``list_filter``/``list_position``
+    comprehension — both engines define position as the FIRST match,
+    so the kept set is identical by construction."""
+    arr = f"split({col}, '\\n')"
+    return F.expr(
+        f"array_join(filter({arr}, (x, i) -> "
+        f"array_position({arr}, x) = i + 1), '\\n')"
+    ).alias("text")
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """CORPUS-LEVEL exact line dedup (the C4 recipe): a line that
+    occurs ``min_count``+ times anywhere in the corpus is kept only
+    at its FIRST occurrence (lowest ``(doc_id, line_index)``) and
+    removed everywhere else; unique lines always survive. Returns
+    ``(id_col, text, n_lines, n_removed)`` with ``text`` rebuilt
+    from the surviving lines in original order (NULL text passes
+    through as NULL with n_lines=0).
+
+    Scale shape: three Exchanges, none avoidable for a global
+    first-occurrence rule — (1) a hash aggregate on the line's
+    ``xxhash64`` computing ``(count, min(struct(doc_id, pos)))``
+    with map-side partial aggregation (the partials are 24 bytes per
+    distinct line, so the Exchange ships O(distinct lines), not
+    O(line occurrences)); (2) an AQE-planned equi-join of the
+    exploded lines against that stats frame — skewed boilerplate
+    keys (the exact thing this operator exists to find) are split by
+    AQE's skew-join handling rather than serialized into one task,
+    which is why this is a groupBy+join and NOT a window (a window
+    would put every copy of a viral line in one partition with no
+    partial aggregation); (3) the per-document rebuild aggregate.
+    Lines travel through Exchanges next to an 8-byte key; the
+    int64-hash-key / replay-as-strings contract is the same one
+    ``duplicate_ngram_stats`` pins. Reference analogue: dataset-
+    level uniqueness checks (SURVEY §2.3) promoted to line grain."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    idc = id_col
+    src = df.select(idc, text_col)
+    lines = (
+        src.where(F.col(text_col).isNotNull())
+        .select(
+            idc,
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "line"),
+        )
+        .withColumn("lkey", F.xxhash64("line"))
+    )
+    stats = (
+        lines.groupBy("lkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct(F.col(idc).alias("d"),
+                           F.col("pos").alias("p"))).alias("first"),
+        )
+        .where(F.col("cnt") >= min_count)
+    )
+    kept = (
+        lines.join(stats, "lkey", "left")
+        .withColumn(
+            "keep",
+            F.col("cnt").isNull()
+            | ((F.col("first.d") == F.col(idc))
+               & (F.col("first.p") == F.col("pos"))),
+        )
+    )
+    rebuilt = (
+        kept.groupBy(idc)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return (
+        src.select(idc, F.col(text_col).alias("_orig"))
+        .join(rebuilt, idc, "left")
+        .select(
+            idc,
+            F.when(F.col("_orig").isNotNull(), F.col("text"))
+            .alias("text"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+#: tag-stripping pipeline shared verbatim (pattern, replacement)
+#: by the Spark operator and the DuckDB oracle — RE2-portable
+#: (no backrefs, no lookaround; inline (?is) flags only)
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<[a-z!/][^>]*>", " "),
+)
+
+#: entity decode table applied AFTER tag stripping (order matters:
+#: &amp; last so '&amp;lt;' decodes to the literal '&lt;')
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def strip_html(col: str = "text") -> Column:
+    """Column expression reducing crawled HTML to visible text: drop
+    script/style/comment blocks, strip tags, decode the six common
+    entities, collapse whitespace runs, trim. One chain of JVM
+    ``regexp_replace``/``replace`` calls — a single codegen
+    projection, zero shuffle, zero Python; NULL stays NULL. Patterns
+    are RE2-portable and shared verbatim with the DuckDB oracle
+    (:data:`HTML_STRIP_STEPS` / :data:`HTML_ENTITIES`), so both
+    engines compute the identical cleaned string. Not an HTML5
+    parser — malformed-nesting recovery is out of scope; the
+    contract is the deterministic regexp pipeline above, the
+    standard first-pass cleaner for crawled corpora."""
+    out = F.col(col)
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out.alias("text")
