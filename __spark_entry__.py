@@ -1544,6 +1544,127 @@ FROM v
 """
 
 
+#: the driver's correctness sweep runs at sf0.01 — parquet_metadata
+#: oracles must read the SAME files the Spark side is handed, so the
+#: path resolves from the harness env var when set (the local pytest
+#: harness runs at sf0.001 and pins it in conftest) and falls back to
+#: the driver's sf0.01
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                          "/root/testdata/sf0.01")
+
+_TABLES = ("region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents",
+           "embeddings")
+
+
+def _table_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(f"{sf_dir}/{t}.parquet",) for t in _TABLES],
+        "path string")
+
+
+def q_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet layout audit (operators/layout.parquet_layout):
+    distributed FOOTER-ONLY reads over the table manifest — one row
+    per (file, row group, column chunk) with codec, value/null
+    counts, statistics presence (the row-group-pruning
+    prerequisite) and compressed/uncompressed bytes. At 100 TB the
+    scan-throughput killers are layout defects (tiny row groups,
+    statless columns, uncompressed chunks), and this audit prices a
+    petabyte in megabytes of I/O. ORACLE: DuckDB's own
+    parquet_metadata() — a second, unrelated footer parser reading
+    the SAME files; field-for-field equality is the strongest
+    oracle class in the repo."""
+    from cerberus_cpp_spark.operators.layout import parquet_layout
+
+    return parquet_layout(_table_paths(spark, sf_dir))
+
+
+def _parquet_layout_sql() -> str:
+    return f"""
+SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+       TRUE AS ok, CAST(NULL AS VARCHAR) AS message,
+       CAST(row_group_id AS INTEGER) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS row_group_rows,
+       replace(path_in_schema, ', ', '.') AS path_in_schema,
+       compression,
+       CAST(num_values AS BIGINT) AS n_values,
+       CAST(stats_null_count AS BIGINT) AS null_count,
+       stats_null_count IS NOT NULL
+         OR stats_min_value IS NOT NULL AS has_stats,
+       CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+       CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+FROM parquet_metadata('{_oracle_sf_dir()}/*.parquet')
+"""
+
+
+def q_parquet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE layout health report
+    (operators/layout.parquet_layout_report): row counts, row-group
+    count and minimum size, small-row-group count (the canonical
+    write-path defect), bytes, compression ratio, the codec census
+    (CSV so the value hash is engine-neutral), and statless-chunk
+    count. The oracle re-derives the SAME aggregate from DuckDB's
+    parquet_metadata()."""
+    from cerberus_cpp_spark.operators.layout import (
+        parquet_layout_report,
+    )
+
+    rep = parquet_layout_report(_table_paths(spark, sf_dir),
+                                min_row_group_rows=100_000)
+    return rep.select(
+        "file_name", "ok", "n_row_groups", "n_rows",
+        "min_row_group_rows", "n_small_row_groups",
+        "compressed_bytes", "uncompressed_bytes",
+        "compression_ratio",
+        F.array_join("codecs", ",").alias("codecs_csv"),
+        "n_statless_chunks")
+
+
+def _parquet_report_sql() -> str:
+    return f"""
+WITH chunks AS (
+  SELECT regexp_extract(file_name, '[^/]+$') AS file_name,
+         row_group_id, row_group_num_rows, compression,
+         total_compressed_size, total_uncompressed_size,
+         (stats_null_count IS NOT NULL
+          OR stats_min_value IS NOT NULL) AS has_stats
+  FROM parquet_metadata('{_oracle_sf_dir()}/*.parquet')
+),
+rg AS (
+  SELECT file_name, row_group_id,
+         any_value(row_group_num_rows) AS rows,
+         sum(total_compressed_size) AS cbytes,
+         sum(total_uncompressed_size) AS ubytes,
+         sum(CASE WHEN has_stats THEN 0 ELSE 1 END) AS statless
+  FROM chunks GROUP BY file_name, row_group_id
+),
+codecs AS (
+  SELECT file_name,
+         array_to_string(list_sort(list_distinct(
+           list(DISTINCT compression))), ',') AS codecs_csv
+  FROM chunks GROUP BY file_name
+)
+SELECT r.file_name, TRUE AS ok,
+       CAST(count(*) AS INTEGER) AS n_row_groups,
+       CAST(sum(rows) AS BIGINT) AS n_rows,
+       CAST(min(rows) AS BIGINT) AS min_row_group_rows,
+       CAST(sum(CASE WHEN rows < 100000 THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_small_row_groups,
+       CAST(sum(cbytes) AS BIGINT) AS compressed_bytes,
+       CAST(sum(ubytes) AS BIGINT) AS uncompressed_bytes,
+       CAST(sum(ubytes) AS DOUBLE) / CAST(sum(cbytes) AS DOUBLE)
+         AS compression_ratio,
+       any_value(c.codecs_csv) AS codecs_csv,
+       CAST(sum(statless) AS BIGINT) AS n_statless_chunks
+FROM rg r JOIN codecs c ON r.file_name = c.file_name
+GROUP BY r.file_name
+"""
+
+
 URL_N = 2000
 
 
@@ -1701,6 +1822,99 @@ SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
          / CAST(sum(n_pages) OVER () AS DOUBLE) AS share
 FROM c
 QUALIFY n_pages >= 2
+"""
+
+
+TFR_N = 600
+
+
+def q_tfrecord_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord shard census (multimodal.tfrecord_census over
+    sources/tfrecord — the masked-CRC-32C framing of ML example
+    shards; the Castagnoli CRC is from-scratch and pinned against
+    the published RFC 3720 check value): one row per record with
+    its length and a REAL per-record CRC verdict. Damage plants:
+    null; a flipped length-header byte (constant length-crc
+    message — every later offset would be garbage, so the walk
+    refuses); truncation; and a flipped byte in record 0's payload,
+    which keeps the framing intact so the census reports it IN the
+    row as crc_ok=false with every other field live (the Ogg
+    contract). Precedence: null > header flip > truncation >
+    payload flip."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        tfrecord_census,
+    )
+
+    df = spark.range(0, TFR_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.tfrecord import (
+            build_tfrecord,
+        )
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("tfr-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                    continue
+                payloads = [
+                    (("ex-%d-%d " % (i, k))
+                     * (3 + (i + k) % 7)).encode()
+                    for k in range(1 + i % 4)
+                ]
+                blob = build_tfrecord(payloads)
+                if i % 17 == 9:
+                    blob = bytes([blob[0] ^ 0xFF]) + blob[1:]
+                elif i % 19 == 11:
+                    blob = blob[:-3]
+                elif i % 13 == 5:
+                    blob = (blob[:12] + bytes([blob[12] ^ 0xFF])
+                            + blob[13:])
+                blobs.append(blob)
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return tfrecord_census(clips)
+
+
+_TFRECORD_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({TFR_N})),
+bad AS (
+  SELECT id,
+         CASE WHEN id % 23 = 21 THEN 'no payload'
+              WHEN id % 17 = 9 THEN 'tfrecord length crc mismatch'
+              WHEN id % 19 = 11 THEN 'tfrecord truncated mid-record'
+         END AS message
+  FROM ids
+),
+k4 AS (SELECT unnest(range(4)) AS k),
+r AS (
+  SELECT id, CAST(k AS INTEGER) AS record_index,
+         CAST(1 + id % 4 AS INTEGER) AS n_records,
+         CAST(length(repeat(concat('ex-', id, '-', k, ' '),
+                            CAST(3 + (id + k) % 7 AS BIGINT)))
+              AS BIGINT) AS length,
+         NOT (k = 0 AND id % 13 = 5) AS crc_ok
+  FROM ids, k4
+  WHERE k < 1 + id % 4 AND id IN (SELECT id FROM bad
+                                  WHERE message IS NULL)
+)
+SELECT concat('tfr-', lpad(CAST(b.id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       b.message IS NULL AS ok, b.message,
+       r.n_records, r.record_index, r.length, r.crc_ok
+FROM bad b
+LEFT JOIN r ON b.id = r.id
 """
 
 
@@ -5895,6 +6109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "tfrecord_census": q_tfrecord_census,
+        "parquet_layout": q_parquet_layout,
+        "parquet_report": q_parquet_report,
         "url_profile": q_url_profile,
         "domain_mix": q_domain_mix,
         "warc_census": q_warc_census,
@@ -6812,6 +7029,9 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tfrecord_census": _TFRECORD_SQL,
+        "parquet_layout": _parquet_layout_sql(),
+        "parquet_report": _parquet_report_sql(),
         "url_profile": _url_profile_sql(),
         "domain_mix": _domain_mix_sql(),
         "warc_census": _WARC_SQL,

@@ -1427,3 +1427,76 @@ def warc_census(
             yield res
 
     return src.mapInPandas(work, schema=WARC_SCHEMA)
+
+
+TFRECORD_SCHEMA = (
+    "clip_id string, ok boolean, message string, n_records int, "
+    "record_index int, length bigint, crc_ok boolean"
+)
+
+
+def tfrecord_census(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """TFRecord shard census — ONE ROW PER RECORD from the framing
+    walk (``sources/tfrecord.tfrecord_records``): record lengths
+    and the per-record masked-CRC-32C verdict, both CRCs actually
+    computed (from-scratch Castagnoli, pinned against the published
+    check value). This is what a resharding/packing pass reads
+    before parsing a single example proto: record-size distribution
+    drives shard splits, and a data-CRC mismatch is reported IN the
+    row (framing intact) while a corrupt length header fails the
+    payload with a constant message — every later offset would be
+    garbage.
+
+    One narrow Arrow stage (zero Exchange); per-payload verdict
+    contract (validator.hh:239-258)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.tfrecord import (
+            tfrecord_records,
+        )
+
+        cols = ("ok", "message", "n_records", "record_index",
+                "length", "crc_ok")
+        int_cols = {"n_records": "Int32", "record_index": "Int32",
+                    "length": "Int64"}
+
+        for pdf in batches:
+            out: dict = {"clip_id": [], **{c: [] for c in cols}}
+
+            def put(cid, **kw):
+                out["clip_id"].append(cid)
+                for c in cols:
+                    out[c].append(kw.get(c))
+
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    put(cid, ok=False, message="no payload")
+                    continue
+                try:
+                    recs = tfrecord_records(bytes(blob))
+                except ValueError as e:
+                    put(cid, ok=False, message=str(e))
+                    continue
+                for k, r in enumerate(recs):
+                    put(cid, ok=True, n_records=len(recs),
+                        record_index=k, length=r["length"],
+                        crc_ok=r["crc_ok"])
+            res = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                res[c] = pd.array(res[c], dtype=t)
+            for c in ("ok", "crc_ok"):
+                res[c] = pd.array(res[c], dtype="boolean")
+            yield res
+
+    return src.mapInPandas(work, schema=TFRECORD_SCHEMA)

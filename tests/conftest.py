@@ -1,6 +1,15 @@
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# the local harness runs the driver contract at sf0.001; pin the env
+# var BOTH test_entry_contract.SF_DIR and the path-bearing oracles
+# (__spark_entry__._oracle_sf_dir) resolve, so Spark queries and
+# DuckDB oracles always read the same files
+os.environ.setdefault("SPARK_GRAFT_SF_DIR_SMALL",
+                      "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
