@@ -1825,6 +1825,150 @@ QUALIFY n_pages >= 2
 """
 
 
+ENC_N = 2000
+
+
+def q_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding census (operators/encoding.encoding_census — the
+    charset gate before any text operator): strict-UTF-8 verdict,
+    BOM accounting (chars counted WITHOUT it), non-ASCII byte
+    count, U+FFFD mojibake count (prior bad decodes that strict
+    validation alone cannot see), and the first invalid byte offset
+    for triage. Plants cover plain multibyte text, BOM'd text,
+    pre-mangled text, an invalid byte mid-stream, and NULLs; every
+    field is byte arithmetic over the digit width of the id, which
+    the oracle replays exactly."""
+    from cerberus_cpp_spark.operators.encoding import (
+        encoding_census,
+    )
+
+    df = spark.range(0, ENC_N, 1, 8)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("enc-%08d" % i)
+                if i % 23 == 21:
+                    blobs.append(None)
+                elif i % 17 == 9:
+                    blobs.append(("text-%d " % i).encode()
+                                 + b"\xff" + b"tail")
+                elif i % 13 == 5:
+                    blobs.append(b"\xef\xbb\xbf"
+                                 + ("bom-%d-\u00e9" % i).encode())
+                elif i % 11 == 4:
+                    blobs.append(
+                        ("m-%d-\ufffd\ufffd" % i).encode())
+                else:
+                    blobs.append(
+                        ("plain-%d caf\u00e9" % i).encode())
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    return encoding_census(clips)
+
+
+_ENCODING_SQL = f"""
+WITH ids AS (
+  SELECT range AS id,
+         length(CAST(range AS VARCHAR)) AS ds
+  FROM range({ENC_N})
+)
+SELECT concat('enc-', lpad(CAST(id AS VARCHAR), 8, '0'))
+         AS clip_id,
+       id % 23 != 21 AS ok,
+       CASE WHEN id % 23 = 21 THEN 'no payload' END AS message,
+       CASE WHEN id % 23 = 21 THEN NULL
+            ELSE id % 17 != 9 END AS utf8_valid,
+       CASE WHEN id % 23 = 21 THEN NULL
+            ELSE id % 17 != 9 AND id % 13 = 5 END AS has_bom,
+       CAST(CASE WHEN id % 23 = 21 THEN NULL
+            WHEN id % 17 = 9 THEN 11 + ds
+            WHEN id % 13 = 5 THEN 10 + ds
+            WHEN id % 11 = 4 THEN 9 + ds
+            ELSE 12 + ds END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN id % 23 = 21 THEN NULL
+            WHEN id % 17 = 9 THEN 1
+            WHEN id % 13 = 5 THEN 5
+            WHEN id % 11 = 4 THEN 6
+            ELSE 2 END AS BIGINT) AS n_nonascii_bytes,
+       CAST(CASE WHEN id % 23 = 21 OR id % 17 = 9 THEN NULL
+            WHEN id % 13 = 5 THEN 6 + ds
+            WHEN id % 11 = 4 THEN 5 + ds
+            ELSE 11 + ds END AS BIGINT) AS n_chars,
+       CAST(CASE WHEN id % 23 = 21 OR id % 17 = 9 THEN NULL
+            WHEN id % 11 = 4 AND id % 13 != 5 THEN 2
+            ELSE 0 END AS BIGINT) AS n_replacement_chars,
+       CAST(CASE WHEN id % 17 = 9 AND id % 23 != 21
+            THEN 6 + ds END AS BIGINT) AS invalid_at
+FROM ids
+"""
+
+
+JSONL_N = 2000
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-tolerant JSONL ingest (operators/ingest.jsonl_ingest
+    — Spark's native PERMISSIVE parser over text + from_json, so the
+    verdict/quarantine contract composes with arbitrary downstream
+    aggregates; see the module docstring for why the raw reader
+    cannot). The plant writes a deterministic JSONL file once per
+    process covering the four semantic classes pinned in tests:
+    clean rows, truncated JSON (raw line routed, fields NULL), type
+    mismatch (raw line routed, parseable sibling SALVAGED), and
+    missing fields (NULL, not corruption). The oracle replays every
+    row including the raw corrupt line by id arithmetic."""
+    import os
+    import tempfile
+
+    from cerberus_cpp_spark.operators.ingest import jsonl_ingest
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"cerberus_jsonl_plant_{JSONL_N}.jsonl")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i in range(JSONL_N):
+                if i % 7 == 3:
+                    f.write('{"doc_id": %d, "v": \n' % i)
+                elif i % 11 == 6:
+                    f.write('{"doc_id": "bad-%d", "v": %d}\n'
+                            % (i, 3 * i))
+                elif i % 13 == 9:
+                    f.write('{"doc_id": %d}\n' % i)
+                else:
+                    f.write('{"doc_id": %d, "v": %d}\n'
+                            % (i, 3 * i))
+        os.replace(tmp, path)
+    return jsonl_ingest(spark, path, "doc_id long, v long")
+
+
+_JSONL_INGEST_SQL = f"""
+WITH ids AS (SELECT range AS id FROM range({JSONL_N}))
+SELECT CASE WHEN id % 7 = 3 OR id % 11 = 6 THEN FALSE
+            ELSE TRUE END AS ok,
+       CASE WHEN id % 7 = 3 OR id % 11 = 6 THEN NULL
+            ELSE id END AS doc_id,
+       CASE WHEN id % 7 = 3 THEN NULL
+            WHEN id % 11 = 6 THEN 3 * id
+            WHEN id % 13 = 9 THEN NULL
+            ELSE 3 * id END AS v,
+       CASE WHEN id % 7 = 3
+              THEN concat('{{"doc_id": ', CAST(id AS VARCHAR),
+                          ', "v": ')
+            WHEN id % 11 = 6
+              THEN concat('{{"doc_id": "bad-', CAST(id AS VARCHAR),
+                          '", "v": ', CAST(3 * id AS VARCHAR), '}}')
+       END AS corrupt_raw
+FROM ids
+"""
+
+
 TFR_N = 600
 
 
@@ -6109,6 +6253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "encoding_census": q_encoding_census,
+        "jsonl_ingest_docs": q_jsonl_ingest,
         "tfrecord_census": q_tfrecord_census,
         "parquet_layout": q_parquet_layout,
         "parquet_report": q_parquet_report,
@@ -7029,6 +7175,8 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "encoding_census": _ENCODING_SQL,
+        "jsonl_ingest_docs": _JSONL_INGEST_SQL,
         "tfrecord_census": _TFRECORD_SQL,
         "parquet_layout": _parquet_layout_sql(),
         "parquet_report": _parquet_report_sql(),
