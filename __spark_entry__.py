@@ -1825,6 +1825,149 @@ QUALIFY n_pages >= 2
 """
 
 
+CRAWL_N = 400
+
+
+def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl-to-corpus pipeline — the showcase
+    composition of this round's ingest surface, every stage an
+    operator this repo ships: WARC payloads → HTML response
+    extraction (multimodal.warc_text_frames) → HTTP-status filter
+    (drop 4xx/5xx fetches) → corpus-level C4 line dedup
+    (text.dedup_lines — the shared nav/copyright boilerplate lines
+    planted in EVERY page survive only at their first (uri, line)
+    occurrence) → tag stripping (text.strip_html). The oracle
+    replays the ENTIRE pipeline in SQL: plant, status filter, the
+    line-dedup window (string-ordered first occurrence), the
+    ordered rebuild, and the verbatim strip pattern chain, down to
+    the md5 of every final document."""
+    from cerberus_cpp_spark.operators.multimodal import (
+        warc_text_frames,
+    )
+    from cerberus_cpp_spark.operators.text import (
+        dedup_lines,
+        strip_html,
+    )
+
+    df = spark.range(0, CRAWL_N, 1, 8)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.warc import build_warc
+
+        codes = (200, 404, 200, 500)
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                ids.append("crawl-%08d" % i)
+                recs = [{"type": "warcinfo",
+                         "record_id": "<urn:uuid:%d-info>" % i,
+                         "content_type": "application/warc-fields",
+                         "block": b"software: cerberus\r\n"}]
+                for k in range(1 + i % 3):
+                    body = "\n".join((
+                        "<html><body>",
+                        "<h1>page-%d-%d</h1>" % (i, k),
+                        "NAV BOILERPLATE LINE",
+                        "<p>content %d %d alpha beta</p>" % (i, k),
+                        "COPYRIGHT 2026 CRAWLCORP",
+                        "</body></html>",
+                    ))
+                    blk = ("HTTP/1.1 %d X\r\n"
+                           "Content-Type: text/html\r\n\r\n"
+                           % codes[(i + k) % 4]) + body
+                    recs.append({
+                        "type": "response",
+                        "record_id": "<urn:uuid:%d-%d>" % (i, k),
+                        "uri": "https://crawl.test/p-%d-%d"
+                               % (i, k),
+                        "content_type":
+                            "application/http;msgtype=response",
+                        "block": blk.encode()})
+                blobs.append(build_warc(recs))
+            yield pd.DataFrame({"clip_id": ids, "bytes": blobs})
+
+    clips = df.mapInPandas(gen, schema="clip_id string, bytes binary")
+    pages = (
+        warc_text_frames(clips)
+        .where(F.col("http_status") == 200)
+        .select(F.col("uri").alias("doc_id"),
+                F.col("html").alias("text"))
+    )
+    deduped = dedup_lines(pages)
+    return deduped.select(
+        F.col("doc_id").alias("uri"), "n_lines", "n_removed",
+        F.length(strip_html("text")).alias("n_chars_clean"),
+        F.md5(strip_html("text")).alias("clean_md5"))
+
+
+def _crawl_to_corpus_sql() -> str:
+    from cerberus_cpp_spark.operators.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STEPS,
+    )
+
+    expr = "text"
+    for pat, rep in HTML_STRIP_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    expr = f"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+    return f"""
+WITH ids AS (SELECT range AS id FROM range({CRAWL_N})),
+k3 AS (SELECT unnest(range(3)) AS k),
+pages AS (
+  SELECT concat('https://crawl.test/p-', id, '-', k) AS uri,
+         concat('<html><body>', chr(10),
+                '<h1>page-', id, '-', k, '</h1>', chr(10),
+                'NAV BOILERPLATE LINE', chr(10),
+                '<p>content ', id, ' ', k, ' alpha beta</p>',
+                chr(10),
+                'COPYRIGHT 2026 CRAWLCORP', chr(10),
+                '</body></html>') AS text
+  FROM ids, k3
+  WHERE k < 1 + id % 3
+    AND [200, 404, 200, 500][CAST((id + k) % 4 AS INT) + 1] = 200
+),
+split AS (
+  SELECT uri, string_split(text, chr(10)) AS l FROM pages
+),
+lines AS (
+  SELECT uri, unnest(l) AS line,
+         unnest(generate_series(0, len(l) - 1)) AS pos
+  FROM split
+),
+marked AS (
+  SELECT uri, line, pos,
+         count(*) OVER (PARTITION BY line) AS cnt,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY uri, pos) AS rn
+  FROM lines
+),
+rebuilt AS (
+  SELECT uri,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN cnt >= 2 AND rn > 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE cnt < 2 OR rn = 1), '') AS text
+  FROM marked GROUP BY uri
+)
+SELECT uri, n_lines, n_removed,
+       CAST(length({expr}) AS INTEGER) AS n_chars_clean,
+       md5({expr}) AS clean_md5
+FROM rebuilt
+"""
+
+
 ENC_N = 2000
 
 
@@ -6253,6 +6396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
         "tfrecord_census": q_tfrecord_census,
@@ -7175,6 +7319,7 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,
         "tfrecord_census": _TFRECORD_SQL,

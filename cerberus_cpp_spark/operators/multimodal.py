@@ -1500,3 +1500,63 @@ def tfrecord_census(
             yield res
 
     return src.mapInPandas(work, schema=TFRECORD_SCHEMA)
+
+
+WARC_TEXT_SCHEMA = (
+    "clip_id string, uri string, http_status int, html string"
+)
+
+
+def warc_text_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """HTML extraction from WARC payloads — one row per http
+    response record (``sources/warc.warc_response_bodies``): target
+    URI, HTTP status, and the response body decoded as UTF-8 with
+    replacement (crawled bodies lie about charsets; the encoding
+    census quantifies the damage, this stage must not die on it).
+    The ingest head of the crawl-to-corpus pipeline: filter on
+    status, then ``text.strip_html`` / ``text.dedup_lines`` /
+    ``curate_documents`` downstream. Structurally damaged payloads
+    drop their rows silently here — run ``warc_census`` first for
+    the per-payload verdicts; this stage is the happy path.
+
+    One narrow Arrow stage (zero Exchange)."""
+    src = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col))
+    pkg_parent = PKG_PARENT
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.warc import (
+            warc_response_bodies,
+        )
+
+        for pdf in batches:
+            ids, uris, stats, htmls = [], [], [], []
+            for cid, blob in zip(pdf["clip_id"], pdf[bytes_col]):
+                if blob is None:
+                    continue
+                try:
+                    bodies = warc_response_bodies(bytes(blob))
+                except ValueError:
+                    continue
+                for b in bodies:
+                    ids.append(cid)
+                    uris.append(b["uri"])
+                    stats.append(b["http_status"])
+                    htmls.append(b["body"].decode("utf-8",
+                                                  "replace"))
+            res = pd.DataFrame({"clip_id": ids, "uri": uris,
+                                "http_status": stats,
+                                "html": htmls})
+            res["http_status"] = pd.array(res["http_status"],
+                                          dtype="Int32")
+            yield res
+
+    return src.mapInPandas(work, schema=WARC_TEXT_SCHEMA)

@@ -120,3 +120,65 @@ def warc_records(data: bytes) -> list[dict]:
     if not out:
         raise ValueError(MSG_NOT_WARC)
     return out
+
+
+def warc_response_bodies(data: bytes) -> list[dict]:
+    """Response payloads for the ingest path: one entry per
+    ``application/http`` response record — ``{"uri", "http_status",
+    "body"}`` with ``body`` = the bytes after the HTTP header
+    section (first CRLFCRLF inside the block; empty when the block
+    carries no header separator). Non-response records and
+    non-http content types are skipped; structural damage raises
+    exactly like :func:`warc_records` (same walk)."""
+    if not sniff_warc(data):
+        raise ValueError(MSG_NOT_WARC)
+    out = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if data[off:off + 5] != b"WARC/":
+            raise ValueError(MSG_HEADER)
+        hdr_end = data.find(b"\r\n\r\n", off)
+        if hdr_end < 0:
+            raise ValueError(MSG_HEADER)
+        try:
+            lines = data[off:hdr_end].decode("utf-8").split("\r\n")
+        except UnicodeDecodeError:
+            raise ValueError(MSG_HEADER) from None
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if not sep:
+                raise ValueError(MSG_HEADER)
+            fields[k.strip()] = v.strip()
+        if any(m not in fields for m in _MANDATORY):
+            raise ValueError(MSG_MANDATORY)
+        try:
+            clen = int(fields["Content-Length"])
+        except ValueError:
+            raise ValueError(MSG_HEADER) from None
+        bs = hdr_end + 4
+        be = bs + clen
+        if be > n:
+            raise ValueError(MSG_LENGTH)
+        if data[be:be + 4] != b"\r\n\r\n":
+            raise ValueError(MSG_SEPARATOR)
+        ctype = fields.get("Content-Type", "")
+        if (fields["WARC-Type"] == "response"
+                and ctype.startswith("application/http")):
+            block = data[bs:be]
+            line = block.split(b"\r\n", 1)[0]
+            parts = line.split(b" ")
+            status = None
+            if len(parts) >= 2 and parts[0].startswith(b"HTTP/") \
+                    and parts[1].isdigit():
+                status = int(parts[1])
+            sep_at = block.find(b"\r\n\r\n")
+            body = block[sep_at + 4:] if sep_at >= 0 else b""
+            out.append({
+                "uri": fields.get("WARC-Target-URI"),
+                "http_status": status,
+                "body": body,
+            })
+        off = be + 4
+    return out

@@ -132,3 +132,40 @@ def test_operator_routing_and_plan(spark) -> None:
     assert got["null"][0]["message"] == "no payload"
     assert got["plain"][0]["message"] == MSG_NOT_WARC
     assert got["cut"][0]["message"] == MSG_LENGTH
+
+
+def test_response_bodies() -> None:
+    from cerberus_cpp_spark.sources.warc import warc_response_bodies
+
+    blob = build_warc(_records())
+    got = warc_response_bodies(blob)
+    assert len(got) == 1
+    assert got[0]["uri"] == "https://example.com/a"
+    assert got[0]["http_status"] == 200
+    assert got[0]["body"] == b"<html>hi</html>"
+    # headerless block → empty body, status parsed from line 1
+    blob2 = build_warc([{"type": "response", "record_id": "<r>",
+                         "content_type": "application/http",
+                         "block": b"HTTP/1.1 301 Moved"}])
+    got2 = warc_response_bodies(blob2)
+    assert got2[0]["body"] == b"" and got2[0]["http_status"] == 301
+    with pytest.raises(ValueError, match="version line"):
+        warc_response_bodies(b"junk")
+
+
+def test_warc_text_frames(spark) -> None:
+    from cerberus_cpp_spark.operators.multimodal import (
+        warc_text_frames,
+    )
+
+    blob = build_warc(_records())
+    rows = [("c1", bytearray(blob)), ("bad", bytearray(b"junk")),
+            ("null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = warc_text_frames(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = out.collect()
+    assert len(got) == 1        # bad/null silently dropped
+    assert got[0]["html"] == "<html>hi</html>"
+    assert got[0]["http_status"] == 200
