@@ -212,3 +212,61 @@ def test_strip_html_plan_is_narrow(spark, tmp_path) -> None:
                                        strip_html("text"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(alphabet="abXY ", min_size=0, max_size=6)
+
+
+@given(st.lists(st.lists(_line, min_size=1, max_size=6),
+                min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_dedup_lines_properties(spark, docs_lines) -> None:
+    """Invariants over arbitrary corpora: (1) accounting — kept +
+    removed == total lines per doc; (2) no duplicated line survives
+    anywhere except its single first occurrence; (3) idempotence —
+    re-running dedup on its own output removes nothing."""
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines(df).collect()
+    # (1) accounting
+    for r in out:
+        kept = len(r["text"].split("\n")) if r["text"] != "" else 0
+        # an all-removed doc rebuilds as ''; a kept empty line also
+        # renders as '' — reconcile through the counters instead
+        assert r["n_lines"] - r["n_removed"] >= 0
+        if r["text"] != "":
+            assert kept == r["n_lines"] - r["n_removed"]
+    # (2) global first-occurrence uniqueness for repeated lines
+    from collections import Counter
+
+    all_in = Counter(ln for _, t in rows for ln in t.split("\n"))
+    survivors = Counter(
+        ln for r in out if r["text"] != ""
+        for ln in r["text"].split("\n"))
+    for ln, cnt in all_in.items():
+        if cnt >= 2:
+            assert survivors[ln] <= 1
+        else:
+            assert survivors[ln] <= cnt
+    # (3) idempotence, modulo the '' rebuild artifact: a doc whose
+    # lines were ALL removed rebuilds as '' — indistinguishable from
+    # a doc that kept exactly one empty line — and re-parsing it
+    # injects a phantom empty line that can steal the first-occurrence
+    # slot from the doc that legitimately kept ''. Feed back only the
+    # non-empty outputs; with min_count=2 every line in that corpus
+    # occurs at most once, so a second pass must remove NOTHING.
+    nonempty = [r for r in out if r["text"] != ""]
+    if nonempty:
+        again = {
+            r["doc_id"]: r
+            for r in dedup_lines(
+                spark.createDataFrame(
+                    [(r["doc_id"], r["text"]) for r in nonempty],
+                    "doc_id long, text string")).collect()
+        }
+        for r in nonempty:
+            assert again[r["doc_id"]]["text"] == r["text"]
+            assert again[r["doc_id"]]["n_removed"] == 0
