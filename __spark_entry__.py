@@ -1383,6 +1383,262 @@ HAVING n_removed > 0
 """
 
 
+_SD_PROMO = "subscribe to our channel for weekly updates"
+
+
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level repeated-SPAN removal — the ExactSubstr recipe
+    (text.remove_repeated_spans): every 5-token window occurring 2+
+    times anywhere in the corpus keeps only its first
+    (doc_id, token_index) occurrence; tokens covered by any other
+    occurrence are removed and the text is rebuilt. The plant
+    prepends a shared 7-token promo sentence to doc_id%4==0 and
+    appends it to doc_id%9==0, so cross-document duplicated spans
+    exist mid-text by construction (plus whatever natural repeats
+    the corpus carries — the oracle replays those identically). The
+    oracle re-derives the plant, the 5-token windows, the
+    first-occurrence rank, the covered-position union, and the
+    ordered rebuild, comparing the md5 of every affected text.
+    Returns the docs that lost at least one token."""
+    from cerberus_cpp_spark.operators.text import (
+        remove_repeated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat_ws(" ", F.lit(_SD_PROMO),
+                               F.col("text")))
+            .when(F.col("doc_id") % 9 == 0,
+                  F.concat_ws(" ", F.col("text"),
+                              F.lit(_SD_PROMO)))
+            .otherwise(F.col("text")),
+        ).alias("text"),
+    )
+    out = remove_repeated_spans(planted, n=5)
+    return (
+        out.where(F.col("n_removed") > 0)
+        .select("doc_id", "n_tokens", "n_removed",
+                F.md5("text").alias("text_md5"))
+    )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN doc_id % 4 = 0 THEN
+                concat('{_SD_PROMO}', ' ', text)
+              WHEN doc_id % 9 = 0 THEN
+                concat(text, ' ', '{_SD_PROMO}')
+              ELSE text END AS text
+  FROM documents
+),
+split AS (
+  SELECT doc_id, string_split(text, ' ') AS l
+  FROM planted WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, p, array_to_string(l[p + 1 : p + 5], chr(1)) AS g
+  FROM (
+    SELECT doc_id, l,
+           unnest(generate_series(0, len(l) - 5)) AS p
+    FROM split WHERE len(l) >= 5)
+),
+marked AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS cnt,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY doc_id, p) AS rn
+  FROM occ
+),
+removed AS (
+  SELECT DISTINCT doc_id, tp FROM (
+    SELECT doc_id,
+           unnest(generate_series(p, p + 4)) AS tp
+    FROM marked WHERE cnt >= 2 AND rn > 1)
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(0, len(l) - 1)) AS tp
+  FROM split
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN r.tp IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.tp)
+                    FILTER (WHERE r.tp IS NULL), ''))
+         AS text_md5
+FROM toks t
+LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.tp = r.tp
+GROUP BY t.doc_id
+HAVING n_removed > 0
+"""
+
+
+#: (term, integer weight) vocabulary shared verbatim by the Spark
+#: classifier and the DuckDB oracle — unigrams and bigrams over the
+#: corpus's own token space, signs chosen so both labels occur
+_QC_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("scan", 3), ("fast", 6), ("spark", 4), ("data", 1),
+    ("slow", -8), ("window", -2), ("dup", -5),
+    ("sort merge", 9), ("hash join", 7), ("big data", 5),
+    ("slow query", -15),
+)
+_QC_BIAS = 2
+_QC_THRESHOLD = 0.4
+
+
+def q_quality_classifier_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear bag-of-ngrams quality classifier inference
+    (text.linear_quality_score — the fastText-shaped CCNet/LLaMA
+    crawl filter): unigram + adjacent-bigram features over the
+    module's token regex, integer weight sum (exact,
+    order-independent) plus bias, length-normalized mean vs
+    threshold. The vocabulary, bias, and threshold are shared
+    verbatim with the oracle, which replays tokenization through
+    DuckDB RE2, the bigram window, the left join, and the single
+    f64 division. Returns every document's verdict row."""
+    from cerberus_cpp_spark.operators.text import (
+        linear_quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = spark.createDataFrame(
+        list(_QC_WEIGHTS), "term string, weight long"
+    )
+    return linear_quality_score(
+        docs, w, bias=_QC_BIAS, threshold=_QC_THRESHOLD
+    )
+
+
+def _quality_classifier_sql() -> str:
+    vals = ", ".join(
+        f"('{t}', {w})" for t, w in _QC_WEIGHTS
+    )
+    return f"""
+WITH w(term, weight) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS u
+  FROM documents WHERE text IS NOT NULL
+),
+terms AS (
+  SELECT doc_id, unnest(u) AS term FROM toks
+  UNION ALL
+  SELECT doc_id, concat(u[i + 1], ' ', u[i + 2]) AS term
+  FROM (
+    SELECT doc_id, u,
+           unnest(generate_series(0, len(u) - 2)) AS i
+    FROM toks WHERE len(u) >= 2)
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_terms,
+         sum(CASE WHEN w.term IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_matched,
+         coalesce(sum(w.weight), 0) AS ws
+  FROM terms t LEFT JOIN w ON t.term = w.term
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_terms, 0) AS BIGINT) AS n_terms,
+       CAST(coalesce(s.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS BIGINT)
+         AS score_sum,
+       CASE WHEN coalesce(s.n_terms, 0) > 0
+            THEN CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS DOUBLE)
+                 / s.n_terms END AS score_mean,
+       coalesce(
+         (CASE WHEN coalesce(s.n_terms, 0) > 0
+               THEN CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS DOUBLE)
+                    / s.n_terms END) >= {_QC_THRESHOLD},
+         false) AS label
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def q_vocab_topk_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-50 corpus vocabulary (text.vocab_topk): occurrence and
+    document frequency of every lowercased alnum token, ranked
+    1-based by (n_occ DESC, term ASC) — a deterministic tie-break
+    so the row set is a pure function of the corpus. The global
+    order is a per-partition top-k (TakeOrderedAndProject), never a
+    full sort; the rank window sees 50 rows. The oracle replays
+    tokenization, both frequencies, and the rank through DuckDB."""
+    from cerberus_cpp_spark.operators.text import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(docs, k=50)
+
+
+_VOCAB_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS term
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT term,
+         count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs
+  FROM toks GROUP BY term
+)
+SELECT term,
+       CAST(n_occ AS BIGINT) AS n_occ,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, term)
+            AS INTEGER) AS rank
+FROM agg
+ORDER BY n_occ DESC, term
+LIMIT 50
+"""
+
+
+def q_vocab_stats_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row corpus vocabulary summary (text.vocab_stats): total
+    token occurrences, distinct types, hapax legomena, type/token
+    ratio, and the top term's share — exact integers until the two
+    final f64 divisions, so the oracle matches bit-for-bit."""
+    from cerberus_cpp_spark.operators.text import vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_stats(docs)
+
+
+_VOCAB_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS term
+  FROM documents WHERE text IS NOT NULL
+),
+agg AS (
+  SELECT term, count(*) AS n_occ FROM toks GROUP BY term
+)
+SELECT CAST(sum(n_occ) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       CAST(count(*) AS DOUBLE) / CAST(sum(n_occ) AS BIGINT)
+         AS type_token_ratio,
+       CAST(max(n_occ) AS DOUBLE) / CAST(sum(n_occ) AS BIGINT)
+         AS top_share
+FROM agg
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -6396,6 +6652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "span_dedup_docs": q_span_dedup_docs,
+        "quality_classifier_docs": q_quality_classifier_docs,
+        "vocab_topk_docs": q_vocab_topk_docs,
+        "vocab_stats_docs": q_vocab_stats_docs,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -7319,6 +7579,10 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "span_dedup_docs": _SPAN_DEDUP_SQL,
+        "quality_classifier_docs": _quality_classifier_sql(),
+        "vocab_topk_docs": _VOCAB_TOPK_SQL,
+        "vocab_stats_docs": _VOCAB_STATS_SQL,
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

@@ -899,3 +899,361 @@ def strip_html(col: str = "text") -> Column:
         out = F.replace(out, F.lit(ent), F.lit(ch))
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out.alias("text")
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """CORPUS-LEVEL exact repeated-SPAN removal (the ExactSubstr
+    recipe of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", restated at token grain): tokens are
+    ``sep``-split fields of the text; every window of ``n``
+    consecutive tokens is a span occurrence; a span occurring
+    ``min_count``+ times anywhere in the corpus (within-document
+    repeats count) keeps ONLY its first occurrence (lowest
+    ``(doc_id, token_index)``) and every token position covered by
+    any OTHER occurrence of a duplicated span is removed. A token
+    covered only by first occurrences (or only by unique spans)
+    survives. Returns ``(id_col, text, n_tokens, n_removed)`` with
+    ``text`` rebuilt from surviving tokens in original order
+    (NULL text passes through as NULL with n_tokens=0).
+
+    This is the span-grain sibling of :func:`dedup_lines` (which
+    needs duplicated regions to align on line boundaries) and the
+    REMOVAL twin of :func:`duplicate_ngram_stats` (which only
+    scores). Span identity is the ``\\x01``-joined token window
+    hashed with ``xxhash64`` — tokens containing ``\\x01`` would
+    alias across the joiner and are out of contract (crawled text
+    never carries control bytes after cleaning).
+
+    Scale shape: four Exchanges, the same cost class as
+    :func:`dedup_lines` — (1) span-frequency hash aggregate keyed on
+    the int64 hash with map-side partials (24 B per distinct span:
+    count + packed first-occurrence struct; gram STRINGS die inside
+    the codegen projection and never ship); (2) an AQE-planned
+    equi-join of span occurrences against that stats frame (viral
+    boilerplate spans are exactly the skewed keys AQE skew-splits —
+    this is a groupBy+join, NOT a window, for the same reason as
+    dedup_lines); (3) the distinct on removed (doc, token) positions
+    (covered offsets explode n rows per non-first occurrence, then
+    partial-dedupe map-side); (4) the per-document rebuild
+    aggregate. Reference analogue: dataset-level uniqueness checks
+    (SURVEY §2.3) promoted to token-span grain."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal string")
+    idc, txt = id_col, text_col
+    qsep = "\\Q" + sep + "\\E"  # literal (Java regex quote)
+    src = df.select(idc, txt)
+    toks = (
+        src.where(F.col(txt).isNotNull())
+        .select(
+            idc,
+            F.posexplode(F.split(F.col(txt), qsep))
+            .alias("tp", "tok"),
+        )
+    )
+    occ = (
+        src.where(F.col(txt).isNotNull())
+        .select(idc, F.split(F.col(txt), qsep).alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            idc,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_t") - n)
+            ).alias("p"),
+        )
+        .select(
+            idc,
+            "p",
+            F.xxhash64(
+                F.concat_ws(
+                    "\x01", F.slice("_t", F.col("p") + 1, n)
+                )
+            ).alias("skey"),
+        )
+    )
+    stats = (
+        occ.groupBy("skey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(
+                F.struct(
+                    F.col(idc).alias("d"), F.col("p").alias("q")
+                )
+            ).alias("first"),
+        )
+        .where(F.col("cnt") >= int(min_count))
+    )
+    removed = (
+        occ.join(stats, "skey")
+        .where(
+            (F.col("first.d") != F.col(idc))
+            | (F.col("first.q") != F.col("p"))
+        )
+        .select(
+            idc,
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + (n - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    rebuilt = (
+        toks.join(removed, [idc, "tp"], "left")
+        .groupBy(idc)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.col("_rm").isNotNull().cast("long")
+            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull(),
+                                F.struct("tp", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
+    return (
+        src.select(idc, F.col(txt).alias("_orig"))
+        .join(rebuilt, idc, "left")
+        .select(
+            idc,
+            F.when(F.col("_orig").isNotNull(), F.col("text"))
+            .alias("text"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    weight_col: str = "weight",
+    bias: int = 0,
+    threshold: float = 0.0,
+    bigrams: bool = True,
+    broadcast_weights: bool = False,
+) -> DataFrame:
+    """Linear bag-of-ngrams quality classifier INFERENCE — the
+    fastText-shaped filter CCNet/LLaMA-style pipelines run over
+    crawled corpora (public recipe), restated exactly: features are
+    the document's lowercased alnum unigrams (the module's
+    ``TOKEN_RE``) plus, when ``bigrams``, the space-joined adjacent
+    bigrams; the score is ``bias`` + the INTEGER sum of the weights
+    of every matching feature occurrence (out-of-vocabulary terms
+    contribute 0), and the verdict compares the length-normalized
+    mean against ``threshold``. Integer weights keep the sum exact
+    and order-independent, so the DuckDB oracle reproduces it
+    bit-for-bit; the single final division is one IEEE f64 op, also
+    engine-identical. Returns ``(id_col, n_terms, n_matched,
+    score_sum, score_mean, label)`` — docs with zero terms (NULL or
+    token-free text) get ``score_sum = bias``, NULL mean, and
+    ``label = false``.
+
+    ``weights`` is a ``(term, weight:long)`` vocabulary frame; a
+    term listed twice would silently double-count, so the join side
+    carries an in-plan ``assert_true`` that every term is unique
+    (the same loud-guard contract as ``curate_split``). Scale
+    shape: one narrow codegen projection builds the term arrays, the
+    explode is O(tokens), the vocabulary join is AQE-planned (a
+    real-world vocab is ~10^5 rows — AQE broadcasts it on its own;
+    ``broadcast_weights=True`` is the explicit escape hatch, opt-in
+    per the round-3 verdict), and the per-document fold is the only
+    required Exchange, partially aggregated map-side. Reference
+    analogue: the allowed/min/max rule family (rules.hh:79-100,
+    303-339) promoted to a learned scoring rule over text."""
+    idc, txt = id_col, text_col
+    u = F.expr(
+        f"regexp_extract_all(lower({txt}), '{TOKEN_RE}', 0)"
+    )
+    terms = u
+    if bigrams:
+        bi = F.when(
+            F.size(u) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(u) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.get(u, i), F.get(u, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        terms = F.concat(u, bi)
+    src = df.select(idc, txt)
+    tf = src.where(F.col(txt).isNotNull()).select(
+        idc, F.explode(terms).alias("_term")
+    )
+    w = (
+        weights.groupBy(F.col(term_col).alias("_term"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(weight_col).alias("_w"),
+        )
+        .select(
+            "_term",
+            F.when(
+                F.assert_true(
+                    F.col("_n") == 1,
+                    F.concat(
+                        F.lit("duplicate weight term: "),
+                        F.col("_term"),
+                    ),
+                ).isNull(),
+                F.col("_w"),
+            ).alias("_w"),
+        )
+    )
+    if broadcast_weights:
+        w = F.broadcast(w)
+    scored = (
+        tf.join(w, "_term", "left")
+        .groupBy(idc)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.col("_w").isNotNull().cast("long")
+            ).alias("n_matched"),
+            F.coalesce(F.sum("_w"), F.lit(0)).alias("_ws"),
+        )
+    )
+    return (
+        src.select(idc)
+        .join(scored, idc, "left")
+        .select(
+            idc,
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("_ws", F.lit(0)) + F.lit(int(bias)))
+            .alias("score_sum"),
+        )
+        .withColumn(
+            "score_mean",
+            F.when(
+                F.col("n_terms") > 0,
+                F.col("score_sum").cast("double")
+                / F.col("n_terms"),
+            ),
+        )
+        .withColumn(
+            "label",
+            F.coalesce(
+                F.col("score_mean") >= F.lit(float(threshold)),
+                F.lit(False),
+            ),
+        )
+    )
+
+
+def _term_freqs(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """``(term, n_occ, n_docs)``: corpus-wide occurrence and
+    document frequency of every lowercased alnum token. One explode
+    + one hash aggregate with map-side partials; the distinct
+    document count rides the same aggregate."""
+    toks = (
+        df.select(id_col, text_col)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_d"),
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    f" '{TOKEN_RE}', 0)"
+                )
+            ).alias("term"),
+        )
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("_d").alias("n_docs"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus vocabulary: ``(term, n_occ, n_docs, rank)``
+    with rank 1-based by ``(n_occ DESC, term ASC)`` — the
+    deterministic tie-break makes the row set a pure function of
+    the corpus. The Zipf head is what a tokenizer/vocab plan or a
+    stopword audit reads first. Scale shape: the term aggregate is
+    the only data-proportional Exchange (partials map-side); the
+    global order is a ``TakeOrderedAndProject`` (per-partition
+    top-k, never a full sort), and the rank window runs over the
+    ``k`` surviving rows only. Reference analogue: dataset-level
+    column stats / heavy hitters (SURVEY §2.3) at token grain."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    top = (
+        _term_freqs(df, id_col=id_col, text_col=text_col)
+        .orderBy(F.desc("n_occ"), "term")
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("n_occ"), "term")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus vocabulary summary: ``(n_tokens, n_types,
+    n_hapax, type_token_ratio, top_share)`` — total token
+    occurrences, distinct terms, hapax legomena (terms occurring
+    exactly once — the Heaps'-law tail a vocab budget must absorb),
+    the type/token ratio, and the share of the single most frequent
+    term. Two hash aggregates over the term-frequency frame (itself
+    one Exchange); every number is an exact integer until the two
+    final IEEE f64 divisions, so the DuckDB oracle matches
+    bit-for-bit."""
+    freqs = _term_freqs(df, id_col=id_col, text_col=text_col)
+    return freqs.agg(
+        F.sum("n_occ").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            (F.col("n_occ") == 1).cast("long")
+        ).alias("n_hapax"),
+        F.max("n_occ").alias("_max_occ"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.col("n_types").cast("double") / F.col("n_tokens"))
+        .alias("type_token_ratio"),
+        (F.col("_max_occ").cast("double") / F.col("n_tokens"))
+        .alias("top_share"),
+    )
