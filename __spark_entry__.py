@@ -1639,6 +1639,277 @@ FROM agg
 """
 
 
+_C4_GOOD = "this is a perfectly fine sentence with many words."
+_C4_SHORT = "short line."
+_C4_NOPUNCT = "no terminal punctuation in this line at all"
+_C4_JS = "we use javascript to render this page sadly."
+
+
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (text.c4_clean — Raffel et al. 2020
+    §2.2): line grain keeps only trimmed lines ending in terminal
+    punctuation with 5+ whitespace words and no 'javascript'; page
+    grain drops documents containing curly braces, 'lorem ipsum',
+    or fewer than 2 surviving lines. The plant turns each document
+    into a page: the real text plus '.' as one line, a shared pool
+    of pass/fail lines rotated by doc_id%4, a curly-brace arm on
+    %13 and a lorem-ipsum arm on %17 — so every rule branch fires.
+    The oracle replays the page construction AND the full rule set
+    (list_filter over trimmed lines, the word-count split, the
+    page-drop CASE, the ordered rebuild) comparing verdicts, the
+    first-fail reason, and the md5 of every surviving text."""
+    from cerberus_cpp_spark.operators.text import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pool = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_C4_GOOD))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_C4_SHORT))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_C4_NOPUNCT))
+        .otherwise(F.lit(_C4_JS))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.lit("brace { here\n")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 17 == 0,
+                       F.lit("lorem ipsum prefix\n"))
+                .otherwise(F.lit("")),
+                F.col("text"), F.lit(".\n"),
+                pool,
+            ),
+        ).alias("text"),
+    )
+    out = c4_clean(planted, min_kept_lines=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "dropped", "drop_reason",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+_C4_CLEAN_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           concat(
+             CASE WHEN doc_id % 13 = 0
+                  THEN 'brace {{ here' || chr(10) ELSE '' END,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'lorem ipsum prefix' || chr(10)
+                  ELSE '' END,
+             text, '.', chr(10),
+             CASE WHEN doc_id % 4 = 0 THEN '{_C4_GOOD}'
+                  WHEN doc_id % 4 = 1 THEN '{_C4_SHORT}'
+                  WHEN doc_id % 4 = 2 THEN '{_C4_NOPUNCT}'
+                  ELSE '{_C4_JS}' END)
+         END AS text
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE string_split(text, chr(10)) END AS l,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           list_filter(
+             list_transform(string_split(text, chr(10)),
+                            x -> trim(x)),
+             x -> regexp_matches(x, '[.!?"]$')
+                  AND len(regexp_split_to_array(x, '\\s+')) >= 5
+                  AND NOT contains(lower(x), 'javascript'))
+         END AS kept
+  FROM planted
+),
+verdict AS (
+  SELECT doc_id,
+         coalesce(len(l), 0) AS n_lines,
+         coalesce(len(kept), 0) AS n_kept,
+         CASE WHEN text IS NULL THEN 'null_text'
+              WHEN contains(text, '{{') OR contains(text, '}}')
+                THEN 'curly_brace'
+              WHEN contains(lower(text), 'lorem ipsum')
+                THEN 'lorem_ipsum'
+              WHEN len(kept) < 2 THEN 'too_few_lines'
+         END AS drop_reason,
+         kept
+  FROM marked
+)
+SELECT doc_id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(n_kept AS INTEGER) AS n_kept,
+       drop_reason IS NOT NULL AS dropped,
+       drop_reason,
+       md5(CASE WHEN drop_reason IS NULL
+                THEN array_to_string(kept, chr(10)) END)
+         AS text_md5
+FROM verdict
+"""
+
+
+def q_gopher_filter_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Gopher quality rule set (text.gopher_quality_filter —
+    Rae et al. 2021 §A1.1) with thresholds tuned to the corpus so
+    both verdicts occur: word count >= 30, symbol ratio <= 0.1,
+    bullet-line fraction <= 0.5, ellipsis-line fraction <= 0.3,
+    alpha-word fraction >= 0.8, >= 1 distinct stopword. The plant
+    appends a hash-symbol run on doc_id%6, two bullet lines on
+    %10, and an ellipsis line on %15, so the symbol, bullet, and
+    ellipsis rules all fire on disjoint-ish arms while word-count
+    and stopword verdicts ride the real text. The oracle replays
+    the plant and EVERY counter (whitespace words, non-space char
+    total, hash + non-overlapping ellipsis occurrences, trimmed
+    non-empty lines, bullet/ellipsis line regexes, alpha words,
+    word-boundary stopword hits), every f64 ratio, and the ordered
+    fail_reasons string."""
+    from cerberus_cpp_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit(" ### ## #")).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.lit("\n• bullet item one\n• bullet item two"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 15 == 0,
+                    F.lit("\ntrailing thought goes on ..."),
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("text"),
+    )
+    return gopher_quality_filter(
+        planted,
+        min_words=30,
+        max_bullet_frac=0.5,
+        min_stop_hits=1,
+    )
+
+
+def _gopher_filter_sql() -> str:
+    stop_sum = " + ".join(
+        "CASE WHEN regexp_matches(lower(text),"
+        f" '\\b{s}\\b') THEN 1 ELSE 0 END"
+        for s in (
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        )
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           concat(text,
+             CASE WHEN doc_id % 6 = 0 THEN ' ### ## #'
+                  ELSE '' END,
+             CASE WHEN doc_id % 10 = 0 THEN
+               chr(10) || '• bullet item one' ||
+               chr(10) || '• bullet item two' ELSE '' END,
+             CASE WHEN doc_id % 15 = 0 THEN
+               chr(10) || 'trailing thought goes on ...'
+               ELSE '' END)
+         END AS text
+  FROM documents
+),
+counters AS (
+  SELECT doc_id,
+         coalesce(len(regexp_extract_all(text, '[^\\s]+')), 0)
+           AS n_words,
+         coalesce(length(regexp_replace(text, '\\s+', '', 'g')),
+                  0) AS word_chars,
+         coalesce(len(regexp_extract_all(text, '#'))
+                  + len(regexp_extract_all(
+                        text, '(\\.\\.\\.|…)')), 0) AS n_symbols,
+         coalesce(len(list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> trim(x)),
+           x -> x <> '')), 0) AS n_lines,
+         coalesce(len(list_filter(
+           list_filter(
+             list_transform(string_split(text, chr(10)),
+                            x -> trim(x)),
+             x -> x <> ''),
+           x -> regexp_matches(x, '^[•\\-*]'))), 0)
+           AS n_bullet_lines,
+         coalesce(len(list_filter(
+           list_filter(
+             list_transform(string_split(text, chr(10)),
+                            x -> trim(x)),
+             x -> x <> ''),
+           x -> regexp_matches(x, '(\\.\\.\\.|…)$'))), 0)
+           AS n_ellipsis_lines,
+         coalesce(len(list_filter(
+           regexp_extract_all(text, '[^\\s]+'),
+           w -> regexp_matches(w, '[A-Za-z]'))), 0)
+           AS n_alpha_words,
+         coalesce(CASE WHEN text IS NULL THEN 0
+                       ELSE {stop_sum} END, 0) AS n_stop_hits
+  FROM planted
+),
+derived AS (
+  SELECT doc_id, n_words, n_stop_hits,
+         CASE WHEN n_words > 0 THEN
+           CAST(word_chars AS DOUBLE) / n_words END
+           AS mean_word_len,
+         CASE WHEN n_words > 0 THEN
+           CAST(n_symbols AS DOUBLE) / n_words END
+           AS symbol_word_ratio,
+         CASE WHEN n_lines > 0 THEN
+           CAST(n_bullet_lines AS DOUBLE) / n_lines END
+           AS bullet_line_frac,
+         CASE WHEN n_lines > 0 THEN
+           CAST(n_ellipsis_lines AS DOUBLE) / n_lines END
+           AS ellipsis_line_frac,
+         CASE WHEN n_words > 0 THEN
+           CAST(n_alpha_words AS DOUBLE) / n_words END
+           AS alpha_word_frac,
+         n_lines
+  FROM counters
+),
+reasons AS (
+  SELECT *,
+    coalesce(array_to_string(list_filter([
+      CASE WHEN n_words = 0 THEN 'no_words' END,
+      CASE WHEN n_words > 0 AND (n_words < 30
+                OR n_words > 100000) THEN 'word_count' END,
+      CASE WHEN n_words > 0 AND (mean_word_len < 3.0
+                OR mean_word_len > 10.0)
+           THEN 'mean_word_len' END,
+      CASE WHEN n_words > 0 AND symbol_word_ratio > 0.1
+           THEN 'symbol_ratio' END,
+      CASE WHEN n_words > 0 AND n_lines > 0
+                AND bullet_line_frac > 0.5
+           THEN 'bullet_lines' END,
+      CASE WHEN n_words > 0 AND n_lines > 0
+                AND ellipsis_line_frac > 0.3
+           THEN 'ellipsis_lines' END,
+      CASE WHEN n_words > 0 AND alpha_word_frac < 0.8
+           THEN 'alpha_words' END,
+      CASE WHEN n_words > 0 AND n_stop_hits < 1
+           THEN 'stopwords' END
+    ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+  FROM derived
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac,
+       CAST(n_stop_hits AS INTEGER) AS n_stop_hits,
+       fail_reasons = '' AS passed,
+       fail_reasons
+FROM reasons
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -6656,6 +6927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_docs": q_quality_classifier_docs,
         "vocab_topk_docs": q_vocab_topk_docs,
         "vocab_stats_docs": q_vocab_stats_docs,
+        "c4_clean_docs": q_c4_clean_docs,
+        "gopher_filter_docs": q_gopher_filter_docs,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -7583,6 +7856,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_docs": _quality_classifier_sql(),
         "vocab_topk_docs": _VOCAB_TOPK_SQL,
         "vocab_stats_docs": _VOCAB_STATS_SQL,
+        "c4_clean_docs": _C4_CLEAN_SQL,
+        "gopher_filter_docs": _gopher_filter_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

@@ -1257,3 +1257,241 @@ def vocab_stats(
         (F.col("_max_occ").cast("double") / F.col("n_tokens"))
         .alias("top_share"),
     )
+
+
+#: Gopher stopword set (Rae et al. 2021 §A1.1, public): a document
+#: must contain at least `min_stop_hits` of these as whole words
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def c4_clean(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    badwords: Sequence[str] = (),
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2, public),
+    pinned as a deterministic contract: LINE grain — keep only
+    trimmed lines that end in a terminal punctuation mark
+    (``. ! ? "``), carry at least ``min_words_per_line`` whitespace
+    words, and do not mention 'javascript' (case-insensitive);
+    PAGE grain — drop the whole document when it contains a curly
+    brace, the phrase 'lorem ipsum', any caller-supplied badword
+    (all case-insensitive), or fewer than ``min_kept_lines``
+    surviving lines (the paper's "fewer than 3 sentences", with
+    kept-line as the sentence proxy). Returns ``(id_col, n_lines,
+    n_kept, dropped, drop_reason, text)`` where ``text`` is the
+    kept lines rejoined for surviving documents and NULL for
+    dropped ones; ``drop_reason`` names the FIRST failing page rule
+    in the fixed order ``null_text, curly_brace, lorem_ipsum,
+    badword, too_few_lines``. NULL input text drops with
+    ``null_text``.
+
+    Scale shape: ONE shuffle-free codegen projection — the line
+    split, the three keep predicates, the rebuild, and the page
+    verdict are all JVM higher-order functions over the split
+    array; nothing leaves the task. Reference analogue: the
+    regex/allowed/forbidden rule family (rules.hh:229-244, 438-452)
+    promoted to the published C4 corpus-cleaning rule set."""
+    if min_words_per_line < 1:
+        raise ValueError("min_words_per_line must be >= 1")
+    if min_kept_lines < 0:
+        raise ValueError("min_kept_lines must be >= 0")
+    for b in badwords:
+        if "'" in b or "\\" in b:
+            raise ValueError(f"unsupported badword literal: {b!r}")
+    idc, txt = id_col, text_col
+    lines = F.split(F.col(txt), "\n")
+    kept_arr = F.filter(
+        F.transform(lines, lambda x: F.trim(x)),
+        lambda x: (
+            x.rlike('[.!?"]$')
+            & (F.size(F.split(x, "\\s+")) >= min_words_per_line)
+            & ~F.lower(x).contains("javascript")
+        ),
+    )
+    low = F.lower(F.col(txt))
+    badword_hit = F.lit(False)
+    for b in badwords:
+        badword_hit = badword_hit | low.contains(b.lower())
+    reason = (
+        F.when(F.col(txt).isNull(), F.lit("null_text"))
+        .when(F.col(txt).contains("{") | F.col(txt).contains("}"),
+              F.lit("curly_brace"))
+        .when(low.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(badword_hit, F.lit("badword"))
+        .when(F.size(kept_arr) < min_kept_lines,
+              F.lit("too_few_lines"))
+    )
+    return df.select(idc, txt).select(
+        idc,
+        F.when(F.col(txt).isNotNull(), F.size(lines))
+        .otherwise(F.lit(0)).alias("n_lines"),
+        F.when(F.col(txt).isNotNull(), F.size(kept_arr))
+        .otherwise(F.lit(0)).alias("n_kept"),
+        reason.isNotNull().alias("dropped"),
+        reason.alias("drop_reason"),
+        F.when(reason.isNull(), F.array_join(kept_arr, "\n"))
+        .alias("text"),
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021 §A1.1, public),
+    pinned as a deterministic contract over whitespace words
+    (``[^\\s]+`` runs) and newline lines: word count within
+    ``[min_words, max_words]``; mean word length within
+    ``[min_mean_word_len, max_mean_word_len]`` (inclusive); hash or
+    ellipsis symbol-to-word ratio at most ``max_symbol_word_ratio``
+    (``#`` characters plus ``...``/``…`` occurrences, ellipsis
+    counted left-to-right non-overlapping); at most
+    ``max_bullet_frac`` of non-empty trimmed lines starting with a
+    bullet (``•``, ``-``, ``*``); at most ``max_ellipsis_frac`` of
+    non-empty trimmed lines ending with an ellipsis; at least
+    ``min_alpha_word_frac`` of words containing an ASCII letter;
+    and at least ``min_stop_hits`` DISTINCT Gopher stopwords
+    present as regex-word-boundary matches. Returns one verdict row
+    per document — the exact counters, every derived ratio, the
+    ``passed`` flag, and ``fail_reasons`` (the failing rule names
+    comma-joined in the fixed order above; empty string when
+    passing). NULL or word-free text fails with ``no_words`` alone.
+
+    Ratios are single IEEE f64 divisions of exact integers, so the
+    DuckDB oracle reproduces every value bit-for-bit. Scale shape:
+    ONE shuffle-free codegen projection — counting, fractions, and
+    the verdict all happen inside the task; at 10^12 rows this is a
+    pure scan. Reference analogue: min/max rules (rules.hh:303-339)
+    promoted to the published Gopher document-quality rule set."""
+    idc, txt = id_col, text_col
+    words = F.expr(
+        f"regexp_extract_all({txt}, '[^\\\\s]+', 0)"
+    )
+    n_words = F.size(words)
+    word_chars = F.length(
+        F.regexp_replace(F.col(txt), "\\s+", "")
+    )
+    n_hash = F.size(
+        F.expr(f"regexp_extract_all({txt}, '#', 0)")
+    )
+    n_ellipsis = F.size(
+        F.expr(
+            f"regexp_extract_all({txt}, '(\\\\.\\\\.\\\\.|…)', 0)"
+        )
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(txt), "\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.rlike("^[•\\-*]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)$"))
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.lower(F.col(txt)).rlike(f"\\b{s}\\b").cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    base = df.select(idc, txt).select(
+        idc,
+        F.coalesce(n_words, F.lit(0)).alias("n_words"),
+        F.coalesce(word_chars, F.lit(0)).alias("word_chars"),
+        F.coalesce(n_hash + n_ellipsis, F.lit(0))
+        .alias("n_symbols"),
+        F.coalesce(n_lines, F.lit(0)).alias("n_lines"),
+        F.coalesce(n_bullet, F.lit(0)).alias("n_bullet_lines"),
+        F.coalesce(n_ell_end, F.lit(0)).alias("n_ellipsis_lines"),
+        F.coalesce(n_alpha, F.lit(0)).alias("n_alpha_words"),
+        F.coalesce(stop_hits, F.lit(0)).alias("n_stop_hits"),
+    )
+    nw = F.col("n_words")
+    has_words = nw > 0
+    mean_wl = F.when(
+        has_words, F.col("word_chars").cast("double") / nw
+    )
+    sym_ratio = F.when(
+        has_words, F.col("n_symbols").cast("double") / nw
+    )
+    bullet_frac = F.when(
+        F.col("n_lines") > 0,
+        F.col("n_bullet_lines").cast("double") / F.col("n_lines"),
+    )
+    ell_frac = F.when(
+        F.col("n_lines") > 0,
+        F.col("n_ellipsis_lines").cast("double")
+        / F.col("n_lines"),
+    )
+    alpha_frac = F.when(
+        has_words,
+        F.col("n_alpha_words").cast("double") / nw,
+    )
+    checks = [
+        ("no_words", ~has_words),
+        ("word_count",
+         has_words
+         & ((nw < min_words) | (nw > max_words))),
+        ("mean_word_len",
+         has_words
+         & ((mean_wl < float(min_mean_word_len))
+            | (mean_wl > float(max_mean_word_len)))),
+        ("symbol_ratio",
+         has_words
+         & (sym_ratio > float(max_symbol_word_ratio))),
+        ("bullet_lines",
+         has_words & (F.col("n_lines") > 0)
+         & (bullet_frac > float(max_bullet_frac))),
+        ("ellipsis_lines",
+         has_words & (F.col("n_lines") > 0)
+         & (ell_frac > float(max_ellipsis_frac))),
+        ("alpha_words",
+         has_words
+         & (alpha_frac < float(min_alpha_word_frac))),
+        ("stopwords",
+         has_words
+         & (F.col("n_stop_hits") < int(min_stop_hits))),
+    ]
+    fail = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(*[
+                F.when(cond, F.lit(name)) for name, cond in checks
+            ]),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return base.select(
+        idc,
+        "n_words",
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("n_stop_hits"),
+        (fail == "").alias("passed"),
+        fail.alias("fail_reasons"),
+    )
