@@ -1910,6 +1910,147 @@ FROM reasons
 """
 
 
+_BPE_K = 6
+#: fixed merge table for the segmentation query, shared verbatim
+#: with its oracle (training-order replay)
+_BPE_FIXED: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("o", "n"),
+)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (text.bpe_train — Sennrich et al.
+    2016): learn 6 merge rules from the documents corpus. One
+    corpus scan builds the word-frequency table; every round then
+    runs on the persisted vocabulary-sized frame — adjacent-pair
+    counts weighted by word frequency, global top-1 with the
+    (count DESC, left ASC, right ASC) tie-break, greedy
+    left-to-right merge application via the wrapped-string replace
+    mechanics. The oracle replays ALL SIX training rounds unrolled
+    in SQL (the same chr(2) wrapping, the same replace), so the
+    learned merge table is compared rule-for-rule including
+    counts."""
+    from cerberus_cpp_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=_BPE_K)
+    return spark.createDataFrame(
+        merges,
+        "step int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def _bpe_merges_sql(k: int = _BPE_K) -> str:
+    parts = ["""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS word
+    FROM documents WHERE text IS NOT NULL) GROUP BY word
+),
+s0 AS (
+  SELECT cnt,
+         array_to_string(list_transform(string_split(word, ''),
+            c -> chr(2) || c || chr(2)), '') AS state
+  FROM w
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt,
+           unnest(syms[1:len(syms) - 1]) AS l,
+           unnest(syms[2:len(syms)]) AS r
+    FROM (SELECT cnt,
+                 string_split(state[2:len(state) - 1],
+                              chr(2) || chr(2)) AS syms
+          FROM s{i - 1})
+    WHERE len(syms) >= 2
+  ) GROUP BY l, r
+),
+b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT cnt,
+         replace(state,
+                 chr(2) || b.l || chr(2) || chr(2) || b.r || chr(2),
+                 chr(2) || b.l || b.r || chr(2)) AS state
+  FROM s{i - 1}, b{i} b
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS step, l AS lhs, r AS rhs,"
+        f" l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+def q_bpe_segment_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE segmentation (text.bpe_segment): apply a fixed 6-rule
+    merge table to every document in training order — one
+    shuffle-free codegen projection (the replace chain lives inside
+    a transform over the token array). Returns per-document subword
+    count and the md5 of the space-joined subword stream; the
+    oracle replays the identical wrapped-string replace chain."""
+    from cerberus_cpp_spark.operators.text import bpe_segment
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = F.col("subwords")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", bpe_segment("text", _BPE_FIXED))
+        .select(
+            "doc_id",
+            F.size(sub).alias("n_subwords"),
+            F.md5(F.concat_ws(" ", sub)).alias("subwords_md5"),
+        )
+    )
+
+
+def _bpe_segment_sql() -> str:
+    chain = "array_to_string(list_transform(string_split(word, '')," \
+            " c -> chr(2) || c || chr(2)), '')"
+    for l, r in _BPE_FIXED:
+        chain = (
+            f"replace({chain},"
+            f" chr(2) || '{l}' || chr(2) || chr(2) || '{r}' || chr(2),"
+            f" chr(2) || '{l}{r}' || chr(2))"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           AS word,
+         unnest(generate_series(1, len(regexp_extract_all(
+           lower(text), '[a-z0-9]+')))) AS pos
+  FROM documents WHERE text IS NOT NULL
+),
+seg AS (
+  SELECT doc_id, pos,
+         string_split(({chain})[2:len({chain}) - 1],
+                      chr(2) || chr(2)) AS syms
+  FROM toks
+),
+flat AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(len(syms)), 0) AS INTEGER)
+           AS n_subwords,
+         md5(coalesce(string_agg(array_to_string(syms, ' '), ' '
+                                 ORDER BY pos), ''))
+           AS subwords_md5
+  FROM seg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(f.n_subwords, 0) AS n_subwords,
+       coalesce(f.subwords_md5, md5('')) AS subwords_md5
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN flat f ON d.doc_id = f.doc_id
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -6929,6 +7070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_docs": q_vocab_stats_docs,
         "c4_clean_docs": q_c4_clean_docs,
         "gopher_filter_docs": q_gopher_filter_docs,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment_docs": q_bpe_segment_docs,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -7858,6 +8001,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats_docs": _VOCAB_STATS_SQL,
         "c4_clean_docs": _C4_CLEAN_SQL,
         "gopher_filter_docs": _gopher_filter_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_segment_docs": _bpe_segment_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

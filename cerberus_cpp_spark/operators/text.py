@@ -1495,3 +1495,160 @@ def gopher_quality_filter(
         (fail == "").alias("passed"),
         fail.alias("fail_reasons"),
     )
+
+
+#: BPE symbol wrapper byte — every symbol in the string-encoded
+#: state is stored as ``\x02sym\x02``, so applying merge (l, r) is
+#: one plain ``replace`` of ``\x02l\x02\x02r\x02`` with
+#: ``\x02lr\x02``: string replace scans left-to-right and resumes
+#: AFTER each replacement, which IS greedy non-overlapping BPE merge
+#: application ('a a a' under (a,a) -> [aa, a]), and the per-symbol
+#: wrapping keeps adjacent matches independent ('a b a b' under
+#: (a,b) -> [ab, ab]). Both Spark's replace and DuckDB's replace
+#: share these semantics, so the oracle replays training exactly.
+BPE_WRAP = "\x02"
+
+
+def _bpe_state(word_col: Column) -> Column:
+    """String-encoded symbol sequence: each character wrapped in
+    :data:`BPE_WRAP` markers."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(word_col, ""),
+            lambda c: F.concat(F.lit(BPE_WRAP), c, F.lit(BPE_WRAP)),
+        ),
+    )
+
+
+def _bpe_syms(state_col: Column) -> Column:
+    """Symbol array back out of the string encoding: strip the
+    outer wrap bytes, split on the double marker."""
+    inner = F.regexp_replace(state_col, "^\x02|\x02$", "")
+    return F.split(inner, BPE_WRAP + BPE_WRAP)
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, str, str, str, int]]:
+    """DISTRIBUTED byte-pair-encoding training (Sennrich et al.
+    2016, public): learn ``n_merges`` merge rules from the corpus —
+    the missing piece between the module's BPE-ish token counting
+    and an actual learned subword vocabulary. Classic word-level
+    BPE: symbols start as the characters of each lowercased alnum
+    token; each round counts every adjacent symbol pair weighted by
+    corpus word frequency, picks the most frequent pair with the
+    deterministic tie-break ``(count DESC, left ASC, right ASC)``,
+    and merges every greedy left-to-right occurrence. Returns the
+    merge table ``[(step, left, right, merged, pair_count)]``
+    (shorter than ``n_merges`` if the corpus runs out of pairs).
+
+    Scale shape: the corpus is scanned ONCE (the word-frequency
+    aggregate — the only Exchange proportional to data); training
+    then iterates on the persisted VOCABULARY-sized frame
+    (10^5-10^7 rows regardless of corpus size — Heaps' law), each
+    round one vocab-sized pair aggregate + a global top-1
+    (TakeOrderedAndProject) + one driver row. Merge application is
+    a single JVM ``replace`` on the string-encoded state (see
+    :data:`BPE_WRAP`), so the per-round lineage grows by one
+    projection; rounds re-materialize from the persisted base, not
+    from recursion. For a 100 TB corpus this is exactly the shape
+    you want: one pass over the data, then all iteration on the
+    tiny aggregate. Reference analogue: none (the reference has no
+    tokenizer); the determinism contract follows the module's
+    oracle-portability rules."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    from pyspark.sql import DataFrame as _DF
+
+    words = (
+        df.select(text_col)
+        .where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    f" '{TOKEN_RE}', 0)"
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", _bpe_state(F.col("word")).alias("state"))
+    )
+    words = words.persist()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        state = words
+        for step in range(1, int(n_merges) + 1):
+            syms = _bpe_syms(F.col("state"))
+            pairs = (
+                state.where(F.size(syms) >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.transform(
+                            F.sequence(
+                                F.lit(0), F.size(syms) - 2
+                            ),
+                            lambda i: F.struct(
+                                F.get(syms, i).alias("l"),
+                                F.get(syms, i + 1).alias("r"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("c"))
+            )
+            best = pairs.orderBy(
+                F.desc("c"), "l", "r"
+            ).limit(1).collect()
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], best[0]["c"]
+            merges.append((step, l, r, l + r, int(c)))
+            state = state.select(
+                "cnt",
+                F.replace(
+                    F.col("state"),
+                    F.lit(BPE_WRAP + l + BPE_WRAP
+                          + BPE_WRAP + r + BPE_WRAP),
+                    F.lit(BPE_WRAP + l + r + BPE_WRAP),
+                ).alias("state"),
+            )
+        return merges
+    finally:
+        words.unpersist()
+
+
+def bpe_segment(
+    col: str,
+    merges: Sequence[tuple[str, str]],
+) -> Column:
+    """Column expression applying a learned merge table: lowercased
+    alnum tokens are split to characters and every merge rule is
+    replayed in training order (greedy left-to-right, the same
+    ``replace`` mechanics as :func:`bpe_train`); returns the
+    document's flat subword array. ONE shuffle-free codegen
+    projection — the replace chain lives inside a ``transform``
+    over the token array, no Python, no Exchange."""
+    def seg(word: Column) -> Column:
+        st = _bpe_state(word)
+        for l, r in merges:
+            st = F.replace(
+                st,
+                F.lit(BPE_WRAP + l + BPE_WRAP
+                      + BPE_WRAP + r + BPE_WRAP),
+                F.lit(BPE_WRAP + l + r + BPE_WRAP),
+            )
+        return _bpe_syms(st)
+
+    toks = F.expr(
+        f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)"
+    )
+    return F.flatten(F.transform(toks, seg)).alias("subwords")
