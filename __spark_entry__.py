@@ -2051,6 +2051,242 @@ LEFT JOIN flat f ON d.doc_id = f.doc_id
 """
 
 
+def q_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END curation showcase composing this round's whole
+    operator family: the C4 page plant -> text.c4_clean (line +
+    page rules, survivors only) -> text.gopher_quality_filter over
+    the CLEANED text (word count >= 20, >= 1 stopword, the other
+    Gopher defaults) gating the corpus -> text.remove_repeated_spans
+    (n=5) across the surviving documents (the planted shared line
+    is exactly the viral boilerplate the span dedup exists for) ->
+    text.linear_quality_score with the shared vocabulary. The
+    oracle replays EVERY stage in SQL — the plant, both rule sets,
+    the first-occurrence span removal, the classifier sums — down
+    to the md5 of each final text. Returns one row per surviving
+    document.
+
+    The gated corpus and the deduped corpus are persisted: the span
+    dedup references its input three times and the final verdict
+    join twice more, so without a materialization barrier the
+    expensive clean+gate projection would re-run ~18x (measured).
+    A production 100 TB run writes these stage boundaries to
+    parquet instead — same idea, durable."""
+    from cerberus_cpp_spark.operators.text import (
+        c4_clean,
+        gopher_quality_filter,
+        linear_quality_score,
+        remove_repeated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pool = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_C4_GOOD))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_C4_SHORT))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_C4_NOPUNCT))
+        .otherwise(F.lit(_C4_JS))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.lit("brace { here\n")).otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 17 == 0,
+                       F.lit("lorem ipsum prefix\n"))
+                .otherwise(F.lit("")),
+                F.col("text"), F.lit(".\n"),
+                pool,
+            ),
+        ).alias("text"),
+    )
+    cleaned = (
+        c4_clean(planted, min_kept_lines=2)
+        .where(~F.col("dropped"))
+        .select("doc_id", "text")
+    )
+    gate = gopher_quality_filter(
+        cleaned, min_words=20, min_stop_hits=1
+    ).where(F.col("passed")).select("doc_id")
+    gated = cleaned.join(gate, "doc_id").persist()
+    deduped = remove_repeated_spans(gated, n=5).persist()
+    w = spark.createDataFrame(
+        list(_QC_WEIGHTS), "term string, weight long"
+    )
+    scored = linear_quality_score(
+        deduped, w, bias=_QC_BIAS, threshold=_QC_THRESHOLD
+    )
+    return (
+        deduped.join(scored, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_removed",
+            "score_sum", "score_mean", "label",
+            F.md5("text").alias("text_md5"),
+        )
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    vals = ", ".join(f"('{t}', {w})" for t, w in _QC_WEIGHTS)
+    stop_or = " OR ".join(
+        f"regexp_matches(lower(text), '\\b{s}\\b')"
+        for s in (
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        )
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           concat(
+             CASE WHEN doc_id % 13 = 0
+                  THEN 'brace {{ here' || chr(10) ELSE '' END,
+             CASE WHEN doc_id % 17 = 0
+                  THEN 'lorem ipsum prefix' || chr(10)
+                  ELSE '' END,
+             text, '.', chr(10),
+             CASE WHEN doc_id % 4 = 0 THEN '{_C4_GOOD}'
+                  WHEN doc_id % 4 = 1 THEN '{_C4_SHORT}'
+                  WHEN doc_id % 4 = 2 THEN '{_C4_NOPUNCT}'
+                  ELSE '{_C4_JS}' END)
+         END AS text
+  FROM documents
+),
+c4kept AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> trim(x)),
+           x -> regexp_matches(x, '[.!?"]$')
+                AND len(regexp_split_to_array(x, '\\s+')) >= 5
+                AND NOT contains(lower(x), 'javascript'))
+           AS kept
+  FROM planted
+  WHERE text IS NOT NULL
+    AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+    AND NOT contains(lower(text), 'lorem ipsum')
+),
+cleaned AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS text
+  FROM c4kept WHERE len(kept) >= 2
+),
+gophered AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g'))
+           AS word_chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '(\\.\\.\\.|…)'))
+           AS n_symbols,
+         len(list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> trim(x)), x -> x <> ''))
+           AS n_lines,
+         len(list_filter(list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> trim(x)), x -> x <> ''),
+           x -> regexp_matches(x, '^[•\\-*]')))
+           AS n_bullet_lines,
+         len(list_filter(list_filter(
+           list_transform(string_split(text, chr(10)),
+                          x -> trim(x)), x -> x <> ''),
+           x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+           AS n_ellipsis_lines,
+         len(list_filter(regexp_extract_all(text, '[^\\s]+'),
+                         w -> regexp_matches(w, '[A-Za-z]')))
+           AS n_alpha_words,
+         CASE WHEN {stop_or} THEN 1 ELSE 0 END AS any_stop
+  FROM cleaned
+),
+gated AS (
+  SELECT doc_id, text FROM gophered
+  WHERE n_words >= 20 AND n_words <= 100000
+    AND CAST(word_chars AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+    AND (n_lines = 0 OR
+         CAST(n_bullet_lines AS DOUBLE) / n_lines <= 0.9)
+    AND (n_lines = 0 OR
+         CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.3)
+    AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8
+    AND any_stop >= 1
+),
+split AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM gated
+),
+occ AS (
+  SELECT doc_id, p,
+         array_to_string(l[p + 1 : p + 5], chr(1)) AS g
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(0, len(l) - 5)) AS p
+        FROM split WHERE len(l) >= 5)
+),
+marked AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS cnt,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY doc_id, p) AS rn
+  FROM occ
+),
+removed AS (
+  SELECT DISTINCT doc_id, tp FROM (
+    SELECT doc_id, unnest(generate_series(p, p + 4)) AS tp
+    FROM marked WHERE cnt >= 2 AND rn > 1)
+),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(0, len(l) - 1)) AS tp
+  FROM split
+),
+deduped AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN r.tp IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.tp)
+                  FILTER (WHERE r.tp IS NULL), '') AS text
+  FROM toks t
+  LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.tp = r.tp
+  GROUP BY t.doc_id
+),
+w(term, weight) AS (VALUES {vals}),
+qtoks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS u
+  FROM deduped
+),
+terms AS (
+  SELECT doc_id, unnest(u) AS term FROM qtoks
+  UNION ALL
+  SELECT doc_id, concat(u[i + 1], ' ', u[i + 2]) AS term
+  FROM (SELECT doc_id, u,
+               unnest(generate_series(0, len(u) - 2)) AS i
+        FROM qtoks WHERE len(u) >= 2)
+),
+scored AS (
+  SELECT t.doc_id,
+         count(*) AS n_terms,
+         coalesce(sum(w.weight), 0) AS ws
+  FROM terms t LEFT JOIN w ON t.term = w.term
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.n_tokens, d.n_removed,
+       CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS BIGINT)
+         AS score_sum,
+       CASE WHEN coalesce(s.n_terms, 0) > 0
+            THEN CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS DOUBLE)
+                 / s.n_terms END AS score_mean,
+       coalesce(
+         (CASE WHEN coalesce(s.n_terms, 0) > 0
+               THEN CAST(coalesce(s.ws, 0) + {_QC_BIAS} AS DOUBLE)
+                    / s.n_terms END) >= {_QC_THRESHOLD},
+         false) AS label,
+       md5(d.text) AS text_md5
+FROM deduped d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7072,6 +7308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_docs": q_gopher_filter_docs,
         "bpe_merges": q_bpe_merges,
         "bpe_segment_docs": q_bpe_segment_docs,
+        "curation_pipeline": q_curation_pipeline,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8003,6 +8240,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": _gopher_filter_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_segment_docs": _bpe_segment_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,
