@@ -2287,6 +2287,82 @@ FROM deduped d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+_CMS_W, _CMS_D = 64, 3
+
+
+def q_cms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketch.cms_sketch / cms_estimate —
+    Cormode & Muthukrishnan 2005): a fixed 3x64-cell mergeable
+    frequency summary of events.user_id built in one
+    partially-aggregated scan, then every distinct key
+    point-estimated from the sketch and joined against its exact
+    count — est >= true always (CMS never underestimates), and the
+    deliberately small width makes real collisions (overcount > 0)
+    appear in the result. The md5 cell hashing is the repo's
+    portable bucket recipe, so the oracle replays the sketch build,
+    the min-over-rows estimate, and the overcounts exactly."""
+    from cerberus_cpp_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_sketch(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    keys = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    est = cms_estimate(
+        sk, keys.select("user_id"), "user_id",
+        width=_CMS_W, depth=_CMS_D,
+    )
+    return (
+        keys.join(est, "user_id")
+        .select(
+            "user_id", "est", "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
+_CMS_SQL = f"""
+WITH ds AS (SELECT unnest([0, 1, 2]) AS d),
+keys AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+cells AS (
+  SELECT e.user_id, ds.d,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(e.user_id AS VARCHAR), ':', '0', ':',
+           CAST(ds.d AS VARCHAR))), 1, 12)) AS BIGINT)
+           % {_CMS_W} AS cell
+  FROM events e, ds WHERE e.user_id IS NOT NULL
+),
+sketch AS (
+  SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY d, cell
+),
+kcells AS (
+  SELECT k.user_id, ds.d,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(k.user_id AS VARCHAR), ':', '0', ':',
+           CAST(ds.d AS VARCHAR))), 1, 12)) AS BIGINT)
+           % {_CMS_W} AS cell
+  FROM keys k, ds
+),
+est AS (
+  SELECT user_id, min(coalesce(s.cnt, 0)) AS est
+  FROM kcells LEFT JOIN sketch s USING (d, cell)
+  GROUP BY user_id
+)
+SELECT k.user_id, e.est, k.true_cnt,
+       e.est - k.true_cnt AS overcount
+FROM keys k JOIN est e USING (user_id)
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7309,6 +7385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment_docs": q_bpe_segment_docs,
         "curation_pipeline": q_curation_pipeline,
+        "cms_events": q_cms_events,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8241,6 +8318,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_segment_docs": _bpe_segment_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "cms_events": _CMS_SQL,
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

@@ -1,0 +1,144 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005, public) as a
+mergeable frequency summary for 10^12-row key columns.
+
+Why a sketch next to the exact heavy-hitter pass
+(:func:`..checks.hot_keys` Misra-Gries): the CMS cell table is a
+FIXED-size summary (``depth x width`` rows regardless of corpus
+size) built by one partially-aggregated scan, and two sketches with
+the same parameters merge by adding cells — so per-partition /
+per-day sketches roll up without touching the raw data again,
+which is exactly what a 100 TB monitoring loop wants. Estimates
+never underestimate (min over rows of hashed cells); the classic
+bound is ``est <= true + e/width * N`` with probability
+``1 - (1/2)^depth`` per lookup.
+
+Portability: the row hashes reuse the repo's md5 recipe
+(``split.split_bucket``): cell_d(x) = first 12 md5 hex chars of
+``'x:seed:d'`` as an integer, mod ``width`` — pure JVM expressions
+replayed bit-for-bit by the DuckDB oracle
+(``CAST(concat('0x', substr(md5(..), 1, 12)) AS BIGINT)``).
+
+Reference analogue: dataset-level column stats / uniqueness checks
+(SURVEY §2.3) — the reference's exact counters promoted to a
+mergeable sketch for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_CHARS = 12
+
+
+def _cms_cell(col: Column, d: int, seed: int, width: int) -> Column:
+    h = F.md5(
+        F.concat_ws(
+            ":", col.cast("string"), F.lit(str(seed)), F.lit(str(d))
+        )
+    )
+    return (
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
+        % F.lit(int(width))
+    )
+
+
+def _check_params(width: int, depth: int) -> None:
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    if not 1 <= depth <= 16:
+        raise ValueError("depth must be in [1, 16]")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Build the sketch: ``(d, cell, cnt)`` with exactly one row per
+    non-empty cell (``depth * width`` rows at most, independent of
+    input size). NULL keys are skipped (they have no frequency
+    semantics; count them with a plain aggregate).
+
+    Scale shape: one projection fans each row into ``depth``
+    (d, cell) pairs, then ONE hash aggregate whose map-side partials
+    are already sketch-shaped — the Exchange ships at most
+    ``depth * width`` partial cells per task, never O(rows). Two
+    sketches with equal (width, depth, seed) merge by unioning and
+    summing ``cnt`` per (d, cell) — see :func:`cms_merge`."""
+    _check_params(width, depth)
+    col = F.col(key)
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            _cms_cell(col, d, seed, width).alias("cell"),
+        )
+        for d in range(int(depth))
+    ])
+    return (
+        df.where(col.isNotNull())
+        .select(F.explode(cells).alias("p"))
+        .groupBy(F.col("p.d").alias("d"),
+                 F.col("p.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with identical (width, depth, seed):
+    union the cell tables and sum counts per (d, cell). The result
+    is EXACTLY the sketch of the concatenated inputs — the property
+    that lets per-partition / per-snapshot sketches roll up without
+    rescanning data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "cell").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-estimate every row of ``keys``: recompute the ``depth``
+    cells per key, join against the sketch (missing cells count 0 —
+    an empty cell proves the key was never seen), and take the min.
+    Returns ``(key, est)``; ``est >= true count`` always, with the
+    standard CMS overcount bound. The join is (d, cell)-keyed
+    against a frame bounded by ``depth * width`` rows — broadcast
+    territory at any real width, and AQE picks that on its own."""
+    _check_params(width, depth)
+    col = F.col(key)
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            _cms_cell(col, d, seed, width).alias("cell"),
+        )
+        for d in range(int(depth))
+    ])
+    kc = (
+        keys.where(col.isNotNull())
+        .select(col.alias(key), F.explode(cells).alias("p"))
+        .select(key, F.col("p.d").alias("d"),
+                F.col("p.cell").alias("cell"))
+    )
+    return (
+        kc.join(sketch, ["d", "cell"], "left")
+        .groupBy(key)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .alias("est")
+        )
+    )
