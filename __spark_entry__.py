@@ -2363,6 +2363,152 @@ FROM keys k JOIN est e USING (user_id)
 """
 
 
+_ROBOTS_AGENT = "cerbot/1.0"
+#: constant robots.txt bodies; host h{k}.example.com gets body k,
+#: h4 has NO robots row (allow-all default)
+_ROBOTS_BODIES: tuple[str, ...] = (
+    "# site 0\nUser-agent: cerbot\nDisallow: /private/*\n"
+    "Allow: /private/public$\nCrawl-delay: 2\n\n"
+    "User-agent: *\nDisallow: /tmp\n",
+    "User-agent: *\nDisallow: /\nAllow: /pub/*\n",
+    "User-agent: cer\nDisallow: /deep/*\nAllow: /deep/a/*\n\n"
+    "User-agent: *\nDisallow: /never\n",
+    "# comments only\n# nothing to see\n",
+)
+
+
+def q_robots_audit_urls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl-policy audit (url.robots_audit + sources/robots.py —
+    the pinned RFC 9309 / REP contract): four constant robots.txt
+    bodies are parsed by the REAL parser inside the Arrow rules
+    stage (group selection for 'cerbot/1.0' exercises exact-token,
+    substring-token, and * groups), URLs derived from doc_id
+    arithmetic walk every rule shape (wildcard, $-anchored allow
+    exception, longest-match, allow-wins-ties, bare prefix, no
+    group, no robots row, NULL/unparsable URLs). The oracle carries
+    the rule table DERIVED FROM THE SAME BODIES at SQL-build time
+    (parse + group-select + regex translation run once in Python —
+    a parser snapshot pin: any parser regression desyncs the Spark
+    side from the frozen oracle) and replays the host join, the
+    per-candidate regex match, and the (plen, allow, pattern)
+    winner fold."""
+    from cerberus_cpp_spark.operators.url import robots_audit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 7 == 0, F.concat(F.lit("/private/x"),
+                                    i.cast("string")))
+        .when(i % 7 == 1, F.lit("/private/public"))
+        .when(i % 7 == 2, F.concat(F.lit("/pub/a"),
+                                   i.cast("string")))
+        .when(i % 7 == 3, F.lit(""))
+        .when(i % 7 == 4, F.lit("/tmpfile"))
+        .when(i % 7 == 5, F.concat(F.lit("/deep/a/b"),
+                                   i.cast("string")))
+        .otherwise(F.lit("/never/mind"))
+    )
+    urls = docs.select(
+        F.when(i % 13 == 12, F.lit(None).cast("string"))
+        .when(i % 11 == 10, F.lit("not a url"))
+        .otherwise(
+            F.concat(F.lit("https://h"), (i % 5).cast("string"),
+                     F.lit(".example.com"), path)
+        ).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.example.com", body)
+         for k, body in enumerate(_ROBOTS_BODIES)],
+        "host string, robots_txt string",
+    )
+    return robots_audit(urls, robots, agent=_ROBOTS_AGENT)
+
+
+def _robots_audit_sql() -> str:
+    from cerberus_cpp_spark.sources.robots import (
+        parse_robots,
+        rule_regex,
+        select_group,
+    )
+
+    rows = []
+    for k, body in enumerate(_ROBOTS_BODIES):
+        g = select_group(parse_robots(body), _ROBOTS_AGENT)
+        if g is None:
+            continue
+        for allow, pat in g.rules:
+            rx = rule_regex(pat)  # SQL '...' literals keep backslashes
+            rows.append(
+                f"('h{k}.example.com', {str(allow).lower()},"
+                f" '{pat}', '{rx}', {len(pat)})"
+            )
+    vals = ",\n         ".join(rows)
+    return f"""
+WITH urls AS (
+  SELECT CASE
+           WHEN doc_id % 13 = 12 THEN NULL
+           WHEN doc_id % 11 = 10 THEN 'not a url'
+           ELSE concat('https://h', CAST(doc_id % 5 AS VARCHAR),
+                       '.example.com',
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 concat('/private/x', CAST(doc_id AS VARCHAR))
+               WHEN doc_id % 7 = 1 THEN '/private/public'
+               WHEN doc_id % 7 = 2 THEN
+                 concat('/pub/a', CAST(doc_id AS VARCHAR))
+               WHEN doc_id % 7 = 3 THEN ''
+               WHEN doc_id % 7 = 4 THEN '/tmpfile'
+               WHEN doc_id % 7 = 5 THEN
+                 concat('/deep/a/b', CAST(doc_id AS VARCHAR))
+               ELSE '/never/mind' END)
+         END AS url
+  FROM documents
+),
+rules(host, allow, pattern, regex, plen) AS (
+  VALUES {vals}
+),
+pages AS (
+  SELECT url,
+         CASE WHEN lower(regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
+                1)) = '' THEN NULL
+              ELSE lower(regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
+                1)) END AS host,
+         CASE WHEN lower(regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
+                1)) = '' THEN NULL
+              WHEN regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                THEN '/'
+              ELSE regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+         END AS path
+  FROM urls
+),
+ranked AS (
+  SELECT p.url, r.allow, r.pattern,
+         row_number() OVER (
+           PARTITION BY p.url
+           ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC
+         ) AS rn
+  FROM (SELECT DISTINCT url, host, path
+        FROM pages WHERE host IS NOT NULL) p
+  JOIN rules r ON p.host = r.host
+  WHERE regexp_matches(p.path, r.regex)
+),
+best AS (
+  SELECT url, allow, pattern FROM ranked WHERE rn = 1
+)
+SELECT p.url, p.host, p.path,
+       coalesce(b.allow, true) AS allowed,
+       b.pattern AS matched_pattern
+FROM pages p LEFT JOIN best b ON p.url = b.url
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7386,6 +7532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_docs": q_bpe_segment_docs,
         "curation_pipeline": q_curation_pipeline,
         "cms_events": q_cms_events,
+        "robots_audit_urls": q_robots_audit_urls,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8319,6 +8466,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment_docs": _bpe_segment_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "cms_events": _CMS_SQL,
+        "robots_audit_urls": _robots_audit_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,
