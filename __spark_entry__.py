@@ -2509,6 +2509,78 @@ FROM pages p LEFT JOIN best b ON p.url = b.url
 """
 
 
+_HLL_M = 64
+
+
+def q_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (sketch.hll_sketch / hll_estimate — Flajolet et
+    al. 2007, the north-star's named approx-distinct sketch) at
+    register grain over events.user_id: two independent md5 48-bit
+    hashes (register mod m, leading-zero rank from the zero-padded
+    binary string), per-register max in one partially-aggregated
+    scan, and the raw alpha_m*m^2 estimate computed from an exact
+    INTEGER harmonic denominator in units of 2^-49 — no float ever
+    accumulates, so the oracle replays every number bit-for-bit
+    including the single f64 division. The true distinct count
+    rides along for context."""
+    from cerberus_cpp_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = hll_estimate(
+        hll_sketch(ev, "user_id", m=_HLL_M), m=_HLL_M
+    )
+    true = ev.where(F.col("user_id").isNotNull()).agg(
+        F.count_distinct("user_id").alias("true_distinct")
+    )
+    return est.crossJoin(true)
+
+
+def _hll_events_sql() -> str:
+    from cerberus_cpp_spark.operators.sketch import _hll_alpha
+
+    m = _HLL_M
+    num = float(_hll_alpha(m) * m * m) * float(1 << 49)
+    return f"""
+WITH hashed AS (
+  SELECT
+    CAST(concat('0x', substr(md5(concat('r', ':',
+      CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      % {m} AS reg,
+    CAST(concat('0x', substr(md5(concat('w', ':',
+      CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT reg,
+         max(CASE WHEN w = 0 THEN 49
+                  ELSE strpos(lpad(bin(w), 48, '0'), '1')
+             END) AS rho
+  FROM hashed GROUP BY reg
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_set,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << (49 - rho)), 0)
+              AS BIGINT) AS present
+  FROM regs
+)
+SELECT CAST({m} AS INTEGER) AS m,
+       CAST(n_set AS INTEGER) AS n_set,
+       CAST({m} - n_set AS INTEGER) AS n_zero,
+       present + ({m} - n_set) * (CAST(1 AS BIGINT) << 49)
+         AS denom,
+       {num!r} / CAST(present + ({m} - n_set)
+                      * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+         AS estimate,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE user_id IS NOT NULL) AS true_distinct
+FROM agg
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7533,6 +7605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "cms_events": q_cms_events,
         "robots_audit_urls": q_robots_audit_urls,
+        "hll_events": q_hll_events,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8467,6 +8540,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "cms_events": _CMS_SQL,
         "robots_audit_urls": _robots_audit_sql(),
+        "hll_events": _hll_events_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

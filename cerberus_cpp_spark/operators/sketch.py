@@ -142,3 +142,126 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+# ---------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, public) — the north-star's
+# named approx-distinct sketch, at register grain so snapshots
+# MERGE (max per register) and the DuckDB oracle replays the
+# arithmetic bit-for-bit. Two independent md5-derived 48-bit
+# hashes: one picks the register (mod m), one supplies the
+# leading-zero rank rho = strpos of the first '1' in the
+# zero-padded binary string (w == 0 -> rho = 49). The harmonic
+# denominator is kept as an INTEGER in units of 2^-49
+# (sum of 2^(49-rho), absent registers contribute 2^49), so no
+# float accumulates; the single estimate division happens once in
+# f64 on both engines. The estimate is the RAW alpha_m * m^2 / S
+# figure — deliberately no small/large-range corrections (they
+# need log(), which is not bit-portable across engines); the
+# output carries n_zero registers so a consumer can apply the
+# published linear-counting correction downstream.
+# ---------------------------------------------------------------
+
+_HLL_RHO_MAX = 49
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def _hll_check_m(m: int) -> None:
+    if m < 16 or m & (m - 1):
+        raise ValueError("m must be a power of two >= 16")
+
+
+def hll_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    m: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Register table ``(reg, rho)`` — at most ``m`` rows whatever
+    the input size; NULL keys skipped. One partially-aggregated
+    scan: the Exchange ships at most ``m`` (reg, max-rho) partials
+    per task."""
+    _hll_check_m(m)
+    col = F.col(key)
+    reg = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("r"), col.cast("string"),
+                                  F.lit(str(seed)))),
+                1, _HEX_CHARS), 16, 10)
+        .cast("bigint") % F.lit(int(m))
+    )
+    w = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("w"), col.cast("string"),
+                              F.lit(str(seed)))),
+            1, _HEX_CHARS), 16, 10).cast("bigint")
+    # rho from the padded binary string: 1-based position of the
+    # first set bit == leading zeros + 1
+    wbin = F.lpad(F.bin(w), 48, "0")
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.instr(wbin, "1")
+    )
+    return (
+        df.where(col.isNotNull())
+        .select(reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with equal (m, seed): per-register
+    max — exactly the sketch of the concatenated inputs."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, *, m: int = 256) -> DataFrame:
+    """One-row estimate from a register table: ``(m, n_set, n_zero,
+    denom, estimate)`` where ``denom`` is the exact integer
+    harmonic sum in units of 2^-49 (absent/zero registers
+    contribute the full 2^49) and ``estimate`` is the raw
+    alpha_m * m^2 * 2^49 / denom in ONE f64 division — both numbers
+    replay bit-for-bit in the oracle. No range corrections (see
+    module note); apply linear counting from ``n_zero`` downstream
+    if the estimate is small."""
+    _hll_check_m(m)
+    alpha = _hll_alpha(m)
+    full = 1 << _HLL_RHO_MAX  # 2^49 — the rho=0 (absent) term
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - rho)")),
+            F.lit(0),
+        ).alias("_present"),
+    )
+    return agg.select(
+        F.lit(int(m)).alias("m"),
+        F.col("n_set").cast("int").alias("n_set"),
+        (F.lit(int(m)) - F.col("n_set")).cast("int")
+        .alias("n_zero"),
+        (F.col("_present")
+         + (F.lit(int(m)) - F.col("n_set")) * F.lit(int(full)))
+        .alias("denom"),
+        (
+            F.lit(float(alpha * m * m) * float(full))
+            / (F.col("_present")
+               + (F.lit(int(m)) - F.col("n_set"))
+               * F.lit(int(full))).cast("double")
+        ).alias("estimate"),
+    )

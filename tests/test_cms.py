@@ -102,3 +102,67 @@ def test_sketch_plan_partial_aggregates(spark) -> None:
     # map-side partials: the Exchange ships sketch cells, not rows
     assert "partial_count" in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------
+
+from cerberus_cpp_spark.operators.sketch import (  # noqa: E402
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def test_hll_accuracy_and_bounds(spark) -> None:
+    df = spark.range(0, 10_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    sk = hll_sketch(df, "k", m=256)
+    rows = sk.collect()
+    assert len(rows) <= 256
+    assert all(1 <= r["rho"] <= 49 for r in rows)
+    est = hll_estimate(sk, m=256).collect()[0]
+    assert est["n_set"] + est["n_zero"] == 256
+    # raw HLL RSE at m=256 is ~6.5%; allow 3 sigma
+    assert abs(est["estimate"] - 10_000) / 10_000 < 0.2
+    # denom conserves: present terms + 2^49 per zero register
+    assert est["denom"] > 0
+
+
+def test_hll_merge_equals_whole_and_dedup_invariance(spark) -> None:
+    a = spark.range(0, 5_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(3_000, 8_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    merged = hll_merge(hll_sketch(a, "k", m=64),
+                       hll_sketch(b, "k", m=64))
+    whole = hll_sketch(a.unionByName(b), "k", m=64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    # duplicates cannot move the sketch: rho is a pure function of
+    # the value and registers take max
+    dup = a.unionByName(a).unionByName(a)
+    assert sorted(map(tuple, hll_sketch(dup, "k", m=64).collect())) \
+        == sorted(map(tuple, hll_sketch(a, "k", m=64).collect()))
+
+
+def test_hll_param_guards_and_nulls(spark) -> None:
+    df = spark.createDataFrame(
+        [("a",), (None,)], "k string")
+    with pytest.raises(ValueError, match="power of two"):
+        hll_sketch(df, "k", m=48)
+    with pytest.raises(ValueError, match="power of two"):
+        hll_estimate(df, m=8)
+    # NULLs skipped: single distinct value -> n_set == 1
+    est = hll_estimate(hll_sketch(df, "k", m=16), m=16).collect()[0]
+    assert est["n_set"] == 1 and est["n_zero"] == 15
+
+
+def test_hll_plan_partial_aggregates(spark) -> None:
+    df = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("k"))
+    plan = (hll_sketch(df, "k", m=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
