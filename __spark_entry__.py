@@ -2581,6 +2581,121 @@ FROM agg
 """
 
 
+_KMV_K = 64
+
+
+def q_kmv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k sketches (sketch.kmv_sketch / kmv_estimate /
+    kmv_jaccard — Bar-Yossef et al. 2002, Beyer et al. 2007): two
+    overlapping event snapshots (event_id%3 != 0 vs != 1) sketch
+    their user_id sets as the 64 smallest md5 hashes; per-snapshot
+    distinct-count estimates ((k-1)*2^48/kth, or exact below k) and
+    the cross-snapshot Jaccard estimate (membership of the merged
+    bottom-k in both inputs — set overlap WITHOUT joining raw
+    data) ride next to the exact truths. Every number is integer
+    until one f64 division, so the oracle replays the hashing, the
+    bottom-k cuts, the membership counts, and the divisions
+    bit-for-bit. At sf0.001 the snapshots sit below k (the exact
+    regime); at sf0.01 above it (the estimation regime) — both
+    code paths land in the driver gate."""
+    from cerberus_cpp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_id") % 3 != 0)
+    b = ev.where(F.col("event_id") % 3 != 1)
+    ska = kmv_sketch(a, "user_id", k=_KMV_K)
+    skb = kmv_sketch(b, "user_id", k=_KMV_K)
+    ea = kmv_estimate(ska, k=_KMV_K).select(
+        F.col("estimate").alias("est_a"))
+    eb = kmv_estimate(skb, k=_KMV_K).select(
+        F.col("estimate").alias("est_b"))
+    j = kmv_jaccard(ska, skb, k=_KMV_K)
+    ua = a.where(F.col("user_id").isNotNull()) \
+        .select("user_id").distinct()
+    ub = b.where(F.col("user_id").isNotNull()) \
+        .select("user_id").distinct()
+    ta = ua.agg(F.count(F.lit(1)).alias("true_a"))
+    tb = ub.agg(F.count(F.lit(1)).alias("true_b"))
+    ti = ua.join(ub, ua["user_id"] == ub["user_id"]) \
+        .agg(F.count(F.lit(1)).alias("_ti"))
+    tu = ua.unionByName(ub).distinct().agg(
+        F.count(F.lit(1)).alias("_tu"))
+    return (
+        ea.crossJoin(eb).crossJoin(j)
+        .crossJoin(ta).crossJoin(tb)
+        .crossJoin(ti).crossJoin(tu)
+        .select(
+            "est_a", "est_b", "n_union_sample", "n_both",
+            "jaccard", "true_a", "true_b",
+            (F.col("_ti").cast("double") / F.col("_tu"))
+            .alias("true_jaccard"),
+        )
+    )
+
+
+def _kmv_events_sql() -> str:
+    k = _KMV_K
+    num = float(k - 1) * float(1 << 48)
+    hash_sql = (
+        "CAST(concat('0x', substr(md5(concat('kmv', ':', "
+        "CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)"
+    )
+    return f"""
+WITH ea AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND event_id % 3 <> 0
+),
+eb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND event_id % 3 <> 1
+),
+ska AS (
+  SELECT DISTINCT {hash_sql} AS h FROM ea ORDER BY h LIMIT {k}
+),
+skb AS (
+  SELECT DISTINCT {hash_sql} AS h FROM eb ORDER BY h LIMIT {k}
+),
+mrg AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT {k}
+),
+jac AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_sample,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+  FROM mrg m
+  LEFT JOIN ska a ON m.h = a.h
+  LEFT JOIN skb b ON m.h = b.h
+),
+esta AS (SELECT count(*) AS n, max(h) AS kth FROM ska),
+estb AS (SELECT count(*) AS n, max(h) AS kth FROM skb),
+truth AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ea) AS true_a,
+         (SELECT CAST(count(*) AS BIGINT) FROM eb) AS true_b,
+         (SELECT count(*) FROM
+            (SELECT user_id FROM ea
+             INTERSECT SELECT user_id FROM eb)) AS ti,
+         (SELECT count(*) FROM
+            (SELECT user_id FROM ea
+             UNION SELECT user_id FROM eb)) AS tu
+)
+SELECT CASE WHEN esta.n < {k} THEN CAST(esta.n AS DOUBLE)
+            ELSE {num!r} / CAST(esta.kth AS DOUBLE) END AS est_a,
+       CASE WHEN estb.n < {k} THEN CAST(estb.n AS DOUBLE)
+            ELSE {num!r} / CAST(estb.kth AS DOUBLE) END AS est_b,
+       jac.n_union_sample, jac.n_both,
+       CAST(jac.n_both AS DOUBLE) / jac.n_union_sample AS jaccard,
+       truth.true_a, truth.true_b,
+       CAST(truth.ti AS DOUBLE) / truth.tu AS true_jaccard
+FROM esta, estb, jac, truth
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7606,6 +7721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_events": q_cms_events,
         "robots_audit_urls": q_robots_audit_urls,
         "hll_events": q_hll_events,
+        "kmv_events": q_kmv_events,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8541,6 +8657,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_events": _CMS_SQL,
         "robots_audit_urls": _robots_audit_sql(),
         "hll_events": _hll_events_sql(),
+        "kmv_events": _kmv_events_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

@@ -265,3 +265,126 @@ def hll_estimate(sketch: DataFrame, *, m: int = 256) -> DataFrame:
                * F.lit(int(full))).cast("double")
         ).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------
+# KMV / bottom-k (Bar-Yossef et al. 2002; Beyer et al. 2007,
+# public) — the k smallest md5 hash values of the key's distinct
+# set. Complements HLL: same mergeability (union -> k smallest),
+# but the sketch carries actual hash SAMPLES, so two snapshots
+# support set-overlap estimates (Jaccard, intersection size)
+# WITHOUT joining the raw data — the "how much does today's crawl
+# overlap yesterday's" question at 10^12 rows. All arithmetic is
+# integer until one final f64 division, so oracles replay exactly.
+# ---------------------------------------------------------------
+
+_KMV_SPACE = float(1 << 48)  # md5-derived hashes are 48-bit
+
+
+def _kmv_hash(col: Column, seed: int) -> Column:
+    h = F.md5(F.concat_ws(":", F.lit("kmv"), col.cast("string"),
+                          F.lit(str(seed))))
+    return F.conv(
+        F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
+
+
+def _kmv_check_k(k: int) -> None:
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Bottom-k sketch: ``(h,)`` rows — the ``k`` smallest distinct
+    48-bit hashes of the key column (fewer rows when the column has
+    fewer distinct values, in which case the sketch IS the exact
+    distinct set). NULL keys skipped.
+
+    Scale shape: one hash-distinct aggregate (map-side partials
+    dedupe before the Exchange ships ~distinct hashes) followed by
+    a global bottom-k (``TakeOrderedAndProject`` — per-partition
+    top-k, never a full sort)."""
+    _kmv_check_k(k)
+    col = F.col(key)
+    return (
+        df.where(col.isNotNull())
+        .select(_kmv_hash(col, seed).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(int(k))
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
+    """Merge bottom-k sketches built with equal seed: k smallest of
+    the distinct union — exactly the sketch of the concatenated
+    inputs."""
+    _kmv_check_k(k)
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(int(k))
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
+    """One-row distinct-count estimate: ``(n, kth, estimate)``.
+    When the sketch holds fewer than ``k`` hashes it IS the
+    distinct set and the estimate equals ``n`` exactly; otherwise
+    the classic unbiased ``(k-1) * 2^48 / kth_smallest`` — one f64
+    division of exact integers."""
+    _kmv_check_k(k)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("kth"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        "kth",
+        F.when(F.col("n") < int(k), F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * _KMV_SPACE)
+            / F.col("kth").cast("double")
+        ).alias("estimate"),
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """One-row overlap estimate from two bottom-k sketches with
+    equal (k, seed): take the ``k`` smallest of the union (the
+    merged sketch L), count how many of L's hashes appear in BOTH
+    inputs, and return ``(n_union_sample, n_both, jaccard)`` with
+    ``jaccard = n_both / n_union_sample`` — the standard KMV
+    Jaccard estimator, an integer ratio in one f64 division. When
+    both columns had fewer than ``k`` distinct values the answer
+    is EXACT."""
+    _kmv_check_k(k)
+    merged = kmv_merge(a, b, k=k)
+    both = (
+        merged.join(a.withColumnRenamed("h", "_ha"),
+                    merged["h"] == F.col("_ha"), "left")
+        .join(b.withColumnRenamed("h", "_hb"),
+              merged["h"] == F.col("_hb"), "left")
+        .select(
+            ((F.col("_ha").isNotNull())
+             & (F.col("_hb").isNotNull())).cast("long")
+            .alias("inboth"))
+    )
+    return both.agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.sum("inboth").alias("n_both"),
+    ).select(
+        F.col("n_union_sample").cast("long")
+        .alias("n_union_sample"),
+        "n_both",
+        (F.col("n_both").cast("double")
+         / F.col("n_union_sample")).alias("jaccard"),
+    )

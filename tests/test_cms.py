@@ -166,3 +166,78 @@ def test_hll_plan_partial_aggregates(spark) -> None:
             ._jdf.queryExecution().executedPlan().toString())
     assert "partial_max" in plan
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------
+# KMV / bottom-k
+# ---------------------------------------------------------------
+
+from cerberus_cpp_spark.operators.sketch import (  # noqa: E402
+    kmv_estimate,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+def test_kmv_estimate_regimes(spark) -> None:
+    big = spark.range(0, 6_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    r = kmv_estimate(kmv_sketch(big, "k", k=256), k=256).collect()[0]
+    assert r["n"] == 256
+    # RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 3 sigma
+    assert abs(r["estimate"] - 6_000) / 6_000 < 0.2
+    # below k the sketch IS the distinct set: exact, duplicates and
+    # NULLs ignored
+    small = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,)], "k string")
+    r2 = kmv_estimate(kmv_sketch(small, "k", k=16), k=16).collect()[0]
+    assert (r2["n"], r2["estimate"]) == (2, 2.0)
+
+
+def test_kmv_merge_equals_whole(spark) -> None:
+    a = spark.range(0, 5_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(3_000, 8_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    m = kmv_merge(kmv_sketch(a, "k", k=128),
+                  kmv_sketch(b, "k", k=128), k=128)
+    w = kmv_sketch(a.unionByName(b), "k", k=128)
+    assert sorted(map(tuple, m.collect())) == \
+        sorted(map(tuple, w.collect()))
+
+
+def test_kmv_jaccard(spark) -> None:
+    # |A|=6000, |B|=6000, overlap 4000..5999 -> J = 2000/10000 = 0.2
+    a = spark.range(0, 6_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(4_000, 10_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    j = kmv_jaccard(kmv_sketch(a, "k", k=256),
+                    kmv_sketch(b, "k", k=256), k=256).collect()[0]
+    assert j["n_union_sample"] == 256
+    assert abs(j["jaccard"] - 0.2) < 0.1
+    # identical sets: exactly 1.0; disjoint small sets: exactly 0.0
+    sa = kmv_sketch(a, "k", k=64)
+    same = kmv_jaccard(sa, kmv_sketch(a, "k", k=64), k=64).collect()[0]
+    assert same["jaccard"] == 1.0
+    d1 = spark.createDataFrame([("x",)], "k string")
+    d2 = spark.createDataFrame([("y",)], "k string")
+    dis = kmv_jaccard(kmv_sketch(d1, "k", k=16),
+                      kmv_sketch(d2, "k", k=16), k=16).collect()[0]
+    assert (dis["n_union_sample"], dis["n_both"],
+            dis["jaccard"]) == (2, 0, 0.0)
+
+
+def test_kmv_guards_and_plan(spark) -> None:
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="k must"):
+        kmv_sketch(df, "k", k=1)
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_merge(k=4)
+    big = spark.range(0, 1_000).select(
+        F.col("id").cast("string").alias("k"))
+    plan = (kmv_sketch(big, "k", k=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    # bottom-k is a per-partition TakeOrdered, never a global Sort
+    assert "TakeOrderedAndProject" in plan
