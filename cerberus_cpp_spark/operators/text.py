@@ -1089,9 +1089,13 @@ def linear_quality_score(
     analogue: the allowed/min/max rule family (rules.hh:79-100,
     303-339) promoted to a learned scoring rule over text."""
     idc, txt = id_col, text_col
-    u = F.expr(
-        f"regexp_extract_all(lower({txt}), '{TOKEN_RE}', 0)"
-    )
+    src = df.select(idc, txt)
+    # materialize the token array BEFORE the bigram lambda: an
+    # expression referenced inside a higher-order-function body is
+    # re-evaluated per element (no subexpression elimination across
+    # the lambda boundary), which turns the full-text regex into
+    # O(tokens^2) work — measured 6.5 s vs 0.6 s at sf0.1
+    u = F.col("_u")
     terms = u
     if bigrams:
         bi = F.when(
@@ -1104,9 +1108,16 @@ def linear_quality_score(
             ),
         ).otherwise(F.array().cast("array<string>"))
         terms = F.concat(u, bi)
-    src = df.select(idc, txt)
-    tf = src.where(F.col(txt).isNotNull()).select(
-        idc, F.explode(terms).alias("_term")
+    tf = (
+        src.where(F.col(txt).isNotNull())
+        .select(
+            idc,
+            F.expr(
+                f"regexp_extract_all(lower({txt}),"
+                f" '{TOKEN_RE}', 0)"
+            ).alias("_u"),
+        )
+        .select(idc, F.explode(terms).alias("_term"))
     )
     w = (
         weights.groupBy(F.col(term_col).alias("_term"))
