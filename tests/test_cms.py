@@ -241,3 +241,37 @@ def test_kmv_guards_and_plan(spark) -> None:
             ._jdf.queryExecution().executedPlan().toString())
     # bottom-k is a per-partition TakeOrdered, never a global Sort
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------
+# stream == batch: both sketches are plain groupBy aggregates
+# (count / max), so Structured Streaming maintains them NATIVELY —
+# the 100 TB monitoring loop runs the SAME operator over readStream
+# in complete mode and the result table converges to the batch
+# sketch with no custom stateful code.
+# ---------------------------------------------------------------
+
+
+def _stream_sketch(spark, tmp_path, batch_df, op, name):
+    src = str(tmp_path / name)
+    batch_df.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    expected = sorted(map(tuple, op(batch).collect()))
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (op(stream).writeStream.format("memory")
+         .queryName(f"{name}_s").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple,
+                     spark.sql(f"SELECT * FROM {name}_s").collect()))
+    assert got == expected and len(got) > 0
+
+
+def test_stream_sketches_equal_batch(spark, tmp_path) -> None:
+    df = spark.createDataFrame(
+        [(f"k{i % 37}",) for i in range(500)], "k string")
+    _stream_sketch(spark, tmp_path, df,
+                   lambda d: cms_sketch(d, "k", width=16, depth=3),
+                   "cms_s")
+    _stream_sketch(spark, tmp_path, df,
+                   lambda d: hll_sketch(d, "k", m=32), "hll_s")
