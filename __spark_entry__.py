@@ -2696,6 +2696,112 @@ FROM esta, estb, jac, truth
 """
 
 
+def q_numeric_hist_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact equi-width histogram (checks.numeric_histogram) of
+    l_extendedprice in 24 bins with in-plan exact bounds (min/max
+    aggregate cross-joined, zero driver round-trips): integer
+    counts, IEEE-f64 bin edges, NULL/NaN/inf excluded. The oracle
+    replays the bounds, the width, the floor/clamp bin assignment,
+    and the edge arithmetic bit-for-bit."""
+    from cerberus_cpp_spark.operators.checks import (
+        numeric_histogram,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return numeric_histogram(li, "l_extendedprice", bins=24)
+
+
+_NUMERIC_HIST_SQL = """
+WITH f AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND isfinite(CAST(l_extendedprice AS DOUBLE))
+),
+b AS (SELECT min(x) AS lo, max(x) AS hi FROM f),
+binned AS (
+  SELECT CAST(CASE WHEN b.lo = b.hi THEN 0
+              ELSE least(23, greatest(0,
+                floor((x - b.lo) / ((b.hi - b.lo) / 24.0))))
+         END AS INTEGER) AS bin,
+         b.lo, b.hi
+  FROM f, b
+)
+SELECT bin,
+       lo + bin * ((hi - lo) / 24.0) AS lo_edge,
+       lo + (bin + 1) * ((hi - lo) / 24.0) AS hi_edge,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM binned GROUP BY bin, lo, hi
+"""
+
+
+def q_hll_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-hour HLL distinct-user estimates (sketch.hll_sketch /
+    hll_estimate with by=('hour',)): ONE partially-aggregated scan
+    yields every hour's register table (at most groups*m partials
+    per task), then the estimate rows per hour — the time axis of
+    the monitoring loop, each number integer-exact until its single
+    f64 division so the oracle replays all hours bit-for-bit."""
+    from cerberus_cpp_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    sk = hll_sketch(ev, "user_id", m=32, by=("hour",))
+    return hll_estimate(sk, m=32, by=("hour",))
+
+
+def _hll_hourly_sql() -> str:
+    from cerberus_cpp_spark.operators.sketch import _hll_alpha
+
+    m = 32
+    num = float(_hll_alpha(m) * m * m) * float(1 << 49)
+    return f"""
+WITH hashed AS (
+  SELECT date_trunc('hour', ts) AS hour,
+    CAST(concat('0x', substr(md5(concat('r', ':',
+      CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      % {m} AS reg,
+    CAST(concat('0x', substr(md5(concat('w', ':',
+      CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      AS w
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT hour, reg,
+         max(CASE WHEN w = 0 THEN 49
+                  ELSE strpos(lpad(bin(w), 48, '0'), '1')
+             END) AS rho
+  FROM hashed GROUP BY hour, reg
+),
+agg AS (
+  SELECT hour,
+         CAST(count(*) AS BIGINT) AS n_set,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << (49 - rho)), 0)
+              AS BIGINT) AS present
+  FROM regs GROUP BY hour
+)
+SELECT hour,
+       CAST({m} AS INTEGER) AS m,
+       CAST(n_set AS INTEGER) AS n_set,
+       CAST({m} - n_set AS INTEGER) AS n_zero,
+       present + ({m} - n_set) * (CAST(1 AS BIGINT) << 49)
+         AS denom,
+       {num!r} / CAST(present + ({m} - n_set)
+                      * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+         AS estimate
+FROM agg
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7722,6 +7828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_audit_urls": q_robots_audit_urls,
         "hll_events": q_hll_events,
         "kmv_events": q_kmv_events,
+        "numeric_hist_lineitem": q_numeric_hist_lineitem,
+        "hll_hourly_events": q_hll_hourly_events,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8658,6 +8766,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_audit_urls": _robots_audit_sql(),
         "hll_events": _hll_events_sql(),
         "kmv_events": _kmv_events_sql(),
+        "numeric_hist_lineitem": _NUMERIC_HIST_SQL,
+        "hll_hourly_events": _hll_hourly_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

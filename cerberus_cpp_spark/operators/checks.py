@@ -1498,3 +1498,82 @@ def volume_anomalies(
         (F.col("robust_z") > float(z))
         | (F.col("mad") == 0) & (F.col("cnt") != F.col("med"))
     ).select(*grp, "bucket", "cnt", "med", "mad", "robust_z")
+
+
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 32,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """EXACT equi-width histogram of a numeric column — the numeric
+    sibling of the categorical frequency histograms above, and the
+    cheap first look before the t-digest machinery: one row per
+    non-empty bin, ``(bin, lo_edge, hi_edge, cnt)``, with integer
+    counts so the DuckDB oracle matches bit-for-bit (the bin edges
+    and assignments are plain IEEE f64 arithmetic, identical across
+    engines given identical bounds). NULL, NaN, and ±inf rows are
+    excluded (they have no bin semantics; count them with
+    column_stats). Bounds: pass ``lo``/``hi`` for the single-pass
+    variant (values outside clamp into the edge bins — the
+    streaming-friendly fixed-domain form); omit them and the plan
+    computes exact min/max in a first aggregate and cross-joins the
+    1-row bounds frame (two passes over the column, zero driver
+    round-trips). A degenerate domain (lo == hi) lands everything
+    in bin 0.
+
+    Scale shape: the bounds aggregate and the bin aggregate each
+    ship O(1) / O(bins) partials per task; nothing else shuffles.
+    Reference analogue: min/max rules (rules.hh:303-339) promoted
+    to a distribution summary."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    c = F.col(col).cast("double")
+    finite = df.where(
+        c.isNotNull() & ~F.isnan(c)
+        & (F.abs(c) != F.lit(float("inf")))
+    ).select(c.alias("_x"))
+    if lo is None or hi is None:
+        bounds = finite.agg(
+            F.min("_x").alias("_lo"), F.max("_x").alias("_hi")
+        )
+        src = finite.crossJoin(F.broadcast(bounds))
+    else:
+        src = finite.select(
+            "_x",
+            F.lit(float(lo)).alias("_lo"),
+            F.lit(float(hi)).alias("_hi"),
+        )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    rawbin = F.floor((F.col("_x") - F.col("_lo")) / width)
+    bin_ = (
+        F.when(F.col("_lo") == F.col("_hi"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(int(bins) - 1),
+                    F.greatest(F.lit(0), rawbin))
+        )
+        .cast("int")
+    )
+    return (
+        src.select(
+            bin_.alias("bin"),
+            F.col("_lo").alias("_lo"),
+            F.col("_hi").alias("_hi"),
+        )
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            (F.col("_lo")
+             + F.col("bin")
+             * ((F.col("_hi") - F.col("_lo"))
+                / F.lit(float(bins)))).alias("lo_edge"),
+            (F.col("_lo")
+             + (F.col("bin") + 1)
+             * ((F.col("_hi") - F.col("_lo"))
+                / F.lit(float(bins)))).alias("hi_edge"),
+            "cnt",
+        )
+    )

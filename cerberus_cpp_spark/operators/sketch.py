@@ -57,8 +57,9 @@ def cms_sketch(
     width: int = 1024,
     depth: int = 4,
     seed: int = 0,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Build the sketch: ``(d, cell, cnt)`` with exactly one row per
+    """Build the sketch: ``(*by, d, cell, cnt)`` with one row per
     non-empty cell (``depth * width`` rows at most, independent of
     input size). NULL keys are skipped (they have no frequency
     semantics; count them with a plain aggregate).
@@ -80,8 +81,8 @@ def cms_sketch(
     ])
     return (
         df.where(col.isNotNull())
-        .select(F.explode(cells).alias("p"))
-        .groupBy(F.col("p.d").alias("d"),
+        .select(*by, F.explode(cells).alias("p"))
+        .groupBy(*by, F.col("p.d").alias("d"),
                  F.col("p.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -186,11 +187,15 @@ def hll_sketch(
     *,
     m: int = 256,
     seed: int = 0,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Register table ``(reg, rho)`` — at most ``m`` rows whatever
-    the input size; NULL keys skipped. One partially-aggregated
-    scan: the Exchange ships at most ``m`` (reg, max-rho) partials
-    per task."""
+    """Register table ``(*by, reg, rho)`` — at most ``m`` rows PER
+    GROUP whatever the input size; NULL keys skipped. ``by`` adds
+    grouping dimensions (an event-time bucket, a partition id) so
+    one scan yields the per-bucket sketches a monitoring loop rolls
+    up with :func:`hll_merge` — which accepts the same ``by``. One
+    partially-aggregated scan: the Exchange ships at most
+    ``groups * m`` (reg, max-rho) partials per task."""
     _hll_check_m(m)
     col = F.col(key)
     reg = (
@@ -214,28 +219,39 @@ def hll_sketch(
     )
     return (
         df.where(col.isNotNull())
-        .select(reg.alias("reg"), rho.cast("int").alias("rho"))
-        .groupBy("reg")
+        .select(*by, reg.alias("reg"),
+                rho.cast("int").alias("rho"))
+        .groupBy(*by, "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(*sketches: DataFrame,
+              by: tuple[str, ...] = ()) -> DataFrame:
     """Merge register tables built with equal (m, seed): per-register
-    max — exactly the sketch of the concatenated inputs."""
+    max — exactly the sketch of the concatenated inputs. Pass the
+    same ``by`` to merge per group; call WITHOUT ``by`` on a
+    ``by``-built sketch to collapse the groups into one corpus-wide
+    sketch (select reg/rho first)."""
     if not sketches:
         raise ValueError("need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+    return out.groupBy(*by, "reg").agg(F.max("rho").alias("rho"))
 
 
-def hll_estimate(sketch: DataFrame, *, m: int = 256) -> DataFrame:
-    """One-row estimate from a register table: ``(m, n_set, n_zero,
-    denom, estimate)`` where ``denom`` is the exact integer
-    harmonic sum in units of 2^-49 (absent/zero registers
-    contribute the full 2^49) and ``estimate`` is the raw
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    m: int = 256,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Estimate rows from a register table: ``(*by, m, n_set,
+    n_zero, denom, estimate)`` — one row total, or one per group
+    when the sketch was built with the same ``by``. ``denom`` is
+    the exact integer harmonic sum in units of 2^-49 (absent/zero
+    registers contribute the full 2^49) and ``estimate`` is the raw
     alpha_m * m^2 * 2^49 / denom in ONE f64 division — both numbers
     replay bit-for-bit in the oracle. No range corrections (see
     module note); apply linear counting from ``n_zero`` downstream
@@ -243,14 +259,17 @@ def hll_estimate(sketch: DataFrame, *, m: int = 256) -> DataFrame:
     _hll_check_m(m)
     alpha = _hll_alpha(m)
     full = 1 << _HLL_RHO_MAX  # 2^49 — the rho=0 (absent) term
-    agg = sketch.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_set"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_MAX} - rho)")),
             F.lit(0),
         ).alias("_present"),
-    )
+    ]
+    agg = sketch.groupBy(*by).agg(*aggs) if by \
+        else sketch.agg(*aggs)
     return agg.select(
+        *by,
         F.lit(int(m)).alias("m"),
         F.col("n_set").cast("int").alias("n_set"),
         (F.lit(int(m)) - F.col("n_set")).cast("int")

@@ -275,3 +275,32 @@ def test_stream_sketches_equal_batch(spark, tmp_path) -> None:
                    "cms_s")
     _stream_sketch(spark, tmp_path, df,
                    lambda d: hll_sketch(d, "k", m=32), "hll_s")
+
+
+def test_grouped_sketches(spark) -> None:
+    """by= grouping: one scan yields per-group sketches; collapsing
+    the groups with hll_merge equals the ungrouped sketch; grouped
+    estimates carry the group column."""
+    df = spark.createDataFrame(
+        [(i % 3, f"k{i % 40}") for i in range(200)],
+        "g int, k string")
+    gsk = hll_sketch(df, "k", m=32, by=("g",))
+    # collapsing groups == the ungrouped corpus sketch
+    collapsed = hll_merge(gsk.select("reg", "rho"))
+    whole = hll_sketch(df, "k", m=32)
+    assert sorted(map(tuple, collapsed.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    est = hll_estimate(gsk, m=32, by=("g",)).collect()
+    assert {r["g"] for r in est} == {0, 1, 2}
+    assert all(r["n_set"] + r["n_zero"] == 32 for r in est)
+    # per-group sketch == sketch of the group's slice
+    one = hll_sketch(df.where("g = 1"), "k", m=32)
+    assert sorted(map(tuple, gsk.where("g = 1")
+                      .select("reg", "rho").collect())) == \
+        sorted(map(tuple, one.collect()))
+    # cms by= too: group slices agree
+    gc = cms_sketch(df, "k", width=8, depth=2, by=("g",))
+    c1 = cms_sketch(df.where("g = 2"), "k", width=8, depth=2)
+    assert sorted(map(tuple, gc.where("g = 2")
+                      .select("d", "cell", "cnt").collect())) == \
+        sorted(map(tuple, c1.collect()))
