@@ -2802,6 +2802,95 @@ FROM agg
 """
 
 
+def q_img_phash_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's 'phash-based uniqueness + approx-distinct
+    via HyperLogLog' sentence made literal, per image format: one
+    partially-aggregated scan of the synthetic input_hint table
+    yields per-fmt HLL register tables over phash (by=('fmt',)),
+    the per-fmt raw estimates ride next to the exact distinct
+    counts (the id%50 hot-phash plant visibly collapses distincts
+    below row counts), and the oracle regenerates the frame with
+    identical integer arithmetic and replays registers, exact
+    denominators, and the single f64 division per format."""
+    from cerberus_cpp_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from cerberus_cpp_spark.sources.distgen import (
+        image_caption_frame,
+    )
+
+    df = image_caption_frame(spark, VAL_IMAGES_N)
+    sk = hll_sketch(df, "phash", m=64, by=("fmt",))
+    est = hll_estimate(sk, m=64, by=("fmt",))
+    true = df.groupBy("fmt").agg(
+        F.count_distinct("phash").alias("true_distinct"))
+    return est.join(true, "fmt")
+
+
+def _img_phash_hll_sql() -> str:
+    from cerberus_cpp_spark.operators.sketch import _hll_alpha
+
+    m = 64
+    num = float(_hll_alpha(m) * m * m) * float(1 << 49)
+    return f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {VAL_IMAGES_N})
+),
+t AS (
+  SELECT CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 2
+              THEN 'heif'
+              ELSE ['jpeg','png','webp'][CAST(id % 3 AS INT) + 1]
+         END AS fmt,
+         CASE WHEN id % 50 = 0 THEN {0x5A5A5A5A5A5A5A5A}
+              ELSE mix END AS phash
+  FROM g
+),
+hashed AS (
+  SELECT fmt,
+    CAST(concat('0x', substr(md5(concat('r', ':',
+      CAST(phash AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      % {m} AS reg,
+    CAST(concat('0x', substr(md5(concat('w', ':',
+      CAST(phash AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)
+      AS w
+  FROM t
+),
+regs AS (
+  SELECT fmt, reg,
+         max(CASE WHEN w = 0 THEN 49
+                  ELSE strpos(lpad(bin(w), 48, '0'), '1')
+             END) AS rho
+  FROM hashed GROUP BY fmt, reg
+),
+agg AS (
+  SELECT fmt,
+         CAST(count(*) AS BIGINT) AS n_set,
+         CAST(coalesce(sum(CAST(1 AS BIGINT) << (49 - rho)), 0)
+              AS BIGINT) AS present
+  FROM regs GROUP BY fmt
+),
+truth AS (
+  SELECT fmt, CAST(count(DISTINCT phash) AS BIGINT)
+           AS true_distinct
+  FROM t GROUP BY fmt
+)
+SELECT a.fmt,
+       CAST({m} AS INTEGER) AS m,
+       CAST(n_set AS INTEGER) AS n_set,
+       CAST({m} - n_set AS INTEGER) AS n_zero,
+       present + ({m} - n_set) * (CAST(1 AS BIGINT) << 49)
+         AS denom,
+       {num!r} / CAST(present + ({m} - n_set)
+                      * (CAST(1 AS BIGINT) << 49) AS DOUBLE)
+         AS estimate,
+       truth.true_distinct
+FROM agg a JOIN truth ON a.fmt = truth.fmt
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7830,6 +7919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_events": q_kmv_events,
         "numeric_hist_lineitem": q_numeric_hist_lineitem,
         "hll_hourly_events": q_hll_hourly_events,
+        "img_phash_hll": q_img_phash_hll,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8768,6 +8858,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_events": _kmv_events_sql(),
         "numeric_hist_lineitem": _NUMERIC_HIST_SQL,
         "hll_hourly_events": _hll_hourly_sql(),
+        "img_phash_hll": _img_phash_hll_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,
