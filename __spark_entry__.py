@@ -1716,7 +1716,7 @@ marked AS (
              list_transform(string_split(text, chr(10)),
                             x -> trim(x)),
              x -> regexp_matches(x, '[.!?"]$')
-                  AND len(regexp_split_to_array(x, '\\s+')) >= 5
+                  AND len(regexp_split_to_array(x, '[ \\t\\n\\f\\r]+')) >= 5
                   AND NOT contains(lower(x), 'javascript'))
          END AS kept
   FROM planted
@@ -1822,9 +1822,9 @@ WITH planted AS (
 ),
 counters AS (
   SELECT doc_id,
-         coalesce(len(regexp_extract_all(text, '[^\\s]+')), 0)
+         coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')), 0)
            AS n_words,
-         coalesce(length(regexp_replace(text, '\\s+', '', 'g')),
+         coalesce(length(regexp_replace(text, '[ \\t\\n\\f\\r]+', '', 'g')),
                   0) AS word_chars,
          coalesce(len(regexp_extract_all(text, '#'))
                   + len(regexp_extract_all(
@@ -1848,7 +1848,7 @@ counters AS (
            x -> regexp_matches(x, '(\\.\\.\\.|…)$'))), 0)
            AS n_ellipsis_lines,
          coalesce(len(list_filter(
-           regexp_extract_all(text, '[^\\s]+'),
+           regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'),
            w -> regexp_matches(w, '[A-Za-z]'))), 0)
            AS n_alpha_words,
          coalesce(CASE WHEN text IS NULL THEN 0
@@ -2067,12 +2067,15 @@ def q_curation_pipeline(
     to the md5 of each final text. Returns one row per surviving
     document.
 
-    The gated corpus and the deduped corpus are persisted: the span
+    The gated corpus and the deduped corpus are WRITTEN TO PARQUET
+    stage boundaries (a per-call temp dir) and read back: the span
     dedup references its input three times and the final verdict
     join twice more, so without a materialization barrier the
     expensive clean+gate projection would re-run ~18x (measured).
-    A production 100 TB run writes these stage boundaries to
-    parquet instead — same idea, durable."""
+    Parquet, not .persist(): a cached frame has no unpersist point
+    in a lazily-returned query (the leak would pin executor storage
+    for the rest of the session), and writing stage boundaries is
+    exactly what the production 100 TB run does anyway."""
     from cerberus_cpp_spark.operators.text import (
         c4_clean,
         gopher_quality_filter,
@@ -2110,8 +2113,15 @@ def q_curation_pipeline(
     gate = gopher_quality_filter(
         cleaned, min_words=20, min_stop_hits=1
     ).where(F.col("passed")).select("doc_id")
-    gated = cleaned.join(gate, "doc_id").persist()
-    deduped = remove_repeated_spans(gated, n=5).persist()
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="curation_stages_")
+    cleaned.join(gate, "doc_id").write.mode("overwrite") \
+        .parquet(f"{stage_dir}/gated")
+    gated = spark.read.parquet(f"{stage_dir}/gated")
+    remove_repeated_spans(gated, n=5).write.mode("overwrite") \
+        .parquet(f"{stage_dir}/deduped")
+    deduped = spark.read.parquet(f"{stage_dir}/deduped")
     w = spark.createDataFrame(
         list(_QC_WEIGHTS), "term string, weight long"
     )
@@ -2160,7 +2170,7 @@ c4kept AS (
            list_transform(string_split(text, chr(10)),
                           x -> trim(x)),
            x -> regexp_matches(x, '[.!?"]$')
-                AND len(regexp_split_to_array(x, '\\s+')) >= 5
+                AND len(regexp_split_to_array(x, '[ \\t\\n\\f\\r]+')) >= 5
                 AND NOT contains(lower(x), 'javascript'))
            AS kept
   FROM planted
@@ -2174,8 +2184,8 @@ cleaned AS (
 ),
 gophered AS (
   SELECT doc_id, text,
-         len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
-         length(regexp_replace(text, '\\s+', '', 'g'))
+         len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS n_words,
+         length(regexp_replace(text, '[ \\t\\n\\f\\r]+', '', 'g'))
            AS word_chars,
          len(regexp_extract_all(text, '#'))
            + len(regexp_extract_all(text, '(\\.\\.\\.|…)'))
@@ -2194,7 +2204,7 @@ gophered AS (
                           x -> trim(x)), x -> x <> ''),
            x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
            AS n_ellipsis_lines,
-         len(list_filter(regexp_extract_all(text, '[^\\s]+'),
+         len(list_filter(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'),
                          w -> regexp_matches(w, '[A-Za-z]')))
            AS n_alpha_words,
          CASE WHEN {stop_or} THEN 1 ELSE 0 END AS any_stop
@@ -2371,7 +2381,8 @@ _ROBOTS_BODIES: tuple[str, ...] = (
     "Allow: /private/public$\nCrawl-delay: 2\n\n"
     "User-agent: *\nDisallow: /tmp\n",
     "User-agent: *\nDisallow: /\nAllow: /pub/*\n",
-    "User-agent: cer\nDisallow: /deep/*\nAllow: /deep/a/*\n\n"
+    "User-agent: cer\nDisallow: /deep/*\nAllow: /deep/a/*\n"
+    "Disallow: /*?sid=*\n\n"
     "User-agent: *\nDisallow: /never\n",
     "# comments only\n# nothing to see\n",
 )
@@ -2401,6 +2412,8 @@ def q_robots_audit_urls(
     path = (
         F.when(i % 7 == 0, F.concat(F.lit("/private/x"),
                                     i.cast("string")))
+        .when((i % 7 == 1) & (i % 2 == 1),
+              F.lit("/private/public?sid=9"))
         .when(i % 7 == 1, F.lit("/private/public"))
         .when(i % 7 == 2, F.concat(F.lit("/pub/a"),
                                    i.cast("string")))
@@ -2455,6 +2468,8 @@ WITH urls AS (
              CASE
                WHEN doc_id % 7 = 0 THEN
                  concat('/private/x', CAST(doc_id AS VARCHAR))
+               WHEN doc_id % 7 = 1 AND doc_id % 2 = 1
+                 THEN '/private/public?sid=9'
                WHEN doc_id % 7 = 1 THEN '/private/public'
                WHEN doc_id % 7 = 2 THEN
                  concat('/pub/a', CAST(doc_id AS VARCHAR))
@@ -2481,10 +2496,10 @@ pages AS (
                 '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
                 1)) = '' THEN NULL
               WHEN regexp_extract(url,
-                '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
                 THEN '/'
               ELSE regexp_extract(url,
-                '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                '^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)', 1)
          END AS path
   FROM urls
 ),

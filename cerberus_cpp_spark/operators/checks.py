@@ -1530,6 +1530,13 @@ def numeric_histogram(
     to a distribution summary."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if (lo is None) != (hi is None):
+        raise ValueError(
+            "pass BOTH lo and hi for the fixed-domain variant, or "
+            "neither for in-plan exact bounds — a single bound "
+            "would be silently ignored")
+    if lo is not None and not (float(lo) <= float(hi)):
+        raise ValueError(f"lo must be <= hi, got [{lo}, {hi}]")
     c = F.col(col).cast("double")
     finite = df.where(
         c.isNotNull() & ~F.isnan(c)

@@ -31,16 +31,37 @@ from pyspark.sql import functions as F
 _HEX_CHARS = 12
 
 
+def _hash48(*parts: Column) -> Column:
+    """The repo's ONE portable 48-bit hash (split.split_bucket's
+    recipe): first 12 md5 hex chars of the ':'-joined parts as a
+    BIGINT. Every sketch below derives its cells/registers/samples
+    from this helper so the md5 contract cannot drift per family."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, _HEX_CHARS),
+        16, 10,
+    ).cast("bigint")
+
+
+def _check_sketch_columns(
+    sketch: DataFrame, by: tuple[str, ...], data: tuple[str, ...],
+    what: str,
+) -> None:
+    """A sketch frame must carry EXACTLY by + data columns: silently
+    accepting extra group columns would aggregate ACROSS groups and
+    break the estimator contracts (e.g. CMS min over per-group
+    counts underestimates)."""
+    want = list(by) + list(data)
+    if sorted(sketch.columns) != sorted(want):
+        raise ValueError(
+            f"{what}: sketch columns {sorted(sketch.columns)} != "
+            f"expected {sorted(want)} — pass by= matching how the "
+            f"sketch was built")
+
+
 def _cms_cell(col: Column, d: int, seed: int, width: int) -> Column:
-    h = F.md5(
-        F.concat_ws(
-            ":", col.cast("string"), F.lit(str(seed)), F.lit(str(d))
-        )
-    )
-    return (
-        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
-        % F.lit(int(width))
-    )
+    h = _hash48(col.cast("string"), F.lit(str(seed)),
+                F.lit(str(d)))
+    return h % F.lit(int(width))
 
 
 def _check_params(width: int, depth: int) -> None:
@@ -88,18 +109,25 @@ def cms_sketch(
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(*sketches: DataFrame,
+              by: tuple[str, ...] = ()) -> DataFrame:
     """Merge sketches built with identical (width, depth, seed):
-    union the cell tables and sum counts per (d, cell). The result
-    is EXACTLY the sketch of the concatenated inputs — the property
-    that lets per-partition / per-snapshot sketches roll up without
-    rescanning data."""
+    union the cell tables and sum counts per (d, cell) — per group
+    when ``by`` names the grouping columns the sketches were built
+    with. The result is EXACTLY the sketch of the concatenated
+    inputs; to COLLAPSE a grouped sketch into one corpus sketch,
+    select (d, cell, cnt) first and merge without ``by``. Sketches
+    carrying columns not named in ``by`` are rejected (summing
+    across unnamed groups would silently double-count)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    for sk in sketches:
+        _check_sketch_columns(sk, by, ("d", "cell", "cnt"),
+                              "cms_merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "cell").agg(
+    return out.groupBy(*by, "d", "cell").agg(
         F.sum("cnt").alias("cnt")
     )
 
@@ -112,15 +140,26 @@ def cms_estimate(
     width: int = 1024,
     depth: int = 4,
     seed: int = 0,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-estimate every row of ``keys``: recompute the ``depth``
     cells per key, join against the sketch (missing cells count 0 —
     an empty cell proves the key was never seen), and take the min.
-    Returns ``(key, est)``; ``est >= true count`` always, with the
-    standard CMS overcount bound. The join is (d, cell)-keyed
-    against a frame bounded by ``depth * width`` rows — broadcast
-    territory at any real width, and AQE picks that on its own."""
+    Returns ``(*by, key, est)``; ``est >= true count`` always, with
+    the standard CMS overcount bound — estimates are PER GROUP when
+    the sketch was built with the same ``by``, and a sketch carrying
+    group columns not named in ``by`` is rejected (the min over
+    unnamed per-group counts would silently UNDERESTIMATE, breaking
+    the one-sided guarantee). Grouped estimates stay one-sided
+    upper bounds but lose the empty-cell-proves-absence refinement:
+    a (group, key) pair appears only when at least one of its cells
+    is non-empty in that group. The join is (by, d, cell)-keyed
+    against a frame bounded by ``groups * depth * width`` rows —
+    broadcast territory at any real width, and AQE picks that on
+    its own."""
     _check_params(width, depth)
+    _check_sketch_columns(sketch, by, ("d", "cell", "cnt"),
+                          "cms_estimate")
     col = F.col(key)
     cells = F.array(*[
         F.struct(
@@ -136,8 +175,9 @@ def cms_estimate(
                 F.col("p.cell").alias("cell"))
     )
     return (
-        kc.join(sketch, ["d", "cell"], "left")
-        .groupBy(key)
+        kc.join(sketch, ["d", "cell"],
+                "left" if not by else "inner")
+        .groupBy(*by, key)
         .agg(
             F.min(F.coalesce(F.col("cnt"), F.lit(0)))
             .alias("est")
@@ -198,19 +238,9 @@ def hll_sketch(
     ``groups * m`` (reg, max-rho) partials per task."""
     _hll_check_m(m)
     col = F.col(key)
-    reg = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit("r"), col.cast("string"),
-                                  F.lit(str(seed)))),
-                1, _HEX_CHARS), 16, 10)
-        .cast("bigint") % F.lit(int(m))
-    )
-    w = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit("w"), col.cast("string"),
-                              F.lit(str(seed)))),
-            1, _HEX_CHARS), 16, 10).cast("bigint")
+    reg = _hash48(F.lit("r"), col.cast("string"),
+                  F.lit(str(seed))) % F.lit(int(m))
+    w = _hash48(F.lit("w"), col.cast("string"), F.lit(str(seed)))
     # rho from the padded binary string: 1-based position of the
     # first set bit == leading zeros + 1
     wbin = F.lpad(F.bin(w), 48, "0")
@@ -235,6 +265,8 @@ def hll_merge(*sketches: DataFrame,
     sketch (select reg/rho first)."""
     if not sketches:
         raise ValueError("need at least one sketch")
+    for sk in sketches:
+        _check_sketch_columns(sk, by, ("reg", "rho"), "hll_merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -257,6 +289,8 @@ def hll_estimate(
     module note); apply linear counting from ``n_zero`` downstream
     if the estimate is small."""
     _hll_check_m(m)
+    _check_sketch_columns(sketch, by, ("reg", "rho"),
+                          "hll_estimate")
     alpha = _hll_alpha(m)
     full = 1 << _HLL_RHO_MAX  # 2^49 — the rho=0 (absent) term
     aggs = [
@@ -301,10 +335,8 @@ _KMV_SPACE = float(1 << 48)  # md5-derived hashes are 48-bit
 
 
 def _kmv_hash(col: Column, seed: int) -> Column:
-    h = F.md5(F.concat_ws(":", F.lit("kmv"), col.cast("string"),
-                          F.lit(str(seed))))
-    return F.conv(
-        F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
+    return _hash48(F.lit("kmv"), col.cast("string"),
+                   F.lit(str(seed)))
 
 
 def _kmv_check_k(k: int) -> None:
@@ -346,6 +378,8 @@ def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     _kmv_check_k(k)
     if not sketches:
         raise ValueError("need at least one sketch")
+    for sk in sketches:
+        _check_sketch_columns(sk, (), ("h",), "kmv_merge")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -359,6 +393,7 @@ def kmv_estimate(sketch: DataFrame, *, k: int = 256) -> DataFrame:
     the classic unbiased ``(k-1) * 2^48 / kth_smallest`` — one f64
     division of exact integers."""
     _kmv_check_k(k)
+    _check_sketch_columns(sketch, (), ("h",), "kmv_estimate")
     agg = sketch.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("h").alias("kth"),
@@ -386,6 +421,8 @@ def kmv_jaccard(
     both columns had fewer than ``k`` distinct values the answer
     is EXACT."""
     _kmv_check_k(k)
+    for sk in (a, b):
+        _check_sketch_columns(sk, (), ("h",), "kmv_jaccard")
     merged = kmv_merge(a, b, k=k)
     both = (
         merged.join(a.withColumnRenamed("h", "_ha"),

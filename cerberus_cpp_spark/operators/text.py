@@ -951,6 +951,12 @@ def remove_repeated_spans(
         raise ValueError("min_count must be >= 2")
     if not sep:
         raise ValueError("sep must be a non-empty literal string")
+    if "\\" in sep or "\x01" in sep:
+        # a backslash could smuggle \E through the \Q...\E quoting
+        # below (breaking the split pattern at run time on
+        # executors); \x01 is the gram joiner byte
+        raise ValueError(
+            "sep must not contain backslashes or \\x01")
     idc, txt = id_col, text_col
     qsep = "\\Q" + sep + "\\E"  # literal (Java regex quote)
     src = df.select(idc, txt)
@@ -1322,7 +1328,8 @@ def c4_clean(
         F.transform(lines, lambda x: F.trim(x)),
         lambda x: (
             x.rlike('[.!?"]$')
-            & (F.size(F.split(x, "\\s+")) >= min_words_per_line)
+            & (F.size(F.split(x, "[ \\t\\n\\f\\r]+"))
+               >= min_words_per_line)
             & ~F.lower(x).contains("javascript")
         ),
     )
@@ -1369,7 +1376,10 @@ def gopher_quality_filter(
 ) -> DataFrame:
     """The Gopher quality rule set (Rae et al. 2021 §A1.1, public),
     pinned as a deterministic contract over whitespace words
-    (``[^\\s]+`` runs) and newline lines: word count within
+    (runs of non-whitespace, with whitespace pinned to the PORTABLE
+    explicit class ``[ \\t\\n\\f\\r]`` — Java's ``\\s`` includes
+    vertical tab \\x0B while RE2's does not, so ``\\s`` would desync
+    the oracle on such bytes) and newline lines: word count within
     ``[min_words, max_words]``; mean word length within
     ``[min_mean_word_len, max_mean_word_len]`` (inclusive); hash or
     ellipsis symbol-to-word ratio at most ``max_symbol_word_ratio``
@@ -1394,11 +1404,11 @@ def gopher_quality_filter(
     promoted to the published Gopher document-quality rule set."""
     idc, txt = id_col, text_col
     words = F.expr(
-        f"regexp_extract_all({txt}, '[^\\\\s]+', 0)"
+        f"regexp_extract_all({txt}, '[^ \\\\t\\\\n\\\\f\\\\r]+', 0)"
     )
     n_words = F.size(words)
     word_chars = F.length(
-        F.regexp_replace(F.col(txt), "\\s+", "")
+        F.regexp_replace(F.col(txt), "[ \\t\\n\\f\\r]+", "")
     )
     n_hash = F.size(
         F.expr(f"regexp_extract_all({txt}, '#', 0)")

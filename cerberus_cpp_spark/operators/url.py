@@ -26,6 +26,9 @@ SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
 HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
 PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
 QUERY_RE = "\\?([^#]*)"
+#: path INCLUDING the query (robots matching per RFC 9309), minus
+#: any fragment
+PATHQUERY_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
 def url_scheme(col: str = "url") -> Column:
@@ -212,7 +215,10 @@ def robots_audit(
         robots, agent=agent, host_col=host_col, text_col=text_col
     )
     host = F.lower(F.regexp_extract(F.col(uc), HOST_RE, 1))
-    rawpath = F.regexp_extract(F.col(uc), PATH_RE, 1)
+    # RFC 9309 patterns match against path PLUS query ('?' is a
+    # literal in the translation; 'Disallow: /*?sid=*' must fire on
+    # '/p?sid=1') — capture everything up to the fragment
+    rawpath = F.regexp_extract(F.col(uc), PATHQUERY_RE, 1)
     path = F.when(
         host == "", F.lit(None).cast("string")
     ).otherwise(F.when(rawpath == "", F.lit("/")).otherwise(rawpath))

@@ -136,19 +136,25 @@ def rule_regex(pattern: str) -> str:
 def is_allowed(robots: Robots, agent: str, path: str) -> tuple[
         bool, str | None]:
     """(allowed, winning_pattern) for a path under the contract:
-    longest matching pattern wins, allow wins ties, no match or no
-    applicable group = allowed."""
+    longest matching pattern wins, allow wins length ties, and the
+    lexicographically LARGEST pattern wins (length, allow) ties —
+    the SAME total order the Spark operator's struct-max and the
+    DuckDB oracle's window use, so all three surfaces name the same
+    matched rule. No match or no applicable group = allowed. Pass
+    the path WITH its query string ('/p?sid=1') — RFC 9309 patterns
+    match against path-plus-query and '?' is a literal in the
+    translation."""
     import re
 
     g = select_group(robots, agent)
     if g is None:
         return True, None
-    best: tuple[int, int, bool, str] | None = None
+    best: tuple[int, int, str, bool] | None = None
     for allow, pat in g.rules:
         if re.match(rule_regex(pat), path) is not None:
-            key = (len(pat), int(allow))
-            if best is None or key > (best[0], best[1]):
-                best = (len(pat), int(allow), allow, pat)
+            key = (len(pat), int(allow), pat)
+            if best is None or key > (best[0], best[1], best[2]):
+                best = (len(pat), int(allow), pat, allow)
     if best is None:
         return True, None
-    return best[2], best[3]
+    return best[3], best[2]

@@ -304,3 +304,27 @@ def test_grouped_sketches(spark) -> None:
     assert sorted(map(tuple, gc.where("g = 2")
                       .select("d", "cell", "cnt").collect())) == \
         sorted(map(tuple, c1.collect()))
+
+
+def test_grouped_sketch_guards_and_grouped_estimates(spark) -> None:
+    """A grouped sketch passed WITHOUT by= is rejected (the min over
+    per-group counts would silently UNDERESTIMATE, breaking the CMS
+    one-sided guarantee); with by= the per-group estimates hold the
+    guarantee per group; cms_merge with by= merges per group."""
+    df = spark.createDataFrame(
+        [("a" if i % 2 else "b", "k") for i in range(20)],
+        "g string, k string")
+    gsk = cms_sketch(df, "k", width=8, depth=2, by=("g",))
+    keys = spark.createDataFrame([("k",)], "k string")
+    with pytest.raises(ValueError, match="sketch columns"):
+        cms_estimate(gsk, keys, "k", width=8, depth=2)
+    with pytest.raises(ValueError, match="sketch columns"):
+        cms_merge(gsk)
+    with pytest.raises(ValueError, match="sketch columns"):
+        hll_estimate(hll_sketch(df, "k", m=16, by=("g",)), m=16)
+    est = {r["g"]: r["est"]
+           for r in cms_estimate(gsk, keys, "k", width=8, depth=2,
+                                 by=("g",)).collect()}
+    assert est == {"a": 10, "b": 10}
+    merged = cms_merge(gsk, gsk, by=("g",)).collect()
+    assert all(r["cnt"] == 20 for r in merged)

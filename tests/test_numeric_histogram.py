@@ -51,3 +51,19 @@ def test_plan_shape(spark) -> None:
     # bounds are broadcast, the bin aggregate partially aggregates
     assert "BroadcastExchange" in plan
     assert "partial_count" in plan
+
+
+def test_bound_guards(spark) -> None:
+    """A single bound is an error (it would silently be ignored),
+    and inverted bounds are rejected instead of producing a garbage
+    histogram."""
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="BOTH lo and hi"):
+        numeric_histogram(df, "x", lo=0.0)
+    with pytest.raises(ValueError, match="BOTH lo and hi"):
+        numeric_histogram(df, "x", hi=9.0)
+    with pytest.raises(ValueError, match="lo must be <= hi"):
+        numeric_histogram(df, "x", lo=9.0, hi=0.0)
+    # equal bounds are the legal degenerate fixed domain
+    out = numeric_histogram(df, "x", bins=4, lo=1.0, hi=1.0).collect()
+    assert len(out) == 1 and out[0]["bin"] == 0

@@ -122,3 +122,35 @@ def test_audit_operator_routing(spark) -> None:
     assert out[None] == (None, None, True, None)
     assert out["not a url"] == (None, None, True, None)
     assert len(out) == 7
+
+
+def test_query_string_matching() -> None:
+    """RFC 9309 patterns match against path PLUS query: the
+    '/*?sid=*' idiom fires on '/p?sid=1', and a '$'-anchored allow
+    stops matching once a query string follows."""
+    r = parse_robots(
+        "User-agent: *\nDisallow: /*?sid=*\n"
+        "Disallow: /private/*\nAllow: /private/public$\n")
+    assert is_allowed(r, "x", "/p?sid=1") == (False, "/*?sid=*")
+    assert is_allowed(r, "x", "/p?other=1")[0] is True
+    assert is_allowed(r, "x", "/private/public")[0] is True
+    # the $ anchor no longer matches with a query attached; the
+    # wildcard disallow wins
+    assert is_allowed(r, "x", "/private/public?sid=9")[0] is False
+
+
+def test_tiebreak_parity_python_vs_operator(spark) -> None:
+    """Equal (length, allow) ties resolve to the lexicographically
+    LARGEST pattern on BOTH surfaces (the Python helper and the
+    Spark operator), so matched_pattern never diverges."""
+    from cerberus_cpp_spark.operators.url import robots_audit
+
+    body = "User-agent: *\nAllow: /a*\nAllow: /ab\n"
+    r = parse_robots(body)
+    assert is_allowed(r, "x", "/ab") == (True, "/ab")
+    robots = spark.createDataFrame(
+        [("t.com", body)], "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://t.com/ab",)], "url string")
+    row = robots_audit(urls, robots, agent="x").collect()[0]
+    assert (row["allowed"], row["matched_pattern"]) == (True, "/ab")
