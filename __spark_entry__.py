@@ -2906,6 +2906,66 @@ FROM agg a JOIN truth ON a.fmt = truth.fmt
 """
 
 
+def q_lm_coverage_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference-corpus bigram coverage (text.lm_coverage — the
+    integer-exact core of a CCNet-style LM quality gate): even
+    doc_ids are the trusted reference, odd doc_ids are scored
+    against it with min_count=2, so rare reference grams drop out
+    and both known and unknown grams occur. Every counter is exact
+    and the two ratios are single f64 divisions; the oracle replays
+    tokenization, the bigram window, the reference frequency table,
+    and the per-document fold with string grams (the same
+    int64-hash / replay-as-strings contract dup_gram_docs pins)."""
+    from cerberus_cpp_spark.operators.text import lm_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    scored = docs.where(F.col("doc_id") % 2 == 1)
+    return lm_coverage(scored, ref, n=2, min_count=2)
+
+
+_LM_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS u
+  FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id, concat(u[i + 1], ' ', u[i + 2]) AS g
+  FROM (SELECT doc_id, u,
+               unnest(generate_series(0, len(u) - 2)) AS i
+        FROM toks WHERE len(u) >= 2)
+),
+freq AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS rc
+  FROM grams WHERE doc_id % 2 = 0
+  GROUP BY g HAVING count(*) >= 2
+),
+scored AS (
+  SELECT d.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN f.rc IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_known,
+         coalesce(sum(f.rc), 0) AS rcsum
+  FROM (SELECT * FROM grams WHERE doc_id % 2 = 1) d
+  LEFT JOIN freq f ON d.g = f.g
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_known, 0) AS BIGINT) AS n_known,
+       CASE WHEN coalesce(s.n_grams, 0) > 0 THEN
+         CAST(s.n_known AS DOUBLE) / s.n_grams END AS coverage,
+       CASE WHEN coalesce(s.n_grams, 0) > 0 THEN
+         CAST(s.rcsum AS DOUBLE) / s.n_grams END
+         AS mean_ref_count
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7935,6 +7995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_hist_lineitem": q_numeric_hist_lineitem,
         "hll_hourly_events": q_hll_hourly_events,
         "img_phash_hll": q_img_phash_hll,
+        "lm_coverage_docs": q_lm_coverage_docs,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8874,6 +8935,7 @@ def oracle_sql() -> dict[str, str]:
         "numeric_hist_lineitem": _NUMERIC_HIST_SQL,
         "hll_hourly_events": _hll_hourly_sql(),
         "img_phash_hll": _img_phash_hll_sql(),
+        "lm_coverage_docs": _LM_COVERAGE_SQL,
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

@@ -1673,3 +1673,104 @@ def bpe_segment(
         f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)"
     )
     return F.flatten(F.transform(toks, seg)).alias("subwords")
+
+
+def lm_coverage(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Reference-corpus n-gram COVERAGE — the integer-exact core of
+    the CCNet-style language-model quality gate (public recipe:
+    score crawled text against a trusted corpus; documents whose
+    n-grams the reference has never seen are boilerplate, lorem
+    soup, or the wrong language). A true LM perplexity needs log(),
+    which is not bit-portable across engines, so this operator
+    reports the exact integer signals a perplexity proxy is built
+    from: per document, the total token ``n``-grams, how many occur
+    at least ``min_count`` times in ``ref``, their coverage ratio,
+    and the mean reference frequency of the document's grams
+    (unknown grams count 0) — every number exact until the two
+    final f64 divisions. Returns ``(id_col, n_grams, n_known,
+    coverage, mean_ref_count)``; documents with fewer than ``n``
+    tokens get 0 grams and NULL ratios.
+
+    Scale shape: the reference gram-frequency table aggregates once
+    (map-side partials, int64 ``xxhash64`` gram keys — strings die
+    in the projection); the document grams join it gram-keyed
+    (AQE-planned — a trusted reference vocabulary is usually
+    broadcast-sized) and fold per document. The int64-key /
+    replay-as-strings oracle contract is the same one
+    ``duplicate_ngram_stats`` pins. Reference analogue: allowed-
+    values rules (rules.hh:79-100) promoted to a learned gram
+    vocabulary."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    idc, txt = id_col, text_col
+
+    def grams(frame: DataFrame, cols: list) -> DataFrame:
+        u = F.col("_u")
+        g = F.when(
+            F.size(u) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(u) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.get(u, i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            frame.where(F.col(txt).isNotNull())
+            .select(
+                *cols,
+                F.expr(
+                    f"regexp_extract_all(lower({txt}),"
+                    f" '{TOKEN_RE}', 0)"
+                ).alias("_u"),
+            )
+            .select(*cols, F.explode(g).alias("_gram"))
+            .select(*cols, F.xxhash64("_gram").alias("_gkey"))
+        )
+
+    freq = (
+        grams(ref.select(txt), [])
+        .groupBy("_gkey")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+        .where(F.col("_rc") >= int(min_count))
+    )
+    scored = (
+        grams(df.select(idc, txt), [idc])
+        .join(freq, "_gkey", "left")
+        .groupBy(idc)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.col("_rc").isNotNull().cast("long")
+            ).alias("n_known"),
+            F.coalesce(F.sum("_rc"), F.lit(0)).alias("_rcsum"),
+        )
+    )
+    return (
+        df.select(idc).join(scored, idc, "left")
+        .select(
+            idc,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_known", F.lit(0)).alias("n_known"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_known").cast("double")
+                / F.col("n_grams"),
+            ).alias("coverage"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("_rcsum").cast("double") / F.col("n_grams"),
+            ).alias("mean_ref_count"),
+        )
+    )

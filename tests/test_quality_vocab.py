@@ -124,3 +124,57 @@ def test_vocab_stats_exact(spark) -> None:
     assert r["n_hapax"] == 1                     # only 'c'
     assert r["type_token_ratio"] == 3 / 5
     assert r["top_share"] == 2 / 5
+
+
+# ---------------------------------------------------------------
+# lm_coverage (reference-corpus bigram coverage)
+# ---------------------------------------------------------------
+
+from cerberus_cpp_spark.operators.text import lm_coverage  # noqa: E402
+
+
+def _lm_frames(spark):
+    ref = spark.createDataFrame([
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+    ], "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (10, "the cat sat"),
+        (11, "zz qq"),
+        (12, None),
+        (13, "one"),
+    ], "doc_id long, text string")
+    return ref, docs
+
+
+def test_lm_coverage_exact(spark) -> None:
+    ref, docs = _lm_frames(spark)
+    out = {r["doc_id"]: tuple(r)[1:]
+           for r in lm_coverage(docs, ref, n=2).collect()}
+    # 'the cat' occurs twice in ref, 'cat sat' once
+    assert out[10] == (2, 2, 1.0, 1.5)
+    assert out[11] == (1, 0, 0.0, 0.0)        # fully OOV
+    assert out[12] == (0, 0, None, None)      # NULL text
+    assert out[13] == (0, 0, None, None)      # < n tokens
+
+
+def test_lm_coverage_min_count(spark) -> None:
+    ref, docs = _lm_frames(spark)
+    out = {r["doc_id"]: tuple(r)[1:]
+           for r in lm_coverage(docs, ref, n=2,
+                                min_count=2).collect()}
+    # only 'the cat' (ref count 2) survives the threshold
+    assert out[10] == (2, 1, 0.5, 1.0)
+    with pytest.raises(ValueError, match="min_count"):
+        lm_coverage(docs, ref, min_count=0)
+    with pytest.raises(ValueError, match="n must"):
+        lm_coverage(docs, ref, n=0)
+
+
+def test_lm_coverage_plan_ships_hashes(spark) -> None:
+    ref, docs = _lm_frames(spark)
+    plan = (lm_coverage(docs, ref, n=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    # grams travel as int64 xxhash64 keys, with map-side partials
+    # on the reference frequency aggregate
+    assert "xxhash64" in plan and "partial_count" in plan
