@@ -2966,6 +2966,114 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_kmv_set_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV set algebra (sketch.kmv_set_ops): union / intersection /
+    both directed differences of the two event-snapshot user sets
+    estimated from the same bottom-64 sketches kmv_events uses —
+    the 'how many users are new, how many vanished' accounting
+    without joining raw data, next to the exact truths. Membership
+    counts are exact integers; every estimate is the union's KMV
+    cardinality scaled by a membership share (one f64 chain the
+    oracle replays bit-for-bit). At sf0.001 the sketches sit below
+    k (everything exact end-to-end); at sf0.01 above it."""
+    from cerberus_cpp_spark.operators.sketch import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_id") % 3 != 0)
+    b = ev.where(F.col("event_id") % 3 != 1)
+    est = kmv_set_ops(
+        kmv_sketch(a, "user_id", k=_KMV_K),
+        kmv_sketch(b, "user_id", k=_KMV_K),
+        k=_KMV_K,
+    )
+    ua = a.where(F.col("user_id").isNotNull()) \
+        .select("user_id").distinct()
+    ub = b.where(F.col("user_id").isNotNull()) \
+        .select("user_id").distinct()
+    ti = ua.join(ub, "user_id").agg(
+        F.count(F.lit(1)).alias("true_inter"))
+    tu = ua.unionByName(ub).distinct().agg(
+        F.count(F.lit(1)).alias("true_union"))
+    return est.crossJoin(ti).crossJoin(tu)
+
+
+def _kmv_set_events_sql() -> str:
+    k = _KMV_K
+    num = float(k - 1) * float(1 << 48)
+    hash_sql = (
+        "CAST(concat('0x', substr(md5(concat('kmv', ':', "
+        "CAST(user_id AS VARCHAR), ':', '0')), 1, 12)) AS BIGINT)"
+    )
+    return f"""
+WITH ea AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND event_id % 3 <> 0
+),
+eb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND event_id % 3 <> 1
+),
+ska AS (
+  SELECT DISTINCT {hash_sql} AS h FROM ea ORDER BY h LIMIT {k}
+),
+skb AS (
+  SELECT DISTINCT {hash_sql} AS h FROM eb ORDER BY h LIMIT {k}
+),
+mrg AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM ska UNION ALL SELECT h FROM skb)
+  ORDER BY h LIMIT {k}
+),
+marked AS (
+  SELECT m.h, a.h IS NOT NULL AS ina, b.h IS NOT NULL AS inb
+  FROM mrg m
+  LEFT JOIN ska a ON m.h = a.h
+  LEFT JOIN skb b ON m.h = b.h
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         max(h) AS kth,
+         CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a_only,
+         CAST(sum(CASE WHEN NOT ina AND inb THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b_only
+  FROM marked
+),
+est AS (
+  SELECT *,
+         CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+              ELSE {num!r} / CAST(kth AS DOUBLE) END AS union_est
+  FROM agg
+),
+truth AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT user_id FROM ea
+             INTERSECT SELECT user_id FROM eb)) AS true_inter,
+         (SELECT CAST(count(*) AS BIGINT) FROM
+            (SELECT user_id FROM ea
+             UNION SELECT user_id FROM eb)) AS true_union
+)
+SELECT e.union_est,
+       e.union_est * (CAST(e.n_both AS DOUBLE) / e.n)
+         AS inter_est,
+       e.union_est * (CAST(e.n_a_only AS DOUBLE) / e.n)
+         AS a_only_est,
+       e.union_est * (CAST(e.n_b_only AS DOUBLE) / e.n)
+         AS b_only_est,
+       e.n AS n_union_sample,
+       e.n_both, e.n_a_only, e.n_b_only,
+       truth.true_inter, truth.true_union
+FROM est e, truth
+"""
+
+
 _HTML_GAUNTLET = (" &amp; x&lt;y &gt;z &quot;q&quot; &#39;s&#39;"
                   "&nbsp;end")
 
@@ -7996,6 +8104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_hourly_events": q_hll_hourly_events,
         "img_phash_hll": q_img_phash_hll,
         "lm_coverage_docs": q_lm_coverage_docs,
+        "kmv_set_events": q_kmv_set_events,
         "crawl_to_corpus": q_crawl_to_corpus,
         "encoding_census": q_encoding_census,
         "jsonl_ingest_docs": q_jsonl_ingest,
@@ -8936,6 +9045,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_hourly_events": _hll_hourly_sql(),
         "img_phash_hll": _img_phash_hll_sql(),
         "lm_coverage_docs": _LM_COVERAGE_SQL,
+        "kmv_set_events": _kmv_set_events_sql(),
         "crawl_to_corpus": _crawl_to_corpus_sql(),
         "encoding_census": _ENCODING_SQL,
         "jsonl_ingest_docs": _JSONL_INGEST_SQL,

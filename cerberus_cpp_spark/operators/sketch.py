@@ -444,3 +444,62 @@ def kmv_jaccard(
         (F.col("n_both").cast("double")
          / F.col("n_union_sample")).alias("jaccard"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """One-row SET-ALGEBRA estimates from two bottom-k sketches
+    with equal (k, seed): union, intersection, and both directed
+    differences — the full cross-snapshot accounting ('how many
+    documents are new today, how many vanished') WITHOUT joining
+    raw data. Built from the same primitives as
+    :func:`kmv_jaccard`: the merged bottom-k L samples the union
+    uniformly (its hashes are the union's k smallest), so the
+    membership fractions of L in A-only / B-only / both are
+    unbiased share estimates that scale the union's own KMV
+    cardinality estimate. Returns ``(union_est, inter_est,
+    a_only_est, b_only_est, n_union_sample, n_both, n_a_only,
+    n_b_only)`` — counts exact integers, each estimate ONE f64
+    division/multiplication chain replayable by an oracle. Below-k
+    regimes are exact end-to-end (the sketches ARE the sets)."""
+    _kmv_check_k(k)
+    for sk in (a, b):
+        _check_sketch_columns(sk, (), ("h",), "kmv_set_ops")
+    merged = kmv_merge(a, b, k=k)
+    marked = (
+        merged.join(a.withColumnRenamed("h", "_ha"),
+                    merged["h"] == F.col("_ha"), "left")
+        .join(b.withColumnRenamed("h", "_hb"),
+              merged["h"] == F.col("_hb"), "left")
+        .select(
+            "h",
+            F.col("_ha").isNotNull().alias("ina"),
+            F.col("_hb").isNotNull().alias("inb"),
+        )
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("ina") & F.col("inb")).cast("long"))
+        .alias("n_both"),
+        F.sum((F.col("ina") & ~F.col("inb")).cast("long"))
+        .alias("n_a_only"),
+        F.sum((~F.col("ina") & F.col("inb")).cast("long"))
+        .alias("n_b_only"),
+    )
+    union_est = F.when(
+        F.col("n") < int(k), F.col("n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE)
+        / F.col("kth").cast("double")
+    )
+    share = lambda c: F.col(c).cast("double") / F.col("n")  # noqa: E731
+    return agg.select(
+        union_est.alias("union_est"),
+        (union_est * share("n_both")).alias("inter_est"),
+        (union_est * share("n_a_only")).alias("a_only_est"),
+        (union_est * share("n_b_only")).alias("b_only_est"),
+        F.col("n").cast("long").alias("n_union_sample"),
+        "n_both", "n_a_only", "n_b_only",
+    )

@@ -328,3 +328,36 @@ def test_grouped_sketch_guards_and_grouped_estimates(spark) -> None:
     assert est == {"a": 10, "b": 10}
     merged = cms_merge(gsk, gsk, by=("g",)).collect()
     assert all(r["cnt"] == 20 for r in merged)
+
+
+def test_kmv_set_ops(spark) -> None:
+    """Set-algebra estimates: exact end-to-end below k; above k,
+    each piece within noise and internally consistent (union =
+    inter + a_only + b_only by construction of the shares)."""
+    from cerberus_cpp_spark.operators.sketch import kmv_set_ops
+
+    sa = kmv_sketch(spark.createDataFrame(
+        [("x",), ("y",)], "k string"), "k", k=16)
+    sb = kmv_sketch(spark.createDataFrame(
+        [("y",), ("z",)], "k string"), "k", k=16)
+    r = kmv_set_ops(sa, sb, k=16).collect()[0]
+    assert (r["union_est"], r["inter_est"],
+            r["a_only_est"], r["b_only_est"]) == (3.0, 1.0, 1.0, 1.0)
+    assert (r["n_both"], r["n_a_only"], r["n_b_only"]) == (1, 1, 1)
+    a = spark.range(0, 6000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(4000, 10000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    r = kmv_set_ops(kmv_sketch(a, "k", k=256),
+                    kmv_sketch(b, "k", k=256), k=256).collect()[0]
+    assert abs(r["union_est"] - 10_000) / 10_000 < 0.2
+    assert abs(r["inter_est"] - 2_000) / 2_000 < 0.5
+    assert abs(r["a_only_est"] - 4_000) / 4_000 < 0.4
+    # shares partition the sample exactly
+    assert r["n_both"] + r["n_a_only"] + r["n_b_only"] == \
+        r["n_union_sample"]
+    assert abs(r["inter_est"] + r["a_only_est"] + r["b_only_est"]
+               - r["union_est"]) < 1e-9
+    # grouped/extra-column sketches are rejected
+    with pytest.raises(ValueError, match="sketch columns"):
+        kmv_set_ops(sa.withColumn("g", F.lit(1)), sb, k=16)
