@@ -8075,6 +8075,516 @@ def q_audit_escalated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rates(tv, orders, worklist, budget=0.40)
 
 
+# ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join, sessions,
+# funnel, retention, bucketed interval-point join — the query shapes
+# a monitoring loop runs downstream of the time-axis checks
+# (SURVEY §2.3). All time arithmetic is integer microseconds
+# (unix_micros == DuckDB epoch_us under the pinned UTC session zone).
+# ---------------------------------------------------------------------------
+
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (temporal.asof_join): every 'click' event
+    gains the same user's LATEST 'purchase' at or before the click —
+    the union-tag-window construction, ONE shuffle on the key, never
+    an inequality join. Determinism at equal purchase timestamps via
+    the event_id tiebreak (greatest wins), replayed by the oracle's
+    (rts DESC, rid DESC) row_number. Clicks with NULL user/ts pass
+    through with NULL as-of columns, matching the oracle's failed
+    join condition."""
+    from cerberus_cpp_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=("event_id", "value"), right_tiebreak="event_id",
+    )
+
+
+_ASOF_EVENTS_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id AS rid, user_id, ts AS rts, value
+  FROM events
+  WHERE event_type = 'purchase'
+    AND user_id IS NOT NULL AND ts IS NOT NULL
+), j AS (
+  SELECT l.event_id, r.rid, r.rts, r.value,
+         row_number() OVER (PARTITION BY l.event_id
+                            ORDER BY r.rts DESC, r.rid DESC) AS rn
+  FROM l JOIN r
+    ON l.user_id = r.user_id AND r.rts <= l.ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       m.rts AS asof_ts, m.rid AS asof_event_id,
+       m.value AS asof_value
+FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) m USING (event_id)
+"""
+
+
+def q_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (temporal.session_stats): one row per
+    (user, session) with event count, bounds, and integer-microsecond
+    duration; a session breaks when the gap STRICTLY exceeds 1800 s.
+    Two windows + the final aggregate share ONE key shuffle; the
+    oracle replays lag → flag → running sum → groupBy exactly."""
+    from cerberus_cpp_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, key="user_id", ts="ts",
+                         gap_seconds=1800, tiebreak="event_id")
+
+
+_SESSIONS_EVENTS_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800000000
+              THEN 1 ELSE 0 END AS st
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), x AS (
+  SELECT user_id, ts,
+         sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_index
+  FROM s
+)
+SELECT user_id, CAST(session_index AS BIGINT) AS session_index,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM x GROUP BY user_id, session_index
+"""
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (temporal.funnel): per
+    user the FIRST time each step was reached, step i+1 at or after
+    step i (non-strict). Each step is a pushed-down filter + per-key
+    min aggregate chained through key-cardinality equi-joins — no
+    windows, no per-key sort. The oracle unrolls the same chain."""
+    from cerberus_cpp_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, key="user_id", ts="ts", type_col="event_type",
+                  steps=("view", "click", "purchase"))
+
+
+_FUNNEL_EVENTS_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), s1 AS (
+  SELECT user_id, min(ts) AS step1_ts FROM base
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT b.user_id, min(b.ts) AS step2_ts
+  FROM base b JOIN s1 USING (user_id)
+  WHERE b.event_type = 'click' AND b.ts >= s1.step1_ts
+  GROUP BY b.user_id
+), s3 AS (
+  SELECT b.user_id, min(b.ts) AS step3_ts
+  FROM base b JOIN s2 USING (user_id)
+  WHERE b.event_type = 'purchase' AND b.ts >= s2.step2_ts
+  GROUP BY b.user_id
+)
+SELECT s1.user_id, step1_ts, step2_ts, step3_ts,
+       1 + CAST(step2_ts IS NOT NULL AS INTEGER)
+         + CAST(step3_ts IS NOT NULL AS INTEGER) AS depth
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (temporal.retention): cohort = a user's first
+    activity day (integer epoch-day id, timezone-proof), n_active =
+    distinct cohort members active `offset` days later; offset-0 rows
+    carry cohort sizes. Every Exchange ships key- or cohort-sized
+    frames, never raw events."""
+    from cerberus_cpp_spark.operators.temporal import retention
+
+    ev = _t(spark, sf_dir, "events")
+    return retention(ev, key="user_id", ts="ts")
+
+
+_RETENTION_EVENTS_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bucket
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), cohort AS (
+  SELECT user_id, min(bucket) AS cohort_bucket FROM act
+  GROUP BY user_id
+)
+SELECT cohort_bucket, bucket - cohort_bucket AS offset,
+       count(DISTINCT act.user_id) AS n_active
+FROM act JOIN cohort USING (user_id)
+GROUP BY cohort_bucket, bucket - cohort_bucket
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval-point join (temporal.interval_point_join):
+    every 'error' event opens an incident window [ts, ts + (id%7+1)
+    minutes]; count the 'click' events inside each window. Intervals
+    explode into the fixed 600 s buckets they cover, points map to
+    their single bucket, and the match is ONE equi-join plus a
+    residual microsecond filter — never a cartesian (plan-pinned in
+    tests). Inclusive ends; each qualifying pair appears exactly
+    once. The oracle is the plain BETWEEN join on epoch_us."""
+    from cerberus_cpp_spark.operators.temporal import (
+        interval_point_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = (
+        ev.where((F.col("event_type") == "error")
+                 & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("ts").alias("lo"),
+            F.expr(
+                "timestamp_micros(unix_micros(cast(ts as timestamp))"
+                " + (event_id % 7 + 1) * 60000000)"
+            ).alias("hi"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = interval_point_join(
+        clicks, incidents, point_ts="click_ts", lo_ts="lo",
+        hi_ts="hi", bucket_seconds=600)
+    return pairs.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_ts").alias("first_click_ts"),
+        F.max("click_ts").alias("last_click_ts"),
+    )
+
+
+_RANGE_JOIN_EVENTS_SQL = """
+WITH iv AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) AS lo_us,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS hi_us
+  FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+), pt AS (
+  SELECT event_id AS click_id, ts AS click_ts, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+)
+SELECT incident_id, count(*) AS n_clicks,
+       min(click_ts) AS first_click_ts,
+       max(click_ts) AS last_click_ts
+FROM iv JOIN pt ON pt.p_us >= iv.lo_us AND pt.p_us <= iv.hi_us
+GROUP BY incident_id
+"""
+
+
+def q_bloom_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership (sketch.bloom_sketch / bloom_contains): a
+    1024-bit k=3 filter over the users active in the feed's first 15
+    days (integer epoch-day < 19738), probed with every live user id
+    PLUS a planted absent twin (id + 100000), with the exact
+    first-half membership joined alongside — no false negatives by
+    construction, false positives visible and deterministic. The
+    filter is at most m_bits rows regardless of corpus size; the
+    oracle replays every md5-derived bit position, the hit counts,
+    and both verdicts."""
+    from cerberus_cpp_spark.operators.sketch import (
+        bloom_contains,
+        bloom_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        / F.lit(86_400_000_000))
+    first_half = ev.where(F.col("ts").isNotNull()
+                          & (day < F.lit(19738)))
+    sk = bloom_sketch(first_half, "user_id", m_bits=1024, k=3)
+    users = (ev.where(F.col("user_id").isNotNull())
+             .select("user_id").distinct())
+    probes = users.unionByName(
+        users.select((F.col("user_id") + F.lit(100_000))
+                     .alias("user_id")))
+    res = bloom_contains(sk, probes, "user_id", m_bits=1024, k=3)
+    truth = (first_half.where(F.col("user_id").isNotNull())
+             .select("user_id").distinct()
+             .withColumn("truly_member", F.lit(True)))
+    return (res.join(truth, "user_id", "left")
+            .withColumn("truly_member",
+                        F.coalesce(F.col("truly_member"),
+                                   F.lit(False))))
+
+
+_BLOOM_EVENTS_SQL = """
+WITH fh AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) < 19738
+), bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(concat(
+      'bloom', ':', CAST(user_id AS VARCHAR), ':', '0', ':',
+      CAST(i AS VARCHAR))), 1, 12)) AS BIGINT) % 1024 AS pos
+  FROM fh, range(0, 3) t(i)
+), users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+), probes AS (
+  SELECT user_id FROM users
+  UNION
+  SELECT user_id + 100000 FROM users
+), cand AS (
+  SELECT p.user_id,
+    CAST(concat('0x', substr(md5(concat(
+      'bloom', ':', CAST(p.user_id AS VARCHAR), ':', '0', ':',
+      CAST(t.i AS VARCHAR))), 1, 12)) AS BIGINT) % 1024 AS pos
+  FROM probes p, range(0, 3) t(i)
+)
+SELECT c.user_id,
+       CAST(count(b.pos) AS INTEGER) AS n_hits,
+       count(b.pos) = 3 AS might_contain,
+       max(CASE WHEN f.user_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+         AS truly_member
+FROM cand c
+LEFT JOIN bits b USING (pos)
+LEFT JOIN fh f ON c.user_id = f.user_id
+GROUP BY c.user_id
+"""
+
+
+def _doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 60-node graph derived from documents by integer
+    arithmetic (two edge formulas per doc so triangles exist) — the
+    same derive-from-the-table pattern as the sketch plants, so the
+    oracle regenerates the identical edge multiset."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 60).alias("n"),
+        (F.col("doc_id") % 7).alias("r7"),
+        (F.col("doc_id") % 11).alias("r11"),
+    )
+    e1 = d.select(F.col("n").alias("src"),
+                  ((F.col("n") + F.col("r7") + 1) % 60).alias("dst"))
+    e2 = d.select(F.col("n").alias("src"),
+                  ((F.col("n") + 2 * F.col("r11") + 2) % 60)
+                  .alias("dst"))
+    return e1.unionByName(e2)
+
+
+_DOC_EDGES_SQL = """
+  SELECT doc_id % 60 AS src,
+         (doc_id % 60 + doc_id % 7 + 1) % 60 AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 60 AS src,
+         (doc_id % 60 + 2 * (doc_id % 11) + 2) % 60 AS dst
+  FROM documents
+"""
+
+
+def q_graph_bfs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (graph.bfs_hops): minimum hop count from
+    the seed set (nodes ≡ 0 mod 10) within 3 undirected hops over
+    the deterministic document graph — the blast-radius query a
+    decontamination pass runs from a contaminated seed set. Each
+    round is one frontier equi-join + anti-join against visited
+    (driver-bounded loop, lineage truncated per round); the oracle
+    unrolls all three rounds in SQL."""
+    from cerberus_cpp_spark.operators.graph import bfs_hops
+
+    edges = _doc_graph_edges(spark, sf_dir)
+    seeds = (edges.where(F.col("src") % 10 == 0)
+             .select(F.col("src").alias("node")).distinct())
+    return bfs_hops(edges, seeds, max_hops=3, directed=False)
+
+
+_GRAPH_BFS_SQL = f"""
+WITH e0 AS ({_DOC_EDGES_SQL}),
+adj AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst AS a, src AS b FROM e0
+),
+v0 AS (
+  SELECT DISTINCT src AS n FROM e0 WHERE src % 10 = 0
+),
+f1 AS (
+  SELECT DISTINCT adj.b AS n FROM adj JOIN v0 ON adj.a = v0.n
+  WHERE adj.b NOT IN (SELECT n FROM v0)
+),
+f2 AS (
+  SELECT DISTINCT adj.b AS n FROM adj JOIN f1 ON adj.a = f1.n
+  WHERE adj.b NOT IN (SELECT n FROM v0 UNION SELECT n FROM f1)
+),
+f3 AS (
+  SELECT DISTINCT adj.b AS n FROM adj JOIN f2 ON adj.a = f2.n
+  WHERE adj.b NOT IN (SELECT n FROM v0 UNION SELECT n FROM f1
+                      UNION SELECT n FROM f2)
+)
+SELECT n AS node, CAST(0 AS INTEGER) AS hops FROM v0
+UNION ALL SELECT n, CAST(1 AS INTEGER) FROM f1
+UNION ALL SELECT n, CAST(2 AS INTEGER) FROM f2
+UNION ALL SELECT n, CAST(3 AS INTEGER) FROM f3
+"""
+
+
+def q_graph_triangles_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact triangle census (graph.triangle_count) of the document
+    graph — clique density separates true duplicate clusters from
+    hash-collision chains in a near-dup pair graph. Degree
+    orientation bounds the wedge join's fan-out at O(sqrt(m)) for
+    any graph and counts each triangle exactly once; the oracle
+    counts the same triangles by the id-ordered three-way join."""
+    from cerberus_cpp_spark.operators.graph import triangle_count
+
+    return triangle_count(_doc_graph_edges(spark, sf_dir))
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH e0 AS ({_DOC_EDGES_SQL}),
+g AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+    AND src IS NOT NULL AND dst IS NOT NULL
+)
+SELECT
+  (SELECT count(*) FROM (
+     SELECT DISTINCT x FROM (
+       SELECT u AS x FROM g UNION ALL SELECT v FROM g))) AS n_nodes,
+  (SELECT count(*) FROM g) AS n_edges,
+  (SELECT count(*) FROM g g1
+     JOIN g g2 ON g2.u = g1.u AND g2.v > g1.v
+     JOIN g g3 ON g3.u = g1.v AND g3.v = g2.v) AS n_triangles
+"""
+
+
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 intervals (temporal.scd2_intervals): each
+    customer's order log becomes half-open validity intervals
+    [valid_from, valid_to) that tile time per key, with a 1-based
+    version_index and an is_current flag — ONE window over one key
+    shuffle (lead + row_number share the sort). Ties on the order
+    date are totalized by o_orderkey; the oracle replays both
+    windows."""
+    from cerberus_cpp_spark.operators.temporal import scd2_intervals
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    return scd2_intervals(orders, key="o_custkey", ts="o_orderdate",
+                          tiebreak="o_orderkey")
+
+
+_SCD2_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INTEGER) AS version_index,
+       (lead(o_orderdate) OVER w) IS NULL AS is_current
+FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_img_phash_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot phash membership via Bloom (sketch.bloom_*
+    over the input_hint image+caption table): an 8192-bit k=3
+    filter built from the FIRST snapshot's phashes (id < 2N/3)
+    answers "was this image's phash already seen" for every
+    distinct phash in the full table — the fixed-size pre-filter a
+    100 TB image-dedup anti-join consults before shuffling raw
+    keys. One verdict row: probe/flag/member counts, false
+    positives (deterministic, replayed bit-for-bit) and false
+    negatives (zero by construction — the invariant is IN the
+    result). The id%50 hot-phash plant collapses distincts exactly
+    as in img_phash_hll."""
+    from cerberus_cpp_spark.operators.sketch import (
+        bloom_contains,
+        bloom_sketch,
+    )
+    from cerberus_cpp_spark.sources.distgen import (
+        image_caption_frame,
+    )
+
+    cut = 2 * VAL_IMAGES_N // 3
+    df = image_caption_frame(spark, VAL_IMAGES_N)
+    snap_a = df.where(F.col("id") < F.lit(cut))
+    sk = bloom_sketch(snap_a, "phash", m_bits=8192, k=3)
+    probes = df.select("phash").distinct()
+    res = bloom_contains(sk, probes, "phash", m_bits=8192, k=3)
+    member = (snap_a.select("phash").distinct()
+              .withColumn("mem", F.lit(True)))
+    j = (res.join(member, "phash", "left")
+         .withColumn("mem", F.coalesce(F.col("mem"), F.lit(False))))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count_if(F.col("might_contain")).alias("n_flagged"),
+        F.count_if(F.col("mem")).alias("n_members"),
+        F.count_if(F.col("might_contain") & ~F.col("mem"))
+        .alias("n_false_pos"),
+        F.count_if(~F.col("might_contain") & F.col("mem"))
+        .alias("n_false_neg"),
+    )
+
+
+def _img_phash_bloom_sql() -> str:
+    cut = 2 * VAL_IMAGES_N // 3
+    hot = 0x5A5A5A5A5A5A5A5A
+    return f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {VAL_IMAGES_N})
+), t AS (
+  SELECT id, CASE WHEN id % 50 = 0 THEN {hot} ELSE mix END AS phash
+  FROM g
+), a AS (
+  SELECT DISTINCT phash FROM t WHERE id < {cut}
+), bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5(concat(
+      'bloom', ':', CAST(phash AS VARCHAR), ':', '0', ':',
+      CAST(i AS VARCHAR))), 1, 12)) AS BIGINT) % 8192 AS pos
+  FROM a, range(0, 3) r(i)
+), probes AS (
+  SELECT DISTINCT phash FROM t
+), cand AS (
+  SELECT p.phash,
+    CAST(concat('0x', substr(md5(concat(
+      'bloom', ':', CAST(p.phash AS VARCHAR), ':', '0', ':',
+      CAST(r.i AS VARCHAR))), 1, 12)) AS BIGINT) % 8192 AS pos
+  FROM probes p, range(0, 3) r(i)
+), per AS (
+  SELECT c.phash, count(b.pos) = 3 AS mc
+  FROM cand c LEFT JOIN bits b USING (pos)
+  GROUP BY c.phash
+), fin AS (
+  SELECT per.phash, mc, (a.phash IS NOT NULL) AS mem
+  FROM per LEFT JOIN a ON per.phash = a.phash
+)
+SELECT count(*) AS n_probes,
+       count(*) FILTER (WHERE mc) AS n_flagged,
+       count(*) FILTER (WHERE mem) AS n_members,
+       count(*) FILTER (WHERE mc AND NOT mem) AS n_false_pos,
+       count(*) FILTER (WHERE mem AND NOT mc) AS n_false_neg
+FROM fin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -8087,6 +8597,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_phash_bloom": q_img_phash_bloom,
+        "graph_bfs_docs": q_graph_bfs_docs,
+        "graph_triangles_docs": q_graph_triangles_docs,
+        "scd2_orders": q_scd2_orders,
+        "bloom_events": q_bloom_events,
+        "asof_events": q_asof_events,
+        "sessions_events": q_sessions_events,
+        "funnel_events": q_funnel_events,
+        "retention_events": q_retention_events,
+        "range_join_events": q_range_join_events,
         "span_dedup_docs": q_span_dedup_docs,
         "quality_classifier_docs": q_quality_classifier_docs,
         "vocab_topk_docs": q_vocab_topk_docs,
@@ -9028,6 +9548,16 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_phash_bloom": _img_phash_bloom_sql(),
+        "graph_bfs_docs": _GRAPH_BFS_SQL,
+        "graph_triangles_docs": _GRAPH_TRIANGLES_SQL,
+        "scd2_orders": _SCD2_ORDERS_SQL,
+        "bloom_events": _BLOOM_EVENTS_SQL,
+        "asof_events": _ASOF_EVENTS_SQL,
+        "sessions_events": _SESSIONS_EVENTS_SQL,
+        "funnel_events": _FUNNEL_EVENTS_SQL,
+        "retention_events": _RETENTION_EVENTS_SQL,
+        "range_join_events": _RANGE_JOIN_EVENTS_SQL,
         "span_dedup_docs": _SPAN_DEDUP_SQL,
         "quality_classifier_docs": _quality_classifier_sql(),
         "vocab_topk_docs": _VOCAB_TOPK_SQL,

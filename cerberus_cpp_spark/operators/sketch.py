@@ -503,3 +503,124 @@ def kmv_set_ops(
         F.col("n").cast("long").alias("n_union_sample"),
         "n_both", "n_a_only", "n_b_only",
     )
+
+
+# ---------------------------------------------------------------
+# Bloom filter (Bloom 1970, public) — mergeable set MEMBERSHIP, the
+# sketch the cardinality family (HLL/KMV) deliberately doesn't
+# answer: "might this key have been seen" with no false negatives
+# and a tunable false-positive rate. Sparse representation: one row
+# per SET bit position (at most m_bits rows regardless of corpus
+# size), so merge = distinct union (bitwise OR) and the DuckDB
+# oracle replays every position from the shared _hash48 recipe:
+# pos_i(x) = H48('bloom', x, seed, i) % m_bits, i in [0, k).
+# Classic FPR ~ (1 - e^(-k*n/m))^k; the guarantee the tests pin is
+# the hard one — a key that was inserted is NEVER reported absent.
+# Reference analogue: uniqueness/referential checks (SURVEY §2.3)
+# promoted to a fixed-size pre-filter a 100 TB anti-join can
+# consult before shuffling raw keys.
+# ---------------------------------------------------------------
+
+
+def _bloom_check(m_bits: int, k: int) -> None:
+    if m_bits < 8:
+        raise ValueError("m_bits must be >= 8")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int,
+                     seed: int) -> Column:
+    return F.array(*[
+        _hash48(F.lit("bloom"), col.cast("string"),
+                F.lit(str(seed)), F.lit(str(i)))
+        % F.lit(int(m_bits))
+        for i in range(int(k))
+    ])
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Build the filter: ``(*by, pos)`` with one row per set bit —
+    at most ``groups * m_bits`` rows. One projection fans each key
+    into its k positions, then ONE distinct aggregate whose
+    map-side partials are already filter-shaped. NULL keys are
+    skipped (membership of NULL has no semantics)."""
+    _bloom_check(m_bits, k)
+    col = F.col(key)
+    return (
+        df.where(col.isNotNull())
+        .select(*by,
+                F.explode(_bloom_positions(col, m_bits, k, seed))
+                .alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame,
+                by: tuple[str, ...] = ()) -> DataFrame:
+    """OR filters built with identical (m_bits, k, seed): union the
+    position tables and dedupe — exactly the filter of the
+    concatenated inputs (pinned in tests). Sketches carrying columns
+    not named in ``by`` are rejected (cross-group OR would silently
+    raise the false-positive rate of every group)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    for sk in sketches:
+        _check_sketch_columns(sk, by, ("pos",), "bloom_merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Probe the filter: for every distinct probe key (per group when
+    ``by`` names the sketch's grouping — the probe frame must carry
+    those columns), recompute the k positions and left-join the
+    position table. Returns ``(*by, key, n_hits, might_contain)``
+    with ``might_contain = (n_hits == k)`` — true for every inserted
+    key (no false negatives), occasionally true for absent keys at
+    the designed FPR. The join side is bounded by
+    ``groups * m_bits`` rows — broadcast territory, AQE's call."""
+    _bloom_check(m_bits, k)
+    _check_sketch_columns(sketch, by, ("pos",), "bloom_contains")
+    missing = [c for c in by if c not in probes.columns]
+    if missing:
+        raise ValueError(
+            f"bloom_contains: probe frame lacks group columns "
+            f"{missing}")
+    col = F.col(key)
+    cand = (
+        probes.where(col.isNotNull())
+        .select(*by, col.alias(key))
+        .distinct()
+        .select(*by, key,
+                F.explode(_bloom_positions(F.col(key), m_bits, k,
+                                           seed)).alias("pos"))
+    )
+    hit = cand.join(
+        sketch.withColumn("__hit", F.lit(1)),
+        [*by, "pos"], "left")
+    return (
+        hit.groupBy(*by, key)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .cast("int").alias("n_hits"))
+        .withColumn("might_contain", F.col("n_hits") == F.lit(int(k)))
+    )

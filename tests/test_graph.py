@@ -1,0 +1,177 @@
+"""operators/graph.py: BFS hop counts and degree-oriented triangle
+counting, pinned against brute-force Python references on random and
+structured graphs; operators/temporal.py scd2_intervals."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import deque
+
+import pytest
+from pyspark.sql import Row
+
+from cerberus_cpp_spark.operators.graph import (
+    bfs_hops,
+    simple_undirected,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs],
+        schema="src long, dst long")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([Row(node=n) for n in nodes],
+                                 schema="node long")
+
+
+def _brute_bfs(pairs, seeds, max_hops, directed):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        x = q.popleft()
+        if dist[x] >= max_hops:
+            continue
+        for y in adj.get(x, ()):
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    return dist
+
+
+def _brute_triangles(pairs):
+    es = {tuple(sorted(p)) for p in pairs
+          if p[0] is not None and p[1] is not None and p[0] != p[1]}
+    nodes = sorted({x for e in es for x in e})
+    tri = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (a, c) in es and (b, c) in es)
+    return len(nodes), len(es), tri
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_bfs_matches_brute_force(spark, directed) -> None:
+    rng = random.Random(5)
+    pairs = [(rng.randrange(30), rng.randrange(30))
+             for _ in range(70)]
+    seeds = [0, 7]
+    got = {r.node: r.hops for r in bfs_hops(
+        _edges(spark, pairs), _seeds(spark, seeds),
+        max_hops=3, directed=directed).collect()}
+    assert got == _brute_bfs(pairs, seeds, 3, directed)
+
+
+def test_bfs_chain_caps_at_max_hops(spark) -> None:
+    pairs = [(i, i + 1) for i in range(10)]
+    got = {r.node: r.hops for r in bfs_hops(
+        _edges(spark, pairs), _seeds(spark, [0]),
+        max_hops=4, directed=True).collect()}
+    assert got == {i: i for i in range(5)}
+
+
+def test_bfs_early_exit_on_drained_frontier(spark) -> None:
+    pairs = [(0, 1)]
+    got = {r.node: r.hops for r in bfs_hops(
+        _edges(spark, pairs), _seeds(spark, [0]),
+        max_hops=50, directed=True).collect()}
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_seed_min_hop_wins(spark) -> None:
+    # node 2 reachable at hop 2 from seed 0 and hop 1 from seed 3
+    pairs = [(0, 1), (1, 2), (3, 2)]
+    got = {r.node: r.hops for r in bfs_hops(
+        _edges(spark, pairs), _seeds(spark, [0, 3]),
+        max_hops=3, directed=True).collect()}
+    assert got[2] == 1
+
+
+def test_bfs_guards(spark) -> None:
+    with pytest.raises(ValueError):
+        bfs_hops(_edges(spark, [(0, 1)]), _seeds(spark, [0]),
+                 max_hops=0)
+
+
+def test_triangles_match_brute_force(spark) -> None:
+    rng = random.Random(9)
+    pairs = [(rng.randrange(25), rng.randrange(25))
+             for _ in range(120)]
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    n, m, t = _brute_triangles(pairs)
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (n, m, t)
+    assert t > 0  # dense enough that the test is non-vacuous
+
+
+def test_triangles_known_shapes(spark) -> None:
+    # K4 has 4 triangles; duplicate + reversed + self-loop edges
+    # must not change the count
+    k4 = list(itertools.combinations(range(4), 2))
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
+    row = triangle_count(_edges(spark, noisy)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_triangles_triangle_free(spark) -> None:
+    star = [(0, i) for i in range(1, 6)]
+    row = triangle_count(_edges(spark, star)).collect()[0]
+    assert row.n_triangles == 0 and row.n_edges == 5
+
+
+def test_simple_undirected_canonicalizes(spark) -> None:
+    got = sorted((r.u, r.v) for r in simple_undirected(
+        _edges(spark, [(2, 1), (1, 2), (1, 1), (3, 4)])).collect())
+    assert got == [(1, 2), (3, 4)]
+
+
+# ------------------------------------------------------------- scd2
+
+def test_scd2_intervals(spark) -> None:
+    import datetime as dt
+
+    from cerberus_cpp_spark.operators.temporal import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    df = spark.createDataFrame(
+        [Row(k=1, ts=ts(0), v="a"), Row(k=1, ts=ts(10), v="b"),
+         Row(k=1, ts=ts(5), v="c"), Row(k=2, ts=ts(3), v="d"),
+         Row(k=3, ts=None, v="x")],
+        schema="k long, ts timestamp, v string")
+    got = {(r.k, r.version_index): r for r in scd2_intervals(
+        df, key="k", ts="ts").collect()}
+    assert len(got) == 4  # NULL-ts row dropped
+    assert got[(1, 1)].v == "a" and got[(1, 1)].valid_to == ts(5)
+    assert got[(1, 2)].v == "c" and got[(1, 2)].valid_to == ts(10)
+    assert got[(1, 3)].v == "b" and got[(1, 3)].is_current
+    assert got[(2, 1)].is_current and got[(2, 1)].valid_from == ts(3)
+    # intervals tile: every non-current valid_to == next valid_from
+    assert got[(1, 1)].valid_to == got[(1, 2)].valid_from
+
+
+def test_scd2_tiebreak_orders_same_microsecond(spark) -> None:
+    import datetime as dt
+
+    from cerberus_cpp_spark.operators.temporal import scd2_intervals
+
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(k=1, ts=t, seq=2, v="late"),
+         Row(k=1, ts=t, seq=1, v="early")],
+        schema="k long, ts timestamp, seq long, v string")
+    got = {r.version_index: r.v for r in scd2_intervals(
+        df, key="k", ts="ts", tiebreak="seq").collect()}
+    assert got == {1: "early", 2: "late"}
