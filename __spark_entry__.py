@@ -8585,6 +8585,270 @@ FROM fin
 """
 
 
+def q_graph_lcc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficients (graph.clustering_coefficients)
+    of the deterministic document graph — the per-node signal that
+    separates true duplicate cliques (lcc → 1) from hash-collision
+    chains (lcc → 0). Spark uses the degree-oriented wedge join
+    (bounded fan-out); the oracle counts each node's triangles with
+    the INDEPENDENT id-ordered closure join — two different exact
+    algorithms agreeing per node, including the single f64 division."""
+    from cerberus_cpp_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    return clustering_coefficients(_doc_graph_edges(spark, sf_dir))
+
+
+_GRAPH_LCC_SQL = f"""
+WITH e0 AS ({_DOC_EDGES_SQL}),
+g AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e0 WHERE src <> dst
+    AND src IS NOT NULL AND dst IS NOT NULL
+), deg AS (
+  SELECT x AS node, count(*) AS d FROM (
+    SELECT u AS x FROM g UNION ALL SELECT v FROM g) GROUP BY x
+), tri AS (
+  SELECT g1.u AS a, g1.v AS b, g2.v AS c
+  FROM g g1
+  JOIN g g2 ON g2.u = g1.u AND g2.v > g1.v
+  JOIN g g3 ON g3.u = g1.v AND g3.v = g2.v
+), pern AS (
+  SELECT x AS node, count(*) AS t FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri) GROUP BY x
+)
+SELECT deg.node, deg.d AS degree,
+       CAST(coalesce(pern.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN (2.0 * coalesce(pern.t, 0))
+                 / (CAST(deg.d AS DOUBLE) * (deg.d - 1))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN pern USING (node)
+"""
+
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank (graph.pagerank_scaled), 3 rounds at
+    damping 85/100 over the DIRECTED document graph. Every round is
+    pure int64 arithmetic (div, never a f64 round-trip) so the ranks
+    are bit-portable across engines and partitionings — the oracle
+    unrolls all three rounds in SQL with the same `//` folds.
+    Dangling mass is not redistributed (documented variant)."""
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    return pagerank_scaled(_doc_graph_edges(spark, sf_dir), rounds=3)
+
+
+def _pagerank_sql() -> str:
+    scale, num, den = 1_000_000_000_000, 85, 100
+    base = scale * (den - num) // den
+    rounds = "".join(
+        f""", s{i} AS (
+  SELECT adj.b AS node, sum(r{i - 1}.rank // o.outdeg) AS inbox
+  FROM r{i - 1} JOIN outdeg o USING (node)
+  JOIN adj ON adj.a = r{i - 1}.node
+  GROUP BY adj.b
+), r{i} AS (
+  SELECT n.node,
+         CAST({base} + ({num} * coalesce(s{i}.inbox, 0)) // {den}
+              AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN s{i} USING (node)
+)"""
+        for i in range(1, 4)
+    )
+    return f"""
+WITH e0 AS ({_DOC_EDGES_SQL}),
+adj AS (
+  SELECT DISTINCT src AS a, dst AS b FROM e0
+  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT x AS node FROM (
+    SELECT a AS x FROM adj UNION ALL SELECT b FROM adj)
+), outdeg AS (
+  SELECT a AS node, count(*) AS outdeg FROM adj GROUP BY a
+), r0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes
+){rounds}
+SELECT node, rank FROM r3
+"""
+
+
+def q_edit_pairs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (dedup.edit_distance_pairs,
+    FastSS deletion-neighborhood blocking — exact recall by the
+    alignment argument, exact precision by the final levenshtein
+    filter): part names plus a planted mutated twin for every tenth
+    part (one character deleted at a key-derived position, id +
+    10,000,000). Variants travel as xxhash64 int64 keys; candidates
+    are DISTINCT'd before strings re-join. The oracle is the
+    INDEPENDENT brute-force O(n²) levenshtein join over the same
+    frame — blocking correctness is being checked against an
+    algorithm that has no blocking at all."""
+    from cerberus_cpp_spark.operators.dedup import edit_distance_pairs
+
+    part = _t(spark, sf_dir, "part")
+    orig = part.select(F.col("p_partkey").cast("long").alias("doc_id"),
+                       F.col("p_name").alias("text"))
+    pos = (F.col("p_partkey") % F.length("p_name")) + 1
+    twins = (
+        part.where(F.col("p_partkey") % 10 == 0)
+        .select(
+            (F.col("p_partkey") + 10_000_000).cast("long")
+            .alias("doc_id"),
+            F.concat(
+                F.col("p_name").substr(F.lit(1), pos - F.lit(1)),
+                F.col("p_name").substr(pos + F.lit(1),
+                                       F.length("p_name")),
+            ).alias("text"),
+        )
+    )
+    return edit_distance_pairs(orig.unionByName(twins), k=1)
+
+
+_EDIT_PAIRS_PART_SQL = """
+WITH t AS (
+  SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS s FROM part
+  UNION ALL
+  SELECT CAST(p_partkey + 10000000 AS BIGINT) AS id,
+         concat(
+           substr(p_name, 1, (p_partkey % length(p_name) + 1) - 1),
+           substr(p_name, (p_partkey % length(p_name) + 1) + 1,
+                  length(p_name))) AS s
+  FROM part WHERE p_partkey % 10 = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM t a JOIN t b
+  ON a.id < b.id
+ AND abs(length(a.s) - length(b.s)) <= 1
+WHERE levenshtein(a.s, b.s) <= 1
+"""
+
+
+IMG_GPS_N = 600
+
+
+def q_img_gps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-PII audit (image_checks.gps_pii_audit) over 600 real
+    JPEG/PNG/WebP payloads: every fourth image carries an EXIF GPS
+    IFD with id-derived deg/min/sec RATIONALs (exact num/den int64
+    pairs end to end — CIPA DC-008 stores rationals, and floats
+    would destroy oracle exactness), every 25th-mod-1 payload is
+    sniff-garbage routed to 'malformed'. Container walks only, one
+    narrow Arrow stage, no pixel decode — the 10^12-row tier. The
+    oracle replays the plant (status precedence, refs, every
+    rational, the alt arm) by pure id arithmetic."""
+    from cerberus_cpp_spark.operators.image_checks import gps_pii_audit
+
+    df = spark.range(0, IMG_GPS_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        def payload(i: int) -> bytes:
+            if i % 25 == 1:
+                return b"\x00\x01junk" + bytes([i % 251]) * 8
+            w, h = 8 + i % 5, 8 + i % 3
+            px = synth_pixels(pixel_seed(i, 77), w, h)
+            gps = None
+            if i % 4 == 0:
+                gps = {
+                    "lat_ref": "N" if i % 8 == 0 else "S",
+                    "lat": ((i * 7 % 90, 1), (i * 11 % 60, 1),
+                            (i * 13 % 60000, 1000)),
+                    "lon_ref": "E" if (i // 4) % 2 == 0 else "W",
+                    "lon": ((i * 17 % 180, 1), (i * 19 % 60, 1),
+                            (i * 23 % 60000, 1000)),
+                    "alt": (i % 5000, 100) if i % 8 == 0 else None,
+                }
+            exif = build_exif(description=f"img {i}", gps=gps)
+            fam = i % 3
+            if fam == 0:
+                return jpeg_insert_metadata(
+                    encode_pixels(px, "jpeg"), exif=exif)
+            if fam == 1:
+                return png_insert_metadata(
+                    encode_pixels(px, "png"), exif=exif)
+            rgba = np.dstack([px, np.full((h, w), 255, np.uint8)])
+            return encode_webp_vp8x(rgba, lossy=False, exif=exif)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    # has_gps is nullable in the operator (unknown for malformed
+    # rows); the contract projects it non-null (false there) because
+    # a NULLABLE boolean round-trips as an object column of mixed
+    # None/bool in pandas on BOTH engines, where NULL representation
+    # (None vs NaN) is not portable — same class of trap as the
+    # array_to_string([]) note in HANDOFF
+    return gps_pii_audit(imgs).withColumn(
+        "has_gps", F.coalesce(F.col("has_gps"), F.lit(False)))
+
+
+_IMG_GPS_AUDIT_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_GPS_N}) t(i)),
+g AS (
+  SELECT i,
+         (i % 25 <> 1) AS ok,
+         (i % 25 <> 1 AND i % 4 = 0) AS gps,
+         (i % 25 <> 1 AND i % 8 = 0) AS alt
+  FROM ids
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE WHEN ok THEN 'ok' ELSE 'malformed' END AS status,
+       gps AS has_gps,
+       CASE WHEN gps THEN (CASE WHEN i % 8 = 0 THEN 'N' ELSE 'S' END)
+            END AS lat_ref,
+       CASE WHEN gps THEN
+            (CASE WHEN (i // 4) % 2 = 0 THEN 'E' ELSE 'W' END)
+            END AS lon_ref,
+       CASE WHEN gps THEN CAST(i * 7 % 90 AS BIGINT) END AS lat_d_num,
+       CASE WHEN gps THEN CAST(1 AS BIGINT) END AS lat_d_den,
+       CASE WHEN gps THEN CAST(i * 11 % 60 AS BIGINT) END AS lat_m_num,
+       CASE WHEN gps THEN CAST(1 AS BIGINT) END AS lat_m_den,
+       CASE WHEN gps THEN CAST(i * 13 % 60000 AS BIGINT)
+            END AS lat_s_num,
+       CASE WHEN gps THEN CAST(1000 AS BIGINT) END AS lat_s_den,
+       CASE WHEN gps THEN CAST(i * 17 % 180 AS BIGINT)
+            END AS lon_d_num,
+       CASE WHEN gps THEN CAST(1 AS BIGINT) END AS lon_d_den,
+       CASE WHEN gps THEN CAST(i * 19 % 60 AS BIGINT) END AS lon_m_num,
+       CASE WHEN gps THEN CAST(1 AS BIGINT) END AS lon_m_den,
+       CASE WHEN gps THEN CAST(i * 23 % 60000 AS BIGINT)
+            END AS lon_s_num,
+       CASE WHEN gps THEN CAST(1000 AS BIGINT) END AS lon_s_den,
+       CASE WHEN alt THEN CAST(i % 5000 AS BIGINT) END AS alt_num,
+       CASE WHEN alt THEN CAST(100 AS BIGINT) END AS alt_den
+FROM g
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full rule-vocabulary validation over orders."""
     return q_val_orders_violations(spark, "/root/testdata/sf0.001")
@@ -8597,6 +8861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_gps_audit": q_img_gps_audit,
+        "graph_lcc_docs": q_graph_lcc_docs,
+        "pagerank_docs": q_pagerank_docs,
+        "edit_pairs_part": q_edit_pairs_part,
         "img_phash_bloom": q_img_phash_bloom,
         "graph_bfs_docs": q_graph_bfs_docs,
         "graph_triangles_docs": q_graph_triangles_docs,
@@ -9548,6 +9816,10 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_gps_audit": _IMG_GPS_AUDIT_SQL,
+        "graph_lcc_docs": _GRAPH_LCC_SQL,
+        "pagerank_docs": _pagerank_sql(),
+        "edit_pairs_part": _EDIT_PAIRS_PART_SQL,
         "img_phash_bloom": _img_phash_bloom_sql(),
         "graph_bfs_docs": _GRAPH_BFS_SQL,
         "graph_triangles_docs": _GRAPH_TRIANGLES_SQL,

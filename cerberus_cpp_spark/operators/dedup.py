@@ -940,3 +940,104 @@ def near_duplicate_groups(
     pairs = near_duplicates(df, id_col, text_col, k, threshold,
                             max_bucket, hash_fn)
     return near_duplicate_clusters(pairs, max_iter=max_iter)
+
+
+# ---------------------------------------------------------------
+# Edit-distance similarity self-join (FastSS deletion-neighborhood
+# blocking — Bocek et al. 2007, public). The near-dup family's
+# CHARACTER-grain member: MinHash answers shingle-set overlap,
+# SimHash answers Hamming proximity of fingerprints; this answers
+# "which short strings (titles, captions, names) are within k
+# edits", with EXACT recall and EXACT precision — recall because an
+# optimal alignment with i insertions, d deletions, s substitutions
+# (i+d+s <= k) yields a common variant after deleting the d+s
+# mismatched chars from one side (<= k deletions) and the i+s from
+# the other (<= k deletions), precision because candidates pass a
+# final levenshtein filter. Reference analogue: the uniqueness
+# checks (SURVEY §2.3) relaxed from exact keys to bounded edits.
+# ---------------------------------------------------------------
+
+
+def _delete_one(s: Column, p: Column) -> Column:
+    """The string ``s`` with its ``p``-th character deleted
+    (1-based); ``p = 0`` returns ``s`` unchanged. Pure codegen."""
+    return F.when(p == 0, s).otherwise(
+        F.concat(s.substr(F.lit(1), p - F.lit(1)),
+                 s.substr(p + F.lit(1), F.length(s))))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 1,
+    max_len: int = 512,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All unordered pairs with ``levenshtein(a, b) <= k``:
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``. ``k`` in {1, 2}
+    (the deletion neighborhood is O(len^k) variants per string —
+    exactly the regimes where edit-distance dedup is used). NULL
+    text and strings longer than ``max_len`` are excluded (the
+    variant fan-out budget; raise it deliberately).
+
+    Shape, at 100 TB: variants ship as xxhash64 int64 keys only
+    (a hash collision can only ADD a candidate, which the final
+    filter kills); the candidate self-join is an equi-join on the
+    key with map-side-distinct partials; candidate (id_a, id_b)
+    pairs are DISTINCT'd before strings are re-joined, so the
+    expensive levenshtein runs once per candidate pair over
+    candidate rows only (the ``near_duplicates`` semi-join
+    discipline). ``max_bucket`` optionally drops hotter-than-designed
+    variant buckets (recall loss, surfaced by the cap — same
+    contract as the LSH family); the default keeps recall exact.
+    """
+    if k not in (1, 2):
+        raise ValueError("k must be 1 or 2 (deletion-neighborhood "
+                         "blocking is O(len^k) variants per string)")
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    s = F.col(text_col)
+    base = (
+        df.where(s.isNotNull() & (F.length(s) <= max_len))
+        .select(F.col(id_col).alias("id"), s.alias("s"))
+    )
+    v1 = (
+        base.select(
+            "id", "s",
+            F.explode(F.sequence(F.lit(0), F.length("s"))).alias("p"))
+        .select("id", _delete_one(F.col("s"), F.col("p")).alias("v"))
+    )
+    if k == 2:
+        v1 = (
+            v1.select(
+                "id", "v",
+                F.explode(F.sequence(F.lit(0), F.length("v")))
+                .alias("p"))
+            .select("id",
+                    _delete_one(F.col("v"), F.col("p")).alias("v"))
+        )
+    var = v1.select("id", F.xxhash64("v").alias("h")).distinct()
+    if max_bucket is not None:
+        hot = (var.groupBy("h").agg(F.count(F.lit(1)).alias("bsz"))
+               .where(F.col("bsz") > max_bucket).select("h"))
+        var = var.join(hot, "h", "left_anti")
+    a, b = var.alias("a"), var.alias("b")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .where(
+            (F.abs(F.length("sa") - F.length("sb")) <= F.lit(int(k)))
+            & (F.levenshtein("sa", "sb") <= F.lit(int(k))))
+        .select("id_a", "id_b",
+                F.levenshtein("sa", "sb").cast("int").alias("dist"))
+    )

@@ -107,6 +107,174 @@ def bfs_hops(
     return visited.select(F.col("n").alias(node), "hops")
 
 
+def _oriented(g: DataFrame) -> DataFrame:
+    """Degree-orient the simple undirected graph ``g`` (columns
+    ``u < v``): each edge points from its (degree, id)-smaller
+    endpoint to the larger. The oriented graph is acyclic with
+    out-degree O(sqrt(m)) for ANY graph, which bounds the wedge
+    join's fan-out. Returns ``(a, b)`` plus the degree table as a
+    second frame via a tuple."""
+    deg = (
+        g.select(F.col("u").alias("x"))
+        .unionByName(g.select(F.col("v").alias("x")))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = (
+        g.join(deg.withColumnRenamed("x", "u")
+               .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("x", "v")
+              .withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = withd.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    return o, deg
+
+
+def _closed_wedges(g: DataFrame, o: DataFrame) -> DataFrame:
+    """All triangles of ``g`` as ``(a, p, q)`` rows — apex ``a`` is
+    the triangle's (degree, id)-least vertex, ``p < q`` by id (the
+    same (least, greatest) convention as ``g`` itself, so the
+    closure join hits ``g`` directly). Each triangle appears exactly
+    once."""
+    w1 = o.select(F.col("a"), F.col("b").alias("p"))
+    w2 = o.select(F.col("a"), F.col("b").alias("q"))
+    wedges = w1.join(w2, "a").where(F.col("p") < F.col("q"))
+    return wedges.join(
+        g.select(F.col("u").alias("p"), F.col("v").alias("q")),
+        ["p", "q"])
+
+
+def clustering_coefficients(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node of the simple
+    undirected graph: ``(node, degree, n_triangles, lcc)`` with
+    ``lcc = 2 * n_triangles / (degree * (degree - 1))`` — the share
+    of a node's neighbor pairs that are themselves connected, the
+    per-node signal that separates true duplicate cliques (lcc → 1)
+    from hash-collision chains (lcc → 0); ``triangle_count`` is its
+    corpus-level fold. Degree-1 and isolated-in-``g`` nodes report
+    0 triangles and lcc = 0.0 (no neighbor pair exists — the
+    conventional value).
+
+    Shape: the same bounded-fan-out oriented wedge join as
+    ``triangle_count``; each closed triangle then explodes to its
+    THREE member nodes (a constant 3× on the triangle frame, not
+    the edge frame) and one hash aggregate folds per-node counts.
+    All integer until the single final f64 division."""
+    g = simple_undirected(edges, src=src, dst=dst)
+    o, deg = _oriented(g)
+    tri = _closed_wedges(g, o)
+    per_node = (
+        tri.select(F.explode(F.array("a", "p", "q")).alias("x"))
+        .groupBy("x").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "x", "left")
+        .select(
+            F.col("x").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long").alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - 1)),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Deterministic INTEGER-scaled PageRank over the directed edge
+    list: ranks live in units of ``1/scale`` and every round is pure
+    int64 arithmetic — integer sums are order-independent, so the
+    result is bit-portable across engines and partitionings (the
+    same reason ``hll_estimate`` keeps its denominator integral; an
+    f64 PageRank's sum order is not reproducible). With
+    ``scale = 1e12`` the floor-rounding error after a handful of
+    rounds is < 1e-9 of the f64 value.
+
+    Contract (documented variant): ``rank_0 = scale`` for every
+    node; each round every node sends ``floor(rank / outdeg)`` along
+    each out-edge and
+    ``rank' = floor(scale * (den - num) / den) + floor(num * inbox / den)``.
+    Dangling nodes (outdeg 0) keep receiving but their mass is NOT
+    redistributed (the standard simplification; total mass therefore
+    decays — ranks are comparable within a run). Self-loops and
+    duplicate edges are dropped; NULL endpoints are dropped.
+
+    Shape: the adjacency and out-degree frames build once; each of
+    the ``rounds`` driver-bounded iterations is one equi-join on the
+    node id plus one hash aggregate with map-side partials — no step
+    is data-proportional on the driver, and each round's rank frame
+    is lazily ``localCheckpoint``ed (same lineage discipline as
+    ``bfs_hops``)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not 0 < damping_num <= damping_den:
+        raise ValueError("need 0 < damping_num <= damping_den")
+    if scale < 10 ** 6:
+        raise ValueError("scale must be >= 1e6 (rounding floor)")
+    adj = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                    & (F.col(src) != F.col(dst)))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+    )
+    nodes = (
+        adj.select(F.col("a").alias("node"))
+        .unionByName(adj.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    base = int(scale) * (int(damping_den) - int(damping_num)) \
+        // int(damping_den)
+    rank = nodes.withColumn("rank", F.lit(int(scale)).cast("long")) \
+        .localCheckpoint(eager=False)
+    for _ in range(int(rounds)):
+        send = (
+            rank.join(outdeg, "node")
+            .join(adj, rank["node"] == adj["a"])
+            .select(
+                F.col("b").alias("node"),
+                # `div` = int64 division (truncation == floor for the
+                # all-positive ranks) — never a f64 round-trip, so the
+                # result is exact by construction, not by mantissa
+                # headroom
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node").agg(F.sum("c").alias("inbox"))
+        )
+        rank = (
+            nodes.join(send, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"{base}L + ({int(damping_num)}L *"
+                    f" coalesce(inbox, 0L)) div {int(damping_den)}L"
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank
+
+
 def triangle_count(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Exact triangle count of the simple undirected graph, one
@@ -120,32 +288,8 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     order, so the count is exact with no division. Three
     aggregates + two equi-joins, all integers."""
     g = simple_undirected(edges, src=src, dst=dst)
-    deg = (
-        g.select(F.col("u").alias("x"))
-        .unionByName(g.select(F.col("v").alias("x")))
-        .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
-    )
-    # orient: keep (lo, hi) by the total key (degree, id)
-    withd = (
-        g.join(deg.withColumnRenamed("x", "u")
-               .withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("x", "v")
-              .withColumnRenamed("d", "dv"), "v")
-    )
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    o = withd.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
-    w1 = o.select(F.col("a"), F.col("b").alias("p"))
-    w2 = o.select(F.col("a"), F.col("b").alias("q"))
-    # wedge (p, q) normalized by id order == g's own (least,
-    # greatest) convention, so the closure join hits g directly
-    wedges = w1.join(w2, "a").where(F.col("p") < F.col("q"))
-    closed = wedges.join(
-        g.select(F.col("u").alias("p"), F.col("v").alias("q")),
-        ["p", "q"])
+    o, deg = _oriented(g)
+    closed = _closed_wedges(g, o)
     return (
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(g.agg(F.count(F.lit(1)).alias("n_edges")))

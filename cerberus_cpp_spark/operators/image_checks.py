@@ -1058,3 +1058,88 @@ def strip_image_metadata(df: DataFrame, *, id_col: str = "image_id",
             yield out
 
     return src.mapInPandas(work, schema=out_schema)
+
+
+def gps_pii_audit(df: DataFrame, *, id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Location-PII audit over image payloads: does the container
+    carry an EXIF GPS IFD, and exactly which coordinates — the
+    image-side sibling of ``text.redact_pii``'s detection pass, and
+    the check a crawled-image corpus runs BEFORE
+    ``strip_image_metadata`` ships it (GPS is the highest-severity
+    metadata PII class; reference analogue: the metadata
+    forbidden-field rules, rules.hh `forbidden`). One narrow
+    Arrow-batched pass, container walks only, never decodes pixels —
+    the 10^12-row tier.
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'malformed' — a
+    truncated GPS IFD is malformed, NOT a clean miss), ``has_gps``,
+    ``lat_ref``/``lon_ref``, and the spec's deg/min/sec coordinate
+    RATIONALs as exact ``*_num``/``*_den`` int64 pairs (CIPA DC-008
+    stores rationals; converting to float here would destroy the
+    exactness every oracle in this repo depends on), plus
+    ``alt_num``/``alt_den``. Missing pieces are NULL."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    num_cols = [f"{ax}_{c}_{p}" for ax in ("lat", "lon")
+                for c in ("d", "m", "s") for p in ("num", "den")]
+    fields = (
+        [("image_id", df.schema[id_col].dataType),
+         ("status", T.StringType()),
+         ("has_gps", T.BooleanType()),
+         ("lat_ref", T.StringType()),
+         ("lon_ref", T.StringType())]
+        + [(c, T.LongType()) for c in num_cols]
+        + [("alt_num", T.LongType()), ("alt_den", T.LongType())]
+    )
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagemeta import (
+            parse_gps,
+            raw_exif,
+        )
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                try:
+                    ex = raw_exif(bytes(blob))
+                    g = parse_gps(ex) if ex else None
+                except (ValueError, IndexError):
+                    emit(rid, "malformed")
+                    continue
+                if g is None:
+                    emit(rid, "ok", has_gps=False)
+                    continue
+                kv = {"has_gps": True, "lat_ref": g["lat_ref"],
+                      "lon_ref": g["lon_ref"]}
+                for ax in ("lat", "lon"):
+                    vals = g[ax] or []
+                    for j, c in enumerate(("d", "m", "s")):
+                        if j < len(vals):
+                            kv[f"{ax}_{c}_num"] = int(vals[j][0])
+                            kv[f"{ax}_{c}_den"] = int(vals[j][1])
+                if g["alt"] is not None:
+                    kv["alt_num"] = int(g["alt"][0])
+                    kv["alt_den"] = int(g["alt"][1])
+                emit(rid, "ok", **kv)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(work, schema=out_schema)

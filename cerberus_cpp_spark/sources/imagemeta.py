@@ -45,8 +45,16 @@ TAG_ORIENTATION = 274
 TAG_SOFTWARE = 305
 TAG_DATETIME = 306
 TAG_EXIF_IFD = 34665
+TAG_GPS_IFD = 34853
 TAG_PIXEL_X = 40962
 TAG_PIXEL_Y = 40963
+
+# GPS IFD tag vocabulary (CIPA DC-008 §4.6.6)
+GPS_TAG_LAT_REF = 1
+GPS_TAG_LAT = 2
+GPS_TAG_LON_REF = 3
+GPS_TAG_LON = 4
+GPS_TAG_ALT = 6
 
 _ASCII_TAGS = {TAG_DESCRIPTION, TAG_SOFTWARE, TAG_DATETIME}
 
@@ -66,10 +74,16 @@ def build_exif(*, description: str | None = None,
                datetime_str: str | None = None,
                pixel_x: int | None = None,
                pixel_y: int | None = None,
+               gps: dict | None = None,
                byte_order: str = "<") -> bytes:
     """Minimal spec-shaped EXIF block: IFD0 with the descriptive
     tags, plus an EXIF sub-IFD (tag 34665) holding
-    PixelXDimension/PixelYDimension when given."""
+    PixelXDimension/PixelYDimension when given, plus a GPS sub-IFD
+    (tag 34853, CIPA DC-008 §4.6.6) when ``gps`` is given:
+    ``{"lat_ref": "N"|"S", "lat": ((dn,dd),(mn,md),(sn,sd)),
+    "lon_ref": "E"|"W", "lon": (...), "alt": (num,den)|None}`` —
+    coordinates as the spec's three RATIONALs (deg, min, sec), kept
+    as exact num/den pairs end to end."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     bo = byte_order
@@ -114,23 +128,54 @@ def build_exif(*, description: str | None = None,
     if datetime_str is not None:
         ifd0.append(ascii_entry(TAG_DATETIME, datetime_str))
 
+    def rational_entry(tag: int, pairs):
+        payload = b"".join(struct.pack(bo + "II", int(n), int(d))
+                           for n, d in pairs)
+        return (tag, 5, payload, len(pairs))
+
     sub: list = []
     if pixel_x is not None:
         sub.append(long_entry(TAG_PIXEL_X, pixel_x))
     if pixel_y is not None:
         sub.append(long_entry(TAG_PIXEL_Y, pixel_y))
 
+    gps_ifd: list = []
+    if gps is not None:
+        if gps.get("lat_ref") not in ("N", "S") or \
+                gps.get("lon_ref") not in ("E", "W"):
+            raise ValueError("gps needs lat_ref N/S and lon_ref E/W")
+        if len(gps["lat"]) != 3 or len(gps["lon"]) != 3:
+            raise ValueError("gps lat/lon must be 3 (num, den) "
+                             "rationals (deg, min, sec)")
+        gps_ifd = [
+            ascii_entry(GPS_TAG_LAT_REF, gps["lat_ref"]),
+            rational_entry(GPS_TAG_LAT, gps["lat"]),
+            ascii_entry(GPS_TAG_LON_REF, gps["lon_ref"]),
+            rational_entry(GPS_TAG_LON, gps["lon"]),
+        ]
+        if gps.get("alt") is not None:
+            gps_ifd.append(rational_entry(GPS_TAG_ALT, [gps["alt"]]))
+
     header = (b"II\x2a\x00" if bo == "<" else b"MM\x00\x2a") + \
         struct.pack(bo + "I", 8)
-    if sub:
+    if sub or gps_ifd:
         # IFD0 length depends on its own entry count incl. the
-        # pointer entry — compute with the pointer placeholder first
-        probe = pack_ifd(ifd0 + [long_entry(TAG_EXIF_IFD, 0)], 8)
-        sub_off = 8 + len(probe)
-        ifd0_final = pack_ifd(
-            ifd0 + [long_entry(TAG_EXIF_IFD, sub_off)], 8)
+        # pointer entries — compute with placeholder pointers first
+        # (a pointer entry is a fixed 12 bytes whatever its value,
+        # so the probe length is final)
+        holders = ([long_entry(TAG_EXIF_IFD, 0)] if sub else []) + \
+            ([long_entry(TAG_GPS_IFD, 0)] if gps_ifd else [])
+        probe = pack_ifd(ifd0 + holders, 8)
+        exif_off = 8 + len(probe)
+        gps_off = exif_off + (len(pack_ifd(sub, exif_off)) if sub
+                              else 0)
+        ptrs = ([long_entry(TAG_EXIF_IFD, exif_off)] if sub else []) \
+            + ([long_entry(TAG_GPS_IFD, gps_off)] if gps_ifd else [])
+        ifd0_final = pack_ifd(ifd0 + ptrs, 8)
         assert len(ifd0_final) == len(probe)
-        return header + ifd0_final + pack_ifd(sub, sub_off)
+        return header + ifd0_final + \
+            (pack_ifd(sub, exif_off) if sub else b"") + \
+            (pack_ifd(gps_ifd, gps_off) if gps_ifd else b"")
     return header + pack_ifd(ifd0, 8)
 
 
@@ -168,6 +213,59 @@ def parse_exif(blob: bytes) -> dict:
 
 _EMPTY = {"description": None, "orientation": None, "software": None,
           "datetime": None, "pixel_x": None, "pixel_y": None}
+
+
+_GPS_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def parse_gps(blob: bytes) -> dict | None:
+    """The GPS sub-IFD of an EXIF block (or whole TIFF), with the
+    coordinate RATIONALs kept as exact ``(num, den)`` pairs — the
+    shared ``_read_entries`` walker deliberately drops denominators
+    (it serves the integer dimension/orientation tags), and GPS is
+    the one consumer that needs them. Returns ``None`` when no GPS
+    IFD exists; raises ``ValueError`` on a truncated/out-of-bounds
+    GPS IFD (so audit operators route the row to 'malformed' instead
+    of reporting a clean miss). Keys: ``lat_ref``/``lon_ref`` (str),
+    ``lat``/``lon`` (list of 3 ``(num, den)``), ``alt``
+    (``(num, den)`` or None)."""
+    bo, tags = _read_entries(blob)
+    if TAG_GPS_IFD not in tags or not tags[TAG_GPS_IFD]:
+        return None
+    off = int(tags[TAG_GPS_IFD][0])
+    if off + 2 > len(blob):
+        raise ValueError("GPS IFD offset out of bounds")
+    (n,) = struct.unpack_from(bo + "H", blob, off)
+    raw: dict = {}
+    for i in range(n):
+        pos = off + 2 + 12 * i
+        if pos + 12 > len(blob):
+            raise ValueError("truncated GPS IFD")
+        tag, typ, count = struct.unpack_from(bo + "HHI", blob, pos)
+        if typ not in _GPS_TYPE_SIZES:
+            continue
+        size = _GPS_TYPE_SIZES[typ] * count
+        if size <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", blob, pos + 8)
+        if voff + size > len(blob):
+            raise ValueError(f"GPS tag {tag} value out of bounds")
+        if typ == 2:
+            raw[tag] = bytes(blob[voff:voff + count]) \
+                .split(b"\x00")[0].decode("ascii", "replace")
+        elif typ == 5:
+            v = struct.unpack_from(bo + "II" * count, blob, voff)
+            raw[tag] = [(v[2 * j], v[2 * j + 1])
+                        for j in range(count)]
+    alt = raw.get(GPS_TAG_ALT)
+    return {
+        "lat_ref": raw.get(GPS_TAG_LAT_REF),
+        "lat": raw.get(GPS_TAG_LAT),
+        "lon_ref": raw.get(GPS_TAG_LON_REF),
+        "lon": raw.get(GPS_TAG_LON),
+        "alt": alt[0] if alt else None,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -357,6 +455,36 @@ def gif_comments(data: bytes) -> list[str]:
 # ---------------------------------------------------------------------------
 # Unified dispatch
 # ---------------------------------------------------------------------------
+
+
+def raw_exif(data: bytes) -> bytes | None:
+    """The UNPARSED EXIF block of any sniffable payload (None when
+    the container carries none) — the entry point for consumers that
+    need fields beyond ``parse_exif``'s normalized set, e.g.
+    ``parse_gps``'s exact rationals. Same container walks as
+    ``image_metadata``, no pixel decode."""
+    from .imagegen import sniff_format
+
+    fmt = sniff_format(data)
+    if fmt == "jpeg":
+        return jpeg_metadata(data)["exif"]
+    if fmt == "png":
+        return png_metadata(data)["exif"]
+    if fmt == "tiff":
+        return data if sniff_tiff(data) else None
+    if fmt == "webp":
+        from .webpx import extract_metadata
+
+        return extract_metadata(data)["exif"]
+    if fmt in ("heic", "avif"):
+        from .libheif import heif_available, heif_metadata
+
+        if heif_available():
+            return heif_metadata(data)["exif"]
+        return None
+    if fmt is None:
+        raise ValueError("unrecognized image stream")
+    return None  # gif/bmp: no EXIF vocabulary
 
 
 def image_metadata(data: bytes) -> dict:

@@ -1,0 +1,123 @@
+"""EXIF GPS: build_exif(gps=) / parse_gps exact-rational roundtrip
+across carriers, strip removal, and the gps_pii_audit operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from cerberus_cpp_spark.operators.image_checks import gps_pii_audit
+from cerberus_cpp_spark.sources.imagegen import (
+    encode_pixels,
+    pixel_seed,
+    synth_pixels,
+)
+from cerberus_cpp_spark.sources.imagemeta import (
+    build_exif,
+    jpeg_insert_metadata,
+    parse_gps,
+    png_insert_metadata,
+    raw_exif,
+    strip_metadata,
+)
+
+GPS = {"lat_ref": "N", "lat": ((51, 1), (30, 1), (12345, 1000)),
+       "lon_ref": "W", "lon": ((0, 1), (7, 1), (56789, 1000)),
+       "alt": (3500, 100)}
+
+
+def _px(w=8, h=6):
+    return synth_pixels(pixel_seed(1, 9), w, h)
+
+
+def _carriers():
+    exif = build_exif(description="t", gps=GPS)
+    jpg = jpeg_insert_metadata(encode_pixels(_px(), "jpeg"),
+                               exif=exif)
+    png = png_insert_metadata(encode_pixels(_px(), "png"), exif=exif)
+    from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+    rgba = np.dstack([_px(), np.full((6, 8), 255, np.uint8)])
+    webp = encode_webp_vp8x(rgba, lossy=False, exif=exif)
+    return {"jpeg": jpg, "png": png, "webp": webp}
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_roundtrip_both_byte_orders(bo):
+    blob = build_exif(orientation=3, pixel_x=4, pixel_y=2, gps=GPS,
+                      byte_order=bo)
+    g = parse_gps(blob)
+    assert g["lat_ref"] == "N" and g["lon_ref"] == "W"
+    assert g["lat"] == [(51, 1), (30, 1), (12345, 1000)]
+    assert g["lon"] == [(0, 1), (7, 1), (56789, 1000)]
+    assert g["alt"] == (3500, 100)
+    # the normalized fields coexist with the GPS sub-IFD
+    from cerberus_cpp_spark.sources.imagemeta import parse_exif
+
+    assert parse_exif(blob)["pixel_x"] == 4
+
+
+def test_no_gps_is_none():
+    assert parse_gps(build_exif(description="x")) is None
+    assert parse_gps(build_exif(pixel_x=3, pixel_y=3)) is None
+
+
+def test_carriers_roundtrip_and_strip():
+    for fmt, payload in _carriers().items():
+        ex = raw_exif(payload)
+        assert ex is not None, fmt
+        assert parse_gps(ex)["lat"][2] == (12345, 1000), fmt
+        stripped, removed = strip_metadata(payload)
+        assert "exif" in removed, fmt
+        assert raw_exif(stripped) is None, fmt
+
+
+def test_truncated_gps_ifd_raises():
+    blob = build_exif(gps=GPS)
+    with pytest.raises(ValueError):
+        parse_gps(blob[:len(blob) - 10])
+
+
+def test_guards():
+    with pytest.raises(ValueError):
+        build_exif(gps={**GPS, "lat_ref": "X"})
+    with pytest.raises(ValueError):
+        build_exif(gps={**GPS, "lat": ((1, 1), (2, 1))})
+
+
+def test_audit_operator_routing(spark):
+    cars = _carriers()
+    clean = encode_pixels(_px(), "png")
+    rows = [
+        Row(image_id="jpg-gps", bytes=bytearray(cars["jpeg"])),
+        Row(image_id="png-gps", bytes=bytearray(cars["png"])),
+        Row(image_id="webp-gps", bytes=bytearray(cars["webp"])),
+        Row(image_id="clean", bytes=bytearray(clean)),
+        Row(image_id="null", bytes=None),
+        Row(image_id="junk", bytes=bytearray(b"\x00\x01garbage")),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r for r in gps_pii_audit(df).collect()}
+    for rid in ("jpg-gps", "png-gps", "webp-gps"):
+        r = got[rid]
+        assert r["status"] == "ok" and r["has_gps"]
+        assert (r["lat_ref"], r["lon_ref"]) == ("N", "W")
+        assert (r["lat_s_num"], r["lat_s_den"]) == (12345, 1000)
+        assert (r["lon_d_num"], r["lon_d_den"]) == (0, 1)
+        assert (r["alt_num"], r["alt_den"]) == (3500, 100)
+    assert got["clean"]["status"] == "ok"
+    assert got["clean"]["has_gps"] is False
+    assert got["clean"]["lat_ref"] is None
+    assert got["null"]["status"] == "no_payload"
+    assert got["junk"]["status"] == "malformed"
+
+
+def test_audit_plan_is_one_narrow_stage(spark):
+    df = spark.createDataFrame(
+        [Row(image_id="a", bytes=bytearray(b"x"))],
+        "image_id string, bytes binary")
+    plan = gps_pii_audit(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

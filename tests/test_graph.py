@@ -175,3 +175,155 @@ def test_scd2_tiebreak_orders_same_microsecond(spark) -> None:
     got = {r.version_index: r.v for r in scd2_intervals(
         df, key="k", ts="ts", tiebreak="seq").collect()}
     assert got == {1: "early", 2: "late"}
+
+
+# ------------------------------------------------------------------
+# clustering_coefficients
+# ------------------------------------------------------------------
+
+
+def _brute_lcc(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        t = sum(
+            1 for x, y in itertools.combinations(sorted(nb), 2)
+            if y in adj.get(x, ()))
+        lcc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        out[v] = (d, t, lcc)
+    return out
+
+
+def test_lcc_k4_and_path(spark):
+    from cerberus_cpp_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # K4: every node degree 3, in 3 triangles, lcc 1.0; plus a
+    # pendant path 4-10-11 (10 has degree 2, no triangle, lcc 0).
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [
+        (4, 10), (10, 11)]
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc"])
+        for r in clustering_coefficients(
+            _edges(spark, pairs)).collect()
+    }
+    assert got == _brute_lcc(pairs)
+    assert got[1] == (3, 3, 1.0)
+    assert got[10] == (2, 0, 0.0)
+    assert got[11] == (1, 0, 0.0)
+
+
+def test_lcc_random_vs_brute(spark):
+    from cerberus_cpp_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(24), rng.randrange(24))
+                  for _ in range(120)})
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"],
+                    round(r["lcc"], 12))
+        for r in clustering_coefficients(
+            _edges(spark, pairs)).collect()
+    }
+    want = {v: (d, t, round(l, 12))
+            for v, (d, t, l) in _brute_lcc(pairs).items()}
+    assert got == want
+
+
+def test_lcc_consistent_with_triangle_count(spark):
+    from cerberus_cpp_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(18), rng.randrange(18))
+                  for _ in range(90)})
+    e = _edges(spark, pairs)
+    total = triangle_count(e).collect()[0]["n_triangles"]
+    per_node = clustering_coefficients(e).agg(
+        {"n_triangles": "sum"}).collect()[0][0]
+    assert per_node == 3 * total  # each triangle counted at 3 nodes
+
+
+# ------------------------------------------------------------------
+# pagerank_scaled
+# ------------------------------------------------------------------
+
+
+def _brute_pagerank_scaled(pairs, rounds, num=85, den=100,
+                           scale=10**12):
+    adj = {}
+    nodes = set()
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        nodes.add(a)
+        nodes.add(b)
+    base = scale * (den - num) // den
+    rank = {v: scale for v in nodes}
+    for _ in range(rounds):
+        inbox = {v: 0 for v in nodes}
+        for u, nb in adj.items():
+            c = rank[u] // len(nb)
+            for v in nb:
+                inbox[v] += c
+        rank = {v: base + num * inbox[v] // den for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_brute_integer_reference(spark):
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    rng = random.Random(3)
+    pairs = list({(rng.randrange(20), rng.randrange(20))
+                  for _ in range(100)})
+    got = {r["node"]: r["rank"]
+           for r in pagerank_scaled(_edges(spark, pairs),
+                                    rounds=3).collect()}
+    assert got == _brute_pagerank_scaled(pairs, 3)
+
+
+def test_pagerank_cycle_uniform(spark):
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    # a directed cycle is rank-uniform at every round
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    rows = pagerank_scaled(_edges(spark, pairs), rounds=4).collect()
+    assert len({r["rank"] for r in rows}) == 1
+    assert len(rows) == 5
+
+
+def test_pagerank_sink_receives_more(spark):
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    # star into node 0: 0 is dangling and must outrank the spokes
+    pairs = [(i, 0) for i in range(1, 6)]
+    got = {r["node"]: r["rank"]
+           for r in pagerank_scaled(_edges(spark, pairs),
+                                    rounds=2).collect()}
+    assert got[0] > got[1]
+    assert got == _brute_pagerank_scaled(pairs, 2)
+
+
+def test_pagerank_guards(spark):
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        pagerank_scaled(e, rounds=0)
+    with pytest.raises(ValueError):
+        pagerank_scaled(e, damping_num=0)
+    with pytest.raises(ValueError):
+        pagerank_scaled(e, damping_num=101, damping_den=100)
+    with pytest.raises(ValueError):
+        pagerank_scaled(e, scale=10)
