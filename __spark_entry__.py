@@ -8727,6 +8727,159 @@ WHERE levenshtein(a.s, b.s) <= 1
 """
 
 
+def q_kcore_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core (graph.k_core) of a deterministic FUNCTIONAL graph
+    derived from documents (node m = doc_id % 101, one edge to
+    (m² + 1) % 101): a functional graph is cycles with trees hanging
+    off them, so its 2-core is exactly the cycle set and the tree
+    tails peel over MANY rounds (this plant: 101 nodes → a 9-node
+    core after 20 peel rounds — the loop is genuinely exercised,
+    unlike the dense doc graph whose min degree 24 makes small-k
+    cores trivial). The oracle is a DuckDB RECURSIVE CTE carrying the
+    accumulated removed-set as a list column — a true fixpoint
+    replay with no unrolled-round assumption, the strongest oracle
+    shape for an iterate-until-converged operator."""
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 101).alias("m"))
+    edges = d.select(
+        F.col("m").alias("src"),
+        ((F.col("m") * F.col("m") + 1) % 101).alias("dst"))
+    return k_core(edges, k=2)
+
+
+_KCORE_DOCS_SQL = """
+WITH RECURSIVE g AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM (
+    SELECT doc_id % 101 AS src,
+           ((doc_id % 101) * (doc_id % 101) + 1) % 101 AS dst
+    FROM documents
+  ) e0
+  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL
+), peel AS (
+  SELECT CAST([] AS BIGINT[]) AS removed
+  UNION
+  SELECT (
+    SELECT coalesce(list(DISTINCT x ORDER BY x),
+                    CAST([] AS BIGINT[]))
+    FROM (
+      SELECT x FROM (
+        SELECT u AS x, v AS y FROM g
+        UNION ALL SELECT v AS x, u AS y FROM g) e
+      GROUP BY x
+      HAVING list_contains(p.removed, x)
+          OR count(*) FILTER (
+               WHERE NOT list_contains(p.removed, y)) < 2
+    ) cand
+  ) AS removed
+  FROM peel p
+), fin AS (
+  SELECT removed FROM peel ORDER BY len(removed) DESC LIMIT 1
+)
+SELECT x AS node, count(*) AS degree
+FROM (
+  SELECT u AS x, v AS y FROM g
+  UNION ALL SELECT v AS x, u AS y FROM g) e, fin
+WHERE NOT list_contains(fin.removed, x)
+  AND NOT list_contains(fin.removed, y)
+GROUP BY x
+"""
+
+
+def q_comoment_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact co-moment table (checks.comoment_stats) over lineitem's
+    four fixed-point measures at decimals=2: all 10 unordered pairs'
+    pairwise-valid counts and integer Σx/Σy/Σxy/Σx²/Σy² in cent
+    units, sums as exact digit strings, inexact-value counters
+    alongside — the covariance/Pearson/OLS core WITHOUT the
+    non-bit-portable division/sqrt (the hll_estimate policy). ONE
+    full-scan hash aggregate (plan-pinned single Exchange); the
+    oracle replays the scaling, the pairwise deletion, and every sum
+    with DuckDB's HUGEINT arithmetic."""
+    from cerberus_cpp_spark.operators.checks import comoment_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return comoment_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        decimals=2)
+
+
+def _comoment_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            cx, cy = cols[i], cols[j]
+            v = (f"({cx} IS NOT NULL AND NOT isnan({cx}) AND "
+                 f"{cy} IS NOT NULL AND NOT isnan({cy}))")
+            sx = f"CAST(round({cx} * 100) AS BIGINT)"
+            sy = f"CAST(round({cy} * 100) AS BIGINT)"
+            parts.append(f"""
+SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+  count(*) FILTER (WHERE {v}) AS n,
+  CAST(sum({sx}) FILTER (WHERE {v}) AS VARCHAR) AS sum_x,
+  CAST(sum({sy}) FILTER (WHERE {v}) AS VARCHAR) AS sum_y,
+  CAST(sum({sx} * {sy}) FILTER (WHERE {v}) AS VARCHAR) AS sum_xy,
+  CAST(sum({sx} * {sx}) FILTER (WHERE {v}) AS VARCHAR) AS sum_x2,
+  CAST(sum({sy} * {sy}) FILTER (WHERE {v}) AS VARCHAR) AS sum_y2,
+  count(*) FILTER (WHERE {v}
+    AND abs({cx} * 100 - round({cx} * 100)) > 1e-6) AS inexact_x,
+  count(*) FILTER (WHERE {v}
+    AND abs({cy} * 100 - round({cy} * 100)) > 1e-6) AS inexact_y
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_nfc_census_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization census (encoding.nfc_census) over
+    documents with planted arms: composed é (already NFC),
+    decomposed e+U+0301 (not NFC), the ANGSTROM SIGN U+212B (a
+    SINGLETON that NFC rewrites to Å U+00C5 — normalization without
+    any combining mark), and a NULL arm. The oracle does NOT replay
+    the Python engine's arithmetic — DuckDB normalizes with its OWN
+    utf8proc `nfc_normalize` and hashes the result: two unrelated
+    UAX #15 implementations agreeing on verdicts, codepoint counts,
+    and md5 join keys per row (the parquet_layout oracle class)."""
+    from cerberus_cpp_spark.operators.encoding import nfc_census
+
+    d = _t(spark, sf_dir, "documents")
+    arm = F.col("doc_id") % 5
+    planted = d.select(
+        "doc_id",
+        F.when(arm == 3, F.lit(None).cast("string"))
+        .when(arm == 1, F.concat(F.col("text"),
+                                 F.lit("\u00e9")))      # composed
+        .when(arm == 2, F.concat(F.col("text"),
+                                 F.lit("e\u0301")))     # decomposed
+        .when(arm == 4, F.concat(F.col("text"),
+                                 F.lit("\u212b")))      # angstrom
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return nfc_census(planted)
+
+
+_NFC_CENSUS_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 3 THEN NULL
+         WHEN doc_id % 5 = 1 THEN text || chr(233)
+         WHEN doc_id % 5 = 2 THEN text || chr(101) || chr(769)
+         WHEN doc_id % 5 = 4 THEN text || chr(8491)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 'no_text' ELSE 'ok' END AS status,
+       CAST(text = nfc_normalize(text) AS INTEGER) AS is_nfc,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM planted
+"""
+
+
 IMG_GPS_N = 600
 
 
@@ -8861,6 +9014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "nfc_census_docs": q_nfc_census_docs,
+        "comoment_lineitem": q_comoment_lineitem,
+        "kcore_docs": q_kcore_docs,
         "img_gps_audit": q_img_gps_audit,
         "graph_lcc_docs": q_graph_lcc_docs,
         "pagerank_docs": q_pagerank_docs,
@@ -9816,6 +9972,9 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nfc_census_docs": _NFC_CENSUS_SQL,
+        "comoment_lineitem": _comoment_sql(),
+        "kcore_docs": _KCORE_DOCS_SQL,
         "img_gps_audit": _IMG_GPS_AUDIT_SQL,
         "graph_lcc_docs": _GRAPH_LCC_SQL,
         "pagerank_docs": _pagerank_sql(),

@@ -1584,3 +1584,101 @@ def numeric_histogram(
             "cnt",
         )
     )
+
+
+def comoment_stats(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    decimals: int = 0,
+) -> DataFrame:
+    """EXACT second-order co-moment table over fixed-point numeric
+    columns, ONE scan: for every unordered pair (x <= y by position,
+    including x == y) the pairwise-valid row count and the integer
+    sums Σx, Σy, Σxy, Σx², Σy² in units of ``10^-decimals`` —
+    everything a consumer needs to assemble covariance / Pearson /
+    OLS slope, WITHOUT this operator performing the one division and
+    sqrt that are not bit-portable (the ``hll_estimate`` /
+    ``lm_coverage`` policy: export the exact core, let the caller
+    spend the float). Sums travel as decimal(38,0) and are emitted
+    as STRINGS (exact digits; pandas/Arrow round-trips of wide
+    decimals are not otherwise faithful).
+
+    Contract: column values must be ``decimals``-decimal fixed-point
+    (prices in cents, quantities in units): each value is scaled by
+    ``10^decimals`` and rounded to an integer — for true fixed-point
+    data the rounding recovers the exact integer (the stored double
+    is within 1e-10 of it); ``inexact_x``/``inexact_y`` count the
+    pairwise-valid rows further than 1e-6 from an integer after
+    scaling, so contract violations are VISIBLE in the result, not
+    silent. NULL/NaN rows are excluded pairwise (each pair sums over
+    the rows where BOTH its columns are valid).
+
+    Shape at 100 TB: one full-scan hash aggregate with map-side
+    partials (6 + 2 aggregates per pair over len(cols)² / 2 pairs —
+    a few hundred counters, shuffled once as ONE partial row per
+    task); the pair table is then exploded from the single aggregate
+    row, so nothing row-proportional ever shuffles. Bound: decimal
+    sums overflow at 10^38 — at 10^12 rows values up to ~10^12 in
+    scaled units are safe."""
+    if len(cols) < 1:
+        raise ValueError("need at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError("duplicate columns")
+    if not 0 <= int(decimals) <= 6:
+        raise ValueError("decimals must be in [0, 6]")
+    scale = 10 ** int(decimals)
+
+    def valid(c: str) -> Column:
+        col = F.col(c)
+        return col.isNotNull() & ~F.isnan(col)
+
+    def scaled(c: str) -> Column:
+        return F.round(F.col(c) * F.lit(scale)) \
+            .cast("decimal(18,0)")
+
+    def inexact(c: str) -> Column:
+        x = F.col(c) * F.lit(scale)
+        return F.abs(x - F.round(x)) > F.lit(1e-6)
+
+    aggs = []
+    names = []
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i, len(cols))]
+    for i, j in pairs:
+        cx, cy = cols[i], cols[j]
+        both = valid(cx) & valid(cy)
+        tag = f"{i}_{j}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(both, scaled(cx))).alias(f"sx_{tag}"),
+            F.sum(F.when(both, scaled(cy))).alias(f"sy_{tag}"),
+            F.sum(F.when(both, scaled(cx) * scaled(cy)))
+            .alias(f"sxy_{tag}"),
+            F.sum(F.when(both, scaled(cx) * scaled(cx)))
+            .alias(f"sxx_{tag}"),
+            F.sum(F.when(both, scaled(cy) * scaled(cy)))
+            .alias(f"syy_{tag}"),
+            F.count(F.when(both & inexact(cx), F.lit(1)))
+            .alias(f"ix_{tag}"),
+            F.count(F.when(both & inexact(cy), F.lit(1)))
+            .alias(f"iy_{tag}"),
+        ]
+        names.append((i, j, tag))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(cols[i]).alias("col_x"),
+            F.lit(cols[j]).alias("col_y"),
+            F.col(f"n_{tag}").alias("n"),
+            F.col(f"sx_{tag}").cast("string").alias("sum_x"),
+            F.col(f"sy_{tag}").cast("string").alias("sum_y"),
+            F.col(f"sxy_{tag}").cast("string").alias("sum_xy"),
+            F.col(f"sxx_{tag}").cast("string").alias("sum_x2"),
+            F.col(f"syy_{tag}").cast("string").alias("sum_y2"),
+            F.col(f"ix_{tag}").alias("inexact_x"),
+            F.col(f"iy_{tag}").alias("inexact_y"),
+        )
+        for i, j, tag in names
+    ])
+    return one.select(F.explode(rows).alias("p")).select("p.*")

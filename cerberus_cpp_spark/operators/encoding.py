@@ -93,3 +93,68 @@ def encoding_census(
             yield res
 
     return src.mapInPandas(work, schema=ENCODING_SCHEMA)
+
+
+NFC_SCHEMA = (
+    "doc_id long, status string, is_nfc int, n_chars bigint, "
+    "n_chars_nfc bigint, nfc_md5 string"
+)
+
+
+def nfc_census(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-normalization census: is each document already NFC
+    (UAX #15 canonical composition — the form dedup hashes, BPE
+    vocabularies, and eval-set n-gram matching all silently assume;
+    two byte-different spellings of 'é' must count as one document,
+    and THIS census tells you whether that assumption already holds
+    or a normalization pass must run first). Per row: ``status``
+    ('ok' | 'no_text'), ``is_nfc`` (1/0 int — deliberately not a
+    nullable boolean, see the HANDOFF pandas round-trip trap),
+    codepoint counts before/after NFC, and the md5 of the UTF-8
+    NFC text (join key for the normalized corpus).
+
+    One narrow Arrow stage; Python's ``unicodedata.normalize`` is
+    the engine, and the contract oracle replays it with DuckDB's
+    OWN independent ``nfc_normalize`` (utf8proc) — two unrelated
+    UAX #15 implementations agreeing per row, the strongest oracle
+    class in the repo (the ``parquet_layout`` pattern)."""
+    import hashlib
+    import unicodedata
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "status", "is_nfc",
+                                   "n_chars", "n_chars_nfc",
+                                   "nfc_md5")}
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                out["doc_id"].append(did)
+                if txt is None:
+                    out["status"].append("no_text")
+                    out["is_nfc"].append(None)
+                    out["n_chars"].append(None)
+                    out["n_chars_nfc"].append(None)
+                    out["nfc_md5"].append(None)
+                    continue
+                txt = str(txt)
+                nfc = unicodedata.normalize("NFC", txt)
+                out["status"].append("ok")
+                out["is_nfc"].append(int(nfc == txt))
+                out["n_chars"].append(len(txt))
+                out["n_chars_nfc"].append(len(nfc))
+                out["nfc_md5"].append(
+                    hashlib.md5(nfc.encode("utf-8")).hexdigest())
+            pdf_out = pd.DataFrame(out)
+            for c in ("is_nfc",):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            for c in ("n_chars", "n_chars_nfc"):
+                pdf_out[c] = pdf_out[c].astype("Int64")
+            yield pdf_out
+
+    return src.mapInPandas(work, schema=NFC_SCHEMA)

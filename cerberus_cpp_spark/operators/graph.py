@@ -275,6 +275,61 @@ def pagerank_scaled(
     return rank
 
 
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 1_000,
+) -> DataFrame:
+    """The k-core of the simple undirected graph — the maximal
+    subgraph in which every node has degree >= k — as
+    ``(node, degree)`` rows with the WITHIN-core degree. The duplicate
+    graph's "how dense is this cluster really" question at corpus
+    scale: cores survive where hash-collision chains peel away.
+
+    Classic peeling to the fixpoint: each round computes live
+    degrees (one hash aggregate) and anti-joins sub-k nodes out of
+    the edge list (two keyed anti-joins); the loop exits on the
+    first round that removes nothing (``limit(1)`` probe — the only
+    driver action). Peeling is monotone, so rounds are bounded by
+    the node count; ``max_rounds`` is a diagnostics backstop (raises,
+    never silently truncates — an UN-converged peel is not a k-core).
+    Each round's edge frame is lazily ``localCheckpoint``ed (lineage
+    doubles per round otherwise — the ``bfs_hops`` discipline)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    g = simple_undirected(edges, src=src, dst=dst)
+    live = (
+        g.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(
+            g.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(max_rounds)):
+        bad = (
+            live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") < k).select("a")
+            .localCheckpoint(eager=False)
+        )
+        if bad.limit(1).count() == 0:
+            return (
+                live.groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("degree"))
+            )
+        live = (
+            live.join(bad, "a", "left_anti")
+            .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    raise ValueError(
+        f"k_core did not converge within max_rounds={max_rounds}; "
+        "raise the backstop (rounds are bounded by the node count)")
+
+
 def triangle_count(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Exact triangle count of the simple undirected graph, one

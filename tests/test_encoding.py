@@ -72,3 +72,80 @@ def test_plan(spark) -> None:
     out = encoding_census(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------------
+# nfc_census
+# ------------------------------------------------------------------
+
+
+def test_nfc_census_classes(spark):
+    from pyspark.sql import Row
+
+    from cerberus_cpp_spark.operators.encoding import nfc_census
+
+    rows = [
+        Row(doc_id=1, text="plain ascii"),
+        Row(doc_id=2, text="café"),            # composed: NFC
+        Row(doc_id=3, text="café"),           # decomposed
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text=""),
+        Row(doc_id=6, text="ﬁsh"),             # ligature: NFC-stable
+        Row(doc_id=7, text="Å"),              # A + ring -> Å
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_census(df).collect()}
+    import hashlib
+    import unicodedata
+
+    assert got[1]["is_nfc"] == 1 and got[1]["n_chars"] == 11
+    assert got[2]["is_nfc"] == 1 and got[2]["n_chars"] == 4
+    assert got[3]["is_nfc"] == 0
+    assert (got[3]["n_chars"], got[3]["n_chars_nfc"]) == (5, 4)
+    # normalized twins share the md5 join key
+    assert got[3]["nfc_md5"] == got[2]["nfc_md5"]
+    assert got[4]["status"] == "no_text" and got[4]["is_nfc"] is None
+    assert got[5]["is_nfc"] == 1 and got[5]["n_chars"] == 0
+    assert got[6]["is_nfc"] == 1   # NFC keeps compatibility chars
+    assert got[7]["is_nfc"] == 0 and got[7]["n_chars_nfc"] == 1
+    want = hashlib.md5(unicodedata.normalize(
+        "NFC", "Å").encode()).hexdigest()
+    assert got[7]["nfc_md5"] == want
+
+
+def test_nfc_census_agrees_with_duckdb(spark):
+    """Two independent UAX #15 implementations (Python unicodedata
+    vs DuckDB utf8proc) must agree on verdicts, counts, and md5."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from cerberus_cpp_spark.operators.encoding import nfc_census
+
+    texts = ["café", "café", "ÅB́",
+             "ṩ", "ṩ", "ascii", "", "ﬁ"]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in nfc_census(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        nfc, n, n2, h = con.execute(
+            "SELECT nfc_normalize(?), length(?), "
+            "length(nfc_normalize(?)), md5(nfc_normalize(?))",
+            [t, t, t, t]).fetchone()
+        r = got[i]
+        assert r["is_nfc"] == int(nfc == t), (i, t)
+        assert r["n_chars"] == n and r["n_chars_nfc"] == n2, (i, t)
+        assert r["nfc_md5"] == h, (i, t)
+
+
+def test_nfc_census_plan_is_one_narrow_stage(spark):
+    from pyspark.sql import Row
+
+    from cerberus_cpp_spark.operators.encoding import nfc_census
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")],
+                               "doc_id long, text string")
+    plan = nfc_census(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

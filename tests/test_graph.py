@@ -327,3 +327,81 @@ def test_pagerank_guards(spark):
         pagerank_scaled(e, damping_num=101, damping_den=100)
     with pytest.raises(ValueError):
         pagerank_scaled(e, scale=10)
+
+
+# ------------------------------------------------------------------
+# k_core
+# ------------------------------------------------------------------
+
+
+def _brute_k_core(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a is None or b is None or a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = dict(adj)
+    while True:
+        bad = [v for v, nb in live.items()
+               if len([x for x in nb if x in live]) < k]
+        if not bad:
+            break
+        for v in bad:
+            live.pop(v)
+    return {v: len([x for x in live[v] if x in live]) for v in live}
+
+
+def test_k_core_handpicked(spark):
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    # K4 + triangle tail + chain: k=3 keeps only the K4
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7), (5, 7), (7, 8), (8, 9)]
+    got3 = {r["node"]: r["degree"]
+            for r in k_core(_edges(spark, pairs), k=3).collect()}
+    assert got3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    got2 = {r["node"]: r["degree"]
+            for r in k_core(_edges(spark, pairs), k=2).collect()}
+    assert got2 == _brute_k_core(pairs, 2)
+    assert set(got2) == {1, 2, 3, 4, 5, 6, 7}
+    assert k_core(_edges(spark, pairs), k=4).count() == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_k_core_random_vs_brute(spark, k):
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    rng = random.Random(50 + k)
+    pairs = list({(rng.randrange(22), rng.randrange(22))
+                  for _ in range(110)})
+    got = {r["node"]: r["degree"]
+           for r in k_core(_edges(spark, pairs), k=k).collect()}
+    assert got == _brute_k_core(pairs, k)
+
+
+def test_k_core_cascade_needs_multiple_rounds(spark):
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    # a path: peeling a 2-core cascades from both ends, one node per
+    # round per side — exercises the loop genuinely
+    pairs = [(i, i + 1) for i in range(10)]
+    assert k_core(_edges(spark, pairs), k=2).count() == 0
+    # close it into a cycle: every node survives with degree 2
+    got = {r["node"]: r["degree"]
+           for r in k_core(_edges(spark, pairs + [(10, 0)]),
+                           k=2).collect()}
+    assert got == {i: 2 for i in range(11)}
+
+
+def test_k_core_guards(spark):
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        k_core(e, k=0)
+    with pytest.raises(ValueError):
+        k_core(e, k=1, max_rounds=0)
+    with pytest.raises(ValueError, match="did not converge"):
+        k_core(_edges(spark, [(i, i + 1) for i in range(10)]),
+               k=2, max_rounds=2)
