@@ -8880,6 +8880,110 @@ FROM planted
 """
 
 
+IMG_XCODEC_N = 900
+
+
+def q_img_cross_codec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container content dedup
+    (image_checks.cross_codec_duplicates): 900 images in 300 triples
+    — each triple is the SAME pixels encoded as PNG, BMP, and TIFF
+    (three different byte streams, one image — byte-grain dedup by
+    design finds nothing here), except every fifth triple carries
+    three UNIQUE pixel arrays (singleton groups; their seed space is
+    offset by 10^6 so it can never alias a shared triple's seed) and
+    every hundredth-mod-37 payload is corrupt (undecodable rows pass
+    through with NULL group columns). The oracle predicts every
+    group size and lowest-id survivor by pure id arithmetic — it
+    never sees pixels, which is exactly the point: identical pixels
+    ⟺ identical fingerprints is the decode+hash invariant the
+    interop-pinned codecs guarantee. pixel_md5 itself is projected
+    OUT (not SQL-computable); is_survivor is coalesced non-null (the
+    nullable-bool pandas trap)."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        cross_codec_duplicates,
+    )
+
+    df = spark.range(0, IMG_XCODEC_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+
+        def payload(i: int) -> bytes:
+            if i % 100 == 37:
+                return b"\x00corrupt" + bytes([i % 251]) * 4
+            g, mem = i // 3, i % 3
+            seed = (pixel_seed(i + 1_000_000, 99)
+                    if g % 5 == 4 else pixel_seed(g, 99))
+            px = synth_pixels(seed, 8 + g % 6, 8 + g % 4)
+            return encode_pixels(px, ("png", "bmp", "tiff")[mem])
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return cross_codec_duplicates(imgs).select(
+        "image_id", "status", "fmt", "w", "h", "group_size",
+        "survivor_id",
+        F.coalesce(F.col("is_survivor"), F.lit(False))
+        .alias("is_survivor"),
+    )
+
+
+_IMG_XCODEC_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_XCODEC_N}) t(i)),
+m AS (
+  SELECT i, i // 3 AS g, i % 3 AS mem,
+         (i % 100 = 37) AS broken,
+         ((i // 3) % 5 = 4) AS uniq
+  FROM ids
+), shared AS (
+  SELECT g,
+         count(*) FILTER (WHERE NOT broken) AS sz,
+         min(i) FILTER (WHERE NOT broken) AS surv
+  FROM m WHERE NOT uniq GROUP BY g
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE WHEN broken THEN 'undecodable' ELSE 'ok' END AS status,
+       CASE WHEN broken THEN NULL
+            ELSE ['png', 'bmp', 'tiff'][mem + 1] END AS fmt,
+       CASE WHEN broken THEN NULL
+            ELSE CAST(8 + g % 6 AS INTEGER) END AS w,
+       CASE WHEN broken THEN NULL
+            ELSE CAST(8 + g % 4 AS INTEGER) END AS h,
+       CASE WHEN broken THEN NULL
+            WHEN uniq THEN CAST(1 AS BIGINT)
+            ELSE (SELECT sz FROM shared WHERE shared.g = m.g)
+            END AS group_size,
+       CASE WHEN broken THEN NULL
+            WHEN uniq THEN
+              concat('img-', lpad(CAST(i AS VARCHAR), 12, '0'))
+            ELSE concat('img-', lpad(CAST(
+              (SELECT surv FROM shared WHERE shared.g = m.g)
+              AS VARCHAR), 12, '0'))
+            END AS survivor_id,
+       CASE WHEN broken THEN FALSE
+            WHEN uniq THEN TRUE
+            ELSE i = (SELECT surv FROM shared WHERE shared.g = m.g)
+            END AS is_survivor
+FROM m
+"""
+
+
 IMG_GPS_N = 600
 
 
@@ -9014,6 +9118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_cross_codec_dups": q_img_cross_codec_dups,
         "nfc_census_docs": q_nfc_census_docs,
         "comoment_lineitem": q_comoment_lineitem,
         "kcore_docs": q_kcore_docs,
@@ -9972,6 +10077,7 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_cross_codec_dups": _IMG_XCODEC_SQL,
         "nfc_census_docs": _NFC_CENSUS_SQL,
         "comoment_lineitem": _comoment_sql(),
         "kcore_docs": _KCORE_DOCS_SQL,

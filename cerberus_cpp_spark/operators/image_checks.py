@@ -1143,3 +1143,106 @@ def gps_pii_audit(df: DataFrame, *, id_col: str = "image_id",
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(work, schema=out_schema)
+
+
+def pixel_fingerprints(df: DataFrame, *, id_col: str = "image_id",
+                       bytes_col: str = "bytes") -> DataFrame:
+    """Canonical CONTENT key per image: md5 of the decoded row-major
+    RGB bytes — the key that survives container re-encodes, which
+    byte-level dedup by design cannot (the same pixels shipped as
+    PNG, BMP, and TIFF are three different byte streams and ONE
+    image). Decode runs the in-repo codecs inside one narrow Arrow
+    stage. Per row: ``status`` ('ok' | 'no_payload' |
+    'decode_unsupported' — feature-gated codecs route, never kill |
+    'undecodable'), ``fmt``, ``w``, ``h``, ``pixel_md5``."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("fmt", T.StringType()),
+        ("w", T.IntegerType()),
+        ("h", T.IntegerType()),
+        ("pixel_md5", T.StringType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+        from cerberus_cpp_spark.sources.webpcodec import (
+            UnsupportedCodecError,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, fmt=None, w=None, h=None, md5=None):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                rows["fmt"].append(fmt)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["pixel_md5"].append(md5)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                try:
+                    fmt, px = decode_image(bytes(blob))
+                except UnsupportedCodecError:
+                    emit(rid, "decode_unsupported")
+                    continue
+                except Exception:
+                    emit(rid, "undecodable")
+                    continue
+                h_, w_ = int(px.shape[0]), int(px.shape[1])
+                emit(rid, "ok", fmt, w_, h_,
+                     hashlib.md5(px.tobytes()).hexdigest())
+            out = pd.DataFrame(rows)
+            for c in ("w", "h"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def cross_codec_duplicates(
+    df: DataFrame, *, id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Exact content dedup ACROSS containers: group decodable images
+    by their pixel fingerprint and report per image the group size
+    and the lowest-id survivor (the ``exact_duplicates`` survivor
+    convention, promoted from byte grain to pixel grain). Undecodable
+    / unsupported / payload-less rows pass through with NULL group
+    columns — quarantine is a different operator's job.
+
+    Shape: the decode stage is the cost; after it everything is
+    int64/md5-keyed — one hash aggregate on the fingerprint
+    (map-side partials) and one AQE-planned join back, both shuffling
+    the FINGERPRINT table, never pixels."""
+    fp = pixel_fingerprints(df, id_col=id_col, bytes_col=bytes_col)
+    ok = fp.where(F.col("status") == "ok")
+    groups = ok.groupBy("pixel_md5").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("image_id").alias("survivor_id"),
+    )
+    dup = ok.join(groups, "pixel_md5").withColumn(
+        "is_survivor", F.col("image_id") == F.col("survivor_id"))
+    rest = fp.where(F.col("status") != "ok").select(
+        "pixel_md5", "image_id", "status", "fmt", "w", "h",
+        F.lit(None).cast("long").alias("group_size"),
+        F.lit(None).cast(df.schema[id_col].dataType)
+        .alias("survivor_id"),
+        F.lit(None).cast("boolean").alias("is_survivor"),
+    )
+    return dup.unionByName(rest).select(
+        "image_id", "status", "fmt", "w", "h", "pixel_md5",
+        "group_size", "survivor_id", "is_survivor")
