@@ -8984,6 +8984,131 @@ FROM m
 """
 
 
+IMG_ICC_N = 600
+
+
+def q_img_icc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colour-management audit (image_checks.icc_profile_audit) over
+    600 real JPEG/WebP payloads carrying in-repo-built ICC profiles
+    (ISO 15076-1 header + tag table, `sources/iccprofile.py`):
+    device class / colour space / version / intent / tag count
+    rotate by id arithmetic, every third image carries no profile,
+    every twentieth-mod-3 profile has its 'acsp' magic corrupted
+    (routes to 'bad_icc' with the container intact), every
+    twenty-fifth-mod-7 payload is sniff garbage ('malformed').
+    Metadata walks only — never pixels; fixed 12-byte tag payloads
+    make declared_size pure arithmetic (132 + 24·n_tags), so the
+    oracle replays every field including both size columns."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        icc_profile_audit,
+    )
+
+    df = spark.range(0, IMG_ICC_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.iccprofile import (
+            build_icc_profile,
+        )
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            jpeg_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.webpx import encode_webp_vp8x
+
+        def payload(i: int) -> bytes:
+            if i % 25 == 7:
+                return b"\x03junk" + bytes([i % 251]) * 6
+            w, h = 8 + i % 4, 8 + i % 3
+            px = synth_pixels(pixel_seed(i, 55), w, h)
+            icc = None
+            if i % 3 != 1:
+                n_tags = 2 + (i // 5) % 2
+                icc = build_icc_profile(
+                    profile_class=("mntr", "prtr",
+                                   "scnr")[(i // 3) % 3],
+                    color_space=("RGB ", "CMYK",
+                                 "GRAY")[(i // 2) % 3],
+                    version=(2, 1) if i % 4 < 2 else (4, 3),
+                    rendering_intent=i % 4,
+                    tags=[("desc", b"\x00" * 12),
+                          ("wtpt", b"\x00" * 12),
+                          ("bkpt", b"\x00" * 12)][:n_tags],
+                )
+                if i % 20 == 3:
+                    icc = icc[:36] + b"nope" + icc[40:]
+            if i % 2 == 0:
+                return jpeg_insert_metadata(
+                    encode_pixels(px, "jpeg"), icc=icc)
+            rgba = np.dstack([px, np.full((h, w), 255, np.uint8)])
+            return encode_webp_vp8x(rgba, lossy=False, icc=icc)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return icc_profile_audit(imgs).withColumn(
+        "has_icc", F.coalesce(F.col("has_icc"), F.lit(False)))
+
+
+_IMG_ICC_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_ICC_N}) t(i)),
+m AS (
+  SELECT i,
+         (i % 25 = 7) AS junk,
+         (i % 3 <> 1) AS carries,
+         (i % 20 = 3 AND i % 3 <> 1 AND i % 25 <> 7) AS bad,
+         2 + (i // 5) % 2 AS nt
+  FROM ids
+), v AS (
+  SELECT *,
+         (carries AND NOT junk AND NOT bad) AS good
+  FROM m
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE WHEN junk THEN 'malformed'
+            WHEN bad THEN 'bad_icc'
+            ELSE 'ok' END AS status,
+       (NOT junk AND carries) AS has_icc,
+       CASE WHEN good THEN CAST(132 + 24 * nt AS BIGINT)
+            END AS declared_size,
+       CASE WHEN good THEN CAST(132 + 24 * nt AS BIGINT)
+            END AS actual_size,
+       CASE WHEN good THEN
+            CAST(CASE WHEN i % 4 < 2 THEN 2 ELSE 4 END AS INTEGER)
+            END AS version_major,
+       CASE WHEN good THEN
+            CAST(CASE WHEN i % 4 < 2 THEN 1 ELSE 3 END AS INTEGER)
+            END AS version_minor,
+       CASE WHEN good THEN
+            ['mntr', 'prtr', 'scnr'][(i // 3) % 3 + 1]
+            END AS profile_class,
+       CASE WHEN good THEN
+            ['RGB ', 'CMYK', 'GRAY'][(i // 2) % 3 + 1]
+            END AS color_space,
+       CASE WHEN good THEN 'XYZ ' END AS pcs,
+       CASE WHEN good THEN CAST(i % 4 AS INTEGER) END AS intent,
+       CASE WHEN good THEN CAST(nt AS INTEGER) END AS n_tags
+FROM v
+"""
+
+
 IMG_GPS_N = 600
 
 
@@ -9118,6 +9243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_icc_audit": q_img_icc_audit,
         "img_cross_codec_dups": q_img_cross_codec_dups,
         "nfc_census_docs": q_nfc_census_docs,
         "comoment_lineitem": q_comoment_lineitem,
@@ -10077,6 +10203,7 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_icc_audit": _IMG_ICC_SQL,
         "img_cross_codec_dups": _IMG_XCODEC_SQL,
         "nfc_census_docs": _NFC_CENSUS_SQL,
         "comoment_lineitem": _comoment_sql(),

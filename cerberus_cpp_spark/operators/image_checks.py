@@ -1246,3 +1246,107 @@ def cross_codec_duplicates(
     return dup.unionByName(rest).select(
         "image_id", "status", "fmt", "w", "h", "pixel_md5",
         "group_size", "survivor_id", "is_survivor")
+
+
+def icc_profile_audit(df: DataFrame, *, id_col: str = "image_id",
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Colour-management audit at the metadata tier: extract the ICC
+    payload from its container (JPEG APP2 multi-segment, WebP ICCP —
+    ``sources/imagemeta.py`` / ``webpx.py``) and validate its
+    structure with ``sources/iccprofile.parse_icc_header`` — device
+    class, colour space, PCS, version, rendering intent, tag count,
+    and the declared-vs-actual size check. Header walks only, never
+    pixels — the 10^12-row tier. A profile that FAILS the structural
+    parse (missing 'acsp', tag payloads out of bounds) routes to
+    'bad_icc' with the container intact; a lying-but-readable size
+    mismatch is REPORTED in the row instead (size_match = false).
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'malformed' |
+    'bad_icc'), ``has_icc``, ``declared_size``/``actual_size``,
+    ``version_major``/``version_minor``, ``profile_class``,
+    ``color_space``, ``pcs``, ``intent``, ``n_tags``."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("has_icc", T.BooleanType()),
+        ("declared_size", T.LongType()),
+        ("actual_size", T.LongType()),
+        ("version_major", T.IntegerType()),
+        ("version_minor", T.IntegerType()),
+        ("profile_class", T.StringType()),
+        ("color_space", T.StringType()),
+        ("pcs", T.StringType()),
+        ("intent", T.IntegerType()),
+        ("n_tags", T.IntegerType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.iccprofile import (
+            parse_icc_header,
+        )
+        from cerberus_cpp_spark.sources.imagegen import sniff_format
+        from cerberus_cpp_spark.sources.imagemeta import jpeg_metadata
+        from cerberus_cpp_spark.sources.webpx import extract_metadata
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                blob = bytes(blob)
+                try:
+                    fmt = sniff_format(blob)
+                    if fmt == "jpeg":
+                        icc = jpeg_metadata(blob)["icc"]
+                    elif fmt == "webp":
+                        icc = extract_metadata(blob)["icc"]
+                    elif fmt is None:
+                        raise ValueError("unrecognized stream")
+                    else:
+                        icc = None  # format without an ICC slot here
+                except (ValueError, IndexError, KeyError):
+                    emit(rid, "malformed")
+                    continue
+                if icc is None:
+                    emit(rid, "ok", has_icc=False)
+                    continue
+                try:
+                    h = parse_icc_header(icc)
+                except (ValueError, IndexError):
+                    emit(rid, "bad_icc", has_icc=True)
+                    continue
+                emit(rid, "ok", has_icc=True,
+                     declared_size=h["declared_size"],
+                     actual_size=h["actual_size"],
+                     version_major=h["version_major"],
+                     version_minor=h["version_minor"],
+                     profile_class=h["profile_class"],
+                     color_space=h["color_space"],
+                     pcs=h["pcs"], intent=h["rendering_intent"],
+                     n_tags=h["n_tags"])
+            out = pd.DataFrame(rows)
+            for c in ("declared_size", "actual_size"):
+                out[c] = out[c].astype("Int64")
+            for c in ("version_major", "version_minor", "intent",
+                      "n_tags"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)
