@@ -1033,11 +1033,22 @@ def edit_distance_pairs(
     )
     sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
     sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    # levenshtein appears twice (filter + projection): the "compute
+    # once, alias, then filter the alias" rewrite is undone by
+    # Catalyst — PushDownPredicates substitutes the alias and
+    # re-creates this exact Filter+Project pair, and whole-stage
+    # codegen emits two call sites either way (verified on 4.1);
+    # an agg/window barrier would shuffle, which costs more than
+    # the recompute. Both sites use the THRESHOLD variant, whose
+    # banded DP is O(len*k) and early-exits at k+1 instead of
+    # filling the full O(len^2) matrix — it returns -1 above the
+    # threshold, so `>= 0` is the within-k filter and the surviving
+    # values equal the true distance.
+    lev = F.levenshtein("sa", "sb", int(k))
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .where(
             (F.abs(F.length("sa") - F.length("sb")) <= F.lit(int(k)))
-            & (F.levenshtein("sa", "sb") <= F.lit(int(k))))
-        .select("id_a", "id_b",
-                F.levenshtein("sa", "sb").cast("int").alias("dist"))
+            & (lev >= F.lit(0)))
+        .select("id_a", "id_b", lev.cast("int").alias("dist"))
     )

@@ -107,7 +107,7 @@ def bfs_hops(
     return visited.select(F.col("n").alias(node), "hops")
 
 
-def _oriented(g: DataFrame) -> DataFrame:
+def _oriented(g: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Degree-orient the simple undirected graph ``g`` (columns
     ``u < v``): each edge points from its (degree, id)-smaller
     endpoint to the larger. The oriented graph is acyclic with
@@ -157,9 +157,13 @@ def clustering_coefficients(
     of a node's neighbor pairs that are themselves connected, the
     per-node signal that separates true duplicate cliques (lcc → 1)
     from hash-collision chains (lcc → 0); ``triangle_count`` is its
-    corpus-level fold. Degree-1 and isolated-in-``g`` nodes report
-    0 triangles and lcc = 0.0 (no neighbor pair exists — the
-    conventional value).
+    corpus-level fold. Degree-1 nodes report 0 triangles and
+    lcc = 0.0 (no neighbor pair exists — the conventional value).
+    Output rows exist only for nodes that appear as an endpoint of
+    a surviving simple edge: a node whose every input edge was a
+    self-loop or had a NULL endpoint is absent (it has no degree in
+    the simple graph), so left-join from your node table if a row
+    per node is required.
 
     Shape: the same bounded-fan-out oriented wedge join as
     ``triangle_count``; each closed triangle then explodes to its
@@ -207,6 +211,14 @@ def pagerank_scaled(
     f64 PageRank's sum order is not reproducible). With
     ``scale = 1e12`` the floor-rounding error after a handful of
     rounds is < 1e-9 of the f64 value.
+
+    Overflow: the per-node inbox sum and the ``num * inbox``
+    product are accumulated in ``decimal(38,0)`` — a hub with
+    millions of in-neighbours would otherwise wrap int64 silently
+    (~1.1e17 inbox at ``scale=1e12`` crosses 2**63 after the
+    damping multiply). Only the FINAL rank must fit int64, which
+    holds whenever ``n_nodes * scale < 2**63`` (rank is bounded by
+    total mass); pick ``scale`` accordingly for huge graphs.
 
     Contract (documented variant): ``rank_0 = scale`` for every
     node; each round every node sends ``floor(rank / outdeg)`` along
@@ -259,15 +271,20 @@ def pagerank_scaled(
                 # headroom
                 F.expr("rank div outdeg").alias("c"),
             )
-            .groupBy("node").agg(F.sum("c").alias("inbox"))
+            # decimal(38,0) accumulation: Spark sums decimal exactly
+            # (no int64 wrap on hub nodes); `div` on decimal returns
+            # the exact integral quotient.
+            .groupBy("node").agg(
+                F.sum(F.col("c").cast("decimal(38,0)")).alias("inbox"))
         )
         rank = (
             nodes.join(send, "node", "left")
             .select(
                 "node",
                 F.expr(
-                    f"{base}L + ({int(damping_num)}L *"
-                    f" coalesce(inbox, 0L)) div {int(damping_den)}L"
+                    f"{base}L + (CAST({int(damping_num)} AS"
+                    f" DECIMAL(38,0)) * coalesce(inbox, CAST(0 AS"
+                    f" DECIMAL(38,0)))) div {int(damping_den)}L"
                 ).cast("long").alias("rank"),
             )
             .localCheckpoint(eager=False)

@@ -1096,7 +1096,9 @@ def gps_pii_audit(df: DataFrame, *, id_col: str = "image_id",
         [T.StructField(n, t, True) for n, t in fields])
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
         import sys
+        import zlib
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
@@ -1122,7 +1124,13 @@ def gps_pii_audit(df: DataFrame, *, id_col: str = "image_id",
                 try:
                     ex = raw_exif(bytes(blob))
                     g = parse_gps(ex) if ex else None
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, struct.error,
+                        zlib.error):
+                    # struct/zlib: raw_exif's PNG walk inflates zTXt/
+                    # iTXt chunks on the way to eXIf — a corrupt
+                    # deflate stream must route to 'malformed', not
+                    # kill the task (same breadth as the sibling
+                    # EXIF audit's catch above).
                     emit(rid, "malformed")
                     continue
                 if g is None:
@@ -1346,6 +1354,107 @@ def icc_profile_audit(df: DataFrame, *, id_col: str = "image_id",
                 out[c] = out[c].astype("Int64")
             for c in ("version_major", "version_minor", "intent",
                       "n_tags"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def jpeg_quality_audit(df: DataFrame, *, id_col: str = "image_id",
+                       bytes_col: str = "bytes") -> DataFrame:
+    """Decode-free JPEG quality census: walk each payload's DQT
+    segments (``sources/jpegcodec.parse_dqt_tables`` — marker scan up
+    to SOS, never entropy data) and invert the IJG quality scaling
+    exactly (``estimate_ijg_quality``: all 100 (luma, chroma) pairs
+    are distinct, so libjpeg-family encodes identify their quality
+    setting bit-for-bit). The canonical curation gate "drop JPEGs
+    below quality 60" runs at the metadata tier — the DQT sits in the
+    first few hundred bytes, ~10^3-10^5x cheaper than a pixel decode
+    (same argument as ``image_header_info``, BENCH §21).
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'not_jpeg' |
+    'malformed'), ``n_tables`` (distinct table ids), ``n_dqt_segments``,
+    ``has_16bit`` (any Pq=1 table — parsed, reported, never fatal),
+    ``matched_quality`` (the exact IJG q, NULL for custom tables or
+    when any table is 16-bit), ``approx_scale_pct`` (integer mean
+    implied scale vs Annex K luma, ONLY when an 8-bit luma table 0
+    exists and no exact match — exact matches report NULL here by
+    contract so both columns stay oracle-replayable). Sniffable
+    non-JPEG formats route to 'not_jpeg'; unsniffable or structurally
+    broken streams to 'malformed'. One narrow Arrow stage."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("n_tables", T.IntegerType()),
+        ("n_dqt_segments", T.IntegerType()),
+        ("has_16bit", T.BooleanType()),
+        ("matched_quality", T.IntegerType()),
+        ("approx_scale_pct", T.IntegerType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import sniff_format
+        from cerberus_cpp_spark.sources.jpegcodec import (
+            QUANT_LUMA,
+            estimate_ijg_quality,
+            implied_scale_pct,
+            parse_dqt_tables,
+        )
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                blob = bytes(blob)
+                fmt = sniff_format(blob)
+                if fmt is None:
+                    emit(rid, "malformed")
+                    continue
+                if fmt != "jpeg":
+                    emit(rid, "not_jpeg")
+                    continue
+                try:
+                    d = parse_dqt_tables(blob)
+                except (ValueError, IndexError, struct.error):
+                    emit(rid, "malformed")
+                    continue
+                tabs = d["tables"]
+                has16 = any(p == 16 for p, _ in tabs.values())
+                matched = None
+                approx = None
+                if not has16 and 0 in tabs:
+                    matched = estimate_ijg_quality(
+                        tabs[0][1],
+                        tabs[1][1] if 1 in tabs else None)
+                    if matched is None:
+                        approx = implied_scale_pct(
+                            tabs[0][1], QUANT_LUMA)
+                emit(rid, "ok", n_tables=len(tabs),
+                     n_dqt_segments=d["n_segments"],
+                     has_16bit=has16, matched_quality=matched,
+                     approx_scale_pct=approx)
+            out = pd.DataFrame(rows)
+            for c in ("n_tables", "n_dqt_segments", "matched_quality",
+                      "approx_scale_pct"):
                 out[c] = out[c].astype("Int32")
             yield out
 

@@ -100,10 +100,22 @@ def asof_join(
     """
     if not value_cols:
         raise ValueError("value_cols must name at least one right column")
-    bad = [c for c in (prefix + "ts",) + tuple(prefix + c for c in value_cols)
-           if c in left.columns]
+    out_names = (prefix + "ts",) + tuple(prefix + c for c in value_cols)
+    if len(set(out_names)) != len(out_names):
+        # e.g. value_cols containing "ts", or a repeated column —
+        # the payload struct would carry duplicate field names and
+        # the output two identically-named columns.
+        raise ValueError(
+            f"asof output column names are not unique: {sorted(out_names)}")
+    bad = [c for c in out_names if c in left.columns]
     if bad:
         raise ValueError(f"asof output columns collide with left: {bad}")
+    internal = {"__key", "__ts", "__tag", "__tie", "__pay", "__m"}
+    dunder = [c for c in left.columns if c in internal]
+    if dunder:
+        raise ValueError(
+            f"left columns collide with asof_join internals: {dunder}; "
+            f"rename them first")
 
     right_tag, left_tag = (1, 0) if strict else (0, 1)
     payload = F.struct(

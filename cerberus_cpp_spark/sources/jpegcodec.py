@@ -842,3 +842,116 @@ def _finish(frame: _Frame, qtables) -> np.ndarray:
     if len(planes) != 3:
         raise ValueError(f"unsupported component count {len(planes)}")
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------
+# Header-only quantization-table census + IJG quality inversion.
+# Training-data curation drops low-quality JPEGs without decoding a
+# pixel: the DQT segment sits in the first few hundred bytes, and for
+# IJG-scaled encoders (libjpeg and everything built on it) the quality
+# factor inverts EXACTLY — all 100 (luma, chroma) table pairs under
+# quality_tables() are distinct (pinned in tests/test_jpeg_quality.py).
+# Reference analogue: rules.hh min/max promoted to a derived column —
+# the reference validates scalars it is given; here the scalar is
+# derived from container structure first.
+# ---------------------------------------------------------------------
+
+def parse_dqt_tables(data: bytes) -> dict:
+    """Header-only DQT walk: marker scan up to SOS — never entropy
+    data, never pixels (the 10^12-row tier). Returns
+    ``{"tables": {tid: (precision_bits, 8x8 int64 ndarray in NATURAL
+    order)}, "n_segments": n_dqt_segments}``.
+
+    Unlike the decoder, Pq=1 (16-bit) tables are PARSED — a census
+    must report exotic precision, not die on it. Raises ValueError on
+    structurally invalid streams: missing SOI, lost marker sync,
+    segment length overrunning the buffer, a table truncated inside
+    its own segment, or the stream ending before SOS (a headers-only
+    fragment is not a valid scan carrier)."""
+    if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    tables: dict[int, tuple[int, np.ndarray]] = {}
+    nseg = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("JPEG ends before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        while marker == 0xFF:  # fill bytes before a marker
+            if pos >= len(data):
+                raise ValueError("JPEG ends inside marker padding")
+            marker = data[pos]
+            pos += 1
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment length")
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        if seglen < 2:
+            raise ValueError("invalid zero-length marker segment")
+        if pos + seglen > len(data):
+            raise ValueError("segment overruns stream")
+        seg = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDA:  # SOS — headers complete
+            break
+        if marker == 0xDB:
+            nseg += 1
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {pq}")
+                width = 1 if pq == 0 else 2
+                end = p + 1 + 64 * width
+                if end > len(seg):
+                    raise ValueError("quant table truncated")
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        seg[p + 1:end], dtype=np.uint8)
+                else:
+                    tbl = np.frombuffer(seg[p + 1:end], dtype=">u2")
+                tables[tq] = (
+                    8 * width,
+                    tbl.astype(np.int64)[UNZIGZAG].reshape(8, 8),
+                )
+                p = end
+    return {"tables": tables, "n_segments": nseg}
+
+
+_IJG_PAIRS: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
+
+
+def estimate_ijg_quality(
+    qy: np.ndarray, qc: np.ndarray | None = None,
+) -> int | None:
+    """EXACT inverse of the IJG quality scaling: the unique q in
+    1..100 whose ``quality_tables(q)`` equal the given luma (and,
+    when provided, chroma) table — all 100 pairs are distinct, so
+    a match identifies the encoder setting. None when the tables
+    are not IJG-scaled Annex K (custom or re-scaled tables)."""
+    global _IJG_PAIRS
+    if _IJG_PAIRS is None:
+        _IJG_PAIRS = {q: quality_tables(q) for q in range(1, 101)}
+    for q, (y, c) in _IJG_PAIRS.items():
+        if np.array_equal(qy, y) and (
+                qc is None or np.array_equal(qc, c)):
+            return q
+    return None
+
+
+def implied_scale_pct(qt: np.ndarray, base: np.ndarray) -> int:
+    """Mean per-coefficient implied IJG scale percentage for a table
+    that does NOT invert exactly, integer arithmetic only (so the
+    value is bit-portable and oracle-replayable):
+    ``floor(sum_i floor((200*qt_i + base_i) / (2*base_i)) / 64)`` —
+    the inner term is round-half-up of 100*qt_i/base_i. 100 means
+    "Annex K unscaled"; larger is coarser quantization."""
+    q = qt.reshape(-1).astype(np.int64)
+    b = base.reshape(-1).astype(np.int64)
+    return int(((200 * q + b) // (2 * b)).sum() // 64)
