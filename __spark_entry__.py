@@ -9109,6 +9109,327 @@ FROM v
 """
 
 
+IMG_JQ_N = 600
+
+
+def q_img_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free JPEG quality census
+    (image_checks.jpeg_quality_audit) over 600 payloads: the encoder
+    quality rotates 35..95 by id arithmetic and the audit INVERTS it
+    exactly from the DQT tables alone (all 100 IJG (luma, chroma)
+    pairs are distinct — pinned in tests/test_jpeg_quality.py), with
+    custom-table (one patched luma DC coefficient → no match, integer
+    approx scale 100), synthetic 16-bit-table, truncated-mid-header,
+    PNG, sniff-garbage, and NULL arms. Header walks only — the DQT
+    sits in the first few hundred bytes, so the canonical "drop JPEGs
+    below quality N" gate runs at the 10^12-row metadata tier. The
+    oracle replays status precedence and every field by pure id
+    arithmetic."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        jpeg_quality_audit,
+    )
+
+    df = spark.range(0, IMG_JQ_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+        tbl16 = b"".join(
+            int(256 + j).to_bytes(2, "big") for j in range(64))
+        blob16 = (b"\xff\xd8" + b"\xff\xdb"
+                  + (131).to_bytes(2, "big") + b"\x10" + tbl16
+                  + b"\xff\xda\x00\x02")
+
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x02junk" + bytes([i % 251]) * 6
+            if i % 17 == 4:
+                return None
+            w, h = 8 + i % 4, 8 + i % 3
+            px = synth_pixels(pixel_seed(i, 56), w, h)
+            if i % 6 == 5:
+                return encode_pixels(px, "png")
+            if i % 29 == 11:
+                return encode_jpeg(px, quality=80)[:30]
+            if i % 10 == 3:
+                blob = bytearray(encode_jpeg(px, quality=50))
+                # luma DC 16 -> 17: no IJG q matches; the integer
+                # approx-scale arithmetic lands exactly on 100
+                # (63 coefficients imply 100, the patched DC 106;
+                # floor((63*100+106)/64) = 100 — pinned in tests)
+                blob[blob.find(b"\xff\xdb") + 5] = 17
+                return bytes(blob)
+            if i % 31 == 9:
+                return blob16
+            return encode_jpeg(px, quality=35 + (i * 7) % 61)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return jpeg_quality_audit(imgs).withColumn(
+        "has_16bit", F.coalesce(F.col("has_16bit"), F.lit(False)))
+
+
+_IMG_JQ_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_JQ_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              WHEN i % 6 = 5 THEN 'png'
+              WHEN i % 29 = 11 THEN 'trunc'
+              WHEN i % 10 = 3 THEN 'custom'
+              WHEN i % 31 = 9 THEN 'bit16'
+              ELSE 'ijg' END AS arm
+  FROM ids
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE arm WHEN 'junk' THEN 'malformed'
+                WHEN 'nul' THEN 'no_payload'
+                WHEN 'png' THEN 'not_jpeg'
+                WHEN 'trunc' THEN 'malformed'
+                ELSE 'ok' END AS status,
+       CASE WHEN arm IN ('custom', 'ijg') THEN 2
+            WHEN arm = 'bit16' THEN 1 END AS n_tables,
+       CASE WHEN arm IN ('custom', 'bit16', 'ijg') THEN 1
+            END AS n_dqt_segments,
+       (arm = 'bit16') AS has_16bit,
+       CASE WHEN arm = 'ijg' THEN CAST(35 + (i * 7) % 61 AS INTEGER)
+            END AS matched_quality,
+       CASE WHEN arm = 'custom' THEN 100 END AS approx_scale_pct
+FROM m
+"""
+
+
+IMG_PS_N = 600
+
+
+def q_img_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-tier curation census (image_checks.pixel_stats) over 600
+    lossless PNG payloads whose pixels are PARAMETRIC in (id, x, y):
+    solid / grey-gradient / letterboxed / colour-gradient arms plus
+    corrupt and NULL payloads. The oracle regenerates EVERY PIXEL of
+    every image with the same modular arithmetic in a DuckDB
+    range-join grid and folds the same integer moments — sums,
+    sum-of-squares, grey and dark counts, and ring min=max border
+    uniformity — so brightness/contrast/greyscale/letterbox gates
+    are verified end-to-end without any hardcoded expectations. The
+    decode stage is the in-repo PNG codec; one narrow Arrow pass."""
+    from cerberus_cpp_spark.operators.image_checks import pixel_stats
+
+    df = spark.range(0, IMG_PS_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x89PNG\r\n\x1a\n" + bytes([i % 251]) * 9
+            if i % 17 == 4:
+                return None
+            w, h = 8 + i % 4, 8 + i % 3
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            arm = i % 4
+            if arm == 0:
+                px = np.empty((h, w, 3), np.uint8)
+                px[:, :, 0] = i % 256
+                px[:, :, 1] = (3 * i) % 256
+                px[:, :, 2] = (7 * i) % 256
+            elif arm == 1:
+                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
+                px = np.dstack([v, v, v])
+            else:
+                px = np.dstack([
+                    ((x * 13 + y * 29 + i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                ])
+                if arm == 2:
+                    px[0, :] = px[-1, :] = (5, 5, 5)
+                    px[:, 0] = px[:, -1] = (5, 5, 5)
+            return encode_pixels(px, "png")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return pixel_stats(imgs).withColumn(
+        "border_uniform",
+        F.coalesce(F.col("border_uniform"), F.lit(False)))
+
+
+_IMG_PS_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_PS_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              ELSE ['solid', 'greygrad', 'boxed',
+                    'colorgrad'][i % 4 + 1] END AS arm,
+         8 + i % 4 AS w, 8 + i % 3 AS h
+  FROM ids
+),
+px AS (
+  SELECT m.i, m.arm, m.w, m.h, gx.x, gy.y,
+         (gx.x = 0 OR gx.x = m.w - 1
+          OR gy.y = 0 OR gy.y = m.h - 1) AS ring
+  FROM m
+  JOIN range(0, 11) gx(x) ON gx.x < m.w
+  JOIN range(0, 10) gy(y) ON gy.y < m.h
+  WHERE m.arm NOT IN ('junk', 'nul')
+),
+rgb AS (
+  SELECT i, arm, w, h, ring,
+         CASE arm WHEN 'solid' THEN i % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 13 + y * 29 + i) % 256 END
+         END AS r,
+         CASE arm WHEN 'solid' THEN (3 * i) % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 7 + y * 3 + 2 * i) % 256 END
+         END AS g,
+         CASE arm WHEN 'solid' THEN (7 * i) % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 11 + y * 5 + 3 * i) % 256 END
+         END AS b
+  FROM px
+),
+agg AS (
+  SELECT i,
+         CAST(count(*) AS BIGINT) AS n_pixels,
+         CAST(sum(r) AS BIGINT) AS sum_r,
+         CAST(sum(g) AS BIGINT) AS sum_g,
+         CAST(sum(b) AS BIGINT) AS sum_b,
+         CAST(sum(r * r) AS BIGINT) AS sumsq_r,
+         CAST(sum(g * g) AS BIGINT) AS sumsq_g,
+         CAST(sum(b * b) AS BIGINT) AS sumsq_b,
+         CAST(sum(CASE WHEN r = g AND g = b THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_grey,
+         CAST(sum(CASE WHEN r + g + b < 96 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dark,
+         (min(CASE WHEN ring THEN r * 65536 + g * 256 + b END)
+          = max(CASE WHEN ring THEN r * 65536 + g * 256 + b END))
+             AS border_uniform,
+         CAST(min(CASE WHEN ring THEN r * 65536 + g * 256 + b END)
+              AS INTEGER) AS border_min
+  FROM rgb GROUP BY i
+)
+SELECT concat('img-', lpad(CAST(m.i AS VARCHAR), 12, '0')) AS image_id,
+       CASE m.arm WHEN 'junk' THEN 'undecodable'
+                  WHEN 'nul' THEN 'no_payload'
+                  ELSE 'ok' END AS status,
+       agg.n_pixels, agg.sum_r, agg.sum_g, agg.sum_b,
+       agg.sumsq_r, agg.sumsq_g, agg.sumsq_b,
+       agg.n_grey, agg.n_dark,
+       coalesce(agg.border_uniform, FALSE) AS border_uniform,
+       CASE WHEN agg.border_uniform THEN agg.border_min
+            END AS border_rgb
+FROM m LEFT JOIN agg ON m.i = agg.i
+"""
+
+
+ARB_N = 20000
+
+
+def q_ar_buckets_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (operators/arbuckets.assign_ar_buckets)
+    over the 20k-row input_hint table: every image lands in the
+    nearest of the 25 SDXL-style 1-megapixel buckets via ONE
+    shuffle-free codegen projection (the bucket table travels as
+    literals in a single least() over structs — no join, no window,
+    no Python). Integer cross-multiplication distance with one final
+    IEEE division keeps the argmin bit-portable, so the oracle
+    regenerates the bucket table from range() arithmetic, replays
+    the distgen w/h plants, and re-derives every assignment with a
+    window argmin — including the w=0 violation arm routing to NULL
+    and extreme ARs clamping to the widest/tallest bucket."""
+    from cerberus_cpp_spark.operators.arbuckets import assign_ar_buckets
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, ARB_N, partitions=8)
+    return assign_ar_buckets(
+        df.select("image_id", "w", "h"))
+
+
+_ARB_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {ARB_N})
+), t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 0 THEN 0
+         ELSE CAST(16 + (mix % 1009) % 4080 AS INT) END AS w,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 1 THEN 20000
+         ELSE CAST(16 + ((mix // 7) % 1013) % 4080 AS INT) END AS h
+  FROM g
+), buckets AS (
+  SELECT row_number() OVER (ORDER BY bw) - 1 AS bucket_id, bw, bh
+  FROM (
+    SELECT (r.range + 1) * 64 AS bw,
+           ((1048576 // ((r.range + 1) * 64)) // 64) * 64 AS bh
+    FROM range(0, 256) r
+  )
+  WHERE bw <= bh * 4 AND bh <= bw * 4
+), assigned AS (
+  SELECT t.id, t.image_id, t.w, t.h,
+         b.bucket_id, b.bw, b.bh,
+         row_number() OVER (
+           PARTITION BY t.id
+           ORDER BY CAST(abs(t.w * b.bh - t.h * b.bw) AS DOUBLE)
+                    / b.bh, b.bucket_id) AS rn
+  FROM t JOIN buckets b ON t.w > 0 AND t.h > 0
+)
+SELECT image_id, w, h,
+       CAST(bucket_id AS INTEGER) AS bucket_id,
+       CAST(bw AS INTEGER) AS bucket_w,
+       CAST(bh AS INTEGER) AS bucket_h
+FROM assigned WHERE rn = 1
+UNION ALL
+SELECT image_id, w, h, NULL, NULL, NULL
+FROM t WHERE NOT (w > 0 AND h > 0)
+"""
+
+
 IMG_GPS_N = 600
 
 
@@ -9243,6 +9564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "ar_buckets_images": q_ar_buckets_images,
+        "img_pixel_stats": q_img_pixel_stats,
+        "img_jpeg_quality": q_img_jpeg_quality,
         "img_icc_audit": q_img_icc_audit,
         "img_cross_codec_dups": q_img_cross_codec_dups,
         "nfc_census_docs": q_nfc_census_docs,
@@ -10203,6 +10527,9 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ar_buckets_images": _ARB_SQL,
+        "img_pixel_stats": _IMG_PS_SQL,
+        "img_jpeg_quality": _IMG_JQ_SQL,
         "img_icc_audit": _IMG_ICC_SQL,
         "img_cross_codec_dups": _IMG_XCODEC_SQL,
         "nfc_census_docs": _NFC_CENSUS_SQL,

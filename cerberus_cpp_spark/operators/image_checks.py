@@ -1459,3 +1459,109 @@ def jpeg_quality_audit(df: DataFrame, *, id_col: str = "image_id",
             yield out
 
     return src.mapInPandas(work, schema=out_schema)
+
+
+def pixel_stats(df: DataFrame, *, id_col: str = "image_id",
+                bytes_col: str = "bytes",
+                dark_sum_lt: int = 96) -> DataFrame:
+    """Pixel-tier curation census in ONE decode pass: the integer
+    moments every "drop too-dark / too-flat / greyscale / letterboxed"
+    gate is built from, without ever shipping pixels past the Arrow
+    stage. All counters are exact int64 (order-independent sums — the
+    same bit-portability argument as ``comoment_stats``): brightness
+    is ``sum_r+sum_g+sum_b / (3*n_pixels)`` downstream, contrast is
+    the variance from the ``sumsq_*`` columns, and the division stays
+    with the CALLER so every emitted number replays exactly.
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'undecodable' |
+    'decode_unsupported'), ``n_pixels``, per-channel ``sum_r/g/b``
+    and ``sumsq_r/g/b``, ``n_grey`` (pixels with R==G==B — equal to
+    ``n_pixels`` iff the image is greyscale-in-RGB), ``n_dark``
+    (pixels with R+G+B < ``dark_sum_lt``), ``border_uniform`` (the
+    1-pixel outer ring is a single colour — the letterbox /
+    pillarbox / solid-padding signal), and ``border_rgb`` (that
+    colour packed ``r*65536+g*256+b``, NULL when the ring varies).
+    Decodes via the in-repo codecs (``decode_image``); payloads a
+    codec cannot serve route to 'decode_unsupported', corrupt
+    streams to 'undecodable' — one narrow Arrow stage, no shuffle."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    dark_lt = int(dark_sum_lt)
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("n_pixels", T.LongType()),
+        ("sum_r", T.LongType()), ("sum_g", T.LongType()),
+        ("sum_b", T.LongType()),
+        ("sumsq_r", T.LongType()), ("sumsq_g", T.LongType()),
+        ("sumsq_b", T.LongType()),
+        ("n_grey", T.LongType()), ("n_dark", T.LongType()),
+        ("border_uniform", T.BooleanType()),
+        ("border_rgb", T.IntegerType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+        )
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                try:
+                    _, px = decode_image(bytes(blob))
+                except UnsupportedCodecError:
+                    emit(rid, "decode_unsupported")
+                    continue
+                except Exception:
+                    emit(rid, "undecodable")
+                    continue
+                p = px.astype(np.int64)
+                h, w = p.shape[0], p.shape[1]
+                sums = p.sum(axis=(0, 1))
+                sqs = (p * p).sum(axis=(0, 1))
+                grey = int(((p[:, :, 0] == p[:, :, 1])
+                            & (p[:, :, 1] == p[:, :, 2])).sum())
+                dark = int((p.sum(axis=2) < dark_lt).sum())
+                ring = np.concatenate([
+                    p[0, :, :], p[-1, :, :], p[:, 0, :], p[:, -1, :],
+                ])
+                uniform = bool((ring == ring[0]).all())
+                packed = (int(ring[0, 0]) * 65536
+                          + int(ring[0, 1]) * 256
+                          + int(ring[0, 2])) if uniform else None
+                emit(rid, "ok", n_pixels=w * h,
+                     sum_r=int(sums[0]), sum_g=int(sums[1]),
+                     sum_b=int(sums[2]),
+                     sumsq_r=int(sqs[0]), sumsq_g=int(sqs[1]),
+                     sumsq_b=int(sqs[2]),
+                     n_grey=grey, n_dark=dark,
+                     border_uniform=uniform, border_rgb=packed)
+            out = pd.DataFrame(rows)
+            for c in ("n_pixels", "sum_r", "sum_g", "sum_b", "sumsq_r",
+                      "sumsq_g", "sumsq_b", "n_grey", "n_dark"):
+                out[c] = out[c].astype("Int64")
+            out["border_rgb"] = out["border_rgb"].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)

@@ -1,0 +1,83 @@
+"""pixel_stats: exact integer pixel moments + border uniformity.
+
+Hand-computed expectations on tiny deterministic images; decode via
+the in-repo PNG codec so the decoded array IS the generated array.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from cerberus_cpp_spark.sources.imagegen import encode_pixels
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+
+def test_solid_grey_and_border(spark):
+    from cerberus_cpp_spark.operators.image_checks import pixel_stats
+
+    solid = np.full((4, 5, 3), 9, np.uint8)          # grey, dark
+    solid_png = encode_pixels(solid, "png")
+
+    grad = np.zeros((3, 4, 3), np.uint8)             # varying ring
+    for y in range(3):
+        for x in range(4):
+            grad[y, x] = (x * 50, y * 60, 7)
+    grad_png = encode_pixels(grad, "png")
+
+    boxed = np.full((5, 6, 3), 200, np.uint8)        # bright interior
+    boxed[0, :] = boxed[-1, :] = boxed[:, 0] = boxed[:, -1] = (5, 5, 5)
+    boxed_png = encode_pixels(boxed, "png")
+
+    rows = [("solid", solid_png), ("grad", grad_png),
+            ("boxed", boxed_png), ("nul", None),
+            ("junk", b"\x89PNG\r\n\x1a\ngarbage")]
+    got = {r["image_id"]: r.asDict()
+           for r in pixel_stats(_frame(spark, rows)).collect()}
+
+    s = got["solid"]
+    assert s["status"] == "ok" and s["n_pixels"] == 20
+    assert s["sum_r"] == s["sum_g"] == s["sum_b"] == 20 * 9
+    assert s["sumsq_r"] == 20 * 81
+    assert s["n_grey"] == 20 and s["n_dark"] == 20          # 27 < 96
+    assert s["border_uniform"] is True
+    assert s["border_rgb"] == 9 * 65536 + 9 * 256 + 9
+
+    g = got["grad"]
+    assert g["status"] == "ok" and g["n_pixels"] == 12
+    assert g["sum_r"] == 3 * (0 + 50 + 100 + 150)
+    assert g["sum_g"] == 4 * (0 + 60 + 120)
+    assert g["sum_b"] == 12 * 7
+    assert g["sumsq_b"] == 12 * 49
+    assert g["n_grey"] == 0                     # b=7 never matches
+    assert g["border_uniform"] is False
+    assert g["border_rgb"] is None
+
+    b = got["boxed"]
+    ring = 2 * 6 + 2 * 5 - 4
+    inner = 30 - ring
+    assert b["n_pixels"] == 30
+    assert b["sum_r"] == ring * 5 + inner * 200
+    assert b["n_grey"] == 30
+    assert b["n_dark"] == ring                               # 15 < 96
+    assert b["border_uniform"] is True
+    assert b["border_rgb"] == 5 * 65536 + 5 * 256 + 5
+
+    assert got["nul"]["status"] == "no_payload"
+    assert got["nul"]["n_pixels"] is None
+    assert got["junk"]["status"] == "undecodable"
+
+
+def test_one_pixel_wide_ring_is_whole_image(spark):
+    from cerberus_cpp_spark.operators.image_checks import pixel_stats
+
+    col = np.zeros((4, 1, 3), np.uint8)
+    col[:, 0] = [(1, 1, 1), (1, 1, 1), (1, 1, 1), (2, 2, 2)]
+    rows = [("col", encode_pixels(col, "png"))]
+    got = pixel_stats(_frame(spark, rows)).collect()[0]
+    assert got["border_uniform"] is False
+    uni = np.full((1, 3, 3), 8, np.uint8)
+    got = pixel_stats(
+        _frame(spark, [("row", encode_pixels(uni, "png"))])).collect()[0]
+    assert got["border_uniform"] is True and got["border_rgb"] == 0x080808
