@@ -9365,6 +9365,149 @@ FROM m LEFT JOIN agg ON m.i = agg.i
 """
 
 
+IMG_SH_N = 600
+
+
+def q_img_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur/sharpness census (image_checks.pixel_sharpness) over the
+    SAME parametric-pixel fixture family as img_pixel_stats (solid /
+    grey-gradient / letterboxed / colour-gradient, corrupt, NULL):
+    the oracle never sees a pixel — it evaluates the generator's
+    modular formulas AT THE NEIGHBOUR COORDINATES in a DuckDB
+    (pixel x offset x channel) grid and folds the same exact int64
+    Laplacian aggregates. Gradient arms are linear inside mod 256,
+    so their response is zero except where a channel WRAPS — real
+    +-256-scale edges the n_edges counter must find; the boxed arm
+    adds the ring/interior boundary. One decode pass, no shuffle."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        pixel_sharpness,
+    )
+
+    df = spark.range(0, IMG_SH_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+
+        # keep in lock-step with q_img_pixel_stats's twin generator
+        # (and both oracles' CASE arithmetic)
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x89PNG\r\n\x1a\n" + bytes([i % 251]) * 9
+            if i % 17 == 4:
+                return None
+            w, h = 8 + i % 4, 8 + i % 3
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            arm = i % 4
+            if arm == 0:
+                px = np.empty((h, w, 3), np.uint8)
+                px[:, :, 0] = i % 256
+                px[:, :, 1] = (3 * i) % 256
+                px[:, :, 2] = (7 * i) % 256
+            elif arm == 1:
+                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
+                px = np.dstack([v, v, v])
+            else:
+                px = np.dstack([
+                    ((x * 13 + y * 29 + i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                ])
+                if arm == 2:
+                    px[0, :] = px[-1, :] = (5, 5, 5)
+                    px[:, 0] = px[:, -1] = (5, 5, 5)
+            return encode_pixels(px, "png")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return pixel_sharpness(imgs)
+
+
+_IMG_SH_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_SH_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              ELSE ['solid', 'greygrad', 'boxed',
+                    'colorgrad'][i % 4 + 1] END AS arm,
+         8 + i % 4 AS w, 8 + i % 3 AS h
+  FROM ids
+),
+contrib AS (
+  SELECT m.i, gx.x, gy.y, ch.c, o.wt,
+         gx.x + o.dx AS ox, gy.y + o.dy AS oy
+  FROM m
+  JOIN range(0, 11) gx(x) ON gx.x >= 1 AND gx.x < m.w - 1
+  JOIN range(0, 10) gy(y) ON gy.y >= 1 AND gy.y < m.h - 1
+  CROSS JOIN (VALUES (0, 0, 4), (-1, 0, -1), (1, 0, -1),
+                     (0, -1, -1), (0, 1, -1)) o(dx, dy, wt)
+  CROSS JOIN range(0, 3) ch(c)
+  WHERE m.arm NOT IN ('junk', 'nul')
+),
+val AS (
+  SELECT contrib.*, m.arm, m.w, m.h,
+         CASE m.arm
+           WHEN 'solid' THEN
+             CASE c WHEN 0 THEN i % 256
+                    WHEN 1 THEN (3 * i) % 256
+                    ELSE (7 * i) % 256 END
+           WHEN 'greygrad' THEN (ox * 31 + oy * 7 + i) % 256
+           ELSE CASE WHEN m.arm = 'boxed'
+                      AND (ox = 0 OR ox = m.w - 1
+                           OR oy = 0 OR oy = m.h - 1) THEN 5
+                ELSE CASE c
+                       WHEN 0 THEN (ox * 13 + oy * 29 + i) % 256
+                       WHEN 1 THEN (ox * 7 + oy * 3 + 2 * i) % 256
+                       ELSE (ox * 11 + oy * 5 + 3 * i) % 256 END
+                END
+         END AS v
+  FROM contrib JOIN m USING (i)
+),
+lapc AS (
+  SELECT i, x, y, c, sum(wt * v) AS lap
+  FROM val GROUP BY i, x, y, c
+),
+lap3 AS (
+  SELECT i, x, y, sum(abs(lap)) AS lap3
+  FROM lapc GROUP BY i, x, y
+),
+agg AS (
+  SELECT i,
+         CAST(count(*) AS BIGINT) AS n_interior,
+         CAST(sum(lap3) AS BIGINT) AS lap_sum,
+         CAST(max(lap3) AS BIGINT) AS lap_max,
+         CAST(sum(CASE WHEN lap3 >= 128 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_edges
+  FROM lap3 GROUP BY i
+)
+SELECT concat('img-', lpad(CAST(m.i AS VARCHAR), 12, '0')) AS image_id,
+       CASE m.arm WHEN 'junk' THEN 'undecodable'
+                  WHEN 'nul' THEN 'no_payload'
+                  ELSE 'ok' END AS status,
+       agg.n_interior, agg.lap_sum, agg.lap_max, agg.n_edges
+FROM m LEFT JOIN agg ON m.i = agg.i
+"""
+
+
 ARB_N = 20000
 
 
@@ -9427,6 +9570,172 @@ FROM assigned WHERE rn = 1
 UNION ALL
 SELECT image_id, w, h, NULL, NULL, NULL
 FROM t WHERE NOT (w > 0 AND h > 0)
+"""
+
+
+def q_ar_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bucketing pipeline (assign_ar_buckets composed with
+    ar_resize_plan) over the same 20k input_hint table: each image
+    gets its nearest 1-megapixel bucket AND the cover-resize +
+    center-crop plan that lands it there — resize_w/resize_h each at
+    least their bucket side (round-half-up of the AR-preserving
+    scale, pure integer arithmetic), crop offsets the floored half
+    overflow. Still ONE shuffle-free codegen projection end to end
+    (both stages are projections over literals). The oracle re-derives
+    the assignment with the window argmin and replays the resize
+    arithmetic with integer `//` — bit-identical by the rational-gap
+    argument in arbuckets.ar_resize_plan."""
+    from cerberus_cpp_spark.operators.arbuckets import (
+        ar_resize_plan,
+        assign_ar_buckets,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, ARB_N, partitions=8)
+    return ar_resize_plan(
+        assign_ar_buckets(df.select("image_id", "w", "h")))
+
+
+_ARB_RESIZE_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {ARB_N})
+), t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 0 THEN 0
+         ELSE CAST(16 + (mix % 1009) % 4080 AS INT) END AS w,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 1 THEN 20000
+         ELSE CAST(16 + ((mix // 7) % 1013) % 4080 AS INT) END AS h
+  FROM g
+), buckets AS (
+  SELECT row_number() OVER (ORDER BY bw) - 1 AS bucket_id, bw, bh
+  FROM (
+    SELECT (r.range + 1) * 64 AS bw,
+           ((1048576 // ((r.range + 1) * 64)) // 64) * 64 AS bh
+    FROM range(0, 256) r
+  )
+  WHERE bw <= bh * 4 AND bh <= bw * 4
+), assigned AS (
+  SELECT t.id, t.image_id, t.w, t.h,
+         b.bucket_id, b.bw, b.bh,
+         row_number() OVER (
+           PARTITION BY t.id
+           ORDER BY CAST(abs(t.w * b.bh - t.h * b.bw) AS DOUBLE)
+                    / b.bh, b.bucket_id) AS rn
+  FROM t JOIN buckets b ON t.w > 0 AND t.h > 0
+), planned AS (
+  SELECT *,
+         CASE WHEN w * bh >= h * bw
+              THEN (2 * w * bh + h) // (2 * h) ELSE bw END AS rw,
+         CASE WHEN w * bh >= h * bw
+              THEN bh ELSE (2 * h * bw + w) // (2 * w) END AS rh
+  FROM assigned WHERE rn = 1
+)
+SELECT image_id, w, h,
+       CAST(bucket_id AS INTEGER) AS bucket_id,
+       CAST(bw AS INTEGER) AS bucket_w,
+       CAST(bh AS INTEGER) AS bucket_h,
+       CAST(rw AS INTEGER) AS resize_w,
+       CAST(rh AS INTEGER) AS resize_h,
+       CAST((rw - bw) // 2 AS INTEGER) AS crop_x,
+       CAST((rh - bh) // 2 AS INTEGER) AS crop_y
+FROM planned
+UNION ALL
+SELECT image_id, w, h, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM t WHERE NOT (w > 0 AND h > 0)
+"""
+
+
+def q_pack_batches_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-batch assembly
+    (arbuckets.pack_batches after assign_ar_buckets) over the 20k
+    input_hint table: every image lands in a stable md5 shard of its
+    id and a fixed-size-32 batch within its (bucket, shard) group,
+    ordered by a second independent md5 — relayout- and
+    append-stable by construction (pure key functions, the
+    split_bucket discipline), remainder rows and NULL-key/NULL-bucket
+    rows reporting NULL batch columns instead of shipping short or
+    nondeterministic batches. ONE Exchange, partitioned on
+    (bucket, shard) so parallelism is n_buckets*n_shards, never 25
+    tasks; both window functions share it. The oracle replays the
+    shard hash, the ordering hash, the row_number fold, and the
+    drop-last arithmetic in SQL."""
+    from cerberus_cpp_spark.operators.arbuckets import (
+        assign_ar_buckets,
+        pack_batches,
+    )
+    from cerberus_cpp_spark.sources.distgen import image_caption_frame
+
+    df = image_caption_frame(spark, ARB_N, partitions=8)
+    packed = pack_batches(
+        assign_ar_buckets(df.select("image_id", "w", "h")),
+        batch_size=32, key="image_id", n_shards=4)
+    return packed.select("image_id", "bucket_id", "shard",
+                         "batch_index", "batch_pos", "batch_id")
+
+
+_PACK_SQL = f"""
+WITH g AS (
+  SELECT range AS id,
+         ((range * 2654435761) + 42) & 9223372036854775807 AS mix
+  FROM range(0, {ARB_N})
+), t AS (
+  SELECT id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 5 THEN NULL
+         ELSE printf('img-%012d', id) END AS image_id,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 0 THEN 0
+         ELSE CAST(16 + (mix % 1009) % 4080 AS INT) END AS w,
+    CASE WHEN id % 100 = 0 AND (id // 100) % 6 = 1 THEN 20000
+         ELSE CAST(16 + ((mix // 7) % 1013) % 4080 AS INT) END AS h
+  FROM g
+), buckets AS (
+  SELECT row_number() OVER (ORDER BY bw) - 1 AS bucket_id, bw, bh
+  FROM (
+    SELECT (r.range + 1) * 64 AS bw,
+           ((1048576 // ((r.range + 1) * 64)) // 64) * 64 AS bh
+    FROM range(0, 256) r
+  )
+  WHERE bw <= bh * 4 AND bh <= bw * 4
+), assigned AS (
+  SELECT t.id, t.image_id, b.bucket_id,
+         row_number() OVER (
+           PARTITION BY t.id
+           ORDER BY CAST(abs(t.w * b.bh - t.h * b.bw) AS DOUBLE)
+                    / b.bh, b.bucket_id) AS rn
+  FROM t JOIN buckets b ON t.w > 0 AND t.h > 0
+), rows_ AS (
+  SELECT t.id, t.image_id, a.bucket_id,
+         CASE WHEN a.bucket_id IS NOT NULL
+                   AND t.image_id IS NOT NULL THEN
+           CAST(CAST(concat('0x', substr(md5(
+             concat('shard:', t.image_id, ':0')), 1, 12)) AS BIGINT)
+             % 4 AS INTEGER) END AS shard,
+         CASE WHEN t.image_id IS NOT NULL THEN
+           md5(concat('pack:', t.image_id, ':0')) END AS ordk
+  FROM t LEFT JOIN (SELECT * FROM assigned WHERE rn = 1) a
+    ON t.id = a.id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket_id, shard
+                            ORDER BY ordk, image_id) - 1 AS rank,
+         count(*) OVER (PARTITION BY bucket_id, shard) AS n_in
+  FROM rows_ WHERE shard IS NOT NULL
+)
+SELECT image_id,
+       CAST(bucket_id AS INTEGER) AS bucket_id, shard,
+       CAST(rank // 32 AS BIGINT) AS batch_index,
+       CAST(rank % 32 AS INTEGER) AS batch_pos,
+       printf('%d:%d:%d', bucket_id, shard, rank // 32) AS batch_id
+FROM ranked WHERE rank < n_in - n_in % 32
+UNION ALL
+SELECT image_id, CAST(bucket_id AS INTEGER), shard, NULL, NULL, NULL
+FROM ranked WHERE rank >= n_in - n_in % 32
+UNION ALL
+SELECT image_id, CAST(bucket_id AS INTEGER), NULL, NULL, NULL, NULL
+FROM rows_ WHERE shard IS NULL
 """
 
 
@@ -9564,6 +9873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "pack_batches_images": q_pack_batches_images,
+        "ar_resize_images": q_ar_resize_images,
+        "img_sharpness": q_img_sharpness,
         "ar_buckets_images": q_ar_buckets_images,
         "img_pixel_stats": q_img_pixel_stats,
         "img_jpeg_quality": q_img_jpeg_quality,
@@ -10527,6 +10839,9 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pack_batches_images": _PACK_SQL,
+        "ar_resize_images": _ARB_RESIZE_SQL,
+        "img_sharpness": _IMG_SH_SQL,
         "ar_buckets_images": _ARB_SQL,
         "img_pixel_stats": _IMG_PS_SQL,
         "img_jpeg_quality": _IMG_JQ_SQL,

@@ -113,3 +113,131 @@ def assign_ar_buckets(
         best.getField("bucket_w").alias("bucket_w"),
         best.getField("bucket_h").alias("bucket_h"),
     )
+
+
+def ar_resize_plan(
+    df: DataFrame,
+    *,
+    w_col: str = "w",
+    h_col: str = "h",
+    bw_col: str = "bucket_w",
+    bh_col: str = "bucket_h",
+) -> DataFrame:
+    """The cover-resize + center-crop plan that lands an image in its
+    assigned bucket (compose after :func:`assign_ar_buckets`): scale
+    preserving aspect ratio until the bucket is COVERED (the shorter
+    relative side matches the bucket side, round-half-up), then crop
+    the overflow symmetrically. Adds ``resize_w``/``resize_h`` (the
+    intermediate dims, each >= its bucket side) and ``crop_x``/
+    ``crop_y`` (top-left of the ``bucket_w x bucket_h`` crop box,
+    floor of the half-overflow). All integer arithmetic
+    (``(2*a + b) div (2*b)`` is round-half-up of a/b), one
+    shuffle-free codegen projection, NULL in any input -> NULL plan.
+
+    Exactness: when the image is wider than its bucket the plan
+    matches heights (``resize_h = bucket_h``) and the width overflow
+    is cropped; ties (exact-AR matches) take the same branch and
+    produce zero crops, so the plan is total and deterministic."""
+    for c in (w_col, h_col, bw_col, bh_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column {c!r}")
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    bw = F.col(bw_col).cast("long")
+    bh = F.col(bh_col).cast("long")
+
+    def rhu(a, b):
+        # round-half-up of a/b for positive longs. The f64 division
+        # is exact-enough by construction: numerator/denominator are
+        # exact doubles and the true quotient is never closer than
+        # 1/(2b) to an integer it doesn't equal, which dwarfs one
+        # rounding ULP — so floor() lands identically in Spark and
+        # the DuckDB oracle's integer `//`.
+        return F.floor((2 * a + b) / (2 * b)).cast("long")
+
+    valid = (w.isNotNull() & h.isNotNull() & bw.isNotNull()
+             & bh.isNotNull() & (w > 0) & (h > 0))
+    wider = (w * bh) >= (h * bw)
+    rw = F.when(valid, F.when(wider, rhu(w * bh, h)).otherwise(bw))
+    rh = F.when(valid, F.when(wider, bh).otherwise(rhu(h * bw, w)))
+    return df.select(
+        *df.columns,
+        rw.cast("int").alias("resize_w"),
+        rh.cast("int").alias("resize_h"),
+        F.shiftright(rw - bw, 1).cast("int").alias("crop_x"),
+        F.shiftright(rh - bh, 1).cast("int").alias("crop_y"),
+    )
+
+
+def pack_batches(
+    df: DataFrame,
+    *,
+    batch_size: int,
+    key: str,
+    by: str = "bucket_id",
+    n_shards: int = 256,
+    drop_last: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size batch assembly within each bucket —
+    the step after :func:`assign_ar_buckets` that a training run
+    consumes: every row gets a ``shard`` (a stable md5 bucket of its
+    ``key`` — NOT data order, so the packing is relayout- and
+    append-stable, the ``split_bucket`` discipline), a pseudo-random
+    but deterministic position inside its ``(bucket, shard)`` group
+    (ordered by the md5 of ``key`` + ``seed``), and from it
+    ``batch_id`` ("bucket:shard:index"), ``batch_index`` and
+    ``batch_pos``. With ``drop_last`` the per-shard remainder rows
+    (an incomplete final batch) keep their shard but get NULL batch
+    columns — report, don't silently train on a short batch. Rows
+    with a NULL ``by`` value (e.g. unassignable dimensions) get NULL
+    shard and batch columns.
+
+    Scale shape: batches only need to be homogeneous WITHIN a bucket,
+    so the window partitions on ``(bucket, shard)`` — ONE Exchange
+    whose parallelism is ``n_buckets * n_shards`` (the naive
+    per-bucket window would collapse 10^12 rows onto ~25 tasks).
+    Both window functions (count + row_number) share the single
+    Exchange+sort. Remainder waste is bounded by
+    ``n_buckets * n_shards * (batch_size-1)`` rows — size
+    ``n_shards`` to your cluster, not your data."""
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    for c in (by, key):
+        if c not in df.columns:
+            raise ValueError(f"missing column {c!r}")
+    from pyspark.sql import Window
+
+    from .sketch import _hash48
+
+    # NULL by OR NULL key -> NULL shard and batch columns: a row
+    # without a key has no deterministic position (every NULL key
+    # hashes identically, so their relative order would be
+    # partition-dependent — the same reason split_bucket rejects
+    # NULL keys). Duplicate keys likewise tie; use a unique id.
+    shard = F.when(
+        F.col(by).isNotNull() & F.col(key).isNotNull(),
+        (_hash48(F.lit("shard"), F.col(key).cast("string"),
+                 F.lit(str(int(seed)))) % n_shards).cast("int"))
+    ordk = F.md5(F.concat_ws(
+        ":", F.lit("pack"), F.col(key).cast("string"),
+        F.lit(str(int(seed)))))
+    win = Window.partitionBy(F.col(by), F.col("shard"))
+    olist = [ordk, F.col(key).cast("string")]
+    rank = F.row_number().over(win.orderBy(*olist)) - 1
+    n_in = F.count(F.lit(1)).over(win)
+    base = df.select(*df.columns, shard.alias("shard"))
+    full = (n_in - n_in % batch_size) if drop_last else n_in
+    packed = F.col("shard").isNotNull() & (rank < full)
+    bidx = F.when(packed, (rank - rank % batch_size) / batch_size) \
+        .cast("long")
+    return base.select(
+        *base.columns,
+        bidx.alias("batch_index"),
+        F.when(packed, rank % batch_size).cast("int").alias("batch_pos"),
+        F.when(packed, F.format_string(
+            "%d:%d:%d", F.col(by).cast("long"), F.col("shard"),
+            bidx)).alias("batch_id"),
+    )

@@ -81,3 +81,41 @@ def test_one_pixel_wide_ring_is_whole_image(spark):
     got = pixel_stats(
         _frame(spark, [("row", encode_pixels(uni, "png"))])).collect()[0]
     assert got["border_uniform"] is True and got["border_rgb"] == 0x080808
+
+
+def test_sharpness_hand_computed(spark):
+    from cerberus_cpp_spark.operators.image_checks import pixel_sharpness
+
+    # 3x3 single interior pixel: center 10, cross neighbours 1,2,3,4
+    a = np.zeros((3, 3, 3), np.uint8)
+    a[1, 1] = 10
+    a[1, 0] = 1; a[1, 2] = 2; a[0, 1] = 3; a[2, 1] = 4
+    # per channel lap = 40 - 1 - 2 - 3 - 4 = 30 -> lap3 = 90
+    flat = np.full((4, 5, 3), 7, np.uint8)           # zero response
+    tiny = np.full((2, 9, 3), 1, np.uint8)           # no interior
+    rows = [("x", encode_pixels(a, "png")),
+            ("flat", encode_pixels(flat, "png")),
+            ("tiny", encode_pixels(tiny, "png")),
+            ("nul", None)]
+    got = {r["image_id"]: r.asDict()
+           for r in pixel_sharpness(_frame(spark, rows)).collect()}
+    assert got["x"]["n_interior"] == 1
+    assert got["x"]["lap_sum"] == 90 and got["x"]["lap_max"] == 90
+    assert got["x"]["n_edges"] == 0                  # 90 < 128
+    f = got["flat"]
+    assert f["n_interior"] == 6 and f["lap_sum"] == 0
+    assert f["lap_max"] == 0 and f["n_edges"] == 0
+    t = got["tiny"]
+    assert t["n_interior"] == 0 and t["lap_sum"] == 0
+    assert t["lap_max"] is None and t["n_edges"] == 0
+    assert got["nul"]["status"] == "no_payload"
+
+
+def test_sharpness_edge_threshold(spark):
+    from cerberus_cpp_spark.operators.image_checks import pixel_sharpness
+
+    a = np.zeros((3, 3, 3), np.uint8)
+    a[1, 1] = 50                                     # lap3 = 600
+    got = pixel_sharpness(
+        _frame(spark, [("e", encode_pixels(a, "png"))])).collect()[0]
+    assert got["lap_max"] == 600 and got["n_edges"] == 1
