@@ -9206,14 +9206,15 @@ SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
                 WHEN 'png' THEN 'not_jpeg'
                 WHEN 'trunc' THEN 'malformed'
                 ELSE 'ok' END AS status,
-       CASE WHEN arm IN ('custom', 'ijg') THEN 2
-            WHEN arm = 'bit16' THEN 1 END AS n_tables,
-       CASE WHEN arm IN ('custom', 'bit16', 'ijg') THEN 1
-            END AS n_dqt_segments,
+       CAST(CASE WHEN arm IN ('custom', 'ijg') THEN 2
+            WHEN arm = 'bit16' THEN 1 END AS INTEGER) AS n_tables,
+       CAST(CASE WHEN arm IN ('custom', 'bit16', 'ijg') THEN 1
+            END AS INTEGER) AS n_dqt_segments,
        (arm = 'bit16') AS has_16bit,
        CASE WHEN arm = 'ijg' THEN CAST(35 + (i * 7) % 61 AS INTEGER)
             END AS matched_quality,
-       CASE WHEN arm = 'custom' THEN 100 END AS approx_scale_pct
+       CAST(CASE WHEN arm = 'custom' THEN 100 END AS INTEGER)
+         AS approx_scale_pct
 FROM m
 """
 
@@ -9505,6 +9506,295 @@ SELECT concat('img-', lpad(CAST(m.i AS VARCHAR), 12, '0')) AS image_id,
                   ELSE 'ok' END AS status,
        agg.n_interior, agg.lap_sum, agg.lap_max, agg.n_edges
 FROM m LEFT JOIN agg ON m.i = agg.i
+"""
+
+
+IMG_TH_N = 600
+
+
+def q_img_thumb_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF IFD1 embedded-thumbnail audit
+    (image_checks.exif_thumbnail_audit) over 600 real JPEG and PNG
+    carriers: five constant thumbnail variants (REAL in-repo JPEG
+    encodes whose byte lengths and dims the oracle pins at
+    SQL-BUILD time — the robots-oracle parser-snapshot pattern),
+    plus no-exif, exif-without-IFD1, truncated-IFD1 (out-of-bounds
+    payload routes to 'malformed'), undecodable-thumbnail, garbage
+    and NULL arms. The strip-pipeline leak class: a thumbnail is a
+    second image redaction must not miss. Container walks + one tiny
+    decode per thumbnail; one narrow Arrow stage."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_thumbnail_audit,
+    )
+
+    df = spark.range(0, IMG_TH_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.imagemeta import (
+            build_exif,
+            jpeg_insert_metadata,
+            png_insert_metadata,
+        )
+        from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+        thumbs = [encode_jpeg(
+            synth_pixels(pixel_seed(k, 58), 8 + k % 3, 6 + k % 2),
+            quality=55 + k) for k in range(5)]
+        garbage = b"\x00not-a-jpeg\x00" * 3
+
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x05junk" + bytes([i % 251]) * 6
+            if i % 17 == 4:
+                return None
+            w, h = 8 + i % 4, 8 + i % 3
+            px = synth_pixels(pixel_seed(i, 59), w, h)
+            host_jpeg = i % 2 == 0
+            host = encode_pixels(px, "jpeg" if host_jpeg else "png")
+            insert = (jpeg_insert_metadata if host_jpeg
+                      else png_insert_metadata)
+            if i % 6 == 5:
+                return host
+            if i % 10 == 3:
+                return insert(host, exif=build_exif(
+                    description=f"img {i}"))
+            if i % 29 == 11:
+                return insert(host, exif=build_exif(
+                    thumbnail=thumbs[0])[:-5])
+            if i % 31 == 9:
+                return insert(host, exif=build_exif(
+                    thumbnail=garbage))
+            return insert(host, exif=build_exif(
+                thumbnail=thumbs[i % 5]))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return exif_thumbnail_audit(imgs).withColumn(
+        "has_exif", F.coalesce(F.col("has_exif"), F.lit(False))
+    ).withColumn(
+        "has_thumbnail",
+        F.coalesce(F.col("has_thumbnail"), F.lit(False))
+    ).withColumn(
+        "thumb_decodes",
+        F.coalesce(F.col("thumb_decodes"), F.lit(False)))
+
+
+def _img_thumb_sql() -> str:
+    """Oracle with the five thumbnail constants derived from the
+    SAME in-repo encoder at SQL-build time (the robots-oracle
+    parser-snapshot pin): lengths and dims become literals."""
+    from cerberus_cpp_spark.sources.imagegen import (
+        pixel_seed,
+        synth_pixels,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    lens, ws, hs = [], [], []
+    for k in range(5):
+        w, h = 8 + k % 3, 6 + k % 2
+        lens.append(len(encode_jpeg(
+            synth_pixels(pixel_seed(k, 58), w, h), quality=55 + k)))
+        ws.append(w)
+        hs.append(h)
+    garbage_len = len(b"\x00not-a-jpeg\x00" * 3)
+    return f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_TH_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              WHEN i % 6 = 5 THEN 'noexif'
+              WHEN i % 10 = 3 THEN 'nothumb'
+              WHEN i % 29 = 11 THEN 'trunc'
+              WHEN i % 31 = 9 THEN 'garbage'
+              ELSE 'thumb' END AS arm,
+         i % 5 AS k
+  FROM ids
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE arm WHEN 'junk' THEN 'malformed'
+                WHEN 'nul' THEN 'no_payload'
+                WHEN 'trunc' THEN 'malformed'
+                ELSE 'ok' END AS status,
+       (arm IN ('nothumb', 'garbage', 'thumb')) AS has_exif,
+       (arm IN ('garbage', 'thumb')) AS has_thumbnail,
+       CAST(CASE WHEN arm IN ('garbage', 'thumb') THEN 6
+            END AS INTEGER) AS thumb_compression,
+       CAST(CASE WHEN arm = 'garbage' THEN {garbage_len}
+                 WHEN arm = 'thumb' THEN
+                   [{lens[0]}, {lens[1]}, {lens[2]}, {lens[3]},
+                    {lens[4]}][k + 1]
+            END AS BIGINT) AS thumb_len,
+       (arm = 'thumb') AS thumb_decodes,
+       CAST(CASE WHEN arm = 'thumb' THEN
+              [{ws[0]}, {ws[1]}, {ws[2]}, {ws[3]}, {ws[4]}][k + 1]
+            END AS INTEGER) AS thumb_w,
+       CAST(CASE WHEN arm = 'thumb' THEN
+              [{hs[0]}, {hs[1]}, {hs[2]}, {hs[3]}, {hs[4]}][k + 1]
+            END AS INTEGER) AS thumb_h
+FROM m
+"""
+
+
+IMG_SOF_N = 600
+
+
+def q_img_sof_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-structure census (image_checks.jpeg_sof_census) over 600
+    payloads: real baseline 4:4:4 encodes (some with DRI restart
+    intervals), plus headers-only SOF fixtures for the layouts the
+    in-repo encoder never writes — progressive 4:2:0, grayscale,
+    4:2:2 with id-derived restart intervals, 12-bit extended 4:4:0 —
+    and no-SOF / truncation / PNG / garbage / NULL arms. Header
+    walks only, never entropy data; the oracle replays process,
+    precision, dims, the sampling string, the derived subsampling
+    label, and the restart interval by pure id arithmetic."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        jpeg_sof_census,
+    )
+
+    df = spark.range(0, IMG_SOF_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            pixel_seed,
+            synth_pixels,
+        )
+        from cerberus_cpp_spark.sources.jpegcodec import (
+            build_sof_fixture,
+            encode_jpeg,
+        )
+
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x04junk" + bytes([i % 251]) * 6
+            if i % 17 == 4:
+                return None
+            w, h = 8 + i % 4, 8 + i % 3
+            if i % 6 == 5:
+                return encode_pixels(
+                    synth_pixels(pixel_seed(i, 57), w, h), "png")
+            if i % 29 == 11:
+                return b"\xff\xd8\xff\xda\x00\x02"  # no SOF
+            if i % 10 == 3:
+                return build_sof_fixture(
+                    process=0xC2, w=32 + i % 64, h=16 + i % 32)
+            if i % 31 == 9:
+                return build_sof_fixture(
+                    w=24 + i % 8, h=24 + i % 8,
+                    comps=[(1, 1, 1, 0)])
+            if i % 13 == 2:
+                return build_sof_fixture(
+                    w=40 + i % 16, h=20 + i % 16,
+                    comps=[(1, 2, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)],
+                    restart_interval=1 + i % 7)
+            if i % 11 == 6:
+                return build_sof_fixture(
+                    process=0xC1, precision=12,
+                    w=48 + i % 4, h=12 + i % 4,
+                    comps=[(1, 1, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)])
+            px = synth_pixels(pixel_seed(i, 57), w, h)
+            return encode_jpeg(
+                px, quality=75,
+                restart_interval=4 if i % 4 == 0 else 0)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return jpeg_sof_census(imgs)
+
+
+_IMG_SOF_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_SOF_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              WHEN i % 6 = 5 THEN 'png'
+              WHEN i % 29 = 11 THEN 'nosof'
+              WHEN i % 10 = 3 THEN 'prog'
+              WHEN i % 31 = 9 THEN 'grey'
+              WHEN i % 13 = 2 THEN 's422'
+              WHEN i % 11 = 6 THEN 'ext440'
+              ELSE 'real' END AS arm
+  FROM ids
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE arm WHEN 'junk' THEN 'malformed'
+                WHEN 'nul' THEN 'no_payload'
+                WHEN 'png' THEN 'not_jpeg'
+                WHEN 'nosof' THEN 'malformed'
+                ELSE 'ok' END AS status,
+       CASE arm WHEN 'prog' THEN 'progressive'
+                WHEN 'ext440' THEN 'extended'
+                WHEN 'grey' THEN 'baseline'
+                WHEN 's422' THEN 'baseline'
+                WHEN 'real' THEN 'baseline' END AS process,
+       CAST(CASE WHEN arm = 'ext440' THEN 12
+            WHEN arm IN ('prog', 'grey', 's422', 'real') THEN 8
+            END AS INTEGER) AS precision,
+       CAST(CASE arm WHEN 'prog' THEN 32 + i % 64
+                WHEN 'grey' THEN 24 + i % 8
+                WHEN 's422' THEN 40 + i % 16
+                WHEN 'ext440' THEN 48 + i % 4
+                WHEN 'real' THEN 8 + i % 4 END AS INTEGER) AS img_w,
+       CAST(CASE arm WHEN 'prog' THEN 16 + i % 32
+                WHEN 'grey' THEN 24 + i % 8
+                WHEN 's422' THEN 20 + i % 16
+                WHEN 'ext440' THEN 12 + i % 4
+                WHEN 'real' THEN 8 + i % 3 END AS INTEGER) AS img_h,
+       CAST(CASE WHEN arm = 'grey' THEN 1
+            WHEN arm IN ('prog', 's422', 'ext440', 'real') THEN 3
+            END AS INTEGER) AS n_components,
+       CASE arm WHEN 'prog' THEN '2x2,1x1,1x1'
+                WHEN 'grey' THEN '1x1'
+                WHEN 's422' THEN '2x1,1x1,1x1'
+                WHEN 'ext440' THEN '1x2,1x1,1x1'
+                WHEN 'real' THEN '1x1,1x1,1x1' END AS sampling,
+       CASE arm WHEN 'prog' THEN '4:2:0'
+                WHEN 'grey' THEN 'grayscale'
+                WHEN 's422' THEN '4:2:2'
+                WHEN 'ext440' THEN '4:4:0'
+                WHEN 'real' THEN '4:4:4' END AS subsampling,
+       CAST(CASE arm WHEN 's422' THEN 1 + i % 7
+                WHEN 'real' THEN CASE WHEN i % 4 = 0 THEN 4 ELSE 0 END
+                WHEN 'prog' THEN 0 WHEN 'grey' THEN 0
+                WHEN 'ext440' THEN 0 END AS INTEGER)
+         AS restart_interval
+FROM m
 """
 
 
@@ -9873,6 +10163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_thumb_audit": q_img_thumb_audit,
+        "img_sof_census": q_img_sof_census,
         "pack_batches_images": q_pack_batches_images,
         "ar_resize_images": q_ar_resize_images,
         "img_sharpness": q_img_sharpness,
@@ -10839,6 +11131,8 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_thumb_audit": _img_thumb_sql(),
+        "img_sof_census": _IMG_SOF_SQL,
         "pack_batches_images": _PACK_SQL,
         "ar_resize_images": _ARB_RESIZE_SQL,
         "img_sharpness": _IMG_SH_SQL,

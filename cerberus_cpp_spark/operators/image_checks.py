@@ -1656,3 +1656,186 @@ def pixel_sharpness(df: DataFrame, *, id_col: str = "image_id",
             yield out
 
     return src.mapInPandas(work, schema=out_schema)
+
+
+def jpeg_sof_census(df: DataFrame, *, id_col: str = "image_id",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """Frame-structure census for JPEG payloads — the coding process
+    (baseline / progressive / arithmetic / lossless families),
+    sample precision, per-component sampling factors with the
+    derived chroma-subsampling label, and the DRI restart interval —
+    from ``sources/jpegcodec.parse_sof_info``: a marker walk that
+    never reads entropy data (the 10^12-row tier). Curation uses
+    this to quarantine exotic processes before the decode tier
+    (a progressive or arithmetic scan costs multiples of a baseline
+    one), to bucket by 4:2:0 vs 4:4:4 fidelity, and to pick
+    restart-parallel decode paths.
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'not_jpeg' |
+    'malformed' — a JPEG with no SOF before SOS IS malformed),
+    ``process``, ``precision``, ``img_w``/``img_h``,
+    ``n_components``, ``sampling`` ("2x2,1x1,1x1"), ``subsampling``
+    ('4:4:4' | '4:2:2' | '4:2:0' | '4:4:0' | 'grayscale' | 'other'),
+    ``restart_interval`` (0 when absent). One narrow Arrow stage."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("process", T.StringType()),
+        ("precision", T.IntegerType()),
+        ("img_w", T.IntegerType()),
+        ("img_h", T.IntegerType()),
+        ("n_components", T.IntegerType()),
+        ("sampling", T.StringType()),
+        ("subsampling", T.StringType()),
+        ("restart_interval", T.IntegerType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import sniff_format
+        from cerberus_cpp_spark.sources.jpegcodec import parse_sof_info
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                blob = bytes(blob)
+                fmt = sniff_format(blob)
+                if fmt is None:
+                    emit(rid, "malformed")
+                    continue
+                if fmt != "jpeg":
+                    emit(rid, "not_jpeg")
+                    continue
+                try:
+                    s = parse_sof_info(blob)
+                except (ValueError, IndexError, struct.error):
+                    emit(rid, "malformed")
+                    continue
+                emit(rid, "ok", process=s["process"],
+                     precision=s["precision"], img_w=s["w"],
+                     img_h=s["h"], n_components=s["n_components"],
+                     sampling=s["sampling"],
+                     subsampling=s["subsampling"],
+                     restart_interval=s["restart_interval"])
+            out = pd.DataFrame(rows)
+            for c in ("precision", "img_w", "img_h", "n_components",
+                      "restart_interval"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)
+
+
+def exif_thumbnail_audit(df: DataFrame, *, id_col: str = "image_id",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """EXIF second-IFD (IFD1) embedded-thumbnail audit: extract the
+    container's EXIF block (``raw_exif`` — JPEG APP1 / PNG eXIf /
+    TIFF in place / WebP EXIF chunk), walk IFD0's next-IFD pointer
+    (``imagemeta.parse_thumbnail``), and verify the embedded JPEG
+    actually decodes with the in-repo codec. Crawled-data audits
+    care twice over: a thumbnail is a SECOND image the strip/redact
+    pipeline must not miss (it can leak the pre-edit picture), and a
+    lying JPEGInterchangeFormat pointer is a malformed-container
+    finding. Truncated structures and out-of-bounds payloads route
+    to 'malformed'; a thumbnail that parses but does not decode
+    reports ``thumb_decodes = false`` with the dims NULL.
+
+    Per row: ``status`` ('ok' | 'no_payload' | 'malformed'),
+    ``has_exif``, ``has_thumbnail``, ``thumb_compression`` (6 =
+    JPEG per CIPA DC-008), ``thumb_len``, ``thumb_decodes``,
+    ``thumb_w``/``thumb_h``. One narrow Arrow stage."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("has_exif", T.BooleanType()),
+        ("has_thumbnail", T.BooleanType()),
+        ("thumb_compression", T.IntegerType()),
+        ("thumb_len", T.LongType()),
+        ("thumb_decodes", T.BooleanType()),
+        ("thumb_w", T.IntegerType()),
+        ("thumb_h", T.IntegerType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import sys
+        import zlib
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        from cerberus_cpp_spark.sources.imagegen import decode_image
+        from cerberus_cpp_spark.sources.imagemeta import (
+            parse_thumbnail,
+            raw_exif,
+        )
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload")
+                    continue
+                try:
+                    ex = raw_exif(bytes(blob))
+                    t = parse_thumbnail(ex) if ex else None
+                except (ValueError, IndexError, struct.error,
+                        zlib.error):
+                    emit(rid, "malformed")
+                    continue
+                if ex is None:
+                    emit(rid, "ok", has_exif=False,
+                         has_thumbnail=False)
+                    continue
+                if t is None:
+                    emit(rid, "ok", has_exif=True,
+                         has_thumbnail=False)
+                    continue
+                kv = {"has_exif": True, "has_thumbnail": True,
+                      "thumb_compression": t["compression"],
+                      "thumb_len": t["length"]}
+                try:
+                    _, px = decode_image(t["bytes"])
+                    kv.update(thumb_decodes=True,
+                              thumb_w=int(px.shape[1]),
+                              thumb_h=int(px.shape[0]))
+                except Exception:
+                    kv["thumb_decodes"] = False
+                emit(rid, "ok", **kv)
+            out = pd.DataFrame(rows)
+            out["thumb_len"] = out["thumb_len"].astype("Int64")
+            for c in ("thumb_compression", "thumb_w", "thumb_h"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)

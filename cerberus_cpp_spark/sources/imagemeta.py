@@ -45,6 +45,9 @@ TAG_ORIENTATION = 274
 TAG_SOFTWARE = 305
 TAG_DATETIME = 306
 TAG_EXIF_IFD = 34665
+TAG_COMPRESSION = 259
+TAG_THUMB_OFFSET = 513   # JPEGInterchangeFormat (IFD1)
+TAG_THUMB_LENGTH = 514   # JPEGInterchangeFormatLength
 TAG_GPS_IFD = 34853
 TAG_PIXEL_X = 40962
 TAG_PIXEL_Y = 40963
@@ -75,6 +78,7 @@ def build_exif(*, description: str | None = None,
                pixel_x: int | None = None,
                pixel_y: int | None = None,
                gps: dict | None = None,
+               thumbnail: bytes | None = None,
                byte_order: str = "<") -> bytes:
     """Minimal spec-shaped EXIF block: IFD0 with the descriptive
     tags, plus an EXIF sub-IFD (tag 34665) holding
@@ -83,7 +87,11 @@ def build_exif(*, description: str | None = None,
     ``{"lat_ref": "N"|"S", "lat": ((dn,dd),(mn,md),(sn,sd)),
     "lon_ref": "E"|"W", "lon": (...), "alt": (num,den)|None}`` —
     coordinates as the spec's three RATIONALs (deg, min, sec), kept
-    as exact num/den pairs end to end."""
+    as exact num/den pairs end to end. ``thumbnail`` (JPEG bytes)
+    adds the spec's second IFD (IFD1: Compression=6 +
+    JPEGInterchangeFormat/-Length, CIPA DC-008 §4.6.4) with the
+    payload appended after it and IFD0's next-IFD pointer patched
+    to reach it — the structure :func:`parse_thumbnail` walks."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     bo = byte_order
@@ -173,10 +181,70 @@ def build_exif(*, description: str | None = None,
             + ([long_entry(TAG_GPS_IFD, gps_off)] if gps_ifd else [])
         ifd0_final = pack_ifd(ifd0 + ptrs, 8)
         assert len(ifd0_final) == len(probe)
-        return header + ifd0_final + \
+        stream = header + ifd0_final + \
             (pack_ifd(sub, exif_off) if sub else b"") + \
             (pack_ifd(gps_ifd, gps_off) if gps_ifd else b"")
-    return header + pack_ifd(ifd0, 8)
+        n0 = len(ifd0) + len(ptrs)
+    else:
+        stream = header + pack_ifd(ifd0, 8)
+        n0 = len(ifd0)
+    if thumbnail is not None:
+        # IFD1 after everything, thumbnail payload after IFD1; all
+        # three entry values fit inline (no overflow), so the probe
+        # with a placeholder offset has the final length
+        ifd1_off = len(stream)
+        entries = [short_entry(TAG_COMPRESSION, 6),
+                   long_entry(TAG_THUMB_OFFSET, 0),
+                   long_entry(TAG_THUMB_LENGTH, len(thumbnail))]
+        probe = pack_ifd(entries, ifd1_off)
+        entries[1] = long_entry(TAG_THUMB_OFFSET,
+                                ifd1_off + len(probe))
+        ifd1 = pack_ifd(entries, ifd1_off)
+        assert len(ifd1) == len(probe)
+        # patch IFD0's next-IFD pointer (the 4 bytes after its
+        # entry table) from 0 to IFD1's offset
+        ptr_pos = 8 + 2 + 12 * n0
+        stream = (stream[:ptr_pos]
+                  + struct.pack(bo + "I", ifd1_off)
+                  + stream[ptr_pos + 4:]
+                  + ifd1 + thumbnail)
+    return stream
+
+
+def parse_thumbnail(blob: bytes) -> dict | None:
+    """The EXIF second-IFD (IFD1) embedded thumbnail: ``None`` when
+    IFD0's next-IFD pointer is 0 or IFD1 carries no
+    JPEGInterchangeFormat/-Length pair; otherwise
+    ``{"compression", "offset", "length", "bytes"}``. Raises
+    ``ValueError`` on truncated structures or a thumbnail payload
+    that overruns the block — audit operators route those rows to
+    'malformed' (a lying thumbnail pointer in crawled data is a
+    finding, not a miss)."""
+    if not sniff_tiff(blob):
+        raise ValueError("not a TIFF/EXIF stream")
+    bo = "<" if blob[:2] == b"II" else ">"
+    (ifd0,) = struct.unpack_from(bo + "I", blob, 4)
+    if ifd0 + 2 > len(blob):
+        raise ValueError("truncated IFD0 offset")
+    (n,) = struct.unpack_from(bo + "H", blob, ifd0)
+    ptr_pos = ifd0 + 2 + 12 * n
+    if ptr_pos + 4 > len(blob):
+        raise ValueError("truncated IFD0")
+    (ifd1,) = struct.unpack_from(bo + "I", blob, ptr_pos)
+    if ifd1 == 0:
+        return None
+    _, tags = _read_entries(blob, ifd1)
+    off = tags.get(TAG_THUMB_OFFSET)
+    ln = tags.get(TAG_THUMB_LENGTH)
+    if not off or not ln:
+        return None  # an IFD1 without an embedded JPEG
+    off, ln = int(off[0]), int(ln[0])
+    if off + ln > len(blob):
+        raise ValueError("thumbnail payload out of bounds")
+    comp = tags.get(TAG_COMPRESSION)
+    return {"compression": int(comp[0]) if comp else None,
+            "offset": off, "length": ln,
+            "bytes": bytes(blob[off:off + ln])}
 
 
 def parse_exif(blob: bytes) -> dict:

@@ -867,37 +867,12 @@ def parse_dqt_tables(data: bytes) -> dict:
     structurally invalid streams: missing SOI, lost marker sync,
     segment length overrunning the buffer, a table truncated inside
     its own segment, or the stream ending before SOS (a headers-only
-    fragment is not a valid scan carrier)."""
-    if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
-        raise ValueError("not a JPEG stream (missing SOI)")
-    pos = 2
+    fragment is not a valid scan carrier). The walk itself is the
+    shared :func:`_marker_segments` generator (defined below, also
+    backing :func:`parse_sof_info`)."""
     tables: dict[int, tuple[int, np.ndarray]] = {}
     nseg = 0
-    while True:
-        if pos + 2 > len(data):
-            raise ValueError("JPEG ends before SOS")
-        if data[pos] != 0xFF:
-            raise ValueError("marker sync lost")
-        marker = data[pos + 1]
-        pos += 2
-        while marker == 0xFF:  # fill bytes before a marker
-            if pos >= len(data):
-                raise ValueError("JPEG ends inside marker padding")
-            marker = data[pos]
-            pos += 1
-        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
-            continue  # standalone markers
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS")
-        if pos + 2 > len(data):
-            raise ValueError("truncated segment length")
-        seglen = int.from_bytes(data[pos:pos + 2], "big")
-        if seglen < 2:
-            raise ValueError("invalid zero-length marker segment")
-        if pos + seglen > len(data):
-            raise ValueError("segment overruns stream")
-        seg = data[pos + 2:pos + seglen]
-        pos += seglen
+    for marker, seg in _marker_segments(data):
         if marker == 0xDA:  # SOS — headers complete
             break
         if marker == 0xDB:
@@ -955,3 +930,128 @@ def implied_scale_pct(qt: np.ndarray, base: np.ndarray) -> int:
     q = qt.reshape(-1).astype(np.int64)
     b = base.reshape(-1).astype(np.int64)
     return int(((200 * q + b) // (2 * b)).sum() // 64)
+
+
+def _marker_segments(data: bytes):
+    """Shared header-only marker walk (SOI .. SOS inclusive): yields
+    ``(marker, segment_payload)`` for every framed segment and
+    ``(marker, b"")`` for standalone markers, stopping AFTER yielding
+    SOS. Raises ValueError exactly like :func:`parse_dqt_tables` on
+    structurally invalid streams (missing SOI, lost sync, overruns,
+    EOI or end-of-stream before SOS)."""
+    if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("JPEG ends before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        while marker == 0xFF:  # fill bytes before a marker
+            if pos >= len(data):
+                raise ValueError("JPEG ends inside marker padding")
+            marker = data[pos]
+            pos += 1
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            yield marker, b""
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment length")
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        if seglen < 2:
+            raise ValueError("invalid zero-length marker segment")
+        if pos + seglen > len(data):
+            raise ValueError("segment overruns stream")
+        yield marker, data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDA:
+            return
+
+
+_SOF_PROCESS = {
+    0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive",
+    0xC3: "lossless", 0xC5: "diff_sequential", 0xC6: "diff_progressive",
+    0xC7: "diff_lossless", 0xC9: "arith_extended",
+    0xCA: "arith_progressive", 0xCB: "arith_lossless",
+    0xCD: "arith_diff_sequential", 0xCE: "arith_diff_progressive",
+    0xCF: "arith_diff_lossless",
+}
+
+
+def parse_sof_info(data: bytes) -> dict:
+    """Header-only frame census: process (baseline / progressive /
+    ...), sample precision, dims, per-component sampling factors, the
+    derived chroma-subsampling label, and the DRI restart interval.
+    Never reads entropy data — the 10^12-row tier.
+
+    Returns ``{"process", "precision", "w", "h", "n_components",
+    "sampling" ("2x2,1x1,1x1"), "subsampling" ("4:4:4" | "4:2:2" |
+    "4:2:0" | "4:4:0" | "grayscale" | "other"), "restart_interval"
+    (0 when absent)}``. Raises ValueError on structurally invalid
+    streams, a missing SOF before SOS, or a malformed SOF payload."""
+    sof = None
+    dri = 0
+    for marker, seg in _marker_segments(data):
+        if marker in _SOF_PROCESS and sof is None:
+            if len(seg) < 6:
+                raise ValueError("SOF payload truncated")
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if len(seg) < 6 + 3 * nf:
+                raise ValueError("SOF component table truncated")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            sof = (_SOF_PROCESS[marker], prec, w, h, comps)
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise ValueError("DRI payload truncated")
+            dri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:
+            break
+    if sof is None:
+        raise ValueError("no SOF before SOS")
+    process, prec, w, h, comps = sof
+    sampling = ",".join(f"{hc}x{vc}" for _, hc, vc, _ in comps)
+    if len(comps) == 1:
+        label = "grayscale"
+    elif len(comps) == 3 and all(c[1] == 1 and c[2] == 1
+                                 for c in comps[1:]):
+        hy, vy = comps[0][1], comps[0][2]
+        label = {(1, 1): "4:4:4", (2, 1): "4:2:2",
+                 (2, 2): "4:2:0", (1, 2): "4:4:0"}.get((hy, vy),
+                                                       "other")
+    else:
+        label = "other"
+    return {"process": process, "precision": prec, "w": w, "h": h,
+            "n_components": len(comps), "sampling": sampling,
+            "subsampling": label, "restart_interval": dri}
+
+
+def build_sof_fixture(*, process: int = 0xC0, precision: int = 8,
+                      w: int = 16, h: int = 16,
+                      comps: list[tuple[int, int, int, int]]
+                      | None = None,
+                      restart_interval: int | None = None) -> bytes:
+    """A minimal headers-only JPEG (SOI + SOF [+ DRI] + SOS stub) for
+    exercising the census on sampling layouts the in-repo encoder
+    never writes (4:2:0, progressive, grayscale, arithmetic...).
+    Structurally valid for every header-only walker; NOT decodable
+    (there is no entropy data — by design)."""
+    comps = comps or [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    payload = bytes([precision]) + h.to_bytes(2, "big") \
+        + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hc, vc, tq in comps:
+        payload += bytes([cid, (hc << 4) | vc, tq])
+    out = b"\xff\xd8" + bytes([0xFF, process]) \
+        + (2 + len(payload)).to_bytes(2, "big") + payload
+    if restart_interval is not None:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    return out + b"\xff\xda\x00\x02"

@@ -121,3 +121,74 @@ def test_audit_plan_is_one_narrow_stage(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_thumbnail_roundtrip_and_bounds():
+    import numpy as np
+    import pytest
+
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        parse_thumbnail,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    thumb = encode_jpeg(
+        np.arange(144, dtype=np.uint8).reshape(6, 8, 3), quality=60)
+    for bo in ("<", ">"):
+        ex = build_exif(description="d", orientation=5,
+                        thumbnail=thumb, byte_order=bo)
+        t = parse_thumbnail(ex)
+        assert t["bytes"] == thumb and t["compression"] == 6
+        assert t["length"] == len(thumb)
+    assert parse_thumbnail(build_exif(description="x")) is None
+    with pytest.raises(ValueError):
+        parse_thumbnail(build_exif(thumbnail=thumb)[:-3])
+    with pytest.raises(ValueError):
+        parse_thumbnail(b"II\x2a\x00\x08\x00\x00")
+
+
+def test_thumbnail_audit_operator(spark):
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_thumbnail_audit,
+    )
+    from cerberus_cpp_spark.sources.imagegen import encode_pixels
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        jpeg_insert_metadata,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    host = encode_pixels(
+        np.full((8, 8, 3), 77, np.uint8), "jpeg")
+    thumb = encode_jpeg(
+        np.arange(144, dtype=np.uint8).reshape(6, 8, 3), quality=55)
+    with_t = jpeg_insert_metadata(host, exif=build_exif(
+        description="t", thumbnail=thumb))
+    no_t = jpeg_insert_metadata(host, exif=build_exif(
+        description="t"))
+    bad = jpeg_insert_metadata(host, exif=build_exif(
+        description="t", thumbnail=thumb)[:-5])
+    garbage_thumb = jpeg_insert_metadata(host, exif=build_exif(
+        thumbnail=b"\x00not-a-jpeg\x00" * 3))
+    rows = [("a", with_t), ("b", no_t), ("c", host), ("d", bad),
+            ("e", garbage_thumb), ("f", None)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r.asDict()
+           for r in exif_thumbnail_audit(df).collect()}
+    a = got["a"]
+    assert a["status"] == "ok" and a["has_thumbnail"] is True
+    assert a["thumb_compression"] == 6
+    assert a["thumb_len"] == len(thumb)
+    assert a["thumb_decodes"] is True
+    assert (a["thumb_w"], a["thumb_h"]) == (8, 6)
+    assert got["b"]["has_exif"] is True
+    assert got["b"]["has_thumbnail"] is False
+    assert got["c"]["has_exif"] is False
+    assert got["d"]["status"] == "malformed"
+    e = got["e"]
+    assert e["status"] == "ok" and e["thumb_decodes"] is False
+    assert e["thumb_w"] is None
+    assert got["f"]["status"] == "no_payload"

@@ -127,3 +127,55 @@ def test_operator_all_arms(spark):
     assert got["g"]["matched_quality"] is None
     assert got["g"]["approx_scale_pct"] is None
     assert got["g"]["n_tables"] == 1
+
+
+def test_sof_info_on_real_and_fixture_streams():
+    from cerberus_cpp_spark.sources.jpegcodec import (
+        build_sof_fixture,
+        parse_sof_info,
+    )
+
+    s = parse_sof_info(encode_jpeg(_px(), quality=80, restart_interval=3))
+    assert s["process"] == "baseline" and s["subsampling"] == "4:4:4"
+    assert (s["w"], s["h"]) == (16, 12) and s["restart_interval"] == 3
+    s = parse_sof_info(build_sof_fixture(
+        process=0xC2, comps=[(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]))
+    assert s["process"] == "progressive" and s["subsampling"] == "4:2:0"
+    s = parse_sof_info(build_sof_fixture(comps=[(1, 1, 2, 0),
+                                                (2, 1, 1, 1),
+                                                (3, 1, 1, 1)]))
+    assert s["subsampling"] == "4:4:0"
+    s = parse_sof_info(build_sof_fixture(comps=[(1, 4, 1, 0),
+                                                (2, 1, 1, 1),
+                                                (3, 1, 1, 1)]))
+    assert s["subsampling"] == "other"
+    with pytest.raises(ValueError):
+        parse_sof_info(b"\xff\xd8\xff\xda\x00\x02")  # no SOF
+    with pytest.raises(ValueError):
+        parse_sof_info(build_sof_fixture()[:9])      # mid-SOF cut
+
+
+def test_sof_census_operator(spark):
+    from cerberus_cpp_spark.operators.image_checks import jpeg_sof_census
+    from cerberus_cpp_spark.sources.jpegcodec import build_sof_fixture
+
+    rows = [
+        ("base", encode_jpeg(_px(), quality=70)),
+        ("prog420", build_sof_fixture(process=0xC2)),
+        ("grey", build_sof_fixture(comps=[(1, 1, 1, 0)])),
+        ("nosof", b"\xff\xd8\xff\xda\x00\x02"),
+        ("png", bytes.fromhex("89504e470d0a1a0a") + b"\x00" * 8),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: r.asDict()
+           for r in jpeg_sof_census(df).collect()}
+    assert got["base"]["subsampling"] == "4:4:4"
+    assert got["base"]["process"] == "baseline"
+    assert got["prog420"]["process"] == "progressive"
+    assert got["prog420"]["subsampling"] == "4:2:0"
+    assert got["grey"]["subsampling"] == "grayscale"
+    assert got["grey"]["n_components"] == 1
+    assert got["nosof"]["status"] == "malformed"
+    assert got["png"]["status"] == "not_jpeg"
+    assert got["nul"]["status"] == "no_payload"

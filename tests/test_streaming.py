@@ -510,3 +510,77 @@ def test_stream_chunk_documents_equals_batch(spark,
     got = sorted(map(tuple, spark.sql(
         "SELECT * FROM chunk_stream").collect()))
     assert got == want and len(got) > 40
+
+
+def test_stream_quality_sof_thumb_and_pixel_ops_equal_batch(
+        spark, tmp_path_factory) -> None:
+    """The round-5 image-census additions (jpeg_quality_audit,
+    jpeg_sof_census, exif_thumbnail_audit, pixel_stats,
+    pixel_sharpness) and the bucketing projections
+    (assign_ar_buckets + ar_resize_plan) are all stateless narrow
+    stages — each must run unchanged over a streaming frame and
+    match its batch output row-for-row."""
+    import numpy as np
+
+    from cerberus_cpp_spark.operators.arbuckets import (
+        ar_resize_plan,
+        assign_ar_buckets,
+    )
+    from cerberus_cpp_spark.operators.image_checks import (
+        exif_thumbnail_audit,
+        jpeg_quality_audit,
+        jpeg_sof_census,
+        pixel_sharpness,
+        pixel_stats,
+    )
+    from cerberus_cpp_spark.sources.imagegen import encode_pixels
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        jpeg_insert_metadata,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        px = rng.integers(0, 256, (6 + i % 3, 7 + i % 4, 3),
+                          dtype=np.uint8)
+        if i % 4 == 0:
+            b = encode_jpeg(px, quality=40 + i)
+        elif i % 4 == 1:
+            b = encode_pixels(px, "png")
+        elif i % 4 == 2:
+            b = jpeg_insert_metadata(
+                encode_pixels(px, "jpeg"),
+                exif=build_exif(thumbnail=encode_jpeg(px, quality=50)))
+        else:
+            b = None if i % 8 == 3 else b"\x07junk" + bytes([i]) * 4
+        rows.append((f"s{i:03d}", b, int(px.shape[1]),
+                     int(px.shape[0])))
+    src = str(tmp_path_factory.mktemp("stream_r5ops"))
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int"
+    ).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    ops = {
+        "q5_jq": jpeg_quality_audit,
+        "q5_sof": jpeg_sof_census,
+        "q5_th": exif_thumbnail_audit,
+        "q5_ps": pixel_stats,
+        "q5_sh": pixel_sharpness,
+        "q5_ar": lambda d: ar_resize_plan(assign_ar_buckets(
+            d.select("image_id", "w", "h"))),
+    }
+    for name, op in ops.items():
+        expected = sorted(
+            (tuple((None if v is None else v)
+                   for v in r) for r in op(batch).collect()))
+        q = (op(stream).writeStream.format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(tuple(r)
+                     for r in spark.sql(f"SELECT * FROM {name}")
+                     .collect())
+        assert got == expected, name
