@@ -9509,6 +9509,213 @@ FROM m LEFT JOIN agg ON m.i = agg.i
 """
 
 
+IMG_CV_N = 600
+
+
+def q_img_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass image curation verdict
+    (image_checks.image_curation_verdict — the image twin of
+    curate_docs): 600 payloads spanning every rule — garbage/NULL,
+    sub-minimum-size, low-IJG-quality JPEGs (exact DQT inversion,
+    quality 35..59 by id arithmetic), high-quality-but-flat JPEGs
+    (solid pixels survive the quality gate and fail the Laplacian
+    gate — solidity is decode-invariant, so the oracle needs no DCT),
+    and the parametric PNG arms whose flat/dark/greyscale outcomes
+    the oracle computes from the SAME pixel + neighbour grids as
+    img_pixel_stats / img_sharpness before folding the first-fail
+    rule order. Integer comparisons only — the verdict replays
+    bit-for-bit."""
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_curation_verdict,
+    )
+
+    df = spark.range(0, IMG_CV_N, 1,
+                     spark.sparkContext.defaultParallelism)
+    pkg_parent = PKG_PARENT
+
+    def gen(batches):
+        import sys
+
+        import pandas as pd
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+        from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+        def payload(i: int) -> bytes | None:
+            if i % 25 == 7:
+                return b"\x06junk" + bytes([i % 251]) * 6
+            if i % 17 == 4:
+                return None
+            w, h = 9 + i % 4, 9 + i % 3
+            if i % 6 == 5:
+                solid = np.full((h, w, 3), 130, np.uint8)
+                return encode_jpeg(solid, quality=35 + (i * 5) % 25)
+            if i % 10 == 3:
+                solid = np.full((h, w, 3), 130, np.uint8)
+                return encode_jpeg(solid, quality=60 + (i * 3) % 36)
+            if i % 29 == 11:
+                return encode_pixels(
+                    np.full((8, 8, 3), 130, np.uint8), "png")
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            arm = i % 4
+            if arm == 0:
+                px = np.empty((h, w, 3), np.uint8)
+                px[:, :, 0] = i % 256
+                px[:, :, 1] = (3 * i) % 256
+                px[:, :, 2] = (7 * i) % 256
+            elif arm == 1:
+                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
+                px = np.dstack([v, v, v])
+            else:
+                px = np.dstack([
+                    ((x * 13 + y * 29 + i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
+                     ).astype(np.uint8),
+                ])
+                if arm == 2:
+                    px[0, :] = px[-1, :] = (5, 5, 5)
+                    px[:, 0] = px[:, -1] = (5, 5, 5)
+            return encode_pixels(px, "png")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "image_id": [f"img-{int(i):012d}" for i in pdf["id"]],
+                "bytes": [payload(int(i)) for i in pdf["id"]],
+            })
+
+    imgs = df.mapInPandas(gen, schema="image_id string, bytes binary")
+    return image_curation_verdict(imgs)
+
+
+_IMG_CV_SQL = f"""
+WITH ids AS (SELECT i FROM range(0, {IMG_CV_N}) t(i)),
+m AS (
+  SELECT i,
+         CASE WHEN i % 25 = 7 THEN 'junk'
+              WHEN i % 17 = 4 THEN 'nul'
+              WHEN i % 6 = 5 THEN 'lowq'
+              WHEN i % 10 = 3 THEN 'hiq'
+              WHEN i % 29 = 11 THEN 'small'
+              ELSE ['solid', 'greygrad', 'boxed',
+                    'colorgrad'][i % 4 + 1] END AS arm,
+         9 + i % 4 AS w, 9 + i % 3 AS h
+  FROM ids
+),
+px AS (
+  SELECT m.i, m.arm, m.w, m.h, gx.x, gy.y,
+         (gx.x = 0 OR gx.x = m.w - 1
+          OR gy.y = 0 OR gy.y = m.h - 1) AS ring
+  FROM m
+  JOIN range(0, 13) gx(x) ON gx.x < m.w
+  JOIN range(0, 12) gy(y) ON gy.y < m.h
+  WHERE m.arm IN ('solid', 'greygrad', 'boxed', 'colorgrad')
+),
+rgb AS (
+  SELECT i, arm, w, h, x, y,
+         CASE arm WHEN 'solid' THEN i % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 13 + y * 29 + i) % 256 END
+         END AS r,
+         CASE arm WHEN 'solid' THEN (3 * i) % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 7 + y * 3 + 2 * i) % 256 END
+         END AS g,
+         CASE arm WHEN 'solid' THEN (7 * i) % 256
+                  WHEN 'greygrad' THEN (x * 31 + y * 7 + i) % 256
+                  ELSE CASE WHEN arm = 'boxed' AND ring THEN 5
+                       ELSE (x * 11 + y * 5 + 3 * i) % 256 END
+         END AS b
+  FROM px
+),
+pixagg AS (
+  SELECT i, count(*) AS n_pixels,
+         sum(CASE WHEN r + g + b < 96 THEN 1 ELSE 0 END) AS n_dark,
+         sum(CASE WHEN r = g AND g = b THEN 1 ELSE 0 END) AS n_grey
+  FROM rgb GROUP BY i
+),
+contrib AS (
+  SELECT m.i, gx.x, gy.y, ch.c, o.wt,
+         gx.x + o.dx AS ox, gy.y + o.dy AS oy, m.arm, m.w, m.h
+  FROM m
+  JOIN range(0, 13) gx(x) ON gx.x >= 1 AND gx.x < m.w - 1
+  JOIN range(0, 12) gy(y) ON gy.y >= 1 AND gy.y < m.h - 1
+  CROSS JOIN (VALUES (0, 0, 4), (-1, 0, -1), (1, 0, -1),
+                     (0, -1, -1), (0, 1, -1)) o(dx, dy, wt)
+  CROSS JOIN range(0, 3) ch(c)
+  WHERE m.arm IN ('solid', 'greygrad', 'boxed', 'colorgrad')
+),
+val AS (
+  SELECT i, x, y, c, wt,
+         CASE arm
+           WHEN 'solid' THEN
+             CASE c WHEN 0 THEN i % 256
+                    WHEN 1 THEN (3 * i) % 256
+                    ELSE (7 * i) % 256 END
+           WHEN 'greygrad' THEN (ox * 31 + oy * 7 + i) % 256
+           ELSE CASE WHEN arm = 'boxed'
+                      AND (ox = 0 OR ox = w - 1
+                           OR oy = 0 OR oy = h - 1) THEN 5
+                ELSE CASE c
+                       WHEN 0 THEN (ox * 13 + oy * 29 + i) % 256
+                       WHEN 1 THEN (ox * 7 + oy * 3 + 2 * i) % 256
+                       ELSE (ox * 11 + oy * 5 + 3 * i) % 256 END
+                END
+         END AS v
+  FROM contrib
+),
+lapagg AS (
+  SELECT i, sum(l3) AS lap_sum, count(*) AS n_interior FROM (
+    SELECT i, x, y, sum(abs(lap)) AS l3 FROM (
+      SELECT i, x, y, c, sum(wt * v) AS lap
+      FROM val GROUP BY i, x, y, c
+    ) GROUP BY i, x, y
+  ) GROUP BY i
+),
+folded AS (
+  SELECT m.i, m.arm, m.w, m.h,
+         CASE m.arm
+           WHEN 'junk' THEN 'undecodable'
+           WHEN 'nul' THEN 'no_payload'
+           WHEN 'lowq' THEN 'low_quality'
+           WHEN 'hiq' THEN 'too_flat'
+           WHEN 'small' THEN 'too_small'
+           ELSE CASE
+             WHEN l.lap_sum < 3 * l.n_interior THEN 'too_flat'
+             WHEN 2 * p.n_dark > p.n_pixels THEN 'too_dark'
+             WHEN p.n_grey = p.n_pixels THEN 'greyscale'
+           END
+         END AS reason
+  FROM m
+  LEFT JOIN pixagg p ON m.i = p.i
+  LEFT JOIN lapagg l ON m.i = l.i
+)
+SELECT concat('img-', lpad(CAST(i AS VARCHAR), 12, '0')) AS image_id,
+       CASE arm WHEN 'junk' THEN 'undecodable'
+                WHEN 'nul' THEN 'no_payload'
+                ELSE 'ok' END AS status,
+       CAST(CASE WHEN arm = 'junk' OR arm = 'nul' THEN NULL
+                 WHEN arm = 'small' THEN 8 ELSE w
+            END AS INTEGER) AS w,
+       CAST(CASE WHEN arm = 'junk' OR arm = 'nul' THEN NULL
+                 WHEN arm = 'small' THEN 8 ELSE h
+            END AS INTEGER) AS h,
+       CASE WHEN reason IS NULL THEN 'keep' ELSE 'drop' END
+         AS verdict,
+       reason
+FROM folded
+"""
+
+
 IMG_TH_N = 600
 
 
@@ -10163,6 +10370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r04 rotate to the back. Keep adding new queries at
     # the TOP.
     return {
+        "img_curation_verdict": q_img_curation_verdict,
         "img_thumb_audit": q_img_thumb_audit,
         "img_sof_census": q_img_sof_census,
         "pack_batches_images": q_pack_batches_images,
@@ -11131,6 +11339,7 @@ SELECT event_id, '^.b', 'type-rule violated: expected string'
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "img_curation_verdict": _IMG_CV_SQL,
         "img_thumb_audit": _img_thumb_sql(),
         "img_sof_census": _IMG_SOF_SQL,
         "pack_batches_images": _PACK_SQL,

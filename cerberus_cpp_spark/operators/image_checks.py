@@ -1839,3 +1839,144 @@ def exif_thumbnail_audit(df: DataFrame, *, id_col: str = "image_id",
             yield out
 
     return src.mapInPandas(work, schema=out_schema)
+
+
+def image_curation_verdict(
+    df: DataFrame,
+    *,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    min_pixels: int = 70,
+    min_quality: int = 60,
+    min_lap_mean: int = 3,
+    dark_sum_lt: int = 96,
+    max_dark_half: bool = True,
+    drop_greyscale: bool = True,
+) -> DataFrame:
+    """ONE-pass image curation verdict — the image-axis twin of
+    ``text.curate_documents`` / ``c4_clean``: every gate this module
+    provides, folded into a keep/drop decision with a FIRST-FAIL
+    reason, in a single decode pass. Rule order (fixed, documented —
+    downstream quota accounting depends on it):
+
+    1. ``no_payload`` / ``undecodable`` / ``decode_unsupported``
+    2. ``too_small`` — ``w*h < min_pixels``
+    3. ``low_quality`` — JPEG whose EXACT IJG inversion
+       (``estimate_ijg_quality``) reads below ``min_quality``
+       (custom/16-bit tables skip the rule: unknown is not low)
+    4. ``too_flat`` — mean 3-channel Laplacian response below
+       ``min_lap_mean`` (integer cross-compare
+       ``lap_sum < min_lap_mean * n_interior``; no-interior frames
+       count as flat)
+    5. ``too_dark`` — more than half the pixels have
+       ``R+G+B < dark_sum_lt`` (``2*n_dark > n_pixels``)
+    6. ``greyscale`` — every pixel R==G==B (when ``drop_greyscale``)
+
+    All comparisons are integer, so the verdict is bit-portable and
+    the contract oracle replays the full rule fold. Emits
+    ``(image_id, status, w, h, verdict, reason)`` — reason NULL on
+    'keep'. One narrow Arrow stage, no shuffle."""
+    src = df.select(F.col(id_col).alias("image_id"), bytes_col)
+    pkg_parent = PKG_PARENT
+    mp, mq, mlm = int(min_pixels), int(min_quality), int(min_lap_mean)
+    dlt, dg = int(dark_sum_lt), bool(drop_greyscale)
+    fields = [
+        ("image_id", df.schema[id_col].dataType),
+        ("status", T.StringType()),
+        ("w", T.IntegerType()),
+        ("h", T.IntegerType()),
+        ("verdict", T.StringType()),
+        ("reason", T.StringType()),
+    ]
+    out_schema = T.StructType(
+        [T.StructField(n, t, True) for n, t in fields])
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import sys
+
+        if pkg_parent not in sys.path:
+            sys.path.insert(0, pkg_parent)
+        import numpy as np
+
+        from cerberus_cpp_spark.sources.imagegen import (
+            UnsupportedCodecError,
+            decode_image,
+            sniff_format,
+        )
+        from cerberus_cpp_spark.sources.jpegcodec import (
+            estimate_ijg_quality,
+            parse_dqt_tables,
+        )
+
+        blank = {k: None for k, _ in fields[2:]}
+        for pdf in batches:
+            rows = {k: [] for k, _ in fields}
+
+            def emit(rid, status, **kv):
+                rows["image_id"].append(rid)
+                rows["status"].append(status)
+                for k, v in {**blank, **kv}.items():
+                    rows[k].append(v)
+
+            for rid, blob in zip(pdf["image_id"], pdf[bytes_col]):
+                if blob is None:
+                    emit(rid, "no_payload", verdict="drop",
+                         reason="no_payload")
+                    continue
+                blob = bytes(blob)
+                try:
+                    fmt, px = decode_image(blob)
+                except UnsupportedCodecError:
+                    emit(rid, "decode_unsupported", verdict="drop",
+                         reason="decode_unsupported")
+                    continue
+                except Exception:
+                    emit(rid, "undecodable", verdict="drop",
+                         reason="undecodable")
+                    continue
+                p = px.astype(np.int64)
+                h, w = p.shape[0], p.shape[1]
+                reason = None
+                if w * h < mp:
+                    reason = "too_small"
+                if reason is None and fmt == "jpeg":
+                    try:
+                        tabs = parse_dqt_tables(blob)["tables"]
+                        if 0 in tabs and all(
+                                pr == 8 for pr, _ in tabs.values()):
+                            q = estimate_ijg_quality(
+                                tabs[0][1],
+                                tabs[1][1] if 1 in tabs else None)
+                            if q is not None and q < mq:
+                                reason = "low_quality"
+                    except (ValueError, IndexError, struct.error):
+                        pass  # decodable but odd headers: skip rule
+                if reason is None:
+                    if h >= 3 and w >= 3:
+                        c = p[1:-1, 1:-1]
+                        lap3 = np.abs(
+                            4 * c - p[1:-1, :-2] - p[1:-1, 2:]
+                            - p[:-2, 1:-1] - p[2:, 1:-1]).sum(axis=2)
+                        flat = int(lap3.sum()) < mlm * (h - 2) * (w - 2)
+                    else:
+                        flat = True
+                    if flat:
+                        reason = "too_flat"
+                if reason is None and max_dark_half:
+                    if 2 * int((p.sum(axis=2) < dlt).sum()) > w * h:
+                        reason = "too_dark"
+                if reason is None and dg:
+                    if int(((p[:, :, 0] == p[:, :, 1])
+                            & (p[:, :, 1] == p[:, :, 2])).sum()) \
+                            == w * h:
+                        reason = "greyscale"
+                emit(rid, "ok", w=w, h=h,
+                     verdict="drop" if reason else "keep",
+                     reason=reason)
+            out = pd.DataFrame(rows)
+            for c2 in ("w", "h"):
+                out[c2] = out[c2].astype("Int32")
+            yield out
+
+    return src.mapInPandas(work, schema=out_schema)

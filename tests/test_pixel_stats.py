@@ -119,3 +119,45 @@ def test_sharpness_edge_threshold(spark):
     got = pixel_sharpness(
         _frame(spark, [("e", encode_pixels(a, "png"))])).collect()[0]
     assert got["lap_max"] == 600 and got["n_edges"] == 1
+
+
+def test_curation_verdict_rule_order(spark):
+    from cerberus_cpp_spark.operators.image_checks import (
+        image_curation_verdict,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    solid_small = np.full((8, 8, 3), 120, np.uint8)       # 64 < 70
+    solid_big = np.full((9, 9, 3), 120, np.uint8)         # 81 >= 70
+    dark = np.full((9, 9, 3), 10, np.uint8)
+    dark[0, 0] = (250, 10, 10)                            # break flat+grey
+    dark[1, 1] = (10, 250, 10)
+    grey_sharp = np.full((9, 9, 3), 100, np.uint8)
+    grey_sharp[::2, ::2] = 200                 # bright checker: sharp, grey
+    colour_sharp = np.zeros((9, 9, 3), np.uint8)
+    colour_sharp[:, :] = (120, 130, 140)       # bright, not grey
+    colour_sharp[::2, ::2] = (250, 60, 160)    # sharp checker
+
+    rows = [
+        ("nul", None),
+        ("junk", b"\x08junk" * 3),
+        ("small", encode_pixels(solid_small, "png")),
+        ("lowq", encode_jpeg(solid_big, quality=40)),
+        ("hiq_flat", encode_jpeg(solid_big, quality=90)),
+        ("flat", encode_pixels(solid_big, "png")),
+        ("dark", encode_pixels(dark, "png")),
+        ("grey", encode_pixels(grey_sharp, "png")),
+        ("keep", encode_pixels(colour_sharp, "png")),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r["image_id"]: (r["verdict"], r["reason"])
+           for r in image_curation_verdict(df).collect()}
+    assert got["nul"] == ("drop", "no_payload")
+    assert got["junk"] == ("drop", "undecodable")
+    assert got["small"] == ("drop", "too_small")
+    assert got["lowq"] == ("drop", "low_quality")
+    assert got["hiq_flat"] == ("drop", "too_flat")   # quality passes
+    assert got["flat"] == ("drop", "too_flat")
+    assert got["dark"] == ("drop", "too_dark")
+    assert got["grey"] == ("drop", "greyscale")
+    assert got["keep"] == ("keep", None)

@@ -528,6 +528,7 @@ def test_stream_quality_sof_thumb_and_pixel_ops_equal_batch(
     )
     from cerberus_cpp_spark.operators.image_checks import (
         exif_thumbnail_audit,
+        image_curation_verdict,
         jpeg_quality_audit,
         jpeg_sof_census,
         pixel_sharpness,
@@ -572,6 +573,7 @@ def test_stream_quality_sof_thumb_and_pixel_ops_equal_batch(
         "q5_sh": pixel_sharpness,
         "q5_ar": lambda d: ar_resize_plan(assign_ar_buckets(
             d.select("image_id", "w", "h"))),
+        "q5_cv": image_curation_verdict,
     }
     for name, op in ops.items():
         expected = sorted(
