@@ -9248,7 +9248,10 @@ def q_img_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             sys.path.insert(0, pkg_parent)
         import numpy as np
 
-        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            parametric_pixels,
+        )
 
         def payload(i: int) -> bytes | None:
             if i % 25 == 7:
@@ -9256,30 +9259,10 @@ def q_img_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 17 == 4:
                 return None
             w, h = 8 + i % 4, 8 + i % 3
-            x = np.arange(w)[None, :]
-            y = np.arange(h)[:, None]
-            arm = i % 4
-            if arm == 0:
-                px = np.empty((h, w, 3), np.uint8)
-                px[:, :, 0] = i % 256
-                px[:, :, 1] = (3 * i) % 256
-                px[:, :, 2] = (7 * i) % 256
-            elif arm == 1:
-                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
-                px = np.dstack([v, v, v])
-            else:
-                px = np.dstack([
-                    ((x * 13 + y * 29 + i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                ])
-                if arm == 2:
-                    px[0, :] = px[-1, :] = (5, 5, 5)
-                    px[:, 0] = px[:, -1] = (5, 5, 5)
-            return encode_pixels(px, "png")
+            arm = ("solid", "greygrad", "boxed",
+                   "colorgrad")[i % 4]
+            return encode_pixels(
+                parametric_pixels(i, w, h, arm), "png")
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -9395,11 +9378,13 @@ def q_img_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         if pkg_parent not in sys.path:
             sys.path.insert(0, pkg_parent)
-        import numpy as np
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            parametric_pixels,
+        )
 
-        from cerberus_cpp_spark.sources.imagegen import encode_pixels
-
-        # keep in lock-step with q_img_pixel_stats's twin generator
+        # shares the single parametric builder with
+        # q_img_pixel_stats / q_img_curation_verdict
         # (and both oracles' CASE arithmetic)
         def payload(i: int) -> bytes | None:
             if i % 25 == 7:
@@ -9407,30 +9392,10 @@ def q_img_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 17 == 4:
                 return None
             w, h = 8 + i % 4, 8 + i % 3
-            x = np.arange(w)[None, :]
-            y = np.arange(h)[:, None]
-            arm = i % 4
-            if arm == 0:
-                px = np.empty((h, w, 3), np.uint8)
-                px[:, :, 0] = i % 256
-                px[:, :, 1] = (3 * i) % 256
-                px[:, :, 2] = (7 * i) % 256
-            elif arm == 1:
-                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
-                px = np.dstack([v, v, v])
-            else:
-                px = np.dstack([
-                    ((x * 13 + y * 29 + i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                ])
-                if arm == 2:
-                    px[0, :] = px[-1, :] = (5, 5, 5)
-                    px[:, 0] = px[:, -1] = (5, 5, 5)
-            return encode_pixels(px, "png")
+            arm = ("solid", "greygrad", "boxed",
+                   "colorgrad")[i % 4]
+            return encode_pixels(
+                parametric_pixels(i, w, h, arm), "png")
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -9542,7 +9507,10 @@ def q_img_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             sys.path.insert(0, pkg_parent)
         import numpy as np
 
-        from cerberus_cpp_spark.sources.imagegen import encode_pixels
+        from cerberus_cpp_spark.sources.imagegen import (
+            encode_pixels,
+            parametric_pixels,
+        )
         from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
 
         def payload(i: int) -> bytes | None:
@@ -9560,30 +9528,10 @@ def q_img_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 29 == 11:
                 return encode_pixels(
                     np.full((8, 8, 3), 130, np.uint8), "png")
-            x = np.arange(w)[None, :]
-            y = np.arange(h)[:, None]
-            arm = i % 4
-            if arm == 0:
-                px = np.empty((h, w, 3), np.uint8)
-                px[:, :, 0] = i % 256
-                px[:, :, 1] = (3 * i) % 256
-                px[:, :, 2] = (7 * i) % 256
-            elif arm == 1:
-                v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
-                px = np.dstack([v, v, v])
-            else:
-                px = np.dstack([
-                    ((x * 13 + y * 29 + i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                    ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y
-                     ).astype(np.uint8),
-                ])
-                if arm == 2:
-                    px[0, :] = px[-1, :] = (5, 5, 5)
-                    px[:, 0] = px[:, -1] = (5, 5, 5)
-            return encode_pixels(px, "png")
+            arm = ("solid", "greygrad", "boxed",
+                   "colorgrad")[i % 4]
+            return encode_pixels(
+                parametric_pixels(i, w, h, arm), "png")
 
         for pdf in batches:
             yield pd.DataFrame({

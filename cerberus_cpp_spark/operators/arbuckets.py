@@ -91,6 +91,13 @@ def assign_ar_buckets(
     for c in (w_col, h_col):
         if c not in df.columns:
             raise ValueError(f"missing dimension column {c!r}")
+    clash = [c for c in ("bucket_id", "bucket_w", "bucket_h")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already carries bucket columns {clash}; rename "
+            f"or drop them first (a re-bucketing pass would emit "
+            f"duplicate column names)")
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     cands = [
@@ -141,6 +148,12 @@ def ar_resize_plan(
     for c in (w_col, h_col, bw_col, bh_col):
         if c not in df.columns:
             raise ValueError(f"missing column {c!r}")
+    clash = [c for c in ("resize_w", "resize_h", "crop_x", "crop_y")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already carries resize-plan columns {clash}; "
+            f"rename or drop them first")
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     bw = F.col(bw_col).cast("long")
@@ -182,15 +195,20 @@ def pack_batches(
     """Deterministic fixed-size batch assembly within each bucket —
     the step after :func:`assign_ar_buckets` that a training run
     consumes: every row gets a ``shard`` (a stable md5 bucket of its
-    ``key`` — NOT data order, so the packing is relayout- and
+    ``key`` — NOT data order, so shard assignment is relayout- and
     append-stable, the ``split_bucket`` discipline), a pseudo-random
     but deterministic position inside its ``(bucket, shard)`` group
     (ordered by the md5 of ``key`` + ``seed``), and from it
     ``batch_id`` ("bucket:shard:index"), ``batch_index`` and
-    ``batch_pos``. With ``drop_last`` the per-shard remainder rows
-    (an incomplete final batch) keep their shard but get NULL batch
-    columns — report, don't silently train on a short batch. Rows
-    with a NULL ``by`` value (e.g. unassignable dimensions) get NULL
+    ``batch_pos``. Stability contract, precisely: the SHARD of a row
+    is a pure key function (appends never move it); positions and
+    batch ids within a shard are deterministic for a GIVEN row set
+    but SHIFT when rows are added to that shard — re-pack (or
+    version the packing by snapshot) after incremental ingest, don't
+    resume against stale batch ids. With ``drop_last`` the per-shard
+    remainder rows (an incomplete final batch) keep their shard but
+    get NULL batch columns — report, don't silently train on a short
+    batch. Rows with a NULL ``by`` value or NULL ``key`` get NULL
     shard and batch columns.
 
     Scale shape: batches only need to be homogeneous WITHIN a bucket,
@@ -198,7 +216,10 @@ def pack_batches(
     whose parallelism is ``n_buckets * n_shards`` (the naive
     per-bucket window would collapse 10^12 rows onto ~25 tasks).
     Both window functions (count + row_number) share the single
-    Exchange+sort. Remainder waste is bounded by
+    Exchange+sort, and NULL-shard rows BYPASS it entirely (they are
+    unioned back with NULL batch columns — at web scale even 0.1%
+    unassignable rows would otherwise pile onto one (NULL, NULL)
+    window partition and straggle). Remainder waste is bounded by
     ``n_buckets * n_shards * (batch_size-1)`` rows — size
     ``n_shards`` to your cluster, not your data."""
     if batch_size < 1:
@@ -208,6 +229,12 @@ def pack_batches(
     for c in (by, key):
         if c not in df.columns:
             raise ValueError(f"missing column {c!r}")
+    clash = [c for c in ("shard", "batch_index", "batch_pos",
+                         "batch_id") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already carries pack_batches output columns "
+            f"{clash}; rename or drop them first")
     from pyspark.sql import Window
 
     from .sketch import _hash48
@@ -224,20 +251,34 @@ def pack_batches(
     ordk = F.md5(F.concat_ws(
         ":", F.lit("pack"), F.col(key).cast("string"),
         F.lit(str(int(seed)))))
-    win = Window.partitionBy(F.col(by), F.col("shard"))
-    olist = [ordk, F.col(key).cast("string")]
-    rank = F.row_number().over(win.orderBy(*olist)) - 1
-    n_in = F.count(F.lit(1)).over(win)
     base = df.select(*df.columns, shard.alias("shard"))
+    valid = base.where(F.col("shard").isNotNull())
+    skipped = base.where(F.col("shard").isNull())
+
+    win = Window.partitionBy(F.col(by), F.col("shard"))
+    rank = F.row_number().over(
+        win.orderBy(ordk, F.col(key).cast("string"))) - 1
+    n_in = F.count(F.lit(1)).over(win)
     full = (n_in - n_in % batch_size) if drop_last else n_in
-    packed = F.col("shard").isNotNull() & (rank < full)
-    bidx = F.when(packed, (rank - rank % batch_size) / batch_size) \
-        .cast("long")
-    return base.select(
-        *base.columns,
-        bidx.alias("batch_index"),
-        F.when(packed, rank % batch_size).cast("int").alias("batch_pos"),
+    ranked = valid.select(*valid.columns, rank.alias("__rank"),
+                          full.alias("__full"))
+    packed = F.col("__rank") < F.col("__full")
+    # integer div throughout (the module's bit-portability
+    # discipline — no IEEE round-trip on the index arithmetic)
+    bidx = F.when(packed, F.expr(f"__rank div {int(batch_size)}"))
+    out_valid = ranked.select(
+        *valid.columns,
+        bidx.cast("long").alias("batch_index"),
+        F.when(packed, F.col("__rank") % batch_size)
+        .cast("int").alias("batch_pos"),
         F.when(packed, F.format_string(
             "%d:%d:%d", F.col(by).cast("long"), F.col("shard"),
             bidx)).alias("batch_id"),
     )
+    out_skipped = skipped.select(
+        *valid.columns,
+        F.lit(None).cast("long").alias("batch_index"),
+        F.lit(None).cast("int").alias("batch_pos"),
+        F.lit(None).cast("string").alias("batch_id"),
+    )
+    return out_valid.unionByName(out_skipped)

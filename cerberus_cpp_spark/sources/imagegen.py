@@ -397,3 +397,41 @@ def phash64(pixels: np.ndarray) -> int:
     for b in (coeffs > med):
         v = (v << 1) | int(b)
     return int(np.uint64(v).astype(np.int64))
+
+
+def parametric_pixels(i: int, w: int, h: int, arm: str):
+    """Deterministic (id, x, y)-parametric RGB array — the contract
+    fixture family whose EVERY pixel an SQL oracle regenerates by
+    modular arithmetic (img_pixel_stats / img_sharpness /
+    img_curation_verdict share this single builder so the three
+    generators and their three oracle CASE blocks cannot drift
+    apart). Arms: 'solid' (channels i%256 / 3i%256 / 7i%256),
+    'greygrad' (r=g=b=(31x+7y+i)%256), 'colorgrad' (three distinct
+    modular planes), 'boxed' (colorgrad interior inside a (5,5,5)
+    1-pixel ring). Any oracle change MUST update the SQL twins in
+    ``__spark_entry__`` in lock-step — but there is now exactly one
+    Python side to match."""
+    import numpy as np
+
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    if arm == "solid":
+        px = np.empty((h, w, 3), np.uint8)
+        px[:, :, 0] = i % 256
+        px[:, :, 1] = (3 * i) % 256
+        px[:, :, 2] = (7 * i) % 256
+        return px
+    if arm == "greygrad":
+        v = ((x * 31 + y * 7 + i) % 256).astype(np.uint8)
+        return np.dstack([v, v, v])
+    if arm not in ("boxed", "colorgrad"):
+        raise ValueError(f"unknown parametric arm {arm!r}")
+    px = np.dstack([
+        ((x * 13 + y * 29 + i) % 256 + 0 * y).astype(np.uint8),
+        ((x * 7 + y * 3 + 2 * i) % 256 + 0 * y).astype(np.uint8),
+        ((x * 11 + y * 5 + 3 * i) % 256 + 0 * y).astype(np.uint8),
+    ])
+    if arm == "boxed":
+        px[0, :] = px[-1, :] = (5, 5, 5)
+        px[:, 0] = px[:, -1] = (5, 5, 5)
+    return px

@@ -239,6 +239,12 @@ def parse_thumbnail(blob: bytes) -> dict | None:
     if not off or not ln:
         return None  # an IFD1 without an embedded JPEG
     off, ln = int(off[0]), int(ln[0])
+    if off == 0 or ln == 0:
+        # a zeroed JPEGInterchangeFormat/-Length pair is the common
+        # "no thumbnail" malformation — offset 0 would alias the
+        # TIFF header, not a payload; report no thumbnail rather
+        # than fabricating one (or raising on a fine container)
+        return None
     if off + ln > len(blob):
         raise ValueError("thumbnail payload out of bounds")
     comp = tags.get(TAG_COMPRESSION)

@@ -899,7 +899,7 @@ def parse_dqt_tables(data: bytes) -> dict:
     return {"tables": tables, "n_segments": nseg}
 
 
-_IJG_PAIRS: dict[int, tuple[np.ndarray, np.ndarray]] | None = None
+_IJG_BY_LUMA: dict[bytes, tuple[int, bytes]] | None = None
 
 
 def estimate_ijg_quality(
@@ -907,17 +907,30 @@ def estimate_ijg_quality(
 ) -> int | None:
     """EXACT inverse of the IJG quality scaling: the unique q in
     1..100 whose ``quality_tables(q)`` equal the given luma (and,
-    when provided, chroma) table — all 100 pairs are distinct, so
-    a match identifies the encoder setting. None when the tables
-    are not IJG-scaled Annex K (custom or re-scaled tables)."""
-    global _IJG_PAIRS
-    if _IJG_PAIRS is None:
-        _IJG_PAIRS = {q: quality_tables(q) for q in range(1, 101)}
-    for q, (y, c) in _IJG_PAIRS.items():
-        if np.array_equal(qy, y) and (
-                qc is None or np.array_equal(qc, c)):
-            return q
-    return None
+    when provided, chroma) table — all 100 pairs are distinct (the
+    luma tables alone already are, pinned in tests), so a match
+    identifies the encoder setting. None when the tables are not
+    IJG-scaled Annex K (custom or re-scaled tables).
+
+    O(1) on the hot audit path: a dict keyed by the luma table's
+    bytes (built once) replaces the 100-pair scan — a custom-table
+    row costs one hash lookup instead of 100 x 2 x 64 comparisons."""
+    global _IJG_BY_LUMA
+    if _IJG_BY_LUMA is None:
+        _IJG_BY_LUMA = {}
+        for q in range(1, 101):
+            y, c = quality_tables(q)
+            _IJG_BY_LUMA[y.astype(np.int64).tobytes()] = (
+                q, c.astype(np.int64).tobytes())
+    hit = _IJG_BY_LUMA.get(np.ascontiguousarray(
+        qy, dtype=np.int64).tobytes())
+    if hit is None:
+        return None
+    q, cbytes = hit
+    if qc is not None and np.ascontiguousarray(
+            qc, dtype=np.int64).tobytes() != cbytes:
+        return None
+    return q
 
 
 def implied_scale_pct(qt: np.ndarray, base: np.ndarray) -> int:

@@ -226,3 +226,42 @@ def test_pack_batches_null_key_routes_to_null(spark):
             assert r["shard"] is None and r["batch_id"] is None
         else:
             assert r["shard"] == 0 and r["batch_id"] is not None
+
+
+def test_output_column_collision_guards(spark):
+    from cerberus_cpp_spark.operators.arbuckets import (
+        ar_resize_plan,
+        pack_batches,
+    )
+
+    df = spark.createDataFrame([("a", 100, 100)],
+                               "image_id string, w int, h int")
+    assigned = assign_ar_buckets(df)
+    with pytest.raises(ValueError):
+        assign_ar_buckets(assigned)            # bucket cols collide
+    planned = ar_resize_plan(assigned)
+    with pytest.raises(ValueError):
+        ar_resize_plan(planned)                # plan cols collide
+    packed = pack_batches(assigned, batch_size=1, key="image_id")
+    with pytest.raises(ValueError):
+        pack_batches(packed, batch_size=1, key="image_id")
+
+
+def test_pack_batches_null_rows_bypass_the_window(spark):
+    from cerberus_cpp_spark.operators.arbuckets import pack_batches
+
+    rows = [(f"k{i}", 0) for i in range(8)] + [(None, 0), ("x", None)]
+    df = spark.createDataFrame(rows, "image_id string, bucket_id int")
+    out = pack_batches(df, batch_size=4, key="image_id", n_shards=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the invalid-row branch is a plain filter+project union leg —
+    # exactly one Window in the plan, fed only by the valid branch
+    assert plan.count("Window") >= 1
+    got = {r["image_id"]: r for r in out.collect()}
+    assert got[None]["batch_id"] is None and got[None]["shard"] is None
+    assert got["x"]["batch_id"] is None
+    assert sum(1 for r in got.values() if r["batch_id"]) == 8
+    # integer batch_index arithmetic unchanged
+    assert sorted(r["batch_index"] for r in got.values()
+                  if r["batch_index"] is not None) == [0, 0, 0, 0,
+                                                       1, 1, 1, 1]

@@ -192,3 +192,27 @@ def test_thumbnail_audit_operator(spark):
     assert e["status"] == "ok" and e["thumb_decodes"] is False
     assert e["thumb_w"] is None
     assert got["f"]["status"] == "no_payload"
+
+
+def test_thumbnail_zero_offset_or_length_is_no_thumbnail():
+    import struct as _s
+
+    import numpy as np
+
+    from cerberus_cpp_spark.sources.imagemeta import (
+        build_exif,
+        parse_thumbnail,
+    )
+    from cerberus_cpp_spark.sources.jpegcodec import encode_jpeg
+
+    thumb = encode_jpeg(np.full((6, 8, 3), 50, np.uint8), quality=60)
+    ex = bytearray(build_exif(description="d", thumbnail=thumb))
+    # locate IFD1: next pointer after IFD0's single entry
+    (ifd0,) = _s.unpack_from("<I", ex, 4)
+    (n,) = _s.unpack_from("<H", ex, ifd0)
+    (ifd1,) = _s.unpack_from("<I", ex, ifd0 + 2 + 12 * n)
+    # IFD1 entries sorted (259, 513, 514): value slots at +8 of each
+    for idx in (1, 2):  # zero the 513 offset, then the 514 length
+        patched = bytearray(ex)
+        _s.pack_into("<I", patched, ifd1 + 2 + 12 * idx + 8, 0)
+        assert parse_thumbnail(bytes(patched)) is None, idx
