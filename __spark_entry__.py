@@ -8795,7 +8795,9 @@ def q_comoment_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     units, sums as exact digit strings, inexact-value counters
     alongside — the covariance/Pearson/OLS core WITHOUT the
     non-bit-portable division/sqrt (the hll_estimate policy). ONE
-    full-scan hash aggregate (plan-pinned single Exchange); the
+    full scan, two-level hash aggregation (bounded-chunk LONG limb
+    sums + a tiny decimal fold — plan-pinned two Exchanges; 5.6x
+    faster than per-row decimal sums, OPTIMIZATION_r06.md); the
     oracle replays the scaling, the pairwise deletion, and every sum
     with DuckDB's HUGEINT arithmetic."""
     from cerberus_cpp_spark.operators.checks import comoment_stats

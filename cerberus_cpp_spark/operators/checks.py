@@ -1614,13 +1614,22 @@ def comoment_stats(
     silent. NULL/NaN rows are excluded pairwise (each pair sums over
     the rows where BOTH its columns are valid).
 
-    Shape at 100 TB: one full-scan hash aggregate with map-side
-    partials (6 + 2 aggregates per pair over len(cols)² / 2 pairs —
-    a few hundred counters, shuffled once as ONE partial row per
-    task); the pair table is then exploded from the single aggregate
-    row, so nothing row-proportional ever shuffles. Bound: decimal
-    sums overflow at 10^38 — at 10^12 rows values up to ~10^12 in
-    scaled units are safe."""
+    Shape at 100 TB: TWO-LEVEL hash aggregation, both with map-side
+    partials. Level 1 groups rows into bounded chunks (<= 32,768
+    rows, `monotonically_increasing_id() div C` — deterministic:
+    partition ordinal + within-partition index) and accumulates
+    everything in LONG arithmetic, splitting each product into three
+    base-10^6 limbs so no per-chunk sum can overflow int64; level 2
+    decimal(38,0)-sums the chunk partials (rows/32k of them) and
+    recombines the limbs exactly. Rationale: Spark's decimal sum
+    goes through per-row BigDecimal adds — measured 5.6x slower than
+    this shape on identical data (OPTIMIZATION_r06.md) — while long
+    sums stay in whole-stage codegen registers. The pair table is
+    exploded from the single final row, so nothing row-proportional
+    shuffles beyond the tiny chunk partials. Bounds (all loud under
+    ANSI, never silent): per-value |scaled| <= ~9*10^12 keeps every
+    chunk-level long sum exact (documented contract: values up to
+    ~10^12 scaled); total sums overflow at 10^38 as before."""
     if len(cols) < 1:
         raise ValueError("need at least one column")
     if len(set(cols)) != len(cols):
@@ -1628,57 +1637,107 @@ def comoment_stats(
     if not 0 <= int(decimals) <= 6:
         raise ValueError("decimals must be in [0, 6]")
     scale = 10 ** int(decimals)
+    nc = len(cols)
+    limb = 1_000_000       # base-10^6 limb split of scaled values
+    chunk = 32_768         # level-1 group size bound
 
-    def valid(c: str) -> Column:
-        col = F.col(c)
-        return col.isNotNull() & ~F.isnan(col)
+    # All expressions are built as SQL TEXT and parsed with ONE
+    # F.expr call each: the py4j round-trips of building ~10^3
+    # Column objects for len(cols)^2/2 pairs dominated plan
+    # CONSTRUCTION time (measured 4.3 s of the original 19.7 s —
+    # OPTIMIZATION_r06.md), and the bench clock includes fn().
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
 
-    def scaled(c: str) -> Column:
-        return F.round(F.col(c) * F.lit(scale)) \
-            .cast("decimal(18,0)")
-
-    def inexact(c: str) -> Column:
-        x = F.col(c) * F.lit(scale)
-        return F.abs(x - F.round(x)) > F.lit(1e-6)
-
-    aggs = []
-    names = []
-    pairs = [(i, j) for i in range(len(cols))
-             for j in range(i, len(cols))]
-    for i, j in pairs:
-        cx, cy = cols[i], cols[j]
-        both = valid(cx) & valid(cy)
-        tag = f"{i}_{j}"
-        aggs += [
-            F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
-            F.sum(F.when(both, scaled(cx))).alias(f"sx_{tag}"),
-            F.sum(F.when(both, scaled(cy))).alias(f"sy_{tag}"),
-            F.sum(F.when(both, scaled(cx) * scaled(cy)))
-            .alias(f"sxy_{tag}"),
-            F.sum(F.when(both, scaled(cx) * scaled(cx)))
-            .alias(f"sxx_{tag}"),
-            F.sum(F.when(both, scaled(cy) * scaled(cy)))
-            .alias(f"syy_{tag}"),
-            F.count(F.when(both & inexact(cx), F.lit(1)))
-            .alias(f"ix_{tag}"),
-            F.count(F.when(both & inexact(cy), F.lit(1)))
-            .alias(f"iy_{tag}"),
+    # one projection computes each column's validity, scaled long
+    # value, limb split, and inexactness ONCE (not once per pair);
+    # the long cast is gated on validity (casting NaN/NULL to
+    # BIGINT is an ANSI error, and invalid rows never contribute)
+    proj = [f"monotonically_increasing_id() div {chunk} AS __cm_g"]
+    for i, c in enumerate(cols):
+        qc = q(c)
+        ok = f"({qc} IS NOT NULL AND NOT isnan({qc}))"
+        proj += [
+            f"{ok} AS __cm_v{i}",
+            f"CASE WHEN {ok} THEN CAST(round({qc} * {scale}) AS"
+            f" BIGINT) END AS __cm_x{i}",
+            f"(abs(({qc} * {scale}) - round({qc} * {scale}))"
+            f" > 1e-6) AS __cm_e{i}",
         ]
-        names.append((i, j, tag))
-    one = df.agg(*aggs)
-    rows = F.array(*[
-        F.struct(
-            F.lit(cols[i]).alias("col_x"),
-            F.lit(cols[j]).alias("col_y"),
-            F.col(f"n_{tag}").alias("n"),
-            F.col(f"sx_{tag}").cast("string").alias("sum_x"),
-            F.col(f"sy_{tag}").cast("string").alias("sum_y"),
-            F.col(f"sxy_{tag}").cast("string").alias("sum_xy"),
-            F.col(f"sxx_{tag}").cast("string").alias("sum_x2"),
-            F.col(f"syy_{tag}").cast("string").alias("sum_y2"),
-            F.col(f"ix_{tag}").alias("inexact_x"),
-            F.col(f"iy_{tag}").alias("inexact_y"),
-        )
-        for i, j, tag in names
-    ])
-    return one.select(F.explode(rows).alias("p")).select("p.*")
+    src = df.selectExpr(*proj).selectExpr(
+        "*",
+        *[f"__cm_x{i} div {limb} AS __cm_h{i}" for i in range(nc)],
+        *[f"__cm_x{i} % {limb} AS __cm_l{i}" for i in range(nc)],
+    )
+
+    pairs = [(i, j) for i in range(nc) for j in range(i, nc)]
+    aggs1 = []
+    for i, j in pairs:
+        both = f"(__cm_v{i} AND __cm_v{j})"
+        tag = f"{i}_{j}"
+        x, y = f"__cm_x{i}", f"__cm_x{j}"
+        xh, xl = f"__cm_h{i}", f"__cm_l{i}"
+        yh, yl = f"__cm_h{j}", f"__cm_l{j}"
+
+        def w(e: str, name: str) -> str:
+            return f"sum(CASE WHEN {both} THEN {e} END) AS {name}"
+
+        aggs1 += [
+            f"count(CASE WHEN {both} THEN 1 END) AS n_{tag}",
+            w(x, f"sx_{tag}"),
+            w(y, f"sy_{tag}"),
+            # x*y = (xh*yh)*limb^2 + (xh*yl + xl*yh)*limb + xl*yl,
+            # every term and every <=32k-chunk sum fits int64
+            w(f"{xh} * {yh}", f"xy2_{tag}"),
+            w(f"{xh} * {yl} + {xl} * {yh}", f"xy1_{tag}"),
+            w(f"{xl} * {yl}", f"xy0_{tag}"),
+            w(f"{xh} * {xh}", f"xx2_{tag}"),
+            w(f"{xh} * {xl} * 2", f"xx1_{tag}"),
+            w(f"{xl} * {xl}", f"xx0_{tag}"),
+            w(f"{yh} * {yh}", f"yy2_{tag}"),
+            w(f"{yh} * {yl} * 2", f"yy1_{tag}"),
+            w(f"{yl} * {yl}", f"yy0_{tag}"),
+            f"count(CASE WHEN {both} AND __cm_e{i} THEN 1 END)"
+            f" AS ix_{tag}",
+            f"count(CASE WHEN {both} AND __cm_e{j} THEN 1 END)"
+            f" AS iy_{tag}",
+        ]
+    lvl1 = src.groupBy("__cm_g").agg(
+        *[F.expr(a) for a in aggs1])
+
+    aggs2 = []
+    for i, j in pairs:
+        tag = f"{i}_{j}"
+        for p in ("n", "ix", "iy"):
+            aggs2.append(f"sum({p}_{tag}) AS {p}_{tag}")
+        for p in ("sx", "sy", "xy2", "xy1", "xy0",
+                  "xx2", "xx1", "xx0", "yy2", "yy1", "yy0"):
+            aggs2.append(
+                f"sum(CAST({p}_{tag} AS DECIMAL(38,0))) AS {p}_{tag}")
+    one = lvl1.agg(*[F.expr(a) for a in aggs2])
+
+    bb = f"CAST({limb} AS DECIMAL(38,0))"
+
+    def lit_s(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def comb(pre: str, tag: str) -> str:
+        return (f"CAST(CAST({pre}2_{tag} * {bb} * {bb}"
+                f" + {pre}1_{tag} * {bb} + {pre}0_{tag}"
+                f" AS DECIMAL(38,0)) AS STRING)")
+
+    structs = ", ".join(
+        f"struct({lit_s(cols[i])} AS col_x, {lit_s(cols[j])} AS col_y,"
+        f" n_{i}_{j} AS n,"
+        f" CAST(sx_{i}_{j} AS STRING) AS sum_x,"
+        f" CAST(sy_{i}_{j} AS STRING) AS sum_y,"
+        f" {comb('xy', f'{i}_{j}')} AS sum_xy,"
+        f" {comb('xx', f'{i}_{j}')} AS sum_x2,"
+        f" {comb('yy', f'{i}_{j}')} AS sum_y2,"
+        f" ix_{i}_{j} AS inexact_x, iy_{i}_{j} AS inexact_y)"
+        for i, j in pairs
+    )
+    return (
+        one.select(F.expr(f"explode(array({structs}))").alias("p"))
+        .select("p.*")
+    )

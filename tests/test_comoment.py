@@ -92,9 +92,27 @@ def test_guards(spark):
         comoment_stats(df, ["a"], decimals=9)
 
 
-def test_single_exchange_plan(spark):
+def test_two_level_plan(spark):
+    # two-level long-limb shape (r6 optimization): bounded-chunk
+    # long aggregation + tiny decimal final — exactly TWO Exchanges
+    # (chunk partials, then the global fold), no more
     df = _df(spark, [Row(a=1.0, b=2.0, c=3.0)])
     plan = comoment_stats(df, ["a", "b", "c"]) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
     assert "partial" in plan.lower()
+
+
+def test_negative_values_exact(spark):
+    # limb split must reconstruct exactly for negatives too
+    # (Spark div truncates toward zero; % follows the dividend sign)
+    rows = [Row(a=-12345678.91, b=3.25, c=0.0),
+            Row(a=2.5, b=-999999.99, c=0.0),
+            Row(a=-0.01, b=-0.02, c=0.0)]
+    got = _got(_df(spark, rows), ["a", "b"], decimals=2)
+    n, sx, sy, sxy, sxx, syy = _brute(rows, "a", "b", scale=100)
+    r = got[("a", "b")]
+    assert r["n"] == n
+    assert int(r["sum_x"]) == sx and int(r["sum_y"]) == sy
+    assert int(r["sum_xy"]) == sxy
+    assert int(r["sum_x2"]) == sxx and int(r["sum_y2"]) == syy
