@@ -103,6 +103,33 @@ def test_max_bucket_drops_hot_variant(spark):
     assert len(_got(spark, rows, 1)) == 30 * 29 // 2
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_identity_groups_vs_brute(spark, k):
+    # the dedup-first path: heavy identity groups (repeated strings)
+    # plus deletion/substitution neighbors — expansion through the
+    # groups must reproduce the brute-force pair multiset exactly
+    rows = []
+    i = 0
+    for word in ["hot bolt", "hot bol", "hot colt", "cold bolt",
+                 "hot bolt", "hot bolt", "hot bol", "xyz"]:
+        for _ in range(3):
+            rows.append((i, word))
+            i += 1
+    got = _got(spark, rows, k)
+    assert got == _brute(rows, k)
+
+
+def test_capped_and_uncapped_paths_agree(spark):
+    # max_bucket set -> the per-id path; a cap too high to fire must
+    # reproduce the dedup-first default exactly
+    rng = random.Random(99)
+    rows = [(i, "".join(rng.choice("ab")
+                        for _ in range(rng.randrange(0, 5))))
+            for i in range(40)]
+    assert _got(spark, rows, 1) == _got(spark, rows, 1,
+                                        max_bucket=10_000)
+
+
 def test_guards(spark):
     df = _df(spark, [(1, "a")])
     with pytest.raises(ValueError):
