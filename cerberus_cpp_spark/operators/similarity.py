@@ -1671,11 +1671,11 @@ def _topk_block_loop(
 ) -> DataFrame:
     m, n_codes, _ = codebooks.shape
     qb = F.pmod(F.xxhash64(F.col("query_id")), F.lit(n_blocks))
-    results: list[DataFrame] = []
-    for b in range(n_blocks):
+
+    def run_block(b: int) -> DataFrame | None:
         rows = luts.where(qb == b).collect()
         if not rows:
-            continue
+            return None
         q_ids = [r["query_id"] for r in rows]
         lut = np.stack([
             np.frombuffer(r["lut"], dtype=np.float64)
@@ -1702,8 +1702,26 @@ def _topk_block_loop(
                            corpus=corpus, queries=q_block,
                            id_col=id_col, vec_col=vec_col)
         # eager checkpoint: materializes this block's small top-k and
-        # releases the block's LUT closure before the next iteration
-        results.append(res.localCheckpoint(eager=True))
+        # releases the block's LUT closure before the block returns
+        return res.localCheckpoint(eager=True)
+
+    # blocks are independent jobs over disjoint query slices — run a
+    # few in flight so one block's straggler tail back-fills with the
+    # next block's tasks (guide §2.6). 3 concurrent blocks bound
+    # driver memory at 3 LUT closures (~queries_per_block × m·n_codes
+    # doubles each); Spark's scheduler is thread-safe and FIFO, which
+    # is exactly the back-fill behaviour wanted here.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if n_blocks == 1:
+        results = [r for r in (run_block(0),) if r is not None]
+    else:
+        with ThreadPoolExecutor(
+                max_workers=min(3, n_blocks)) as pool:
+            results = [
+                r for r in pool.map(run_block, range(n_blocks))
+                if r is not None
+            ]
     if not results:
         return _empty_topk_frame(codes, queries, corpus, id_col)
     out = results[0]
