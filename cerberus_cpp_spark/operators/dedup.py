@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.ckpt import checkpoint_tracked, free_checkpoint
 from .partitioning import fanout_gate
@@ -818,10 +819,51 @@ def banding_for_threshold(
     return best[1], best[2]
 
 
+def _cc_local(sym: DataFrame) -> DataFrame:
+    """Finish connected components in-process from a size-guarded
+    collect of the symmetric edge list: union-find, then label every
+    node with its component's minimum id — exactly the fixpoint the
+    min-label-propagation loop converges to. Returns the (id, label)
+    frame from ONE driver slice (tiny-frame ``parallelize``)."""
+    spark = sym.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sym.collect():
+        a, b = r["a"], r["b"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for n in parent:
+        root = find(n)
+        if root not in label or n < label[root]:
+            label[root] = n
+    schema = T.StructType([
+        T.StructField("id", sym.schema["a"].dataType, True),
+        T.StructField("label", sym.schema["a"].dataType, True),
+    ])
+    rows = [(n, label[find(n)]) for n in parent]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def near_duplicate_clusters(
     pairs: DataFrame,
     *,
     max_iter: int = 25,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup PAIRS → survivor selection:
     ``(doc_id, cluster_id, keep_id)``, one row per document that
@@ -871,6 +913,22 @@ def near_duplicate_clusters(
         ),
         eager=False,
     )
+    # convergence tails of the propagation loop are chains of tiny
+    # driver-job rounds; once the symmetric edge list fits the
+    # bounded-driver guard (2M rows ≈ 32 MB of ids — the ADC block
+    # ferry discipline), union-find finishes the identical min-label
+    # fixpoint in-process. The count doubles as the materializer of
+    # the edge checkpoint the distributed loop needs anyway. Set
+    # local_finish_edges=0 to force every round distributed.
+    if local_finish_edges > 0 \
+            and sym.count() <= int(local_finish_edges):
+        labels = _cc_local(sym)
+        free_checkpoint(spark, sym_blocks)
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("label").alias("keep_id"),
+        )
     labels, label_blocks = checkpoint_tracked(
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))

@@ -109,6 +109,24 @@ def test_clusters_match_union_find_at_scale(spark, corpus) -> None:
     assert max(sizes.values()) >= 3
 
 
+def test_cc_local_and_distributed_agree(spark) -> None:
+    """The size-guarded union-find finish must reproduce the
+    distributed min-label/pointer-jumping loop row for row."""
+    import random
+
+    rng = random.Random(11)
+    pairs = {(rng.randrange(60), rng.randrange(60))
+             for _ in range(80)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    local = {tuple(r) for r in
+             DD.near_duplicate_clusters(df).collect()}
+    dist = {tuple(r) for r in
+            DD.near_duplicate_clusters(
+                df, local_finish_edges=0).collect()}
+    assert local == dist
+
+
 def test_cc_scale_pin_million_node_chains(spark) -> None:
     """r3 verdict #8 — CC at 10^6 docs: ~977 planted chains of
     diameter 1023 (the adversarial shape for label propagation; real
@@ -145,7 +163,11 @@ def test_cc_scale_pin_million_node_chains(spark) -> None:
     )
     before = _persistent_ids(spark)
     t0 = time.time()
-    labels = DD.near_duplicate_clusters(edges, max_iter=13)
+    # local_finish_edges=0: this test pins the DISTRIBUTED
+    # pointer-jumping loop (round count, leak hygiene); the guarded
+    # in-process finish would otherwise absorb a 2M-row edge list
+    labels = DD.near_duplicate_clusters(edges, max_iter=13,
+                                        local_finish_edges=0)
     bad = labels.where(
         F.col("cluster_id")
         != (F.col("doc_id") / chain).cast("long") * chain

@@ -394,6 +394,24 @@ def test_k_core_cascade_needs_multiple_rounds(spark):
     assert got == {i: 2 for i in range(11)}
 
 
+def test_k_core_local_and_distributed_agree(spark):
+    # the size-guarded in-process finish must reproduce the pure
+    # distributed peel exactly — same fixpoint, same degrees
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40))
+             for _ in range(120)]
+    from cerberus_cpp_spark.operators.graph import k_core
+
+    e = _edges(spark, pairs)
+    for k in (2, 3):
+        local = {(r["node"], r["degree"])
+                 for r in k_core(e, k=k).collect()}
+        dist = {(r["node"], r["degree"])
+                for r in k_core(e, k=k,
+                                local_finish_edges=0).collect()}
+        assert local == dist
+
+
 def test_k_core_guards(spark):
     from cerberus_cpp_spark.operators.graph import k_core
 
@@ -402,6 +420,11 @@ def test_k_core_guards(spark):
         k_core(e, k=0)
     with pytest.raises(ValueError):
         k_core(e, k=1, max_rounds=0)
+    # the size-guarded local finish solves any small graph outright,
+    # so the backstop is only reachable with it disabled
     with pytest.raises(ValueError, match="did not converge"):
         k_core(_edges(spark, [(i, i + 1) for i in range(10)]),
-               k=2, max_rounds=2)
+               k=2, max_rounds=2, local_finish_edges=0)
+    # ... and with it enabled the same graph converges (empty 2-core)
+    assert k_core(_edges(spark, [(i, i + 1) for i in range(10)]),
+                  k=2, max_rounds=2).count() == 0

@@ -98,7 +98,10 @@ def test_clusters_release_round_checkpoints(spark) -> None:
         [(a, b, 0.9) for a, b in edges],
         "id_a long, id_b long, jaccard double")
     before = _n_persistent(spark)
-    out = DD.near_duplicate_clusters(pairs)
+    # local_finish_edges=0: this test pins the DISTRIBUTED loop's
+    # per-round checkpoint release (the guarded in-process finish
+    # would absorb a 9-edge graph and leave nothing resident at all)
+    out = DD.near_duplicate_clusters(pairs, local_finish_edges=0)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 1 for i in range(1, 10)}
     after = _n_persistent(spark)
