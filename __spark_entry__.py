@@ -2105,10 +2105,17 @@ def q_curation_pipeline(
             ),
         ).alias("text"),
     )
+    from cerberus_cpp_spark.functions.barrier import once_per_row
+
+    # barrier on the c4-cleaned text: CollapseProject + filter
+    # pushdown would otherwise inline the whole line-rule rebuild
+    # expression into every gopher counter AND the passed filter
+    # (the q_dynamic_props from_json blowup; measured 1.8s -> 0.7s
+    # for the gate stage at sf0.1)
     cleaned = (
         c4_clean(planted, min_kept_lines=2)
         .where(~F.col("dropped"))
-        .select("doc_id", "text")
+        .select("doc_id", once_per_row(F.col("text")).alias("text"))
     )
     gate = gopher_quality_filter(
         cleaned, min_words=20, min_stop_hits=1
@@ -2116,11 +2123,15 @@ def q_curation_pipeline(
     import tempfile
 
     stage_dir = tempfile.mkdtemp(prefix="curation_stages_")
-    cleaned.join(gate, "doc_id").write.mode("overwrite") \
-        .parquet(f"{stage_dir}/gated")
+    # REBALANCE before each stage write (guide §6): AQE sizes the
+    # write tasks from the actual surviving bytes, so the stage dirs
+    # hold a few right-sized files instead of one near-empty file
+    # per upstream task at every scale
+    cleaned.join(gate, "doc_id").hint("rebalance") \
+        .write.mode("overwrite").parquet(f"{stage_dir}/gated")
     gated = spark.read.parquet(f"{stage_dir}/gated")
-    remove_repeated_spans(gated, n=5).write.mode("overwrite") \
-        .parquet(f"{stage_dir}/deduped")
+    remove_repeated_spans(gated, n=5).hint("rebalance") \
+        .write.mode("overwrite").parquet(f"{stage_dir}/deduped")
     deduped = spark.read.parquet(f"{stage_dir}/deduped")
     w = spark.createDataFrame(
         list(_QC_WEIGHTS), "term string, weight long"

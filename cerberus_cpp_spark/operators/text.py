@@ -1430,13 +1430,26 @@ def gopher_quality_filter(
     n_ell_end = F.size(
         F.filter(lines, lambda x: x.rlike("(\\.\\.\\.|…)$"))
     )
-    n_alpha = F.size(
-        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
-    )
-    stop_hits = None
-    for s in GOPHER_STOPWORDS:
-        hit = F.lower(F.col(txt)).rlike(f"\\b{s}\\b").cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+    # one regex scan instead of a per-word HOF rlike: a match of
+    # token*LETTER*token always covers a whole non-whitespace run
+    # (greedy tails end at the run boundary; letterless runs match
+    # nowhere inside), so the match count equals the count of words
+    # containing an ASCII letter — identical to filtering `words`
+    n_alpha = F.size(F.expr(
+        f"regexp_extract_all({txt}, '[^ \\\\t\\\\n\\\\f\\\\r]*"
+        f"[A-Za-z][^ \\\\t\\\\n\\\\f\\\\r]*', 0)"
+    ))
+    # one alternation scan instead of |stopwords| lower()+rlike full
+    # scans: \b-bounded alternatives can never overlap (a boundary
+    # cannot fall inside a word) and the engine backtracks to the
+    # alternative whose trailing \b holds, so the DISTINCT matched
+    # strings are exactly the stopwords present — the same count the
+    # per-stopword loop summed
+    stop_alt = "|".join(GOPHER_STOPWORDS)
+    stop_hits = F.size(F.array_distinct(F.expr(
+        f"regexp_extract_all(lower({txt}),"
+        f" '\\\\b({stop_alt})\\\\b', 0)"
+    )))
     base = df.select(idc, txt).select(
         idc,
         F.coalesce(n_words, F.lit(0)).alias("n_words"),
