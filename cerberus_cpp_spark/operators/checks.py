@@ -1431,18 +1431,18 @@ def group_staleness(
     ``last_epoch``, ``staleness_seconds`` = global max epoch − group
     max epoch). A partner feed that died yesterday shows up here
     while every surviving row still validates. One aggregate pass +
-    a single-partition window over the O(groups) frame (the same
-    join-free denominator recovery the audit plan uses)."""
-    from pyspark.sql.window import Window
-
+    a 1-row global-max broadcast back over the O(groups) frame — an
+    unpartitioned window would funnel every group row through ONE
+    task, and exchange reuse keeps the group aggregate computed
+    once (the domain_mix denominator shape)."""
     per = df.where(F.col(ts_col).isNotNull()).groupBy(group_col).agg(
         F.max(F.unix_timestamp(F.col(ts_col))).alias("last_epoch"))
-    everything = Window.partitionBy(F.lit(0))
-    return per.select(
+    total = per.agg(F.max("last_epoch").alias("__global_last"))
+    return per.crossJoin(F.broadcast(total)).select(
         group_col,
         "last_epoch",
-        (F.max("last_epoch").over(everything)
-         - F.col("last_epoch")).alias("staleness_seconds"),
+        (F.col("__global_last") - F.col("last_epoch"))
+        .alias("staleness_seconds"),
     )
 
 

@@ -89,21 +89,27 @@ def domain_mix(
 
     Scale shape: one scan, one hash aggregate with map-side partial
     aggregation (the Exchange ships O(domains), not O(pages)); the
-    share denominator reuses the same aggregate via a window over
-    the REDUCED frame (O(domains) rows — no second scan)."""
+    share denominator is a 1-row grand total broadcast back over the
+    reduced frame. An unpartitioned window would move ALL O(domains)
+    rows through ONE task — at web scale registered domains are
+    10^8+, a straggler by design — where the 1-row agg + broadcast
+    cross-join computes the same denominator with no
+    single-partition Exchange, and exchange reuse keeps the
+    domain aggregate computed once."""
     if min_pages < 1:
         raise ValueError("min_pages must be >= 1")
-    from pyspark.sql import Window
-
     counts = (
         df.select(F.coalesce(registered_domain(url_col),
                              F.lit("")).alias("domain"))
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
-    total = F.sum("n_pages").over(Window.partitionBy())
+    total = counts.agg(F.sum("n_pages").alias("__total_pages"))
     return (
-        counts.withColumn("share", F.col("n_pages") / total)
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share",
+                    F.col("n_pages") / F.col("__total_pages"))
+        .drop("__total_pages")
         .where(F.col("n_pages") >= min_pages)
     )
 

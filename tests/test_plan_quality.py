@@ -304,3 +304,38 @@ def test_epoch_shuffle_single_exchange(spark) -> None:
         plan[:1200]
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1) == "doc_id:bigint", plan[:800]
+
+
+def test_domain_mix_has_no_single_partition_window(spark) -> None:
+    """The share denominator must be a 1-row aggregate broadcast
+    back over the domain frame — an unpartitioned window would move
+    the whole O(domains) frame through ONE task (round-5 verdict
+    finding #2). Also pins exchange reuse: the domain aggregate is
+    computed once, not once per branch."""
+    from cerberus_cpp_spark.operators.url import domain_mix
+
+    df = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select(
+        F.concat(F.lit("https://d"), (F.col("doc_id") % 7)
+                 .cast("string"), F.lit(".example.com/p"))
+        .alias("url"))
+    plan = _plan(domain_mix(df))
+    # no WindowExec at all — the grand total is allowed its 1-row
+    # final-aggregate exchange (it ships one partial row per task,
+    # not the domain frame)
+    assert "Window" not in plan, plan[:1500]
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1, \
+        plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+
+
+def test_group_staleness_has_no_single_partition_window(spark) -> None:
+    """Same shape as domain_mix: global-max denominator = 1-row agg
+    + broadcast, never an unpartitioned window over the group frame
+    (round-5 verdict finding #3)."""
+    events = spark.read.parquet(
+        "/root/testdata/sf0.01/events.parquet")
+    plan = _plan(checks.group_staleness(events, "ts", "event_type"))
+    assert "Window" not in plan, plan[:1500]
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1, \
+        plan[:1500]
