@@ -140,6 +140,14 @@ def suggest_rules(
         if quantile_method not in ("exact", "tdigest"):
             raise ValueError(f"unknown quantile_method "
                              f"{quantile_method!r}")
+    # the profile aggregates (exact percentiles, shape min/max) are
+    # expression-heavy per row; a parallelism-starved raw scan (one
+    # small parquet file = ONE split) runs them on a single core —
+    # the shared fan-out policy is identity at real scale and for
+    # derived frames (operators/partitioning.py)
+    from ..operators.partitioning import fanout_gate
+
+    df = fanout_gate(df)
     fields = [f for f in df.schema.fields
               if cols is None or f.name in cols]
     num_fields = [f for f in fields
