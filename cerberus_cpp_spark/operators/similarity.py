@@ -1004,10 +1004,17 @@ def _pq_kmeans(mat: np.ndarray, m: int, n_codes: int, iters: int,
                   - 2.0 * part @ cents.T
                   + (cents ** 2).sum(axis=1))
             assign = d2.argmin(axis=1)
-            for j in range(n_codes):
-                members = part[assign == j]
-                if len(members):
-                    cents[j] = members.mean(axis=0)
+            # one scatter-add instead of n_codes boolean-mask means
+            # (the mask loop re-scanned the sample per code —
+            # measured ~40% of training); deterministic fixed-order
+            # accumulation, so books stay reproducible per seed
+            counts = np.bincount(assign, minlength=n_codes)
+            sums = np.empty((n_codes, dsub))
+            for d in range(dsub):
+                sums[:, d] = np.bincount(
+                    assign, weights=part[:, d], minlength=n_codes)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[sub] = cents
     return books
 
