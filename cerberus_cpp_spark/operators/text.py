@@ -408,7 +408,12 @@ def ngram_hashes(
         SQT.StructField("gram", SQT.LongType(), True),
     ])
     nn = int(n)
-    src = df.select(idc, txt)
+    # per-token hashing is the cost — spread a parallelism-starved
+    # raw scan before the Arrow stage (identity for derived frames
+    # and at real scale; shared policy in operators/partitioning.py)
+    from .partitioning import fanout_gate
+
+    src = fanout_gate(df, idc).select(idc, txt)
 
     def work(batches):
         import hashlib
@@ -1095,6 +1100,12 @@ def linear_quality_score(
     analogue: the allowed/min/max rule family (rules.hh:79-100,
     303-339) promoted to a learned scoring rule over text."""
     idc, txt = id_col, text_col
+    # the tokenize+explode stage is the cost; a parallelism-starved
+    # raw scan (one small parquet split) would run it on one core —
+    # identity for derived frames and at real scale (shared policy)
+    from .partitioning import fanout_gate
+
+    df = fanout_gate(df, id_col)
     src = df.select(idc, txt)
     # materialize the token array BEFORE the bigram lambda: an
     # expression referenced inside a higher-order-function body is
