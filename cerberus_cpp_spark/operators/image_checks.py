@@ -33,7 +33,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1232,28 +1232,30 @@ def cross_codec_duplicates(
     / unsupported / payload-less rows pass through with NULL group
     columns — quarantine is a different operator's job.
 
-    Shape: the decode stage is the cost; after it everything is
-    int64/md5-keyed — one hash aggregate on the fingerprint
-    (map-side partials) and one AQE-planned join back, both shuffling
-    the FINGERPRINT table, never pixels."""
+    Shape: the decode stage is the cost — and it runs ONCE: the
+    group stats come from a window over the fingerprint output
+    (a filter/union or aggregate+join-back would reference the
+    decode subtree 3×, and Spark recomputes each branch — measured
+    3 full decode passes per run). Non-ok rows ride the same pass
+    under per-row-unique window keys (NEVER the shared-NULL
+    fingerprint — at scale the undecodable slice through one window
+    partition would be a planted straggler) and report NULL group
+    columns. Only the fingerprint table shuffles, never pixels."""
     fp = pixel_fingerprints(df, id_col=id_col, bytes_col=bytes_col)
-    ok = fp.where(F.col("status") == "ok")
-    groups = ok.groupBy("pixel_md5").agg(
-        F.count(F.lit(1)).alias("group_size"),
-        F.min("image_id").alias("survivor_id"),
-    )
-    dup = ok.join(groups, "pixel_md5").withColumn(
-        "is_survivor", F.col("image_id") == F.col("survivor_id"))
-    rest = fp.where(F.col("status") != "ok").select(
-        "pixel_md5", "image_id", "status", "fmt", "w", "h",
-        F.lit(None).cast("long").alias("group_size"),
-        F.lit(None).cast(df.schema[id_col].dataType)
-        .alias("survivor_id"),
-        F.lit(None).cast("boolean").alias("is_survivor"),
-    )
-    return dup.unionByName(rest).select(
+    is_ok = F.col("status") == "ok"
+    wkey = F.when(is_ok, F.concat(F.lit("k"), F.col("pixel_md5"))) \
+        .otherwise(F.concat(F.lit("r"),
+                            F.col("image_id").cast("string")))
+    w = Window.partitionBy(wkey)
+    return fp.select(
         "image_id", "status", "fmt", "w", "h", "pixel_md5",
-        "group_size", "survivor_id", "is_survivor")
+        F.when(is_ok, F.count(F.lit(1)).over(w)).alias("group_size"),
+        F.when(is_ok, F.min("image_id").over(w))
+        .alias("survivor_id"),
+        F.when(is_ok,
+               F.col("image_id") == F.min("image_id").over(w))
+        .alias("is_survivor"),
+    )
 
 
 def icc_profile_audit(df: DataFrame, *, id_col: str = "image_id",
