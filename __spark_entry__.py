@@ -4926,9 +4926,17 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     queries = emb.where("vec_id < 10").select("vec_id", "embedding")
-    assigned, cents = _sim.ivf_index(corpus, n_lists=16, seed=11)
-    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11)
-    codes = _sim.pq_encode(assigned, books, keep_cols=("list_id",))
+    # one shared bounded sample for both trainers (identical to what
+    # each would collect itself — similarity.training_sample), and
+    # list assignment fused into the encode pass (residual=False:
+    # same codes, same lists, one Arrow stage instead of two)
+    mat = _sim.training_sample(corpus)
+    _, cents = _sim.ivf_index(corpus, n_lists=16, seed=11,
+                              sample_matrix=mat)
+    books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11,
+                          sample_matrix=mat)
+    codes = _sim.pq_encode(corpus, books, centroids=cents,
+                           residual=False)
     return _sim.ivf_pq_topk(codes, cents, books, queries, k=1,
                             nprobe=1, corpus=corpus, rescore_n=16) \
         .select("query_id", "neighbor_id", "cosine")
@@ -4993,11 +5001,16 @@ def q_ann_topk_ivfpq_residual(spark: SparkSession,
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     queries = emb.where("vec_id < 10").select("vec_id", "embedding")
-    assigned, cents = _sim.ivf_index(corpus, n_lists=16, seed=11)
+    # one shared bounded sample for both trainers; the encode pass
+    # recomputes the list with _assign_lists' exact math and codes
+    # the residual in the same Arrow stage (pq_encode(centroids=)
+    # with list_col=None) — one stage instead of two
+    mat = _sim.training_sample(corpus)
+    _, cents = _sim.ivf_index(corpus, n_lists=16, seed=11,
+                              sample_matrix=mat)
     books = _sim.pq_train(corpus, m=8, n_codes=64, seed=11,
-                          centroids=cents)
-    codes = _sim.pq_encode(assigned, books, centroids=cents,
-                           list_col="list_id", keep_cols=("list_id",))
+                          centroids=cents, sample_matrix=mat)
+    codes = _sim.pq_encode(corpus, books, centroids=cents)
     return _sim.ivf_pq_topk(codes, cents, books, queries, k=1,
                             nprobe=1, corpus=corpus, rescore_n=16,
                             residual=True) \

@@ -531,6 +531,29 @@ def _bounded_sample_matrix(
                        for r in sample])
 
 
+def training_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 20_000,
+    sample_mod: int | None = None,
+) -> np.ndarray:
+    """The bounded deterministic training sample as a raw (n, dim)
+    float64 matrix — the SHARING hook for pipelines that train
+    several quantizers over the same corpus (IVF + PQ in the IVFADC
+    compositions): collect the sample ONCE here and pass it to
+    ``ivf_index`` / ``pq_train`` / ``opq_train`` / ``sq_train`` via
+    ``sample_matrix=`` instead of paying the sizing probe + bounded
+    collect per trainer. Identical membership/ordering rules as the
+    per-trainer default (a pure function of the id hash), so the
+    shared matrix is exactly what each trainer would have collected
+    itself."""
+    return _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
+
+
 def ivf_index(
     corpus: DataFrame,
     *,
@@ -541,6 +564,7 @@ def ivf_index(
     iters: int = 10,
     seed: int = 11,
     sample_mod: int | None = None,
+    sample_matrix: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer — the second scale path for ANN next to
     the LSH route (the task brief names both): spherical k-means
@@ -552,12 +576,16 @@ def ivf_index(
     bucketed/partitioned by it at scale) and the (n_lists, dim)
     centroid matrix. ``sample_mod`` skips the sizing count for giant
     corpora (keep every row with xxhash64(id) % sample_mod == 0).
+    ``sample_matrix`` (from :func:`training_sample`) skips the
+    collect entirely — the co-training hook for IVF×PQ compositions.
     Deterministic for a fixed seed (k-means++ under a seeded RNG;
     note that BLAS ulp differences across heterogeneous hardware can
     flip assignments of near-boundary vectors)."""
-    mat = _bounded_sample_matrix(
-        corpus, id_col=id_col, vec_col=vec_col,
-        train_rows=train_rows, sample_mod=sample_mod)
+    mat = (np.array(sample_matrix, dtype=np.float64)
+           if sample_matrix is not None
+           else _bounded_sample_matrix(
+               corpus, id_col=id_col, vec_col=vec_col,
+               train_rows=train_rows, sample_mod=sample_mod))
     if len(mat) < n_lists:
         raise ValueError(
             f"IVF training sample ({len(mat)}) smaller than "
@@ -645,6 +673,7 @@ def pq_train(
     seed: int = 11,
     sample_mod: int | None = None,
     centroids: np.ndarray | None = None,
+    sample_matrix: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks — the compressed-domain ANN
     path next to LSH (:func:`ann_topk_lsh`) and IVF
@@ -677,14 +706,20 @@ def pq_train(
     error — materially better recall at fixed m/n_codes (measured in
     tests/test_pq.py and BENCH.md §34). Pair with
     ``pq_encode(centroids=...)`` and ``ivf_pq_topk(residual=True)``.
+
+    ``sample_matrix`` (from :func:`training_sample`) skips the
+    bounded collect — pass the one shared matrix when co-training
+    with :func:`ivf_index` over the same corpus.
     """
     if m < 1:
         raise ValueError("m must be >= 1")
     if not 2 <= n_codes <= 256:
         raise ValueError("n_codes must be in [2, 256] (uint8 codes)")
-    mat = _bounded_sample_matrix(
-        corpus, id_col=id_col, vec_col=vec_col,
-        train_rows=train_rows, sample_mod=sample_mod)
+    mat = (np.array(sample_matrix, dtype=np.float64)
+           if sample_matrix is not None
+           else _bounded_sample_matrix(
+               corpus, id_col=id_col, vec_col=vec_col,
+               train_rows=train_rows, sample_mod=sample_mod))
     if len(mat) < n_codes:
         raise ValueError(
             f"PQ training sample ({len(mat)}) smaller than n_codes "
@@ -714,6 +749,7 @@ def sq_train(
     train_rows: int = 20_000,
     sample_mod: int | None = None,
     centroids: np.ndarray | None = None,
+    sample_matrix: np.ndarray | None = None,
 ) -> np.ndarray:
     """Scalar-quantization codebooks (FAISS's 'SQ8'): each dimension
     independently snapped to a uniform ``n_levels``-step grid
@@ -743,9 +779,11 @@ def sq_train(
     if not 2 <= n_levels <= 256:
         raise ValueError(
             "n_levels must be in [2, 256] (uint8 codes)")
-    mat = _bounded_sample_matrix(
-        corpus, id_col=id_col, vec_col=vec_col,
-        train_rows=train_rows, sample_mod=sample_mod)
+    mat = (np.array(sample_matrix, dtype=np.float64)
+           if sample_matrix is not None
+           else _bounded_sample_matrix(
+               corpus, id_col=id_col, vec_col=vec_col,
+               train_rows=train_rows, sample_mod=sample_mod))
     if len(mat) == 0:
         raise ValueError("empty training sample")
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
@@ -774,6 +812,7 @@ def opq_train(
     opq_iters: int = 8,
     seed: int = 11,
     sample_mod: int | None = None,
+    sample_matrix: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013 —
     public): learn an ORTHOGONAL rotation R that redistributes
@@ -799,9 +838,11 @@ def opq_train(
         raise ValueError("n_codes must be in [2, 256] (uint8 codes)")
     if opq_iters < 1:
         raise ValueError("opq_iters must be >= 1")
-    mat = _bounded_sample_matrix(
-        corpus, id_col=id_col, vec_col=vec_col,
-        train_rows=train_rows, sample_mod=sample_mod)
+    mat = (np.array(sample_matrix, dtype=np.float64)
+           if sample_matrix is not None
+           else _bounded_sample_matrix(
+               corpus, id_col=id_col, vec_col=vec_col,
+               train_rows=train_rows, sample_mod=sample_mod))
     if len(mat) < n_codes:
         raise ValueError(
             f"OPQ training sample ({len(mat)}) smaller than n_codes "
@@ -943,30 +984,42 @@ def opq_ivf_pq_topk(
     corpus is one extra narrow Arrow pass you'd materialize next to
     the codes at rest, and search cost is identical to
     :func:`ivf_pq_topk`."""
+    # collect the bounded training sample ONCE from the raw corpus
+    # and rotate it driver-side for the IVF/PQ trainers: the rotated
+    # corpus's sample has identical membership/ordering (both are
+    # pure functions of the id hash), and its vectors are the same
+    # float64 ``x @ R`` product ``rotate_embeddings`` computes — so
+    # three sizing probes + three bounded collects (two of which
+    # would materialize the full rotation stage early) collapse into
+    # one, with no change to what any trainer sees.
+    mat = _bounded_sample_matrix(
+        corpus, id_col=id_col, vec_col=vec_col,
+        train_rows=train_rows, sample_mod=sample_mod)
     rot, _ = opq_train(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         train_rows=train_rows, iters=iters, opq_iters=opq_iters,
-        seed=seed, sample_mod=sample_mod)
-    # lazy localCheckpoint: the rotated corpus feeds FOUR consumers
-    # (ivf sample, pq sample, encode, rescore) — without truncation
-    # each would re-run the Arrow rotation stage
+        seed=seed, sample_matrix=mat)
+    rmat = mat @ np.ascontiguousarray(rot, dtype=np.float64)
+    # lazy localCheckpoint: the rotated corpus feeds the encode and
+    # the rescore — without truncation each would re-run the Arrow
+    # rotation stage
     rcorp = rotate_embeddings(corpus, rot, vec_col=vec_col) \
         .localCheckpoint(eager=False)
     rq = rotate_embeddings(queries, rot, vec_col=vec_col)
-    assigned, cents = ivf_index(
+    _, cents = ivf_index(
         rcorp, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
         train_rows=train_rows, iters=iters, seed=seed,
-        sample_mod=sample_mod)
+        sample_matrix=rmat)
     books = pq_train(
         rcorp, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         train_rows=train_rows, iters=iters, seed=seed,
-        sample_mod=sample_mod,
+        sample_matrix=rmat,
         centroids=cents if residual else None)
+    # assignment fused into the encode pass (same normalized-matmul
+    # argmax as _assign_lists) — one Arrow stage instead of two
     codes = pq_encode(
-        assigned, books, id_col=id_col, vec_col=vec_col,
-        centroids=cents if residual else None,
-        list_col="list_id" if residual else None,
-        keep_cols=("list_id",))
+        rcorp, books, id_col=id_col, vec_col=vec_col,
+        centroids=cents, residual=residual)
     if distributed:
         # unbounded-query serving: rotation is already baked into rq
         # and rcorp, so the distributed path needs no rotation param
@@ -1031,6 +1084,7 @@ def pq_encode(
     centroids: np.ndarray | None = None,
     list_col: str | None = None,
     rotation: np.ndarray | None = None,
+    residual: bool = True,
 ) -> DataFrame:
     """(``id_col``, *``keep_cols``, ``out_col``): each vector
     compressed to ``m`` uint8 codes packed into one BinaryType value
@@ -1063,6 +1117,13 @@ def pq_encode(
     recomputed per batch with :func:`_assign_lists`' exact math.
     With ``centroids`` and no explicit ``list_col`` the output grows
     a ``list_id`` column so :func:`ivf_pq_topk` can prune.
+
+    ``residual=False`` with ``centroids`` keeps the IVF list
+    assignment (recomputed or read from ``list_col``) but codes the
+    RAW normalized vector — byte-identical to encoding the
+    ``ivf_index`` output with plain codebooks, minus one whole Arrow
+    assignment stage (the coarse-pruned-but-not-residual IVFPQ
+    layout).
 
     ``rotation`` (from :func:`opq_train`) rotates each normalized
     vector before coding — pass the SAME matrix to the search side.
@@ -1131,7 +1192,9 @@ def pq_encode(
                     lists = pdf[use_list_col].to_numpy().astype(int)
                 else:
                     lists = (mat @ cn.T).argmax(axis=1)
-                mat = mat - cn[lists]  # residual from the coarse cell
+                if residual:
+                    # residual from the coarse cell
+                    mat = mat - cn[lists]
             codes = np.empty((len(mat), m), dtype=np.uint8)
             err = np.zeros(len(mat)) if with_error else None
             for sub in range(m):

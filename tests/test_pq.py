@@ -740,3 +740,42 @@ def test_opq_ivf_pq_distributed_equals_driver(spark, emb) -> None:
         corpus, qs, distributed=True, queries_per_block=2,
         **kw).collect()))
     assert got == want and len(got) == 12
+
+
+def test_training_sample_matrix_equivalence(emb) -> None:
+    """sample_matrix= must reproduce the per-trainer collect exactly:
+    the shared matrix from training_sample() is what each trainer
+    would have collected itself, so books/centroids are bit-equal."""
+    mat = SIM.training_sample(emb)
+    assert np.array_equal(
+        SIM.pq_train(emb, m=8, n_codes=64, seed=11),
+        SIM.pq_train(emb, m=8, n_codes=64, seed=11,
+                     sample_matrix=mat))
+    _, c_self = SIM.ivf_index(emb, n_lists=8, seed=11)
+    _, c_shared = SIM.ivf_index(emb, n_lists=8, seed=11,
+                                sample_matrix=mat)
+    assert np.array_equal(c_self, c_shared)
+    assert np.array_equal(
+        SIM.sq_train(emb, n_levels=16),
+        SIM.sq_train(emb, n_levels=16, sample_matrix=mat))
+    # the caller's matrix is not mutated by the trainers' in-place
+    # normalization (they must copy)
+    assert np.array_equal(mat, SIM.training_sample(emb))
+
+
+def test_pq_encode_assign_only_matches_two_stage(emb, books) -> None:
+    """pq_encode(centroids=, residual=False) must equal the two-stage
+    ivf_index-assign + plain-encode layout byte for byte: same lists,
+    same raw-vector codes, one Arrow stage instead of two."""
+    assigned, cents = SIM.ivf_index(emb, n_lists=8, seed=11)
+    two_stage = {
+        r["vec_id"]: (r["list_id"], bytes(r["code"]))
+        for r in SIM.pq_encode(assigned, books,
+                               keep_cols=("list_id",)).collect()
+    }
+    fused = {
+        r["vec_id"]: (r["list_id"], bytes(r["code"]))
+        for r in SIM.pq_encode(emb, books, centroids=cents,
+                               residual=False).collect()
+    }
+    assert fused == two_stage and len(fused) == emb.count()
