@@ -1708,11 +1708,22 @@ def _topk_distributed(
                          nprobe=nprobe, id_col=id_col,
                          vec_col=vec_col, rotation=rotation))
     spark = codes.sparkSession
+    code_blocks: frozenset[int] = frozenset()
     try:
         n_q = luts.count()
         if n_q == 0:
             return _empty_topk_frame(codes, queries, corpus, id_col)
         n_blocks = max(1, math.ceil(n_q / int(queries_per_block)))
+        if n_blocks > 1:
+            # every block scans the code frame once; when codes are
+            # DERIVED (the bench builds them from pq_encode in the
+            # same plan) each block would re-run the whole encode
+            # stage. Materialize once (MEMORY_AND_DISK — the column
+            # is the 32×-compressed one, and it spills rather than
+            # recomputes) and free the blocks after the per-block
+            # results are eagerly checkpointed. Single-block calls
+            # skip the copy: one scan either way.
+            codes, code_blocks = checkpoint_tracked(codes)
         return _topk_block_loop(
             codes, codebooks, queries, k, luts=luts,
             n_blocks=n_blocks, centroids=centroids, corpus=corpus,
@@ -1720,6 +1731,7 @@ def _topk_distributed(
             vec_col=vec_col, code_col=code_col, list_col=list_col)
     finally:
         free_checkpoint(spark, lut_blocks)
+        free_checkpoint(spark, code_blocks)
 
 
 def _topk_block_loop(
