@@ -101,6 +101,14 @@ def estimate_total_bytes(
     nparts = rdd.getNumPartitions()
     if nparts == 0:
         return 0, 0
+    if nparts <= max_probe:
+        # the probe would read every partition anyway — same data
+        # through a JVM aggregate costs no Python-worker round trip
+        # (same shortcut as similarity._bounded_sample_matrix)
+        total = df.agg(
+            F.sum(F.coalesce(F.length(F.col(bytes_col)), F.lit(0)))
+        ).collect()[0][0]
+        return int(total or 0), nparts
     stride = -(-nparts // max_probe)  # ceil → <= max_probe probed
     probe = list(range(0, nparts, stride))
     sums = df.sparkSession.sparkContext.runJob(

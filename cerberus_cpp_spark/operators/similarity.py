@@ -506,11 +506,18 @@ def _bounded_sample_matrix(
         nparts = rdd.getNumPartitions()
         if nparts == 0:
             raise ValueError("empty corpus: nothing to train on")
-        stride = -(-nparts // 8)  # ceil → at most 8 probed partitions
-        probe = list(range(0, nparts, stride))
-        counts = corpus.sparkSession.sparkContext.runJob(
-            rdd, lambda it: [sum(1 for _ in it)], probe)
-        n_est = int(sum(counts) * nparts / len(probe))
+        if nparts <= 8:
+            # the probe would cover EVERY partition, i.e. read the
+            # same data as a full count — so count in the JVM (no
+            # Python-worker job round trip; measured ~2× cheaper at
+            # bench scale) for the identical exact estimate
+            n_est = corpus.count()
+        else:
+            stride = -(-nparts // 8)  # ceil → ≤ 8 probed partitions
+            probe = list(range(0, nparts, stride))
+            counts = corpus.sparkSession.sparkContext.runJob(
+                rdd, lambda it: [sum(1 for _ in it)], probe)
+            n_est = int(sum(counts) * nparts / len(probe))
         sample_mod = max(1, n_est // max(train_rows, 1))
     # the hash filter leaves ~[train_rows, 2*train_rows) rows; a bare
     # limit() would keep whichever partitions answer first (plan-
