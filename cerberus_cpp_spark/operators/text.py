@@ -1573,12 +1573,45 @@ def _bpe_syms(state_col: Column) -> Column:
     return F.split(inner, BPE_WRAP + BPE_WRAP)
 
 
+def _bpe_train_local(
+    rows, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """In-process finish of the BPE training loop over the collected
+    (cnt, state) vocabulary — the EXACT distributed arithmetic:
+    integer pair counts, (count DESC, left ASC, right ASC) tie-break
+    over the same ASCII symbol strings, and ``str.replace`` merge
+    application (same non-overlapping left-to-right semantics as the
+    JVM ``replace`` expression on the wrapped encoding)."""
+    vocab = [(int(r["cnt"]), r["state"]) for r in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, state in vocab:
+            # _bpe_syms: strip ONE outer wrap byte each side, split
+            # on the double marker
+            syms = state[1:-1].split(BPE_WRAP + BPE_WRAP)
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        old = BPE_WRAP + l + BPE_WRAP + BPE_WRAP + r + BPE_WRAP
+        new = BPE_WRAP + l + r + BPE_WRAP
+        vocab = [(cnt, state.replace(old, new))
+                 for cnt, state in vocab]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     *,
     n_merges: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    local_finish_vocab: int = 1_000_000,
 ) -> list[tuple[int, str, str, str, int]]:
     """DISTRIBUTED byte-pair-encoding training (Sennrich et al.
     2016, public): learn ``n_merges`` merge rules from the corpus —
@@ -1605,7 +1638,21 @@ def bpe_train(
     you want: one pass over the data, then all iteration on the
     tiny aggregate. Reference analogue: none (the reference has no
     tokenizer); the determinism contract follows the module's
-    oracle-portability rules."""
+    oracle-portability rules.
+
+    ``local_finish_vocab`` (the k_core / CC in-process-finish
+    discipline, OPTIMIZATION_r06.md): the training loop is genuinely
+    sequential and every round costs one driver-job round trip over
+    the VOCABULARY-sized frame — when that frame is at most this many
+    rows (1M rows ≈ tens of MB of wrapped words, the same bounded
+    ferry class as the ADC LUT blocks) the whole loop runs in-process
+    on the collected vocabulary with the IDENTICAL arithmetic:
+    adjacent-pair counts are integer sums, the tie-break compares the
+    same ASCII strings, and Python's ``str.replace`` has the same
+    non-overlapping left-to-right semantics as the JVM ``replace``
+    the distributed rounds use (pinned equal in tests). Set 0 to
+    force every round distributed; the one corpus-proportional scan
+    (the word-frequency aggregate) is unchanged either way."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     from pyspark.sql import DataFrame as _DF
@@ -1627,6 +1674,15 @@ def bpe_train(
     )
     words = words.persist()
     try:
+        if local_finish_vocab > 0:
+            # guard and collect in ONE bounded job (the
+            # _exact_near_duplicates_blas limit(n+1) pattern): at most
+            # guard+1 rows ever reach the driver; an over-guard
+            # vocabulary falls through to the distributed loop, whose
+            # round 1 materializes the persist as before
+            rows = words.limit(int(local_finish_vocab) + 1).collect()
+            if len(rows) <= int(local_finish_vocab):
+                return _bpe_train_local(rows, int(n_merges))
         merges: list[tuple[int, str, str, str, int]] = []
         state = words
         for step in range(1, int(n_merges) + 1):

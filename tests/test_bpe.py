@@ -129,3 +129,18 @@ def test_segment_plan_is_narrow(spark) -> None:
     out = df.select("doc_id", bpe_segment("text", [("t", "h")]))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+@given(st.lists(st.lists(_word, min_size=1, max_size=8),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=10, deadline=None)
+def test_local_finish_equals_distributed(spark, docs, k) -> None:
+    """local_finish_vocab=default (in-process loop) must reproduce the
+    forced-distributed loop rule-for-rule including counts."""
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    local = bpe_train(df, n_merges=k)
+    dist = bpe_train(df, n_merges=k, local_finish_vocab=0)
+    assert local == dist
