@@ -51,6 +51,40 @@ def simple_undirected(edges: DataFrame, *, src: str = "src",
     )
 
 
+def _bfs_local(spark, adj_rows, seed_rows, *, node_name: str,
+               node_type, max_hops: int) -> DataFrame:
+    """In-process finish of the frontier walk over the collected
+    cleaned adjacency + seed set — identical set semantics (distinct
+    neighbors minus visited per hop, seeds at 0), so the (node, hops)
+    table is exactly the distributed loop's (pinned in tests)."""
+    from pyspark.sql import types as T
+
+    adjm: dict = {}
+    for r in adj_rows:
+        adjm.setdefault(r["a"], set()).add(r["b"])
+    visited = {r["n"]: 0 for r in seed_rows}
+    frontier = set(visited)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for a in frontier:
+            nxt |= adjm.get(a, set())
+        nxt -= visited.keys()
+        if not nxt:
+            break
+        for n in nxt:
+            visited[n] = h
+        frontier = nxt
+    schema = T.StructType([
+        T.StructField(node_name, node_type, True),
+        T.StructField("hops", T.IntegerType(), False),
+    ])
+    if not visited:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(
+        sorted(visited.items()), numSlices=1)
+    return spark.createDataFrame(rdd, schema)
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -60,6 +94,7 @@ def bfs_hops(
     node: str = "node",
     max_hops: int = 3,
     directed: bool = False,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Minimum hop count from any seed to every node within
     ``max_hops`` edges: returns ``(node, hops)`` with seeds at 0.
@@ -75,7 +110,15 @@ def bfs_hops(
     discipline as ``dedup.connected_components``; blocks are freed
     when the frames are garbage-collected). The early-exit probe
     (``limit(1)``) is the only per-round driver action and stops
-    the loop as soon as a frontier drains."""
+    the loop as soon as a frontier drains.
+
+    ``local_finish_edges`` (the k_core / CC / pagerank in-process
+    discipline): when BOTH the cleaned adjacency and the seed set are
+    at most this many rows (bounded ``limit(n+1)`` collects — seeds
+    must be guarded too, they are caller data), the whole walk runs
+    in-process with identical set semantics; over-guard inputs fall
+    through to the unchanged distributed loop (0 forces it).
+    Local == distributed is pinned in tests."""
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     adj = edges.where(
@@ -85,6 +128,20 @@ def bfs_hops(
         adj = adj.unionByName(
             adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
     adj = adj.distinct()
+    if local_finish_edges > 0:
+        g = int(local_finish_edges)
+        adj_rows = adj.limit(g + 1).collect()
+        if len(adj_rows) <= g:
+            seed_rows = (
+                seeds.where(F.col(node).isNotNull())
+                .select(F.col(node).alias("n")).distinct()
+                .limit(g + 1).collect())
+            if len(seed_rows) <= g:
+                return _bfs_local(
+                    edges.sparkSession, adj_rows, seed_rows,
+                    node_name=node,
+                    node_type=seeds.schema[node].dataType,
+                    max_hops=int(max_hops))
 
     frontier = (
         seeds.where(F.col(node).isNotNull())
@@ -194,6 +251,42 @@ def clustering_coefficients(
     )
 
 
+def _pagerank_local(spark, adj_rows, *, node_type, rounds: int,
+                    damping_num: int, damping_den: int,
+                    scale: int) -> DataFrame:
+    """In-process finish of the PageRank rounds over the collected
+    cleaned adjacency — the EXACT distributed arithmetic: Python's
+    arbitrary-precision ints reproduce the decimal(38,0) inbox sums
+    and ``//`` equals ``div`` on the all-positive ranks, so the
+    result is the identical integer rank table (pinned in tests)."""
+    from pyspark.sql import types as T
+
+    adj = [(r["a"], r["b"]) for r in adj_rows]
+    nodes = sorted({a for a, _ in adj} | {b for _, b in adj})
+    outdeg: dict = {}
+    for a, _ in adj:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = scale * (damping_den - damping_num) // damping_den
+    rank = {n: scale for n in nodes}
+    for _ in range(rounds):
+        inbox: dict = {}
+        for a, b in adj:
+            inbox[b] = inbox.get(b, 0) + rank[a] // outdeg[a]
+        rank = {n: base + damping_num * inbox.get(n, 0) // damping_den
+                for n in nodes}
+    schema = T.StructType([
+        T.StructField("node", node_type, True),
+        T.StructField("rank", T.LongType(), True),
+    ])
+    # single-slice parallelize (the ledger-commit fix): a tiny frame
+    # must not cost one empty Python task per default partition
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(
+        [(n, rank[n]) for n in nodes], numSlices=1)
+    return spark.createDataFrame(rdd, schema)
+
+
 def pagerank_scaled(
     edges: DataFrame,
     *,
@@ -203,6 +296,7 @@ def pagerank_scaled(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 1_000_000_000_000,
+    local_finish_edges: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic INTEGER-scaled PageRank over the directed edge
     list: ranks live in units of ``1/scale`` and every round is pure
@@ -235,7 +329,17 @@ def pagerank_scaled(
     node id plus one hash aggregate with map-side partials — no step
     is data-proportional on the driver, and each round's rank frame
     is lazily ``localCheckpoint``ed (same lineage discipline as
-    ``bfs_hops``)."""
+    ``bfs_hops``).
+
+    ``local_finish_edges`` (the k_core / CC / BPE in-process-finish
+    discipline): when the cleaned distinct adjacency is at most this
+    many rows (2M rows ≈ 32 MB of ids, the bounded-ferry class), the
+    guard and collect share one ``limit(n+1)`` job and ALL rounds run
+    in-process with the identical arithmetic — Python's arbitrary-
+    precision ints make the inbox sums exact like decimal(38,0), and
+    ``//`` equals ``div`` on the all-positive ranks. Over-guard
+    graphs fall through to the unchanged distributed loop (0 forces
+    it); local == distributed is pinned rank-for-rank in tests."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not 0 < damping_num <= damping_den:
@@ -248,6 +352,14 @@ def pagerank_scaled(
         .select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .distinct()
     )
+    if local_finish_edges > 0:
+        rows = adj.limit(int(local_finish_edges) + 1).collect()
+        if len(rows) <= int(local_finish_edges):
+            return _pagerank_local(
+                edges.sparkSession, rows,
+                node_type=edges.schema[src].dataType,
+                rounds=int(rounds), damping_num=int(damping_num),
+                damping_den=int(damping_den), scale=int(scale))
     nodes = (
         adj.select(F.col("a").alias("node"))
         .unionByName(adj.select(F.col("b").alias("node")))

@@ -428,3 +428,45 @@ def test_k_core_guards(spark):
     # ... and with it enabled the same graph converges (empty 2-core)
     assert k_core(_edges(spark, [(i, i + 1) for i in range(10)]),
                   k=2, max_rounds=2).count() == 0
+
+
+def test_pagerank_local_finish_equals_distributed(spark):
+    """local_finish_edges=default (in-process rounds) must reproduce
+    the forced-distributed loop rank-for-rank, including the hub-sum
+    arithmetic (Python int == decimal(38,0))."""
+    from cerberus_cpp_spark.operators.graph import pagerank_scaled
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(140)})
+    edges = _edges(spark, pairs)
+    local = {(r["node"], r["rank"])
+             for r in pagerank_scaled(edges, rounds=3).collect()}
+    dist = {(r["node"], r["rank"])
+            for r in pagerank_scaled(
+                edges, rounds=3, local_finish_edges=0).collect()}
+    assert local == dist and local == {
+        (n, v) for n, v in _brute_pagerank_scaled(pairs, 3).items()}
+
+
+def test_bfs_local_finish_equals_distributed(spark):
+    """local_finish_edges=default (in-process walk) must reproduce the
+    forced-distributed frontier loop node-for-node, directed and
+    undirected, including unreachable nodes and isolated seeds."""
+    from cerberus_cpp_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(80)})
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(0,), (29,), (None,)],
+                                  "node long")
+    for directed in (False, True):
+        local = {(r["node"], r["hops"])
+                 for r in bfs_hops(edges, seeds, max_hops=3,
+                                   directed=directed).collect()}
+        dist = {(r["node"], r["hops"])
+                for r in bfs_hops(edges, seeds, max_hops=3,
+                                  directed=directed,
+                                  local_finish_edges=0).collect()}
+        assert local == dist, directed
