@@ -5094,11 +5094,15 @@ def q_dynamic_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's schemaless-dict semantics, rules.hh:270-288 +
     614-632, over a MapType column)."""
     from cerberus_cpp_spark.functions.barrier import once_per_row
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
 
     # once_per_row: without the barrier, the violations() filter
     # inlines the from_json parse into EVERY rule branch (12x per
-    # row — measured 2.49s vs 0.90s at sf0.1; functions/barrier.py)
-    ev = _t(spark, sf_dir, "events").select(
+    # row — measured 2.49s vs 0.90s at sf0.1; functions/barrier.py).
+    # fanout_gate: the from_json + 12-rule projection is heavy per
+    # row and the raw events scan arrives as ONE split locally
+    # (measured 1.12s -> 0.81s; identity at real scale)
+    ev = fanout_gate(_t(spark, sf_dir, "events")).select(
         "event_id",
         once_per_row(
             F.from_json("props", "map<string,string>")).alias("props"),
@@ -5178,7 +5182,12 @@ def q_rules_list_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contains + per-element schema(list) over a real array column:
     violation paths carry the reference's `[i]` grammar
     (stack.hh:39-54) without a posexplode in the rule pass."""
-    docs = _t(spark, sf_dir, "documents").select(
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
+
+    # fanout_gate: the per-element HOF regex rules are interpreted
+    # (CodegenFallback) and the raw documents scan is ONE split
+    # locally (measured 0.99s -> 0.83s; identity at real scale)
+    docs = fanout_gate(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
         .alias("words"),
