@@ -917,7 +917,13 @@ def q_curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-proven component twins (quality/lang from text_profile's,
     repetition from repetition_docs', PII counts, md5-fingerprint
     window for survivor selection) down to the exact reasons string."""
-    d = _t(spark, sf_dir, "documents")
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
+
+    # fanout_gate: the one-pass verdict folds every text filter into
+    # a heavy per-row projection over a raw scan that arrives as ONE
+    # split locally (ABA-measured 1.03-1.29s -> 0.89s; identity at
+    # real scale)
+    d = fanout_gate(_t(spark, sf_dir, "documents"))
     planted = d.select("doc_id", F.expr(_CURATE_PLANT).alias("text"))
     dups = planted.where("doc_id % 13 = 1").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -1764,11 +1770,13 @@ def q_gopher_filter_docs(
     non-empty lines, bullet/ellipsis line regexes, alpha words,
     word-boundary stopword hits), every f64 ratio, and the ordered
     fail_reasons string."""
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
     from cerberus_cpp_spark.operators.text import (
         gopher_quality_filter,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fanout_gate(spark.read.parquet(
+        f"{sf_dir}/documents.parquet"))
     planted = docs.select(
         "doc_id",
         F.when(
