@@ -208,6 +208,7 @@ def _closed_wedges(g: DataFrame, o: DataFrame) -> DataFrame:
 
 def clustering_coefficients(
     edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    local_finish_edges: int = 20_000,
 ) -> DataFrame:
     """Local clustering coefficient per node of the simple
     undirected graph: ``(node, degree, n_triangles, lcc)`` with
@@ -227,8 +228,38 @@ def clustering_coefficients(
     ``triangle_count``; each closed triangle then explodes to its
     THREE member nodes (a constant 3× on the triangle frame, not
     the edge frame) and one hash aggregate folds per-node counts.
-    All integer until the single final f64 division."""
+    All integer until the single final f64 division.
+
+    ``local_finish_edges``: same in-process finish and 20k default
+    as :func:`triangle_count` (counts are algorithm-independent and
+    the final division runs the identical IEEE ops in the identical
+    order — pinned local == distributed in tests); 0 forces
+    distributed."""
     g = simple_undirected(edges, src=src, dst=dst)
+    if local_finish_edges > 0:
+        rows = g.limit(int(local_finish_edges) + 1).collect()
+        if len(rows) <= int(local_finish_edges):
+            from pyspark.sql import types as T
+
+            degd, tri, _ = _triangles_local(rows)
+            schema = T.StructType([
+                T.StructField("node", edges.schema[src].dataType,
+                              True),
+                T.StructField("degree", T.LongType(), False),
+                T.StructField("n_triangles", T.LongType(), False),
+                T.StructField("lcc", T.DoubleType(), False),
+            ])
+            out = [
+                (n, d, tri[n],
+                 (2.0 * tri[n] / (float(d) * (d - 1)))
+                 if d >= 2 else 0.0)
+                for n, d in sorted(degd.items())
+            ]
+            if not out:
+                return edges.sparkSession.createDataFrame([], schema)
+            rdd = edges.sparkSession.sparkContext.parallelize(
+                out, numSlices=1)
+            return edges.sparkSession.createDataFrame(rdd, schema)
     o, deg = _oriented(g)
     tri = _closed_wedges(g, o)
     per_node = (
@@ -512,8 +543,36 @@ def k_core(
         "raise the backstop (rounds are bounded by the node count)")
 
 
+def _triangles_local(g_rows):
+    """Exact per-node triangle counts + degrees of a collected
+    simple graph (rows with ``u < v``). Counting is algorithm-
+    independent — a triangle either exists or it does not — so any
+    exact enumeration matches the distributed wedge join's counts
+    EXACTLY; this one iterates each edge's common-neighbor set with
+    the ``w > v`` cut so every triangle counts once. Returns
+    ``(deg, tri, n_edges)`` dicts/int."""
+    adjs: dict = {}
+    deg: dict = {}
+    for r in g_rows:
+        u, v = r["u"], r["v"]
+        adjs.setdefault(u, set()).add(v)
+        adjs.setdefault(v, set()).add(u)
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tri = {n: 0 for n in deg}
+    for r in g_rows:
+        u, v = r["u"], r["v"]
+        for w in adjs[u] & adjs[v]:
+            if w > v:
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    return deg, tri, len(g_rows)
+
+
 def triangle_count(edges: DataFrame, *, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
+                   dst: str = "dst",
+                   local_finish_edges: int = 20_000) -> DataFrame:
     """Exact triangle count of the simple undirected graph, one
     row: ``(n_nodes, n_edges, n_triangles)``.
 
@@ -523,8 +582,31 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     the same key) closed by an oriented edge b→c. Each triangle has
     exactly one vertex with out-edges to the other two under a total
     order, so the count is exact with no division. Three
-    aggregates + two equi-joins, all integers."""
+    aggregates + two equi-joins, all integers.
+
+    ``local_finish_edges`` (the shared in-process-finish
+    discipline): a simple graph of at most this many edges counts
+    in-process from one bounded ``limit(n+1)`` collect — a triangle
+    either exists or it does not, so any exact enumeration produces
+    the identical counts (pinned local == distributed in tests).
+    Default 20k (not the 2M of the linear-cost finishes: local
+    counting is O(m·√m)); 0 forces distributed."""
     g = simple_undirected(edges, src=src, dst=dst)
+    if local_finish_edges > 0:
+        rows = g.limit(int(local_finish_edges) + 1).collect()
+        if len(rows) <= int(local_finish_edges):
+            from pyspark.sql import types as T
+
+            deg, tri, n_edges = _triangles_local(rows)
+            schema = T.StructType([
+                T.StructField("n_nodes", T.LongType(), False),
+                T.StructField("n_edges", T.LongType(), False),
+                T.StructField("n_triangles", T.LongType(), False),
+            ])
+            rdd = edges.sparkSession.sparkContext.parallelize(
+                [(len(deg), n_edges, sum(tri.values()) // 3)],
+                numSlices=1)
+            return edges.sparkSession.createDataFrame(rdd, schema)
     o, deg = _oriented(g)
     closed = _closed_wedges(g, o)
     return (

@@ -470,3 +470,25 @@ def test_bfs_local_finish_equals_distributed(spark):
                                   directed=directed,
                                   local_finish_edges=0).collect()}
         assert local == dist, directed
+
+
+def test_triangles_lcc_local_finish_equals_distributed(spark):
+    """local_finish_edges=default (in-process enumeration) must equal
+    the distributed wedge join exactly — counts are algorithm-
+    independent, and the lcc division runs the identical IEEE ops."""
+    from cerberus_cpp_spark.operators.graph import (
+        clustering_coefficients,
+        triangle_count,
+    )
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(200)})
+    edges = _edges(spark, pairs)
+    assert (triangle_count(edges).collect()
+            == triangle_count(edges, local_finish_edges=0).collect())
+    local = sorted(map(tuple, clustering_coefficients(
+        edges).collect()))
+    dist = sorted(map(tuple, clustering_coefficients(
+        edges, local_finish_edges=0).collect()))
+    assert local == dist
