@@ -92,6 +92,7 @@ def q_suggest_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the very data they were derived from (raises otherwise). Output:
     the flattened (col_name, rule, value) triples; the oracle
     recomputes every triple from raw SQL aggregates."""
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
     from cerberus_cpp_spark.plans.suggest import (
         rules_as_rows,
         suggest_rules,
@@ -100,7 +101,11 @@ def q_suggest_orders_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     rules = suggest_rules(orders)
     tv = TableValidator(rules, allow_unknown=True)
-    if not tv.validate(orders).is_valid():
+    # fanout_gate on the self-consistency scan only: the fused
+    # many-rule validation is heavy per row over a one-split raw scan
+    # (ABA-measured -0.3-0.7s; the PROFILE scan is deliberately not
+    # gated — see plans/suggest.py); identity at real scale
+    if not tv.validate(fanout_gate(orders)).is_valid():
         raise AssertionError("suggested rules flag their own data")
     return spark.createDataFrame(
         rules_as_rows(rules), "col_name string, rule string, value string")
@@ -117,6 +122,7 @@ def q_suggest_customer_rules(spark: SparkSession,
     replace() calls). Also covers float bounds with the isfinite
     guard path (c_acctbal) and allowed (c_mktsegment). Inline
     self-consistency pin as for orders."""
+    from cerberus_cpp_spark.operators.partitioning import fanout_gate
     from cerberus_cpp_spark.plans.suggest import (
         rules_as_rows,
         suggest_rules,
@@ -125,7 +131,8 @@ def q_suggest_customer_rules(spark: SparkSession,
     cust = _t(spark, sf_dir, "customer")
     rules = suggest_rules(cust)
     tv = TableValidator(rules, allow_unknown=True)
-    if not tv.validate(cust).is_valid():
+    # same self-consistency-scan gate as suggest_orders_rules
+    if not tv.validate(fanout_gate(cust)).is_valid():
         raise AssertionError("suggested rules flag their own data")
     return spark.createDataFrame(
         rules_as_rows(rules), "col_name string, rule string, value string")
